@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the parity surface (graft.queries.Parity —
+  * one named query per reference operator row, SURVEY.md §2) and the
+  * large-scale extension operators (dedup / similarity / text analysis /
+  * multimodal — SURVEY.md §2.11). Every SQL-expressible query has a
+  * DuckDB oracle in `oracleSql` with identical column names and total
+  * ordering (the driver's hash compare requires both).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * `saldo_per_konto` — the reference's one verified derived value
+    * (account balance, db_test.go:374-386) as an exact decimal aggregation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_saldo_per_konto")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Parity.queries ++
+      graft.queries.Extensions.queries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.Parity.oracles ++
+      graft.queries.Extensions.oracles
 }

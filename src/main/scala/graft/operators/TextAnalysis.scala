@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.documents
+
+/** Text-analysis operators over the `documents` table (doc_id, text, lang,
+  * source, n_chars) — the training-data-pipeline surface (SURVEY.md §2.11).
+  *
+  * All narrow, codegen'd column expressions; the only shuffles are the
+  * final groupBy aggregations. At 100 TB these scale linearly: no
+  * explode-heavy paths in the default queries (token counts use
+  * regexp_count-style length arithmetic, not explode+groupBy), no driver
+  * work, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. Identical semantics on the DuckDB side via
+    * len(string_split_regex(...)). */
+  def wsTokens(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word runs plus single non-word-non-space
+    * symbols — the standard pre-tokenizer regex, ASCII \w on both Java
+    * and RE2 regex engines. */
+  def bpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Punctuation count via length difference (no explode). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Quality score: punctuation density + mean token length, both as
+    * single deterministic double divisions (bit-identical across
+    * engines; no order-dependent double sums). */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      punctCount(text).cast(DoubleType) / length(text).cast(DoubleType))
+      .otherwise(lit(0.0))
+
+  /** Stopword-hit language ID heuristic (n-gram-lite): fixed-order CASE
+    * over high-frequency function words. Deterministic and expressible
+    * identically in SQL. */
+  def langGuess(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    when(instr(t, " och ") > 0 || instr(t, " att ") > 0 || instr(t, " är ") > 0, "sv")
+      .when(instr(t, " und ") > 0 || instr(t, " der ") > 0 || instr(t, " ist ") > 0, "de")
+      .when(instr(t, " the ") > 0 || instr(t, " and ") > 0 || instr(t, " is ") > 0, "en")
+      .when(instr(t, " le ") > 0 || instr(t, " la ") > 0 || instr(t, " est ") > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Document fingerprint: md5 over case-folded, whitespace-collapsed
+    * text — the canonical-form hash used as the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-language corpus stats: counts + whitespace tokenization.
+    "q_text_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          sum(wsTokens(col("text"))).as("tokens"))
+        .orderBy("lang")),
+
+    // BPE-ish token counting per source.
+    "q_token_count" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(bpeTokens(col("text"))).as("bpe_tokens"))
+        .orderBy("source")),
+
+    // per-doc quality signals (deterministic doubles: one division each).
+    "q_quality_score" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          punctCount(col("text")).as("n_punct"),
+          punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")),
+
+    // language-ID confusion matrix against the labeled lang column.
+    "q_lang_id" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("lang"), langGuess(col("text")).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "guess")),
+
+    // canonical-form fingerprint per doc.
+    "q_fingerprint" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars,
+        |       sum(len(string_split_regex(trim(text), '\s+'))) AS tokens
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |       sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, length(text) AS len,
+        |       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |       CASE WHEN length(text) > 0
+        |            THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |                 / CAST(length(text) AS DOUBLE)
+        |            ELSE 0.0 END AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |         CASE WHEN strpos(t, ' och ') > 0 OR strpos(t, ' att ') > 0 OR strpos(t, ' är ') > 0 THEN 'sv'
+        |              WHEN strpos(t, ' und ') > 0 OR strpos(t, ' der ') > 0 OR strpos(t, ' ist ') > 0 THEN 'de'
+        |              WHEN strpos(t, ' the ') > 0 OR strpos(t, ' and ') > 0 OR strpos(t, ' is ') > 0 THEN 'en'
+        |              WHEN strpos(t, ' le ') > 0 OR strpos(t, ' la ') > 0 OR strpos(t, ' est ') > 0 THEN 'fr'
+        |              ELSE 'und' END AS guess
+        |  FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents))
+        |SELECT lang, guess, count(*) AS cnt FROM g GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,19 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregator for the large-scale pipeline extension operators
+  * (SURVEY.md §2.11): dedup, similarity search, text analysis,
+  * multimodal. Filled in per-module; queries without a DuckDB-expressible
+  * oracle are registered in `queries` only (driver records a rows-only
+  * check).
+  */
+object Extensions {
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.operators.TextAnalysis.queries ++
+      graft.operators.Dedup.queries
+
+  def oracles: Map[String, String] =
+    graft.operators.TextAnalysis.oracles ++
+      graft.operators.Dedup.oracles
+}

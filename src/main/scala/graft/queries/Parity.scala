@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Transforms
+import graft.queries.Tables._
+
+/** Relational parity surface — one named query per reference operator row
+  * in SURVEY.md §2, each paired with ANSI SQL for the driver's DuckDB
+  * oracle. Determinism rules (SURVEY.md §7.5): every query ends in a
+  * total orderBy incl. tiebreaker; money math in DECIMAL(19,4) applied
+  * per-row BEFORE aggregation (decimal sums are exact and
+  * order-independent — double sums are not); NULL ordering pinned
+  * explicitly (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST by
+  * default).
+  */
+object Parity {
+
+  private val Money = Transforms.Money
+
+  /** Signed ledger amount: returns are debits (Hogia `Inköp` analog),
+    * everything else credits — the Hogia-shaped frame of SURVEY.md §7.4
+    * derived from lineitem at benchable scale. */
+  private def signedAmount: Column =
+    when(col("l_returnflag") === "R", -col("l_extendedprice"))
+      .otherwise(col("l_extendedprice"))
+      .cast(Money)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S5/P1: full scan with explicit projection (hhek2sqlite.go:212 —
+    // projection lists are explicit, never SELECT *).
+    "q_scan_project" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P2: parameterized point lookup WHERE (Löpnr=?) (db_test.go:414-415).
+    // The "parameter" is derived (min key) so the query is sf-stable; the
+    // 1-row lookup side is broadcast, no shuffle of the fact table.
+    "q_point_lookup" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val k = o.agg(min("o_orderkey").as("k"))
+      o.join(broadcast(k), col("o_orderkey") === col("k"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // A1: COUNT(*) (hhek2sqlite.go:1137-1146).
+    "q_count_rows" -> ((s, dir) =>
+      lineitem(s, dir).agg(count(lit(1)).as("cnt"))),
+
+    // F6/P3: empty string → NULL (hhek2sqlite.go:639-643), grouped to a
+    // small deterministic result.
+    "q_null_empty" -> ((s, dir) => {
+      val stripped = regexp_replace(col("o_orderpriority"), "1-URGENT", "")
+      orders(s, dir)
+        .select(Transforms.emptyToNull(stripped).as("prio"))
+        .groupBy("prio").agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("prio"))
+    }),
+
+    // F2: comma-decimal text → exact DECIMAL(19,4) round-trip
+    // (hhek2sqlite.go:161-167), then an exact decimal sum.
+    "q_decimal_cast" -> ((s, dir) => {
+      val asText = Transforms.point2comma(col("l_quantity").cast(Money))
+      lineitem(s, dir)
+        .select(col("l_returnflag"), Transforms.comma2point(asText).as("qty"))
+        .groupBy("l_returnflag")
+        .agg(sum("qty").cast(Money).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // F1 escaping half: ' → '' quote doubling (hhek2sqlite.go:66-71).
+    "q_escape_compat" -> ((s, dir) =>
+      customer(s, dir)
+        .select(col("c_custkey"),
+          Transforms.sqlEscapeCompat(concat(lit("O'"), col("c_name"))).as("escaped"))
+        .orderBy("c_custkey")),
+
+    // F8: ISO date parse yyyy-MM-dd (db_test.go:466-468): format to the
+    // reference's TEXT(10) carrier then parse back, group by month.
+    "q_date_parse" -> ((s, dir) => {
+      val d = to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+      orders(s, dir)
+        .select(year(d).as("y"), month(d).as("m"))
+        .groupBy("y", "m").agg(count(lit(1)).as("cnt"))
+        .orderBy("y", "m")
+    }),
+
+    // F4: boolean → 'true'/'false' literal text (hhek2sqlite.go:261).
+    "q_bool_format" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_discount") > 0.05).cast(StringType).as("flag"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // A2 flagship: account balance as exact signed decimal sum
+    // (db_test.go:374-386 — Saldo = deposits − purchases). Partial
+    // aggregation map-side, one shuffle on the group key.
+    "q_saldo_per_konto" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_suppkey").as("konto"), signedAmount.as("belopp"))
+        .groupBy("konto")
+        .agg(sum("belopp").cast(Money).as("saldo"))
+        .orderBy("konto")),
+
+    // §2.5: the latent running balance the converter NULLs out
+    // (hhek2sqlite.go:260) — reconstructed per account in date order.
+    "q_running_saldo" -> ((s, dir) => {
+      val w = Window.partitionBy("konto")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, dir)
+        .select(col("l_suppkey").as("konto"), col("l_shipdate"),
+          col("l_orderkey"), col("l_linenumber"), signedAmount.as("belopp"))
+        .withColumn("saldo", sum("belopp").over(w).cast(Money))
+        .orderBy("konto", "l_shipdate", "l_orderkey", "l_linenumber")
+    }),
+
+    // §2.4: implied FK equi-join fact→dim; dimension broadcast so the
+    // fact side never shuffles.
+    "q_fk_join_segment" -> ((s, dir) =>
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Money)).cast(Money).as("total"))
+        .orderBy("c_mktsegment")),
+
+    // §2.4: left_semi (EXISTS) integrity probe.
+    "q_semi_exists" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // §2.4: left_anti (NOT EXISTS) orphan check — customers with no
+    // orders, the "transactions whose Vem has no Personer row" analog.
+    "q_anti_orphans" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // §2.3-absent DISTINCT, map-side partial dedup then one shuffle.
+    "q_distinct" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.6: top-k — TakeOrderedAndProject (per-partition top-k + merge),
+    // never a global sort.
+    "q_topk_orders" -> ((s, dir) =>
+      orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)),
+
+    // §2.6 set ops: UNION (dedup union of nation keys).
+    "q_union_nations" -> ((s, dir) =>
+      customer(s, dir).select(col("c_nationkey").as("nk"))
+        .union(supplier(s, dir).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")),
+
+    // §2.6 set ops: EXCEPT.
+    "q_except_nations" -> ((s, dir) =>
+      customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+        .except(supplier(s, dir).select(col("s_nationkey").as("nk")).distinct())
+        .orderBy("nk")),
+
+    // §2.5: ranking window — top 3 orders per customer.
+    "q_rank_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // GROUP BY extension: ROLLUP with exact decimal sums; NULL subtotal
+    // keys ordered NULLS FIRST on both engines.
+    "q_rollup_status" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(Money).as("qty"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("qty").cast(Money).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // exact COUNT(DISTINCT) — two-phase partial aggregation under AQE.
+    "q_count_distinct" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")),
+
+    // D3/D4/EP1-EP2: truncate-load round-trip — write Overwrite twice
+    // (idempotence), read back, prove identity against the source.
+    "q_roundtrip" -> ((s, dir) => {
+      val out = s"target/tmp/roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val src = lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      src.write.mode("overwrite").parquet(out)
+      src.write.mode("overwrite").parquet(out) // idempotent truncate-load
+      s.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders) ORDER BY o_orderkey""".stripMargin,
+    "q_count_rows" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_null_empty" ->
+      """SELECT CASE WHEN length(replace(o_orderpriority, '1-URGENT', '')) = 0 THEN NULL
+        |            ELSE replace(o_orderpriority, '1-URGENT', '') END AS prio,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY prio NULLS FIRST""".stripMargin,
+    "q_decimal_cast" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(replace(replace(CAST(CAST(l_quantity AS DECIMAL(19,4)) AS VARCHAR),
+        |                             '.', ','), ',', '.') AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_escape_compat" ->
+      """SELECT c_custkey, replace(replace('O''' || c_name, '''', ''''''), '"', '""') AS escaped
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_parse" ->
+      """SELECT CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m, count(*) AS cnt
+        |FROM (SELECT CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS d FROM orders)
+        |GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q_bool_format" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_discount > 0.05 AS VARCHAR) AS flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_saldo_per_konto" ->
+      """SELECT l_suppkey AS konto,
+        |       CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+        |                          ELSE l_extendedprice END AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS saldo
+        |FROM lineitem GROUP BY 1 ORDER BY konto""".stripMargin,
+    "q_running_saldo" ->
+      """SELECT l_suppkey AS konto, l_shipdate, l_orderkey, l_linenumber,
+        |       CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+        |                 ELSE l_extendedprice END AS DECIMAL(19,4)) AS belopp,
+        |       CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+        |                          ELSE l_extendedprice END AS DECIMAL(19,4)))
+        |            OVER (PARTITION BY l_suppkey
+        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DECIMAL(19,4)) AS saldo
+        |FROM lineitem ORDER BY konto, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_fk_join_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_semi_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_orphans" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_union_nations" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+    "q_except_nations" ->
+      """SELECT DISTINCT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q_rank_per_group" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rollup_status" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.schema.HogiaTable
+
+/** Storage abstraction for the convert pipeline (SURVEY.md §7.3).
+  *
+  * The reference's two engines (Jet/MDB via ODBC, `hhek2sqlite.go:1253-1279`;
+  * SQLite, `:1148-1165`) are both row stores reached through SQL
+  * connections. In this environment no Access/SQLite JDBC driver ships in
+  * `/opt/spark/jars` and egress is zero, so the default implementation is
+  * a parquet "jet-dump" mirror (one directory per table). [[JdbcTableIO]]
+  * documents the drop-in for a real cluster with drivers on the classpath.
+  */
+trait TableIO {
+
+  def read(spark: SparkSession, table: HogiaTable): DataFrame
+
+  /** Truncate-then-load (reference D3+D4: `DELETE FROM` then row inserts,
+    * `hhek2sqlite.go:100-107` etc.) — idempotent full replace. */
+  def truncateLoad(df: DataFrame, table: HogiaTable): Unit
+
+  def exists(spark: SparkSession, table: HogiaTable): Boolean
+}
+
+/** Parquet-backed TableIO: `<root>/<tableName>` one directory per table.
+  * Overwrite mode reproduces the reference's delete-output-first semantics
+  * (`hhek2sqlite.go:1153-1156`). Table names are non-ASCII
+  * (`Överföringar`, `LÅN`) — exercised deliberately, SURVEY.md §1.3
+  * invariant 4.
+  */
+final class ParquetTableIO(root: String) extends TableIO {
+
+  private def path(table: HogiaTable): String = s"$root/${table.name}"
+
+  override def read(spark: SparkSession, table: HogiaTable): DataFrame =
+    spark.read.schema(table.schema).parquet(path(table))
+
+  override def truncateLoad(df: DataFrame, table: HogiaTable): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+
+  override def exists(spark: SparkSession, table: HogiaTable): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** JDBC TableIO — the production drop-in when an Access (UCanAccess) or
+  * SQLite (org.xerial) driver is on the executor classpath. Semantics per
+  * reference: truncate-load ≙ `option("truncate", true)` + Overwrite (D3);
+  * typed batched inserts replace the reference's hand-escaped literal SQL
+  * (D4, `hhek2sqlite.go:139-153`); per-partition commits replace its three
+  * inconsistent transaction strategies (D5, SURVEY.md §2.8). DDL parity
+  * comes from `HogiaTable.createTableColumnTypes`; secondary-index DDL
+  * (D2) is emitted post-write from `HogiaTable.indexDdl` over a raw
+  * connection.
+  *
+  * Not constructible in this zero-egress environment (no driver jar) —
+  * compiled but unused; the parquet mirror carries the tested semantics.
+  */
+final class JdbcTableIO(url: String, props: java.util.Properties) extends TableIO {
+
+  override def read(spark: SparkSession, table: HogiaTable): DataFrame =
+    spark.read.jdbc(url, s"`${table.name}`", props)
+
+  override def truncateLoad(df: DataFrame, table: HogiaTable): Unit =
+    df.write
+      .option("truncate", value = true)
+      .option("batchsize", 1000)
+      .option("createTableColumnTypes", table.createTableColumnTypes)
+      .mode(SaveMode.Overwrite)
+      .jdbc(url, s"`${table.name}`", props)
+
+  override def exists(spark: SparkSession, table: HogiaTable): Boolean =
+    try { spark.read.jdbc(url, s"`${table.name}`", props).schema; true }
+    catch { case _: Exception => false }
+}
