@@ -98,13 +98,16 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    // CAST(sum(...) AS BIGINT): DuckDB's sum over integers is HUGEINT,
+    // which the driver's pandas conversion floats ('3549.0' vs Spark's
+    // int64 '3549') — same lesson as the DECIMAL rule in Parity.
     "q_text_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars,
-        |       sum(len(string_split_regex(trim(text), '\s+'))) AS tokens
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_token_count" ->
       """SELECT source, count(*) AS n_docs,
-        |       sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS bpe_tokens
+        |       CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id, length(text) AS len,

@@ -16,6 +16,15 @@ import graft.queries.Tables._
   * order-independent — double sums are not); NULL ordering pinned
   * explicitly (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST by
   * default).
+  *
+  * Result-type rule (learned from round-1 CORRECTNESS): the driver's
+  * comparison reads the Spark parquet with pyarrow (DECIMAL stays
+  * Decimal, '19525.0000') but the DuckDB oracle through a pandas
+  * conversion where DECIMAL and HUGEINT become float64 ('19525.0') —
+  * so money columns are summed exactly in DECIMAL(19,4) and then cast
+  * to DOUBLE for presentation on BOTH sides, and oracle sums of
+  * integers carry CAST(... AS BIGINT). Exact-decimal semantics live in
+  * the internal math; only the final rendering is double.
   */
 object Parity {
 
@@ -69,7 +78,7 @@ object Parity {
       lineitem(s, dir)
         .select(col("l_returnflag"), Transforms.comma2point(asText).as("qty"))
         .groupBy("l_returnflag")
-        .agg(sum("qty").cast(Money).as("sum_qty"))
+        .agg(sum("qty").cast(Money).cast(DoubleType).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
 
@@ -104,7 +113,7 @@ object Parity {
       lineitem(s, dir)
         .select(col("l_suppkey").as("konto"), signedAmount.as("belopp"))
         .groupBy("konto")
-        .agg(sum("belopp").cast(Money).as("saldo"))
+        .agg(sum("belopp").cast(Money).cast(DoubleType).as("saldo"))
         .orderBy("konto")),
 
     // §2.5: the latent running balance the converter NULLs out
@@ -116,7 +125,8 @@ object Parity {
       lineitem(s, dir)
         .select(col("l_suppkey").as("konto"), col("l_shipdate"),
           col("l_orderkey"), col("l_linenumber"), signedAmount.as("belopp"))
-        .withColumn("saldo", sum("belopp").over(w).cast(Money))
+        .withColumn("saldo", sum("belopp").over(w).cast(Money).cast(DoubleType))
+        .withColumn("belopp", col("belopp").cast(DoubleType))
         .orderBy("konto", "l_shipdate", "l_orderkey", "l_linenumber")
     }),
 
@@ -127,7 +137,7 @@ object Parity {
         .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(Money)).cast(Money).as("total"))
+          sum(col("o_totalprice").cast(Money)).cast(Money).cast(DoubleType).as("total"))
         .orderBy("c_mktsegment")),
 
     // §2.4: left_semi (EXISTS) integrity probe.
@@ -192,7 +202,8 @@ object Parity {
         .select(col("l_returnflag"), col("l_linestatus"),
           col("l_quantity").cast(Money).as("qty"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), sum("qty").cast(Money).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("qty").cast(Money).cast(DoubleType).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     // exact COUNT(DISTINCT) — two-phase partial aggregation under AQE.
@@ -229,8 +240,8 @@ object Parity {
         |FROM orders GROUP BY 1 ORDER BY prio NULLS FIRST""".stripMargin,
     "q_decimal_cast" ->
       """SELECT l_returnflag,
-        |       CAST(sum(CAST(replace(replace(CAST(CAST(l_quantity AS DECIMAL(19,4)) AS VARCHAR),
-        |                             '.', ','), ',', '.') AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS sum_qty
+        |       CAST(CAST(sum(CAST(replace(replace(CAST(CAST(l_quantity AS DECIMAL(19,4)) AS VARCHAR),
+        |                             '.', ','), ',', '.') AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_escape_compat" ->
       """SELECT c_custkey, replace(replace('O''' || c_name, '''', ''''''), '"', '""') AS escaped
@@ -244,23 +255,23 @@ object Parity {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_saldo_per_konto" ->
       """SELECT l_suppkey AS konto,
-        |       CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
-        |                          ELSE l_extendedprice END AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS saldo
+        |       CAST(CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+        |                          ELSE l_extendedprice END AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS saldo
         |FROM lineitem GROUP BY 1 ORDER BY konto""".stripMargin,
     "q_running_saldo" ->
       """SELECT l_suppkey AS konto, l_shipdate, l_orderkey, l_linenumber,
-        |       CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
-        |                 ELSE l_extendedprice END AS DECIMAL(19,4)) AS belopp,
-        |       CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+        |       CAST(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+        |                 ELSE l_extendedprice END AS DECIMAL(19,4)) AS DOUBLE) AS belopp,
+        |       CAST(CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
         |                          ELSE l_extendedprice END AS DECIMAL(19,4)))
         |            OVER (PARTITION BY l_suppkey
         |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |            AS DECIMAL(19,4)) AS saldo
+        |            AS DECIMAL(19,4)) AS DOUBLE) AS saldo
         |FROM lineitem ORDER BY konto, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "q_fk_join_segment" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS total
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q_semi_exists" ->
@@ -293,7 +304,7 @@ object Parity {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q_rollup_status" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS sum_qty
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_count_distinct" ->
