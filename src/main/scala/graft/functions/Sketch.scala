@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst sketch expressions for the near-dup operators
+  * (SURVEY.md §2.11): single-pass, codegen'd computation of MinHash and
+  * SimHash document sketches from a normalized token array.
+  *
+  * This is the narrow-map replacement for the round-1
+  * explode → groupBy(64 aggs) plan, which shuffled every token of the
+  * corpus and recomputed that shuffle on both sides of the LSH
+  * self-join; it also replaces the higher-order-function formulation
+  * (`transform`/`sequence`/`element_at`), which breaks whole-stage
+  * codegen and re-tokenizes the document per shingle in interpreted
+  * mode (O(tokens²) regex work per doc — the round-1 sf0.1 bench spent
+  * ~20 min here). At 100 TB the sketch is computed exactly once per
+  * document inside the scan stage: zero shuffles, fixed-width output
+  * (8 B SimHash / 64×8 B MinHash per doc) regardless of document size.
+  *
+  * Determinism: token hashes use the same XXH64(seed=42) as Spark's
+  * built-in `xxhash64`; affine-permutation coefficients derive from a
+  * fixed seed at class-load. A 1000-executor rerun reproduces identical
+  * sketches (no per-partition or per-run state).
+  */
+object Sketch {
+
+  /** Same Mersenne-ish prime Spark MLlib's MinHashLSH uses. */
+  val Prime: Long = 2038074743L
+  val NumPerm = 64
+
+  /** Deterministic affine-permutation coefficients (seeded — never
+    * Math.random at plan time). */
+  val permA: Array[Long] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(NumPerm)(1L + rng.nextInt((Prime - 1).toInt).toLong)
+  }
+  val permB: Array[Long] = {
+    val rng = new scala.util.Random(43)
+    Array.fill(NumPerm)(rng.nextInt(Prime.toInt).toLong)
+  }
+
+  /** Register the sketch expressions in the session's function registry
+    * (idempotent). The public `Column` builders below resolve through the
+    * registry via `call_function`, the supported route from Column-land
+    * to a custom Catalyst `Expression` on Spark 4 (the classic
+    * `Column(expr)` constructor is `private[sql]`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_shingles", exprs => MinHashShingleFeatures(exprs.head), "built-in")
+  }
+
+  /** 64-bit SimHash from `array<string>` tokens: per-bit ±1 votes over
+    * per-occurrence token hashes, sign → bit.
+    * Call [[register]] on the session first. */
+  def simhashTokens(tokens: Column): Column =
+    call_function("graft_simhash", tokens)
+
+  /** MinHash shingle features from `array<string>` tokens:
+    * `struct<sh_set: array<bigint>, sig: array<bigint>>` — the distinct
+    * word-3-gram hash set and its 64-long MinHash signature.
+    * Call [[register]] on the session first. */
+  def minhashShingles(tokens: Column): Column =
+    call_function("graft_minhash_shingles", tokens)
+}
+
+/** Single-pass sketch kernels, shared by interpreted `eval` and generated
+  * code (the codegen for each expression is one static call — the loop
+  * itself is JIT-compiled once, like Spark's own UTF8String intrinsics). */
+object SketchOps {
+
+  private final val Seed = 42L // xxhash64 builtin default seed
+
+  /** Word-3-gram hashes (per position, duplicates included). Docs shorter
+    * than 3 tokens fall back to one whole-doc gram. Gram hash = XXH64
+    * chain over the gram's tokens (content-defined, position-independent). */
+  private def gramHashes(tokens: ArrayData): Array[Long] = {
+    val n = tokens.numElements()
+    if (n < 3) {
+      var h = Seed
+      var i = 0
+      while (i < n) { h = XXH64.hashUTF8String(tokens.getUTF8String(i), h); i += 1 }
+      Array(h)
+    } else {
+      val out = new Array[Long](n - 2)
+      var i = 0
+      while (i <= n - 3) {
+        var h = Seed
+        h = XXH64.hashUTF8String(tokens.getUTF8String(i), h)
+        h = XXH64.hashUTF8String(tokens.getUTF8String(i + 1), h)
+        h = XXH64.hashUTF8String(tokens.getUTF8String(i + 2), h)
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** struct(sh_set: distinct sorted gram hashes, sig: 64 affine-permutation
+    * minima). Empty-token docs get the all-Prime signature (min over the
+    * empty set = +inf, deterministic). */
+  def minhashFeatures(tokens: ArrayData): InternalRow = {
+    val grams = gramHashes(tokens)
+    java.util.Arrays.sort(grams)
+    // distinct in place (sorted)
+    var m = 0
+    var i = 0
+    while (i < grams.length) {
+      if (m == 0 || grams(i) != grams(m - 1)) { grams(m) = grams(i); m += 1 }
+      i += 1
+    }
+    val shSet = java.util.Arrays.copyOf(grams, m)
+    val p = Sketch.Prime
+    val sig = Array.fill(Sketch.NumPerm)(p)
+    i = 0
+    while (i < m) {
+      val base = ((shSet(i) % p) + p) % p
+      var j = 0
+      while (j < Sketch.NumPerm) {
+        val v = (Sketch.permA(j) * base + Sketch.permB(j)) % p
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(shSet), new GenericArrayData(sig)))
+  }
+
+  /** 64-bit SimHash: ±1 votes per bit over per-occurrence token hashes. */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+      var k = 0
+      while (k < 64) {
+        counts(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+}
+
+/** `graft_simhash(array<string>) -> bigint`. */
+case class SimHashTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchOps.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.SketchOps.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashTokens =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_shingles(array<string>)
+  *   -> struct<sh_set: array<bigint>, sig: array<bigint>>`. */
+case class MinHashShingleFeatures(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sh_set", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_minhash_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchOps.minhashFeatures(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.SketchOps.minhashFeatures($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingleFeatures =
+    copy(child = newChild)
+}

@@ -4,87 +4,71 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Sketch
 import graft.operators.TextAnalysis.fingerprint
 import graft.queries.Tables.documents
 
 /** Deduplication operators over `documents` (SURVEY.md §2.11): exact
-  * (hash-groupBy), MinHash+LSH near-dup, SimHash near-dup.
+  * (hash-groupBy), MinHash+LSH near-dup, SimHash near-dup, n-gram
+  * Jaccard verification.
   *
   * 100 TB design notes:
   *  - Exact dedup shuffles once on a uniform 128-bit digest — no skew by
   *    construction; group state is O(1) per digest.
-  *  - MinHash: the only quadratic step is candidate verification, bounded
-  *    per LSH bucket; band-bucket is the shuffle key (uniform), and
-  *    signatures are fixed-width (64 longs/doc) regardless of doc size.
-  *  - SimHash: constant 64-bit sketch per doc, candidate pairs restricted
-  *    to band-equal buckets (pigeonhole: hamming ≤ 3 ⇒ one of 4 16-bit
-  *    bands equal) — never an all-pairs comparison.
-  *  - All hashes are deterministic seeded permutations of xxhash64/
-  *    murmur3 — rerunning a 1000-executor job reproduces identical output.
+  *  - Sketches (MinHash signature, SimHash) are computed as NARROW
+  *    per-row expressions inside the scan stage (graft.functions.Sketch,
+  *    custom codegen) — zero shuffles, fixed-width output (64×8 B /
+  *    8 B per doc) regardless of document size. Round 1 computed them
+  *    via explode + groupBy(64 aggs), which shuffled every token of the
+  *    corpus and recomputed that shuffle on both sides of the LSH
+  *    self-join — ~30× slower at sf0.1.
+  *  - The only shuffle in the candidate step is the LSH band-bucket
+  *    self-join on a uniform 64-bit band hash; AQE's skew-join handles
+  *    pathological buckets (giant exact-dup clusters).
+  *  - Verification is exact n-gram Jaccard over the per-doc shingle-hash
+  *    arrays (array_intersect on two ~fixed-size arrays per candidate
+  *    pair) — the quadratic step is bounded per bucket and does not
+  *    re-scan the corpus.
+  *  - All hashes are deterministic seeded permutations of xxhash64 —
+  *    rerunning a 1000-executor job reproduces identical output.
   */
 object Dedup {
 
   // --- MinHash parameters (16 bands × 4 rows = 64 permutations) -------
-  private val NumPerm = 64
   private val BandRows = 4
-  private val NumBands = NumPerm / BandRows
-  /** Same Mersenne-ish prime Spark MLlib's MinHashLSH uses. */
-  private val Prime = 2038074743L
-  /** Deterministic affine-permutation coefficients (seeded — never
-    * Math.random at plan time). */
-  private val perms: Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(NumPerm)((1L + rng.nextInt((Prime - 1).toInt).toLong,
-      rng.nextInt(Prime.toInt).toLong))
-  }
+  private val NumBands = Sketch.NumPerm / BandRows
 
   /** Normalized word-token array. */
   private def tokens(text: Column): Column =
     split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
 
-  /** Word 3-shingles (docs shorter than 3 tokens fall back to the whole
-    * normalized text as a single shingle). */
-  private def shingles(text: Column): Column = {
-    val t = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(t) - 3),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))
-    array_distinct(when(size(t) < 3, array(concat_ws(" ", t))).otherwise(grams))
-  }
-
-  /** (doc_id, shingle_hash) exploded + distinct — the set representation
-    * both MinHash signatures and exact-Jaccard verification run on. */
-  private def shingleSets(docs: DataFrame): DataFrame =
+  /** (doc_id, sh_set, sig): one narrow codegen'd projection per doc —
+    * distinct word-3-gram hash set and its 64-long MinHash signature
+    * (graft.functions.Sketch), all inside the scan stage. The struct
+    * producer and the field extraction live in separate projections so
+    * CollapseProject cannot duplicate the sketch computation. */
+  def minhashFeatures(docs: DataFrame): DataFrame = {
+    Sketch.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .distinct()
-
-  /** MinHash signature: 64 min-aggregations of affine permutations of the
-    * shingle hash — one shuffle on doc_id, fixed-width output. */
-  private def signatures(sets: DataFrame): DataFrame = {
-    val base = pmod(col("sh"), lit(Prime))
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * base + lit(b), lit(Prime))).as(s"m$i")
-    }
-    sets.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), Sketch.minhashShingles(tokens(col("text"))).as("f"))
+      .select(col("doc_id"), col("f.sh_set").as("sh_set"), col("f.sig").as("sig"))
   }
 
-  /** Explode signatures into (band_idx, band_hash) bucket keys. */
-  private def bands(sig: DataFrame): DataFrame = {
+  /** Explode signatures into (band_idx, band_hash) bucket keys — 16
+    * fixed-width rows per doc. */
+  private def bands(features: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { j =>
-      val cols = (j * BandRows until (j + 1) * BandRows).map(i => col(s"m$i"))
       struct(lit(j).as("band_idx"),
-        xxhash64(concat_ws("_", cols: _*)).as("band_hash"))
+        xxhash64(slice(col("sig"), j * BandRows + 1, BandRows)).as("band_hash"))
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+    features.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
   }
 
   /** Candidate pairs: docs sharing any LSH band bucket (doc1 < doc2),
     * deduped. The bucket self-join shuffles on the uniform band hash. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
-    val b = bands(signatures(shingleSets(docs)))
+    val b = bands(minhashFeatures(docs))
     val x = b.as("x"); val y = b.as("y")
     x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
@@ -94,50 +78,47 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs against the true
-    * shingle sets (the only quadratic step — bounded per bucket). */
+  /** Exact n-gram Jaccard of candidate pairs against the true shingle
+    * sets: two hash-joins on doc_id (auto-broadcast when the feature side
+    * is small), then a per-pair array intersection — never a corpus
+    * re-scan. */
   def verifiedJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
-    val sets = shingleSets(docs).cache()
-    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val s1 = sets.select(col("doc_id").as("doc1"), col("sh"))
-    val s2 = sets.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    val sets = minhashFeatures(docs).select(col("doc_id"), col("sh_set"))
     candidates
-      .join(s1, "doc1")
-      .join(s2, col("doc2") === col("d2") && col("sh") === col("sh2"))
-      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
-      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
+      .join(sets.select(col("doc_id").as("doc1"), col("sh_set").as("sh1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("sh_set").as("sh2")), "doc2")
       .select(col("doc1"), col("doc2"),
-        (col("inter").cast(DoubleType) /
-          (col("sz1") + col("sz2") - col("inter")).cast(DoubleType)).as("jaccard"))
+        (size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+          size(array_union(col("sh1"), col("sh2"))).cast(DoubleType)).as("jaccard"))
   }
 
   // --- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash per doc: per-bit ±1 votes over token hashes, sign →
-    * bit. One shuffle (groupBy doc_id), 64 integer aggregations. */
+  /** 64-bit SimHash per doc: per-bit ±1 votes over token-occurrence
+    * hashes, sign → bit. Narrow single-pass expression — no shuffle. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
-    }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map { k =>
-      when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sh.as("simhash"))
+    Sketch.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      Sketch.simhashTokens(tokens(col("text"))).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: 4×16-bit band buckets (pigeonhole for
-    * hamming ≤ 3), then exact hamming verification via bit_count(xor). */
+  /** Near-dup pairs by SimHash banding + exact hamming verification via
+    * bit_count(xor). Pigeonhole: hamming ≤ maxHamming ⇒ at least one of
+    * (maxHamming+1) contiguous bit-bands is equal — so the band count is
+    * derived from the threshold (the round-1 version fixed 4 bands,
+    * which only guarantees recall for hamming ≤ 3). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val numBands = maxHamming + 1
+    require(numBands <= 64, s"maxHamming=$maxHamming needs $numBands bands > 64 bits")
+    // contiguous bit ranges [lo(j), lo(j+1)) covering all 64 bits
+    val lo = (0 to numBands).map(j => j * 64 / numBands)
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { j =>
+      explode(array((0 until numBands).map { j =>
+        val width = lo(j + 1) - lo(j)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
         struct(lit(j).as("band_idx"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("band_val"))
+          shiftright(col("simhash"), lo(j)).bitwiseAND(mask).as("band_val"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
     val x = banded.as("x"); val y = banded.as("y")
@@ -191,9 +172,9 @@ object Dedup {
     "q_simhash" -> ((s, dir) =>
       simhash(documents(s, dir)).orderBy("doc_id")),
 
-    // n-gram Jaccard near-dup via SimHash banding + hamming verify.
+    // SimHash near-dup: banding sized to the threshold + hamming verify.
     "q_near_dup_simhash" -> ((s, dir) =>
-      simhashPairs(documents(s, dir), maxHamming = 16)
+      simhashPairs(documents(s, dir), maxHamming = 3)
         .orderBy(desc("hamming"), asc("doc1"), asc("doc2"))
         .limit(100)
         .select("doc1", "doc2", "hamming")
