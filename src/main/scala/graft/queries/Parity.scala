@@ -215,8 +215,13 @@ object Parity {
 
     // D3/D4/EP1-EP2: truncate-load round-trip — write Overwrite twice
     // (idempotence), read back, prove identity against the source.
+    // Scratch dir is per-application (appId) under an overridable root
+    // (spark conf `graft.scratch`), so concurrent driver runs over the
+    // same dataset never race on one path.
     "q_roundtrip" -> ((s, dir) => {
-      val out = s"target/tmp/roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
+      val out = s"$root/${s.sparkContext.applicationId}/roundtrip_" +
+        dir.replaceAll("[^0-9a-zA-Z]", "_")
       val src = lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       src.write.mode("overwrite").parquet(out)

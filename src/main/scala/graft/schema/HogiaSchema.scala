@@ -158,9 +158,9 @@ object HogiaSchema {
     Seq(
       counter("Löpnr"),
       text("Konto", 40),
-      text("Kontonummer", 20),
-      text("Kundnummer", 20),
-      text("Sigillnummer", 20)
+      text("Kontonummer", 40),
+      text("Kundnummer", 40),
+      text("Sigillnummer", 40)
     ),
     Seq(Index("idxKonto", Seq("Konto"), unique = true))
   )
@@ -178,7 +178,7 @@ object HogiaSchema {
       date10("Datum"),
       text("HurOfta", 15),
       text("Vad", 40),
-      text("Vem", 50),
+      text("Vem", 40),
       int("Kontrollnr"),
       date10("TillDatum"),
       text("Rakning", 1)
@@ -240,7 +240,7 @@ object HogiaSchema {
       money("RorligAmort"),
       money("OvrUtg"),
       text("Rakning", 1),
-      text("Vem", 50),
+      text("Vem", 40),
       text("FrånKonto", 40),
       text("Grey", 2),
       Col("Anteckningar", StringType, "Memo", "TEXT"),
@@ -252,15 +252,17 @@ object HogiaSchema {
   )
 
   /** Budget — monthly budget matrix Jan..Dec (`dbinfo.txt:39-67`;
-    * `hhek2sqlite.go:1040-1043`). `HurOfta` is Jet Byte/SMALLINT → short
-    * (`hhek2sqlite.go:1066`). */
+    * `hhek2sqlite.go:1040-1043`). `HurOfta` is SMALLINT in the
+    * authoritative export (`dbinfo.txt:43`) → short; the Go code's Jet
+    * dialect calls it `Byte` (`hhek2sqlite.go:995`) — we follow the
+    * export. */
   val budget: HogiaTable = HogiaTable(
     "Budget",
     Seq(
       counter("Löpnr"),
       text("Typ", 40),
       text("Inkomst", 1),
-      Col("HurOfta", ShortType, "Byte", "INTEGER"),
+      Col("HurOfta", ShortType, "SMALLINT", "INTEGER"),
       text("StartMånad", 10)
     ) ++ Seq("Jan", "Feb", "Mar", "Apr", "Maj", "Jun",
              "Jul", "Aug", "Sep", "Okt", "Nov", "Dec").map(money) ++ Seq(
