@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Transforms
+import graft.queries.Tables.events
+
+/** Event-stream analytics over the `events` table (event_id, ts,
+  * user_id, event_type, value, props-json) — the batch twins of the
+  * Structured Streaming pipeline in graft.streaming (same window /
+  * session semantics, verifiable against the DuckDB oracle; streaming
+  * equivalence is asserted in the test suite).
+  *
+  * 100 TB design notes: tumbling windows and JSON extraction are narrow
+  * (one shuffle for the final groupBy); sessionization shuffles once on
+  * user_id and computes gaps with a lag window inside each partition —
+  * the identical dataflow `flatMapGroupsWithState` would run
+  * incrementally on a stream.
+  *
+  * Timestamps are rendered as formatted strings (not raw TIMESTAMP):
+  * Spark parquet timestamps come back tz-aware ('...+00:00') through the
+  * driver's pyarrow read while DuckDB's are naive — a string column is
+  * representation-stable on both sides. Epoch-second arithmetic is used
+  * for gaps (truncation direction identical on both engines).
+  */
+object Events {
+
+  private val Money = Transforms.Money
+
+  /** Session bounds: a new session starts after a ≥30-minute silence. */
+  val SessionGapSeconds = 1800L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1-hour window aggregation (the watermarked streaming agg's
+    // batch twin).
+    "q_events_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Money)).cast(Money).cast(DoubleType).as("total_value"))
+        .orderBy("h", "event_type")),
+
+    // JSON property extraction + aggregation.
+    "q_events_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Money)).cast(Money).cast(DoubleType).as("total_value"))
+        .orderBy("k")),
+
+    // sessionization: per-user session count with a 30-minute gap rule —
+    // the mapGroupsWithState analog, expressed as one lag window over
+    // epoch seconds.
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = unix_timestamp(col("ts")) -
+        lag(unix_timestamp(col("ts")), 1).over(byUser)
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_session",
+          when(gap.isNull || gap >= SessionGapSeconds, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("new_session").cast(LongType).as("n_sessions"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |       event_type, count(*) AS n,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+    "q_events_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(new_session) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |         CASE WHEN prev_s IS NULL OR (epoch_us(ts) // 1000000) - prev_s >= 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    -- epoch_us // 1e6 floors to seconds, matching Spark's
+        |    -- unix_timestamp truncation (epoch()::BIGINT would round).
+        |    SELECT user_id, ts,
+        |           lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+        |                                              ORDER BY ts, event_id) AS prev_s
+        |    FROM events))
+        |GROUP BY 1 ORDER BY user_id""".stripMargin
+  )
+}

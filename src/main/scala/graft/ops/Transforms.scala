@@ -55,6 +55,9 @@ object Transforms {
   /** F8: ISO date parse, `yyyy-MM-dd` only (`db_test.go:466-468`). */
   def parseIsoDate(c: Column): Column = to_date(c, "yyyy-MM-dd")
 
-  /** F5: float → shortest-repr string, `%g` (`hhek2sqlite.go:869-870`). */
-  def floatRepr(c: Column): Column = format_string("%g", c)
+  /** F5: float → shortest round-trip string (`hhek2sqlite.go:869-870`
+    * uses Go's `%g`, which prints the SHORTEST representation — Java's
+    * `%g` would pad to 6 significant digits; Spark's float→string cast
+    * has the Go semantics). */
+  def floatRepr(c: Column): Column = c.cast(StringType)
 }

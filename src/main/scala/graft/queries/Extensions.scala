@@ -12,10 +12,14 @@ object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
-      graft.operators.Similarity.queries
+      graft.operators.Similarity.queries ++
+      graft.operators.Events.queries ++
+      graft.operators.Multimodal.queries
 
   def oracles: Map[String, String] =
     graft.operators.TextAnalysis.oracles ++
       graft.operators.Dedup.oracles ++
-      graft.operators.Similarity.oracles
+      graft.operators.Similarity.oracles ++
+      graft.operators.Events.oracles ++
+      graft.operators.Multimodal.oracles
 }

@@ -17,7 +17,16 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = t(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = t(s, dir, "region")
-  def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects at
+    * read ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long (legacy flag)
+    * and convert losslessly to a microsecond timestamp with integer DIV
+    * (a double division would lose precision above 2^53 ns). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }

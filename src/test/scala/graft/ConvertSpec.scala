@@ -1,0 +1,98 @@
+package graft
+
+import java.math.BigDecimal
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Convert
+import graft.schema.HogiaSchema
+import graft.sources.ParquetTableIO
+
+/** Golden round-trip suite — the Spark re-expression of the reference's
+  * `Test1`/`checkDB1` (db_test.go:83-140, :150-387): original fixture →
+  * forward conversion → assertions → reverse conversion → assertions.
+  * The binary GOTEST1.MDB is mirrored by Convert.goldenFixture
+  * (FIXTURES.md §A; contents specified at db_test.go:142-149). */
+class ConvertSpec extends SparkSpecBase {
+
+  private lazy val work = Files.createTempDirectory("graft_convert").toString
+
+  /** checkDB1 parity assertions (db_test.go:150-387) against a TableIO. */
+  private def checkGolden(io: ParquetTableIO, saldoIsNull: Boolean): Unit = {
+    // row counts (db_test.go:151-171)
+    assert(io.read(spark, HogiaSchema.byName("Personer")).count() == 3)
+    assert(io.read(spark, HogiaSchema.byName("Platser")).count() == 1)
+    assert(io.read(spark, HogiaSchema.byName("Transaktioner")).count() == 3)
+
+    // person 2 golden fields (db_test.go:190-205)
+    val p2 = io.read(spark, HogiaSchema.byName("Personer"))
+      .filter(col("Löpnr") === 2).collect().head
+    assert(p2.getAs[String]("Namn") == "Person Ett")
+    assert(p2.getAs[String]("Född") == "1999")
+    assert(p2.getAs[String]("Kön") == "Man")
+
+    // transaction 2: exact decimal + € + case-variant comment
+    // (db_test.go:230-320)
+    val t2 = io.read(spark, HogiaSchema.byName("Transaktioner"))
+      .filter(col("Löpnr") === 2).collect().head
+    assert(t2.getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("0.10")) == 0)
+    assert(t2.getAs[String]("Text") == "Tom € räksmörgås")
+    assert(t2.getAs[String]("Datum") == "2020-12-24")
+    val t3 = io.read(spark, HogiaSchema.byName("Transaktioner"))
+      .filter(col("Löpnr") === 3).collect().head
+    assert(t3.getAs[String]("Text") == "Tom € RÄKSMÖRGÅS")
+
+    // forward conversion NULLs the running Saldo (F7, hhek2sqlite.go:260)
+    if (saldoIsNull) {
+      val saldos = io.read(spark, HogiaSchema.byName("Transaktioner"))
+        .select("Saldo").collect()
+      assert(saldos.forall(_.isNullAt(0)))
+    }
+
+    // derived balance: deposits − purchases = 0.9 (db_test.go:374-386)
+    val konto = io.read(spark, HogiaSchema.byName("Konton"))
+      .filter(col("Benämning") === "Plånboken").collect().head
+    assert(konto.getAs[BigDecimal]("Saldo").compareTo(new BigDecimal("0.9")) == 0)
+  }
+
+  test("EP1/EP2 golden round-trip: fixture → forward → reverse, checkDB1 each pass") {
+    // materialize the golden fixture as the "MDB side"
+    val mdb = new ParquetTableIO(s"$work/mdb")
+    Convert.goldenFixture(spark).foreach { case (name, df) =>
+      mdb.truncateLoad(df, HogiaSchema.byName(name))
+    }
+
+    // forward: MDB mirror → SQLite mirror (Saldo nulled)
+    val sqlite = new ParquetTableIO(s"$work/sqlite")
+    val counts = Convert.konvertera(spark, mdb, sqlite, reverse = false)
+    assert(counts("Transaktioner") == 3 && counts("Personer") == 3)
+    checkGolden(sqlite, saldoIsNull = true)
+
+    // reverse: SQLite mirror → fresh MDB mirror (identity, Löpnr preserved)
+    val mdb2 = new ParquetTableIO(s"$work/mdb2")
+    Convert.konvertera(spark, sqlite, mdb2, reverse = true)
+    checkGolden(mdb2, saldoIsNull = true)
+
+    // Löpnr identity preserved exactly (hhek2sqlite.go:142 — copied,
+    // never regenerated)
+    val ids = mdb2.read(spark, HogiaSchema.byName("Personer"))
+      .select("Löpnr").orderBy("Löpnr").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("truncate-load is idempotent (D3: delete-then-insert, both directions)") {
+    val io = new ParquetTableIO(s"$work/idem")
+    val t = HogiaSchema.byName("Personer")
+    val df = Convert.goldenFixture(spark)("Personer")
+    io.truncateLoad(df, t)
+    io.truncateLoad(df, t)
+    assert(io.read(spark, t).count() == 3)
+  }
+
+  test("copy order matches the reference pipeline (hhek2sqlite.go:1287-1296)") {
+    assert(HogiaSchema.copyOrder.map(_.name) == Seq(
+      "DtbVer", "Platser", "Personer", "Konton", "BetalKonton",
+      "Överföringar", "Betalningar", "LÅN", "Budget", "Transaktioner"))
+  }
+}

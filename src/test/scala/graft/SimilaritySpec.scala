@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Similarity
+import graft.queries.Tables
+
+/** Similarity-search operator tests: exact cosine vs manual computation,
+  * ANN recall vs brute force, determinism. */
+class SimilaritySpec extends SparkSpecBase {
+
+  import testImplicits._
+
+  test("graft_cosine matches a manual double-precision computation") {
+    VectorOps.register(spark)
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val got = Seq((a, b)).toDF("x", "y")
+      .select(VectorOps.cosine(col("x"), col("y")).as("c"))
+      .collect().head.getDouble(0)
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expect = dot / (math.sqrt(a.map(x => x * x.toDouble).sum) *
+      math.sqrt(b.map(x => x * x.toDouble).sum))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("graft_cosine: orthogonal → 0, parallel → 1, zero vector → 0") {
+    VectorOps.register(spark)
+    val rows = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(2f, 2f), Array(1f, 1f)),
+      (Array(0f, 0f), Array(1f, 1f))
+    ).toDF("x", "y").select(VectorOps.cosine(col("x"), col("y")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(rows(0)) < 1e-12)
+    assert(math.abs(rows(1) - 1.0) < 1e-12)
+    assert(rows(2) == 0.0)
+  }
+
+  test("SRP sketch is deterministic and identical for identical vectors") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val s1 = Similarity.sketched(emb).orderBy("vec_id").collect().map(_.getLong(2))
+    val s2 = Similarity.sketched(emb).orderBy("vec_id").collect().map(_.getLong(2))
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("ANN top-k recall ≥ 0.8 vs brute force on testdata") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val bf = Similarity.cosineTopK(emb, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(bf.size == 10 && ann.size == 10)
+    val recall = (bf & ann).size / 10.0
+    assert(recall >= 0.8, s"ANN recall $recall")
+  }
+
+  test("near-dup pairs are canonical (v1 < v2) and deduped") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val pairs = Similarity.nearDupPairs(emb).select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.length == pairs.toSet.size)
+  }
+
+  test("SRP hamming correlates with cosine (planted near-duplicate)") {
+    VectorOps.register(spark)
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(64)(i => math.cos(i * 2.3).toFloat)
+    val sk = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val out = Similarity.sketched(sk).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(2L)) <= 2)
+    assert(ham(out(1L), out(3L)) > 10)
+  }
+}

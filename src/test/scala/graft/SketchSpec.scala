@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Unit tests for the native sketch expressions and the near-dup
+  * operators built on them. */
+class SketchSpec extends SparkSpecBase {
+
+  import testImplicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  private val docB = "the quick brown fox jumps over the lazy cat again and again" // 1 word swap
+  private val docC = "completely unrelated text about spark catalyst expressions and parquet"
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("identical text ⇒ identical MinHash signature and shingle set") {
+    val f = Dedup.minhashFeatures(docs(1L -> docA, 2L -> docA)).collect()
+    val s1 = f.find(_.getLong(0) == 1).get
+    val s2 = f.find(_.getLong(0) == 2).get
+    assert(s1.getSeq[Long](1) == s2.getSeq[Long](1))
+    assert(s1.getSeq[Long](2) == s2.getSeq[Long](2))
+  }
+
+  test("MinHash signature agreement approximates shingle Jaccard") {
+    val f = Dedup.minhashFeatures(docs(1L -> docA, 2L -> docB, 3L -> docC)).collect()
+    def sig(id: Long) = f.find(_.getLong(0) == id).get.getSeq[Long](2)
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    // true 3-gram Jaccard(A,B) = 7/13 ≈ 0.54; the 64-perm estimate
+    // should land well inside [0.3, 0.8] while unrelated docs stay ~0.
+    val nearAgree = agree(sig(1), sig(2))
+    val farAgree = agree(sig(1), sig(3))
+    assert(nearAgree > 0.3 && nearAgree < 0.8, s"near-dup signature agreement $nearAgree")
+    assert(farAgree < 0.2, s"unrelated signature agreement $farAgree")
+  }
+
+  test("near-dup pipeline finds the planted pair and only it") {
+    val d = docs(1L -> docA, 2L -> docB, 3L -> docC, 4L -> "another distinct document entirely different words")
+    val pairs = Dedup.verifiedJaccard(d, Dedup.minhashCandidates(d))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("verified Jaccard value is exact") {
+    val d = docs(1L -> docA, 2L -> docB)
+    val j = Dedup.verifiedJaccard(d, Dedup.minhashCandidates(d))
+      .collect().head.getAs[Double]("jaccard")
+    // 12-token docs → 10 distinct 3-grams each; the word swap touches
+    // 3 grams on each side: intersection 7, union 13.
+    assert(math.abs(j - 7.0 / 13.0) < 1e-9, s"jaccard $j")
+  }
+
+  test("SimHash: near-dups close in hamming, unrelated docs far") {
+    val sh = Dedup.simhash(docs(1L -> docA, 2L -> docB, 3L -> docC)).collect()
+    def h(id: Long) = sh.find(_.getLong(0) == id).get.getLong(1)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1), h(2)) < 16, s"near hamming ${ham(h(1), h(2))}")
+    assert(ham(h(1), h(3)) > 16, s"far hamming ${ham(h(1), h(3))}")
+  }
+
+  test("simhashPairs rejects thresholds the banding cannot guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs(1L -> docA), maxHamming = 64)
+    }
+  }
+
+  test("exact dedup groups case/whitespace variants (canonical fingerprint)") {
+    val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other")
+    val groups = SparkEntry.queries("q_dedup_exact") // touch registry path
+    val fp = d.groupBy(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(fp == Set((1L, 2L), (3L, 1L)))
+  }
+}

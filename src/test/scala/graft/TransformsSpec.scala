@@ -1,0 +1,82 @@
+package graft
+
+import java.math.BigDecimal
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ops.Transforms
+
+/** Property tests for the reference's per-row transforms (SURVEY.md §2.7)
+  * — exactly the special-char fuzzing the reference left as TODO
+  * (`db_test.go:548`). */
+class TransformsSpec extends SparkSpecBase {
+
+  import testImplicits._
+
+  private def evalStr(in: Seq[String], f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[String] =
+    in.toDF("v").select(f(col("v")).cast("string").as("r")).collect().map {
+      case Row(r: String) => r
+      case Row(null) => null
+    }.toSeq
+
+  test("F2: comma2point(point2comma(x)) is identity on DECIMAL(19,4)") {
+    val gen = for {
+      units <- Gen.chooseNum(-999999999999L, 999999999999L)
+      frac <- Gen.chooseNum(0, 9999)
+    } yield new BigDecimal(s"$units.${"%04d".format(frac)}")
+    val ds = samples(gen, 200)
+    val rs = ds.toDF("v")
+      .select(col("v").cast(Transforms.Money).as("v"))
+      .select(Transforms.comma2point(Transforms.point2comma(col("v"))).as("r"))
+      .collect().map(_.getDecimal(0))
+    ds.zip(rs).foreach { case (d, r) => assert(r.compareTo(d) == 0, s"$d -> $r") }
+  }
+
+  test("F2 forward: Swedish comma decimals parse exactly") {
+    val df = Seq("1,10", "0,10", "-12345,6789").toDF("v")
+      .select(Transforms.comma2point(col("v")).as("r"))
+    val got = df.collect().map(_.getDecimal(0).toPlainString).toSeq
+    assert(got == Seq("1.1000", "0.1000", "-12345.6789"))
+  }
+
+  test("F1 escaping: sqlUnescapeCompat(sqlEscapeCompat(s)) is identity") {
+    val strs = samples(Gen.asciiPrintableStr, 200)
+    val got = evalStr(strs,
+      c => Transforms.sqlUnescapeCompat(Transforms.sqlEscapeCompat(c)))
+    strs.zip(got).foreach { case (s0, g) => assert(g == s0, s"'$s0' -> '$g'") }
+  }
+
+  test("F1 escaping matches the reference's doubling rule") {
+    assert(evalStr(Seq("O'Brien \"quoted\""), Transforms.sqlEscapeCompat).head ==
+      "O''Brien \"\"quoted\"\"")
+  }
+
+  test("F1 cp1252: decode(encode(s)) is identity on the cp1252 domain (incl € å ä ö)") {
+    val cp1252Chars = "€åäöÅÄÖ réksmörgås RÄKSMÖRGÅS 'quote' \"dquote\""
+    val got = evalStr(Seq(cp1252Chars),
+      c => Transforms.toUtf8(Transforms.fromUtf8(c))).head
+    assert(got == cp1252Chars)
+  }
+
+  test("F1 cp1252: € is byte 0x80, like Go charmap.Windows1252 (db_test.go:316)") {
+    val bytes = Seq("€").toDF("v")
+      .select(Transforms.fromUtf8(col("v")).as("b")).collect().head.getAs[Array[Byte]](0)
+    assert(bytes.toSeq == Seq(0x80.toByte))
+  }
+
+  test("F6: emptyToNull nulls empty strings only") {
+    assert(evalStr(Seq("", "x", " "), Transforms.emptyToNull) == Seq(null, "x", " "))
+  }
+
+  test("F8: parseIsoDate parses yyyy-MM-dd (db_test.go:466-468)") {
+    assert(evalStr(Seq("2020-12-24"), Transforms.parseIsoDate) == Seq("2020-12-24"))
+  }
+
+  test("F5: floatRepr is shortest-form like Go %g (hhek2sqlite.go:869)") {
+    val got = Seq(1.5f, 0.25f).toDF("v")
+      .select(Transforms.floatRepr(col("v")).as("r")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("1.5", "0.25"))
+  }
+}
