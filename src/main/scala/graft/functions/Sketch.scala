@@ -57,6 +57,8 @@ object Sketch {
       "graft_simhash", exprs => SimHashTokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash_shingles", exprs => MinHashShingleFeatures(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_winnow", exprs => WinnowFingerprints(exprs.head), "built-in")
   }
 
   /** 64-bit SimHash from `array<string>` tokens: per-bit ±1 votes over
@@ -71,6 +73,12 @@ object Sketch {
     * Call [[register]] on the session first. */
   def minhashShingles(tokens: Column): Column =
     call_function("graft_minhash_shingles", tokens)
+
+  /** Winnowing fingerprints (rolling hash, Schleimer et al. 2003) of a
+    * normalized string: distinct sorted `array<bigint>`.
+    * Call [[register]] on the session first. */
+  def winnow(text: Column): Column =
+    call_function("graft_winnow", text)
 }
 
 /** Single-pass sketch kernels, shared by interpreted `eval` and generated
@@ -135,6 +143,77 @@ object SketchOps {
     new GenericInternalRow(Array[Any](new GenericArrayData(shSet), new GenericArrayData(sig)))
   }
 
+  /** Winnowing (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003): rolling
+    * polynomial hash over byte [[WinnowK]]-grams, robust-winnowing
+    * window of [[WinnowW]] (rightmost minimum) → distinct sorted
+    * fingerprint array. Guarantees: any shared substring of length
+    * ≥ WinnowK + WinnowW − 1 yields a shared fingerprint. */
+  final val WinnowK = 8
+  final val WinnowW = 4
+
+  def winnow(text: org.apache.spark.unsafe.types.UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < WinnowK) {
+      // shorter than one gram: fingerprint the whole text
+      var h = 1125899906842597L
+      var i = 0
+      while (i < n) { h = h * 257 + (bytes(i) & 0xFF); i += 1 }
+      return new GenericArrayData(Array(mix(h)))
+    }
+    val nGrams = n - WinnowK + 1
+    val hashes = new Array[Long](nGrams)
+    // rolling polynomial hash, base 257 mod 2^64
+    var h = 0L
+    var pow = 1L // 257^(K-1)
+    var i = 0
+    while (i < WinnowK) {
+      h = h * 257 + (bytes(i) & 0xFF)
+      if (i < WinnowK - 1) pow *= 257
+      i += 1
+    }
+    hashes(0) = mix(h)
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xFF) * pow) * 257 + (bytes(i + WinnowK - 1) & 0xFF)
+      hashes(i) = mix(h)
+      i += 1
+    }
+    // robust winnowing: rightmost minimum of each window of WinnowW
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    val lastStart = nGrams - WinnowW
+    if (lastStart < 0) {
+      var m = hashes(0); i = 1
+      while (i < nGrams) { if (hashes(i) <= m) m = hashes(i); i += 1 }
+      picked.add(m)
+    } else {
+      while (start <= lastStart) {
+        var mIdx = start
+        var j = start + 1
+        while (j < start + WinnowW) {
+          if (hashes(j) <= hashes(mIdx)) mIdx = j // rightmost min
+          j += 1
+        }
+        picked.add(hashes(mIdx))
+        start += 1
+      }
+    }
+    val out = new Array[Long](picked.size())
+    val it = picked.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** 64-bit SimHash: ±1 votes per bit over per-occurrence token hashes. */
   def simhash(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -173,6 +252,23 @@ case class SimHashTokens(child: Expression) extends UnaryExpression {
       c => s"${ev.value} = graft.functions.SketchOps.simhash($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashTokens =
+    copy(child = newChild)
+}
+
+/** `graft_winnow(string) -> array<bigint>` — winnowing fingerprints. */
+case class WinnowFingerprints(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchOps.winnow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.SketchOps.winnow($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 

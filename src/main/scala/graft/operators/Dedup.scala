@@ -132,6 +132,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // --- Winnowing (rolling-hash fingerprints) --------------------------
+
+  /** Normalized text for character-level fingerprinting. */
+  private def normText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** (doc_id, fps): winnowing fingerprint array per doc — narrow codegen
+    * expression (graft.functions.Sketch.winnow), computed in the scan
+    * stage. Any shared substring of ≥ 11 normalized bytes (K+W−1)
+    * produces a shared fingerprint. */
+  def winnowFeatures(docs: DataFrame): DataFrame = {
+    Sketch.register(docs.sparkSession)
+    docs.select(col("doc_id"), Sketch.winnow(normText(col("text"))).as("fps"))
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints (MOSS-style):
+    * explode → drop stop-fingerprints → self-join on the fingerprint
+    * value (uniform 64-bit shuffle key) → shared-count per pair.
+    *
+    * The stop-fingerprint filter (document frequency > maxPostings) is
+    * load-bearing: boilerplate shared by most of a templated corpus
+    * yields posting lists of thousands of docs and a quadratic pair
+    * blow-up (sf0.1: one fingerprint in 3779/5000 docs ⇒ 10⁸ candidate
+    * pairs, ~2 min; capped: seconds). Ubiquitous fingerprints carry no
+    * discriminative signal — the same reason MOSS drops them. */
+  def winnowPairs(docs: DataFrame, minShared: Int, maxPostings: Int = 64): DataFrame = {
+    val f = winnowFeatures(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = f.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPostings)
+      .select("fp")
+    val filtered = f.join(rare, "fp")
+    val x = filtered.as("x"); val y = filtered.as("y")
+    x.join(y, col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,6 +217,20 @@ object Dedup {
         .orderBy(desc("hamming"), asc("doc1"), asc("doc2"))
         .limit(100)
         .select("doc1", "doc2", "hamming")
+        .orderBy("doc1", "doc2")),
+
+    // rolling-hash document fingerprints (winnowing): per-doc count.
+    "q_winnow_fingerprint" -> ((s, dir) =>
+      winnowFeatures(documents(s, dir))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"))
+        .orderBy("doc_id")),
+
+    // MOSS-style near-dup: top-100 pairs by shared winnow fingerprints.
+    "q_near_dup_winnow" -> ((s, dir) =>
+      winnowPairs(documents(s, dir), minShared = 5)
+        .orderBy(desc("shared"), asc("doc1"), asc("doc2"))
+        .limit(100)
+        .select("doc1", "doc2", "shared")
         .orderBy("doc1", "doc2"))
   )
 

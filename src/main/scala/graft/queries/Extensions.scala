@@ -14,12 +14,14 @@ object Extensions {
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.Events.queries ++
-      graft.operators.Multimodal.queries
+      graft.operators.Multimodal.queries ++
+      graft.operators.ScalePatterns.queries
 
   def oracles: Map[String, String] =
     graft.operators.TextAnalysis.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
       graft.operators.Events.oracles ++
-      graft.operators.Multimodal.oracles
+      graft.operators.Multimodal.oracles ++
+      graft.operators.ScalePatterns.oracles
 }

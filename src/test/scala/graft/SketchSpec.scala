@@ -69,6 +69,32 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("winnowing: shared substring ⇒ shared fingerprints, identical docs ⇒ identical sets") {
+    val shared = "this exact phrase is long enough to guarantee a shared winnow fingerprint"
+    val d = docs(
+      1L -> s"prefix one $shared suffix alpha",
+      2L -> s"different lead-in $shared and another tail",
+      3L -> "nothing in common with the others at all, completely disjoint content")
+    val f = Dedup.winnowFeatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((f(1L) & f(2L)).nonEmpty, "shared substring must share fingerprints")
+    assert((f(1L) & f(3L)).isEmpty, "disjoint docs must not collide")
+    val again = Dedup.winnowFeatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(again == f, "winnowing must be deterministic")
+  }
+
+  test("winnowPairs surfaces the overlapping pair with the highest shared count") {
+    val shared = "this exact phrase is long enough to guarantee a shared winnow fingerprint"
+    val d = docs(
+      1L -> s"prefix one $shared suffix alpha",
+      2L -> s"different lead-in $shared and another tail",
+      3L -> "nothing in common with the others at all, completely disjoint content")
+    val pairs = Dedup.winnowPairs(d, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("exact dedup groups case/whitespace variants (canonical fingerprint)") {
     val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other")
     val groups = SparkEntry.queries("q_dedup_exact") // touch registry path
