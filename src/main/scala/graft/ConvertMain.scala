@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.Convert
+import graft.schema.HogiaSchema
+import graft.sources.ParquetTableIO
+
+/** CLI entry with the reference's flag surface (O1,
+  * `hhek2sqlite.go:1205-1228`): `-optin=<dir>` source root,
+  * `-optout=<dir>` target root, `-backa` reverse direction, `-readonly`
+  * accepted for compatibility (parquet mirror reads are always
+  * read-only). Table roots are parquet "jet-dump" mirrors (one dir per
+  * table, SURVEY.md §7.3); swap [[graft.sources.JdbcTableIO]] in when a
+  * real Access/SQLite JDBC driver is on the classpath.
+  *
+  * Pre-flight guards per the reference (`hhek2sqlite.go:1233-1242`):
+  * forward requires the source to exist; reverse refuses to overwrite an
+  * existing target. Exit code 1 on argument errors (`:1216`).
+  */
+object ConvertMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.flatMap {
+      case a if a.startsWith("-optin=") => Some("in" -> a.stripPrefix("-optin="))
+      case a if a.startsWith("-optout=") => Some("out" -> a.stripPrefix("-optout="))
+      case "-backa" => Some("backa" -> "true")
+      case "-readonly" => Some("readonly" -> "true")
+      case other => System.err.println(s"okänd flagga: $other"); None
+    }.toMap
+
+    val (in, out) = (opts.get("in"), opts.get("out")) match {
+      case (Some(i), Some(o)) => (i, o)
+      case _ =>
+        System.err.println("användning: ConvertMain -optin=<dir> -optout=<dir> [-backa] [-readonly]")
+        sys.exit(1)
+    }
+    val reverse = opts.contains("backa")
+
+    val spark = SparkSession.builder()
+      .appName("graft-konvertera")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val source = new ParquetTableIO(in)
+      val sink = new ParquetTableIO(out)
+      // pre-flight (reference: source must exist; reverse target must not)
+      if (!source.exists(spark, HogiaSchema.byName("DtbVer"))) {
+        System.err.println(s"källan saknas: $in")
+        sys.exit(1)
+      }
+      if (reverse && sink.exists(spark, HogiaSchema.byName("DtbVer"))) {
+        System.err.println(s"målet finns redan: $out")
+        sys.exit(1)
+      }
+      val counts = Convert.konvertera(spark, source, sink, reverse)
+      HogiaSchema.copyOrder.foreach { t =>
+        println(s"${t.name}: ${counts(t.name)} rader")
+      }
+    } finally spark.stop()
+  }
+}

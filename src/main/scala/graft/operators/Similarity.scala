@@ -91,6 +91,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantization scale path:
+    * `nCells` deterministic centroids (lowest vec_ids stand in for
+    * trained k-means centroids), every vector assigned to its
+    * best-cosine cell (at scale this assignment is precomputed at ingest
+    * and stored as a partition column), the probe scans only the
+    * `nProbe` cells whose centroids are closest to the query, then exact
+    * cosine rescoring. All declarative: centroid set and probe-cell set
+    * are broadcast; the only wide op is the per-vector argmax cell
+    * assignment (one groupBy on vec_id). */
+  def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val centroids = emb.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // cell assignment: argmax cosine over centroids
+    val assign = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        VectorOps.cosine(col("embedding"), col("cvec")).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding")), col("csim")).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("best.embedding").as("embedding"))
+    val q = queryRow(emb)
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .select(col("cid").as("cell"), VectorOps.cosine(col("cvec"), col("q_emb")).as("qsim"))
+      .orderBy(desc("qsim"), asc("cell"))
+      .limit(nProbe)
+      .select("cell")
+    assign
+      .join(broadcast(probeCells), "cell")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-dup candidate pairs: SRP band self-join (8×8-bit
     * bands — full recall for hamming ≤ 7, probabilistic beyond) + exact
     * cosine verification. The banding bounds the quadratic rescore step;
@@ -125,6 +160,13 @@ object Similarity {
     // brute force is asserted in the test suite).
     "q_ann_topk" -> ((s, dir) =>
       annTopK(embeddings(s, dir), 10)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
+    // IVF coarse-quantization path (rows-only; recall on clustered data
+    // asserted in the test suite).
+    "q_ivf_topk" -> ((s, dir) =>
+      ivfTopK(embeddings(s, dir), 10)
         .select("vec_id")
         .orderBy("vec_id")),
 

@@ -1,5 +1,9 @@
 package graft
 
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.operators.Events
@@ -37,5 +41,37 @@ class EventStreamSpec extends SparkSpecBase {
     val batch = Events.queries("q_sessionize")(spark, TestSpark.Sf0001)
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
+  }
+
+  test("watermark drops events later than 1 hour behind the max event time") {
+    import testImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.windowedAgg(
+      source.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // batch 1: events up to 06:30 → watermark advances to 05:30
+      source.addData((t("2024-01-01 04:10:00"), "click", 1.0),
+        (t("2024-01-01 06:30:00"), "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: a 03:00 event is > 1h behind the 06:30 max → dropped;
+      // a 06:00 event is within the watermark → kept
+      source.addData((t("2024-01-01 03:00:00"), "click", 99.0),
+        (t("2024-01-01 06:00:00"), "view", 3.0))
+      q.processAllAvailable()
+      // close all windows
+      source.addData((t("2024-01-01 10:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test")
+        .select("h", "event_type", "n").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 04:00:00", "click", 1L)))
+      assert(rows.contains(("2024-01-01 06:00:00", "view", 2L))) // 06:00 + 06:30
+      assert(!rows.exists(_._1 == "2024-01-01 03:00:00"),
+        s"late 03:00 event must be dropped by the watermark: $rows")
+    } finally q.stop()
   }
 }

