@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions._
+
+/** Session-extension injector: registers every graft custom expression
+  * at session build time, so a cluster deployment enables the whole
+  * function surface with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (SQL and
+  * Column-API alike). The operators also self-register lazily via
+  * `Sketch.register`/`VectorOps.register` for sessions built without the
+  * conf (e.g. the driver's own session calling `SparkEntry.entry`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash"), info("graft_simhash", classOf[SimHashTokens]),
+      (es: Seq[Expression]) => SimHashTokens(es.head)),
+    (FunctionIdentifier("graft_minhash_shingles"),
+      info("graft_minhash_shingles", classOf[MinHashShingleFeatures]),
+      (es: Seq[Expression]) => MinHashShingleFeatures(es.head)),
+    (FunctionIdentifier("graft_winnow"), info("graft_winnow", classOf[WinnowFingerprints]),
+      (es: Seq[Expression]) => WinnowFingerprints(es.head)),
+    (FunctionIdentifier("graft_cosine"), info("graft_cosine", classOf[CosineSimilarity]),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("graft_srp64"), info("graft_srp64", classOf[Srp64]),
+      (es: Seq[Expression]) => Srp64(es.head)),
+    (FunctionIdentifier("graft_cp1252_decode"),
+      info("graft_cp1252_decode", classOf[Cp1252Decode]),
+      (es: Seq[Expression]) => Cp1252Decode(es.head)),
+    (FunctionIdentifier("graft_cp1252_encode"),
+      info("graft_cp1252_encode", classOf[Cp1252Encode]),
+      (es: Seq[Expression]) => Cp1252Encode(es.head)))
+}

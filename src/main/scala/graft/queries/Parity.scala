@@ -89,6 +89,16 @@ object Parity {
           Transforms.sqlEscapeCompat(concat(lit("O'"), col("c_name"))).as("escaped"))
         .orderBy("c_custkey")),
 
+    // F1 decode half: route every name through the cp1252 encode→decode
+    // codec (custom codegen expressions); the oracle is the PLAIN
+    // projection, so the hash match proves the codec is lossless on the
+    // cp1252 domain at scale (byte-level € /å/ä/ö cases in TransformsSpec).
+    "q_cp1252_identity" -> ((s, dir) =>
+      customer(s, dir)
+        .select(col("c_custkey"),
+          Transforms.toUtf8(Transforms.fromUtf8(col("c_name"))).as("c_name"))
+        .orderBy("c_custkey")),
+
     // F8: ISO date parse yyyy-MM-dd (db_test.go:466-468): format to the
     // reference's TEXT(10) carrier then parse back, group by month.
     "q_date_parse" -> ((s, dir) => {
@@ -213,6 +223,32 @@ object Parity {
         .agg(countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy("l_returnflag")),
 
+    // CUBE: all grouping-set combinations with exact decimal sums.
+    "q_cube_status" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(Money).as("qty"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("qty").cast(Money).cast(DoubleType).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // §2.6 set ops: INTERSECT.
+    "q_intersect_nations" -> ((s, dir) =>
+      customer(s, dir).select(col("c_nationkey").as("nk")).distinct()
+        .intersect(supplier(s, dir).select(col("s_nationkey").as("nk")).distinct())
+        .orderBy("nk")),
+
+    // HLL sketch: approx_count_distinct — the streaming-friendly
+    // cardinality estimator (rows-only: HLL++ estimates are
+    // implementation-specific; the 2%-of-exact bound is asserted in
+    // SketchSpec).
+    "q_hll_distinct" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // D3/D4/EP1-EP2: truncate-load round-trip — write Overwrite twice
     // (idempotence), read back, prove identity against the source.
     // Scratch dir is per-application (appId) under an overridable root
@@ -251,6 +287,16 @@ object Parity {
     "q_escape_compat" ->
       """SELECT c_custkey, replace(replace('O''' || c_name, '''', ''''''), '"', '""') AS escaped
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_cp1252_identity" ->
+      """SELECT c_custkey, c_name FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_cube_status" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_intersect_nations" ->
+      """SELECT DISTINCT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
     "q_date_parse" ->
       """SELECT CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m, count(*) AS cnt
         |FROM (SELECT CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS d FROM orders)

@@ -95,6 +95,32 @@ class SketchSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("HLL approx_count_distinct is within 2% of exact on lineitem") {
+    val li = graft.queries.Tables.lineitem(spark, TestSpark.Sf0001)
+    val exact = li.select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02))
+      .collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("GraftExtensions injects the full custom-function surface into a session") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // SQL-visible through a session built with the extension conf; here
+    // assert the descriptor list itself (building a second SparkContext
+    // in-suite is not possible).
+    val names = GraftExtensions.functions.map(_._1.funcName).toSet
+    assert(names == Set("graft_simhash", "graft_minhash_shingles", "graft_winnow",
+      "graft_cosine", "graft_srp64", "graft_cp1252_decode", "graft_cp1252_encode"))
+    // and the builders produce working expressions
+    val e = GraftExtensions.functions.head._3(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array("a", "b"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    assert(e.eval(null).isInstanceOf[Long])
+  }
+
   test("exact dedup groups case/whitespace variants (canonical fingerprint)") {
     val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other")
     val groups = SparkEntry.queries("q_dedup_exact") // touch registry path
