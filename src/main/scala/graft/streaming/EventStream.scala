@@ -98,6 +98,15 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids within the
+    * watermark horizon — the streaming twin of the exact-dedup batch
+    * operator (state per key is bounded by the watermark, so this runs
+    * indefinitely at 100 TB ingest rates). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming query to a memory sink with AvailableNow (processes
     * all existing files then stops) and return the result table name. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =

@@ -90,6 +90,62 @@ class ConvertSpec extends SparkSpecBase {
     assert(io.read(spark, t).count() == 3)
   }
 
+  test("randomized round-trip: arbitrary rows with special chars survive both directions") {
+    import testImplicits._
+    val rng = new scala.util.Random(1234)
+    val tricky = Seq("'", "\"", "€", "å", "RÄKSMÖRGÅS", ",", ";", "--", "\\", " ")
+    def randName(i: Int): String =
+      s"P$i ${tricky(rng.nextInt(tricky.length))}${tricky(rng.nextInt(tricky.length))}"
+    val personer = (1 to 50).map(i =>
+      (i.toLong, randName(i), (1900 + rng.nextInt(120)).toString,
+        if (rng.nextBoolean()) "Man" else "Kvinna"))
+      .toDF("Löpnr", "Namn", "Född", "Kön")
+
+    val io1 = new ParquetTableIO(s"$work/rand_a")
+    val io2 = new ParquetTableIO(s"$work/rand_b")
+    val io3 = new ParquetTableIO(s"$work/rand_c")
+    val t = HogiaSchema.byName("Personer")
+    Convert.goldenFixture(spark).foreach { case (n, df) =>
+      io1.truncateLoad(if (n == "Personer") personer else df, HogiaSchema.byName(n))
+    }
+    Convert.konvertera(spark, io1, io2, reverse = false)
+    Convert.konvertera(spark, io2, io3, reverse = true)
+    val before = io1.read(spark, t).orderBy("Löpnr").collect().map(_.toSeq).toSeq
+    val after = io3.read(spark, t).orderBy("Löpnr").collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
+  test("non-empty Betalningar survives conversion (reference bug §2.12.1 NOT replicated)") {
+    import testImplicits._
+    // the reference crashes on ANY Betalningar row: its INSERT lists 15
+    // columns but supplies 14 values (hhek2sqlite.go:521-541). Typed
+    // schemas make that unrepresentable here — prove a row converts.
+    val dec = new java.math.BigDecimal("123.4500")
+    val betalningar = Seq(
+      (1L, "Plånboken", "Plats Ett", "Betalning", "2021-01-15", "Hyra",
+        "Person Ett", dec, "januari hyra", dec, dec, dec, dec, 1, "")
+    ).toDF("Löpnr", "FrånKonto", "TillPlats", "Typ", "Datum", "Vad", "Vem",
+      "Belopp", "Text", "Ranta", "FastAmort", "RorligAmort", "OvrUtg",
+      "LanLopnr", "Grey")
+    val io1 = new ParquetTableIO(s"$work/bet_a")
+    val io2 = new ParquetTableIO(s"$work/bet_b")
+    val t = HogiaSchema.byName("Betalningar")
+    Convert.goldenFixture(spark).foreach { case (n, df) =>
+      io1.truncateLoad(
+        if (n == "Betalningar") {
+          val schema = t.schema
+          betalningar.select(schema.fields.map(f =>
+            col(s"`${f.name}`").cast(f.dataType).as(f.name)).toSeq: _*)
+        } else df,
+        HogiaSchema.byName(n))
+    }
+    val counts = Convert.konvertera(spark, io1, io2, reverse = false)
+    assert(counts("Betalningar") == 1)
+    val row = io2.read(spark, t).collect().head
+    assert(row.getAs[String]("Text") == "januari hyra") // the column the reference drops
+    assert(row.getAs[java.math.BigDecimal]("Belopp").compareTo(dec) == 0)
+  }
+
   test("copy order matches the reference pipeline (hhek2sqlite.go:1287-1296)") {
     assert(HogiaSchema.copyOrder.map(_.name) == Seq(
       "DtbVer", "Platser", "Personer", "Konton", "BetalKonton",

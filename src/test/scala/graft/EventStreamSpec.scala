@@ -43,6 +43,27 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import testImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val deduped = EventStream.dedupedEvents(
+      source.toDF().toDF("event_id", "ts"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      source.addData((1L, t("2024-01-01 05:00:00")), (2L, t("2024-01-01 05:01:00")))
+      q.processAllAvailable()
+      // same ids again (the at-least-once replay case) + one new id
+      source.addData((1L, t("2024-01-01 05:02:00")), (3L, t("2024-01-01 05:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"duplicates must be dropped: $ids")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 1 hour behind the max event time") {
     import testImplicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
