@@ -96,6 +96,11 @@ object HogiaSchema {
     Col(n, StringType, s"Text($jetLen)", "TEXT", nullable = !pk, isPk = pk)
   private def counter(n: String) =
     Col(n, LongType, "COUNTER", "integer", nullable = false, isPk = true)
+  // Jet type name `Currency` per the reference's DDL literals
+  // (`hhek2sqlite.go:175`); the Access export spells it `MONEY`
+  // (`dbinfo.txt:23`) — exact synonyms in Access SQL. Audited column-by-
+  // column against dbinfo.txt (round 2): this synonym is the only
+  // lexical difference remaining.
   private def money(n: String) = Col(n, Money, "Currency", "DECIMAL(19,4)")
   private def int(n: String) = Col(n, IntegerType, "Integer", "INTEGER")
   private def date10(n: String) = Col(n, StringType, "Text(10)", "TEXT")
