@@ -239,6 +239,23 @@ object Parity {
         .intersect(supplier(s, dir).select(col("s_nationkey").as("nk")).distinct())
         .orderBy("nk")),
 
+    // array aggregation: sorted distinct collect rendered as CSV — the
+    // deterministic form of collect_set (unsorted collect is
+    // order-nondeterministic and would never hash-match).
+    "q_collect_status" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus")))).as("statuses"))
+        .orderBy("l_returnflag")),
+
+    // exact interpolated median (SQL PERCENTILE_CONT semantics on both
+    // engines: sorted position (n-1)p, linear interpolation in double).
+    "q_median_price" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("median_price"))
+        .orderBy("l_returnflag")),
+
     // HLL sketch: approx_count_distinct — the streaming-friendly
     // cardinality estimator (rows-only: HLL++ estimates are
     // implementation-specific; the 2%-of-exact bound is asserted in
@@ -297,6 +314,13 @@ object Parity {
     "q_intersect_nations" ->
       """SELECT DISTINCT c_nationkey AS nk FROM customer
         |INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q_median_price" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_collect_status" ->
+      """SELECT l_returnflag,
+        |       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_date_parse" ->
       """SELECT CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m, count(*) AS cnt
         |FROM (SELECT CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS d FROM orders)
