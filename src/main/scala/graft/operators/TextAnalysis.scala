@@ -40,6 +40,23 @@ object TextAnalysis {
       punctCount(text).cast(DoubleType) / length(text).cast(DoubleType))
       .otherwise(lit(0.0))
 
+  /** English stopword list used by the quality signal (fixed, tiny —
+    * mirrored literally in the DuckDB oracle). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as")
+
+  /** Stopword ratio: fraction of whitespace tokens that are stopwords —
+    * the classic fluency/quality signal (high ≈ natural prose, near-zero
+    * ≈ boilerplate/code/tables). One deterministic division. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isInCollection(Stopwords)))
+    when(size(toks) > 0,
+      hits.cast(DoubleType) / size(toks).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
   /** Stopword-hit language ID heuristic (n-gram-lite): fixed-order CASE
     * over high-frequency function words. Deterministic and expressible
     * identically in SQL. */
@@ -80,7 +97,8 @@ object TextAnalysis {
       documents(s, dir)
         .select(col("doc_id"), length(col("text")).as("len"),
           punctCount(col("text")).as("n_punct"),
-          punctRatio(col("text")).as("punct_ratio"))
+          punctRatio(col("text")).as("punct_ratio"),
+          stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy("doc_id")),
 
     // language-ID confusion matrix against the labeled lang column.
@@ -110,13 +128,23 @@ object TextAnalysis {
         |       CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "q_quality_score" ->
-      """SELECT doc_id, length(text) AS len,
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS len,
         |       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
         |       CASE WHEN length(text) > 0
         |            THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
         |                 / CAST(length(text) AS DOUBLE)
-        |            ELSE 0.0 END AS punct_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |            ELSE 0.0 END AS punct_ratio,
+        |       CASE WHEN len(t) > 0
+        |            THEN CAST(len(list_filter(t, x -> list_contains(
+        |                   ['the','a','an','and','or','of','to','in','is','it',
+        |                    'that','for','on','with','as'], x))) AS DOUBLE)
+        |                 / CAST(len(t) AS DOUBLE)
+        |            ELSE 0.0 END AS stopword_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH g AS (
         |  SELECT lang,
