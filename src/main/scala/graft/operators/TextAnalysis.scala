@@ -102,6 +102,9 @@ object TextAnalysis {
         .orderBy("doc_id")),
 
     // language-ID confusion matrix against the labeled lang column.
+    // (On this synthetic corpus the text is English-ish pseudo-prose for
+    // EVERY lang label, so absolute accuracy is bounded by label noise —
+    // the oracle pins the heuristic's exact semantics, not accuracy.)
     "q_lang_id" -> ((s, dir) =>
       documents(s, dir)
         .select(col("lang"), langGuess(col("text")).as("guess"))

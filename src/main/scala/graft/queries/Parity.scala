@@ -239,6 +239,36 @@ object Parity {
         .intersect(supplier(s, dir).select(col("s_nationkey").as("nk")).distinct())
         .orderBy("nk")),
 
+    // PIVOT: the reference's Budget table IS a pivoted monthly matrix
+    // (Jan..Dec Currency columns, dbinfo.txt:46-57) — here as a dynamic
+    // operator: order counts by status × month, zero-filled like the
+    // oracle's FILTER form.
+    "q_pivot_months" -> ((s, dir) =>
+      orders(s, dir)
+        .select(col("o_orderstatus").as("status"), month(col("o_orderdate")).as("m"))
+        .groupBy("status")
+        .pivot("m", (1 to 12).map(Integer.valueOf))
+        .agg(count(lit(1)))
+        .select(col("status") +:
+          (1 to 12).map(i => coalesce(col(s"`$i`"), lit(0L)).as(f"m$i%02d")): _*)
+        .orderBy("status")),
+
+    // UNPIVOT (melt): the inverse — flatten the month matrix back to rows;
+    // proves pivot∘unpivot round-trips to the plain GROUP BY.
+    "q_unpivot_months" -> ((s, dir) => {
+      val p = orders(s, dir)
+        .select(col("o_orderstatus").as("status"), month(col("o_orderdate")).as("m"))
+        .groupBy("status")
+        .pivot("m", (1 to 12).map(Integer.valueOf))
+        .agg(count(lit(1)))
+        .select(col("status") +:
+          (1 to 12).map(i => coalesce(col(s"`$i`"), lit(0L)).as(f"m$i%02d")): _*)
+      p.unpivot(Array(col("status")),
+          (1 to 12).map(i => col(f"m$i%02d")).toArray, "m", "cnt")
+        .filter(col("cnt") > 0)
+        .orderBy("status", "m")
+    }),
+
     // array aggregation: sorted distinct collect rendered as CSV — the
     // deterministic form of collect_set (unsorted collect is
     // order-nondeterministic and would never hash-match).
@@ -321,6 +351,19 @@ object Parity {
       """SELECT l_returnflag,
         |       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_pivot_months" -> {
+      val cols = (1 to 12).map(i =>
+        s"count(*) FILTER (WHERE month(o_orderdate) = $i) AS m${"%02d".format(i)}")
+        .mkString(",\n|       ")
+      s"""SELECT o_orderstatus AS status,
+         |       $cols
+         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+    },
+    "q_unpivot_months" ->
+      """SELECT o_orderstatus AS status,
+        |       'm' || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS m,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY status, m""".stripMargin,
     "q_date_parse" ->
       """SELECT CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m, count(*) AS cnt
         |FROM (SELECT CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS d FROM orders)
