@@ -166,6 +166,15 @@ object Parity {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // §2.4: LEFT OUTER — per-customer order count including zeros (the
+    // preserved-side null semantics the anti-join only witnesses).
+    "q_left_join_counts" -> ((s, dir) =>
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
     // §2.3-absent DISTINCT, map-side partial dedup then one shuffle.
     "q_distinct" -> ((s, dir) =>
       lineitem(s, dir)
@@ -401,6 +410,10 @@ object Parity {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_left_join_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_custkey""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
