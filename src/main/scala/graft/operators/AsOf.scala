@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables.events
+
+/** AS-OF join — "for each left row, the latest right row at or before
+  * its timestamp, per key". Spark has no native operator (SPARK-22947);
+  * the brief's preference order says compose from existing ops when
+  * semantics allow, and they do:
+  *
+  *   union(tagged left, tagged right)
+  *     → window last(value, ignoreNulls) over (key ORDER BY ts, tag, id
+  *                                             ROWS UNBOUNDED PRECEDING)
+  *     → keep left rows
+  *
+  * One shuffle on the key, linear state, no range-condition join (a
+  * naive `l.ts >= r.ts` join is a per-key cross product — quadratic on
+  * active keys; the MERGE-sorted window is how kdb/Flink implement it).
+  * Right rows sort BEFORE left rows at equal timestamps (tag 0 < 1), so
+  * the match is inclusive, same as DuckDB's `ASOF JOIN ... >=` — which
+  * is the oracle validating these semantics cross-engine.
+  *
+  * At 100 TB: the shuffle carries (key, ts, tag, value) — value columns
+  * only from the right side; skewed keys are ordinary window skew (AQE /
+  * pre-salt with per-salt windows then re-merge).
+  */
+object AsOf {
+
+  /** Left rows of `left` + `asof_<valueCol>`: the latest `valueCol` from
+    * `right` with `right.ts <= left.ts` within the same `key` (null when
+    * no prior right row exists). `id` breaks timestamp ties
+    * deterministically. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      id: String,
+      valueCol: String): DataFrame = {
+    val valueType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn("__tag", lit(1))
+      .withColumn("__asof_v", lit(null).cast(valueType))
+    val r = right
+      .select(col(key), col(ts), col(id), col(valueCol).as("__asof_v"))
+      .withColumn("__tag", lit(0))
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__tag"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(s"asof_$valueCol", last(col("__asof_v"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__tag", "__asof_v")
+  }
+
+  // --- query surface ---------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // for every click, the value of the user's most recent error at or
+    // before it — validated against DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tus")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "tus", "value")
+      asofJoin(clicks, errors, key = "user_id", ts = "tus", id = "event_id",
+        valueCol = "value")
+        .select(col("user_id"), col("event_id"), col("asof_value"))
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // epoch_us on both sides: Spark timestamps are µs while the source
+    // parquet is ns — comparing at the same precision keeps the >=
+    // boundary identical.
+    "q_asof_join" ->
+      """SELECT c.user_id, c.event_id, e.value AS asof_value
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, epoch_us(ts) AS tus, value FROM events
+        |      WHERE event_type = 'error') e
+        |ON c.user_id = e.user_id AND c.tus >= e.tus
+        |ORDER BY c.user_id, c.event_id""".stripMargin
+  )
+}

@@ -15,7 +15,8 @@ object Extensions {
       graft.operators.Similarity.queries ++
       graft.operators.Events.queries ++
       graft.operators.Multimodal.queries ++
-      graft.operators.ScalePatterns.queries
+      graft.operators.ScalePatterns.queries ++
+      graft.operators.AsOf.queries
 
   def oracles: Map[String, String] =
     graft.operators.TextAnalysis.oracles ++
@@ -23,5 +24,6 @@ object Extensions {
       graft.operators.Similarity.oracles ++
       graft.operators.Events.oracles ++
       graft.operators.Multimodal.oracles ++
-      graft.operators.ScalePatterns.oracles
+      graft.operators.ScalePatterns.oracles ++
+      graft.operators.AsOf.oracles
 }
