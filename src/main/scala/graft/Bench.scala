@@ -22,6 +22,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup (untimed): FileSystem init, parquet footers, codegen paths.
+    // The nanos flag must be set BEFORE touching events.parquet (its
+    // TIMESTAMP(NANOS) column is otherwise rejected at footer read and
+    // the silent catch would leave events cold).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()

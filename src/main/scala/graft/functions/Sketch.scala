@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit, shiftright, struct}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst sketch expressions for the near-dup operators
@@ -79,6 +79,21 @@ object Sketch {
     * Call [[register]] on the session first. */
   def winnow(text: Column): Column =
     call_function("graft_winnow", text)
+
+  /** LSH banding: `(band_idx, band_val)` structs covering ALL 64 bits of
+    * a sketch in `numBands` contiguous ranges (widths differ by ≤1 when
+    * numBands does not divide 64). Shared by the SimHash and SRP
+    * near-dup operators — one kernel, one set of recall characteristics. */
+  def bandStructs(sketch: Column, numBands: Int): Seq[Column] = {
+    require(numBands >= 1 && numBands <= 64, s"numBands=$numBands out of range")
+    val lo = (0 to numBands).map(j => j * 64 / numBands)
+    (0 until numBands).map { j =>
+      val width = lo(j + 1) - lo(j)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(j).as("band_idx"),
+        shiftright(sketch, lo(j)).bitwiseAND(mask).as("band_val"))
+    }
+  }
 }
 
 /** Single-pass sketch kernels, shared by interpreted `eval` and generated
@@ -114,8 +129,10 @@ object SketchOps {
   }
 
   /** struct(sh_set: distinct sorted gram hashes, sig: 64 affine-permutation
-    * minima). Empty-token docs get the all-Prime signature (min over the
-    * empty set = +inf, deterministic). */
+    * minima). Docs shorter than 3 tokens (including the empty string,
+    * which tokenizes to one empty token) collapse to a single whole-doc
+    * gram, so the gram set is never empty and the signature always
+    * reflects ≥1 hash. */
   def minhashFeatures(tokens: ArrayData): InternalRow = {
     val grams = gramHashes(tokens)
     java.util.Arrays.sort(grams)

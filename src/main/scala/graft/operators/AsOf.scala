@@ -40,20 +40,24 @@ object AsOf {
       ts: String,
       id: String,
       valueCol: String): DataFrame = {
-    val valueType = right.schema(valueCol).dataType
-    val l = left
-      .withColumn("__tag", lit(1))
-      .withColumn("__asof_v", lit(null).cast(valueType))
+    // The carried value is wrapped in a struct so that a right row whose
+    // value IS NULL still registers as "a match" — last(..., ignoreNulls)
+    // must skip left rows (no right row there) but not null-valued right
+    // rows, exactly like ASOF JOIN matches the latest ROW, not the
+    // latest non-null value.
+    val l = left.withColumn("__tag", lit(1))
     val r = right
-      .select(col(key), col(ts), col(id), col(valueCol).as("__asof_v"))
+      .select(col(key), col(ts), col(id),
+        struct(col(valueCol).as("v")).as("__asof_row"))
       .withColumn("__tag", lit(0))
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("__tag"), col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(s"asof_$valueCol", last(col("__asof_v"), ignoreNulls = true).over(w))
+      .withColumn(s"asof_$valueCol",
+        last(col("__asof_row"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__tag") === 1)
-      .drop("__tag", "__asof_v")
+      .drop("__tag", "__asof_row")
   }
 
   // --- query surface ---------------------------------------------------

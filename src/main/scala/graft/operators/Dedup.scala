@@ -110,16 +110,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val numBands = maxHamming + 1
     require(numBands <= 64, s"maxHamming=$maxHamming needs $numBands bands > 64 bits")
-    // contiguous bit ranges [lo(j), lo(j+1)) covering all 64 bits
-    val lo = (0 to numBands).map(j => j * 64 / numBands)
     val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until numBands).map { j =>
-        val width = lo(j + 1) - lo(j)
-        val mask = if (width == 64) -1L else (1L << width) - 1L
-        struct(lit(j).as("band_idx"),
-          shiftright(col("simhash"), lo(j)).bitwiseAND(mask).as("band_val"))
-      }: _*)).as("b"))
+      explode(array(Sketch.bandStructs(col("simhash"), numBands): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
     val x = banded.as("x"); val y = banded.as("y")
     x.join(y,

@@ -57,15 +57,10 @@ object Similarity {
 
   /** (band_idx, band_val) bucket keys from a 64-bit sketch, split into
     * `numBands` contiguous bands (pigeonhole: hamming < numBands ⇒ some
-    * band equal; wider bands = higher precision, lower recall). */
-  private def bandCols(sketch: Column, numBands: Int): Column = {
-    val width = 64 / numBands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    explode(array((0 until numBands).map { j =>
-      struct(lit(j).as("band_idx"),
-        shiftright(sketch, j * width).bitwiseAND(mask).as("band_val"))
-    }: _*))
-  }
+    * band equal; wider bands = higher precision, lower recall). Shared
+    * kernel with the SimHash operator (graft.functions.Sketch). */
+  private def bandCols(sketch: Column, numBands: Int): Column =
+    explode(array(graft.functions.Sketch.bandStructs(sketch, numBands): _*))
 
   /** ANN top-k: sketch-hamming candidate selection then exact cosine
     * rescoring. Candidates are the `expand`×k vectors with the smallest
@@ -105,11 +100,15 @@ object Similarity {
     val centroids = emb.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     // cell assignment: argmax cosine over centroids
+    // tie-break: equal cosine to two centroids resolves to the LOWEST
+    // cid (max over (csim, -cid)), keeping the assignment — and thus the
+    // rows-only gate output — identical across partitionings/reruns.
     val assign = emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         VectorOps.cosine(col("embedding"), col("cvec")).as("csim"))
       .groupBy("vec_id")
-      .agg(max_by(struct(col("cid"), col("embedding")), col("csim")).as("best"))
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("csim"), -col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("best.embedding").as("embedding"))
     val q = queryRow(emb)
     val probeCells = centroids.crossJoin(broadcast(q))
@@ -131,17 +130,24 @@ object Similarity {
     * cosine verification. The banding bounds the quadratic rescore step;
     * the caller applies a threshold or takes the top pairs. */
   def nearDupPairs(emb: DataFrame, numBands: Int = 8): DataFrame = {
-    val s = sketched(emb)
-    val b = s.select(col("vec_id"), col("embedding"), bandCols(col("sketch"), numBands).as("b"))
-      .select(col("vec_id"), col("embedding"), col("b.band_idx"), col("b.band_val"))
+    // band self-join ships only (vec_id, band_idx, band_val) triples —
+    // never the embedding payload (which would be duplicated 2×numBands
+    // through the exchange); payloads join back per candidate id for the
+    // exact-cosine verify, mirroring Dedup.verifiedJaccard.
+    val b = sketched(emb)
+      .select(col("vec_id"), bandCols(col("sketch"), numBands).as("b"))
+      .select(col("vec_id"), col("b.band_idx"), col("b.band_val"))
     val x = b.as("x"); val y = b.as("y")
-    x.join(y,
+    val pairs = x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        col("x.embedding").as("e1"), col("y.embedding").as("e2"))
-      .dropDuplicates("v1", "v2")
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(vecs.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+      .join(vecs.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
       .select(col("v1"), col("v2"), VectorOps.cosine(col("e1"), col("e2")).as("cosine"))
   }
 

@@ -55,9 +55,9 @@ object Transforms {
   /** F8: ISO date parse, `yyyy-MM-dd` only (`db_test.go:466-468`). */
   def parseIsoDate(c: Column): Column = to_date(c, "yyyy-MM-dd")
 
-  /** F5: float → shortest round-trip string (`hhek2sqlite.go:869-870`
-    * uses Go's `%g`, which prints the SHORTEST representation — Java's
-    * `%g` would pad to 6 significant digits; Spark's float→string cast
-    * has the Go semantics). */
-  def floatRepr(c: Column): Column = c.cast(StringType)
+  /** F5: float → Go `%g` shortest-form string (`hhek2sqlite.go:869-870`).
+    * Neither Java's `%g` (pads to 6 significant digits) nor Spark's cast
+    * (`100000.0`, `1.0E7`) matches Go's layout (`100000`, `1e+07`) —
+    * graft.functions.GoFormat implements it exactly. */
+  def floatRepr(c: Column): Column = graft.functions.GoFormat.goFloatReprCol(c)
 }

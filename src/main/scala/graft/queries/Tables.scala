@@ -20,7 +20,12 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects at
     * read ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long (legacy flag)
     * and convert losslessly to a microsecond timestamp with integer DIV
-    * (a double division would lose precision above 2^53 ns). */
+    * (a double division would lose precision above 2^53 ns).
+    *
+    * SIDE EFFECT: the legacy flag is session-global and stays set — any
+    * later nanos-timestamp parquet read in the same session will come
+    * back as bigint instead of failing. It cannot be unset around the
+    * read because the flag is consulted again at execution time. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")

@@ -71,7 +71,15 @@ object EventStream {
   /** Per-user session counting with explicit state — 30-minute gap rule,
     * same constant as the batch twin (Events.SessionGapSeconds). Emits
     * one final row per user when the state times out (or on stream end
-    * in AvailableNow replay via OutputMode.Update upserts). */
+    * in AvailableNow replay via OutputMode.Update upserts).
+    *
+    * ORDERING PRECONDITION: events must arrive in per-key event-time
+    * order ACROSS micro-batches (rows within one batch are sorted here).
+    * A source that replays files out of time order can regress
+    * `lastSec` and under-count sessions vs the batch twin; full
+    * out-of-order support requires watermark-bounded event buffering in
+    * state (not implemented — use ordered sources, e.g. per-key Kafka
+    * partitions or time-ordered file batches). */
   def sessionCounts(events: DataFrame): Dataset[UserSessions] = {
     val spark = events.sparkSession
     import spark.implicits._

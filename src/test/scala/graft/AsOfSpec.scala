@@ -33,6 +33,18 @@ class AsOfSpec extends SparkSpecBase {
       13L -> None, 14L -> Some(95.0)))
   }
 
+  test("asofJoin matches the latest right ROW even when its value is NULL") {
+    val left = Seq((1L, 30L, 10L)).toDF("user_id", "tus", "event_id")
+    val right = Seq(
+      (1L, 10L, 1L, Some(5.0)),
+      (1L, 20L, 2L, Option.empty[Double]) // latest row carries NULL
+    ).toDF("user_id", "tus", "event_id", "value")
+    val got = AsOf.asofJoin(left, right, "user_id", "tus", "event_id", "value")
+      .select("asof_value").collect().head
+    // DuckDB ASOF JOIN matches the ts=20 row → NULL, not the older 5.0
+    assert(got.isNullAt(0), s"expected NULL from the latest row, got $got")
+  }
+
   test("asofJoin breaks equal-timestamp right ties by id (latest id wins)") {
     val left = Seq((1L, 100L, 10L)).toDF("user_id", "tus", "event_id")
     val right = Seq((1L, 100L, 1L, 1.0), (1L, 100L, 2L, 2.0))

@@ -74,9 +74,15 @@ class TransformsSpec extends SparkSpecBase {
     assert(evalStr(Seq("2020-12-24"), Transforms.parseIsoDate) == Seq("2020-12-24"))
   }
 
-  test("F5: floatRepr is shortest-form like Go %g (hhek2sqlite.go:869)") {
-    val got = Seq(1.5f, 0.25f).toDF("v")
+  test("F5: floatRepr matches Go %g layout exactly (hhek2sqlite.go:869)") {
+    // expectations are fmt.Sprintf("%g", float32(x)) outputs
+    val cases = Seq(
+      1.5f -> "1.5", 0.25f -> "0.25", 100000f -> "100000",
+      1e7f -> "1e+07", 1e-5f -> "1e-05", 0.0001f -> "0.0001",
+      -2.5f -> "-2.5", 1234567f -> "1.234567e+06", 0f -> "0",
+      123456.78f -> "123456.78")
+    val got = cases.map(_._1).toDF("v")
       .select(Transforms.floatRepr(col("v")).as("r")).collect().map(_.getString(0)).toSeq
-    assert(got == Seq("1.5", "0.25"))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"want $want got $g") }
   }
 }
