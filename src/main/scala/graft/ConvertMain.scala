@@ -25,7 +25,11 @@ object ConvertMain {
       case a if a.startsWith("-optout=") => Some("out" -> a.stripPrefix("-optout="))
       case "-backa" => Some("backa" -> "true")
       case "-readonly" => Some("readonly" -> "true")
-      case other => System.err.println(s"okänd flagga: $other"); None
+      case other =>
+        // fatal, like the reference's arg errors (hhek2sqlite.go:1216):
+        // a typo of -backa must not silently convert the WRONG direction
+        System.err.println(s"okänd flagga: $other")
+        sys.exit(1)
     }.toMap
 
     val (in, out) = (opts.get("in"), opts.get("out")) match {

@@ -19,26 +19,29 @@ object GoFormat {
 
   def goFloatRepr(f: Float): UTF8String = UTF8String.fromString(format(f))
 
-  private[functions] def format(f: Float): String = {
+  /** Public for property tests; goFloatRepr is the engine entry. */
+  def format(f: Float): String = {
     if (java.lang.Float.isNaN(f)) return "NaN"
     if (java.lang.Float.isInfinite(f)) return if (f > 0) "+Inf" else "-Inf"
     if (f == 0.0f) return if (1 / f < 0) "-0" else "0"
     val neg = f < 0
-    // Java Float.toString yields the shortest decimal that round-trips —
-    // the same digit string Go uses; only the layout differs.
-    val s = java.lang.Float.toString(math.abs(f))
-    val (mantissa, javaExp) = s.indexOf('E') match {
-      case -1 => (s, 0)
-      case i => (s.substring(0, i), s.substring(i + 1).toInt)
-    }
-    val point = mantissa.indexOf('.')
-    val rawDigits = mantissa.replace(".", "")
-    val lead = rawDigits.indexWhere(_ != '0') // Float.toString: never all zeros here
-    val digits = rawDigits.substring(lead).reverse.dropWhile(_ == '0').reverse match {
+    val abs = math.abs(f)
+    // Shortest round-trip digits, computed directly: JDK 17's
+    // Float.toString is pre-Ryu and sometimes emits one digit too many
+    // (e.g. 1.18846831E13f where 1.1884683E13 round-trips), which would
+    // diverge from Go's shortest %g. Try 1..9 significant digits and
+    // keep the first rounding that parses back to the same float.
+    val bd = new java.math.BigDecimal(abs.toDouble)
+    val shortest = (1 to 9).iterator.map { prec =>
+      bd.round(new java.math.MathContext(prec, java.math.RoundingMode.HALF_EVEN))
+    }.find(_.floatValue() == abs).getOrElse(bd)
+    // canonical digit string + decimal exponent: value = d.igits × 10^decExp
+    val digits0 = shortest.unscaledValue().abs().toString
+    val digits = digits0.reverse.dropWhile(_ == '0').reverse match {
       case "" => "0"
       case d => d
     }
-    val decExp = point - 1 - lead + javaExp // value = d.igits × 10^decExp
+    val decExp = (digits0.length - shortest.scale()) - 1
     val sign = if (neg) "-" else ""
     if (decExp < -4 || decExp >= 6) {
       val m = if (digits.length == 1) digits

@@ -96,6 +96,17 @@ object Sketch {
   }
 }
 
+/** Shared 64-bit finalizer (SplitMix64) used by the winnow mixer and the
+  * SRP sign derivation — ONE definition so the two cannot drift. */
+private[functions] object Hashing {
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
 /** Single-pass sketch kernels, shared by interpreted `eval` and generated
   * code (the codegen for each expression is one static call — the loop
   * itself is JIT-compiled once, like Spark's own UTF8String intrinsics). */
@@ -224,12 +235,7 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
-  private def mix(x: Long): Long = {
-    var z = x + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(x: Long): Long = Hashing.splitmix64(x)
 
   /** 64-bit SimHash: ±1 votes per bit over per-occurrence token hashes. */
   def simhash(tokens: ArrayData): Long = {

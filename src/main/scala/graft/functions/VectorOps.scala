@@ -48,7 +48,12 @@ object VectorOps {
 object VectorSketchOps {
 
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail fast like the DuckDB oracle (list_cosine_similarity errors on
+    // mismatched lengths) — silent truncation would return a plausible
+    // but wrong score for corrupt embeddings
+    require(n == b.numElements(),
+      s"cosine: dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -60,12 +65,7 @@ object VectorSketchOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def splitmix64(seed: Long): Long = Hashing.splitmix64(seed)
 
   /** Per-dimension packed signs: bit j of signs(d) is the Rademacher
     * entry s(j,d). Cached per dimensionality (deterministic contents). */

@@ -40,6 +40,9 @@ object AsOf {
       ts: String,
       id: String,
       valueCol: String): DataFrame = {
+    val reserved = Seq("__tag", "__asof_row", s"asof_$valueCol")
+    require(!reserved.exists(left.columns.contains),
+      s"asofJoin: left input must not already have columns ${reserved.mkString(", ")}")
     // The carried value is wrapped in a struct so that a right row whose
     // value IS NULL still registers as "a match" — last(..., ignoreNulls)
     // must skip left rows (no right row there) but not null-valued right

@@ -53,7 +53,9 @@ object Events {
         .groupBy("k")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(Money)).cast(Money).cast(DoubleType).as("total_value"))
-        .orderBy("k")),
+        // k is nullable (events without $.k): pin NULL ordering on both
+        // sides (Spark default NULLS FIRST vs DuckDB NULLS LAST)
+        .orderBy(asc_nulls_first("k"))),
 
     // sessionization: per-user session count with a 30-minute gap rule —
     // the mapGroupsWithState analog, expressed as one lag window over
@@ -82,7 +84,7 @@ object Events {
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, count(*) AS n_events,
         |       CAST(sum(new_session) AS BIGINT) AS n_sessions

@@ -34,6 +34,8 @@ object ScalePatterns {
       leftKey: Column,
       rightKey: Column,
       nSalts: Int): DataFrame = {
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin: inputs must not already have a __salt column")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(nSalts)))
     val exploded = right.withColumn("__salt",

@@ -297,8 +297,8 @@ object Parity {
 
     // HLL sketch: approx_count_distinct — the streaming-friendly
     // cardinality estimator (rows-only: HLL++ estimates are
-    // implementation-specific; the 2%-of-exact bound is asserted in
-    // SketchSpec).
+    // implementation-specific; a 5%-of-exact bound is asserted in
+    // SketchSpec at rsd 0.02).
     "q_hll_distinct" -> ((s, dir) =>
       lineitem(s, dir)
         .groupBy("l_returnflag")

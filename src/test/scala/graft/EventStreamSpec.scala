@@ -31,12 +31,13 @@ class EventStreamSpec extends SparkSpecBase {
       EventStream.readEvents(spark, TestSpark.Sf0001))
     val q = EventStream.runToMemory(stream.toDF(), "sess_test", OutputMode.Update)
     q.awaitTermination()
-    // Update mode upserts one row per user per micro-batch; the last
-    // row per user is the final state.
+    // Update mode upserts one row per user per micro-batch; counts are
+    // monotone, so max() picks the final state regardless of how many
+    // micro-batches ran (last() would be shuffle-order-dependent).
     val streamed = spark.table("sess_test")
       .groupBy("user_id")
-      .agg(org.apache.spark.sql.functions.last("n_events").as("n_events"),
-        org.apache.spark.sql.functions.last("n_sessions").as("n_sessions"))
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("n_sessions").as("n_sessions"))
       .orderBy("user_id").collect().map(_.toSeq).toSeq
     val batch = Events.queries("q_sessionize")(spark, TestSpark.Sf0001)
       .collect().map(_.toSeq).toSeq

@@ -123,7 +123,6 @@ class SketchSpec extends SparkSpecBase {
 
   test("exact dedup groups case/whitespace variants (canonical fingerprint)") {
     val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other")
-    val groups = SparkEntry.queries("q_dedup_exact") // touch registry path
     val fp = d.groupBy(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet

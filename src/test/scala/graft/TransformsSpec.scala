@@ -80,7 +80,18 @@ class TransformsSpec extends SparkSpecBase {
       1.5f -> "1.5", 0.25f -> "0.25", 100000f -> "100000",
       1e7f -> "1e+07", 1e-5f -> "1e-05", 0.0001f -> "0.0001",
       -2.5f -> "-2.5", 1234567f -> "1.234567e+06", 0f -> "0",
-      123456.78f -> "123456.78")
+      123456.78f -> "123456.78",
+      // JDK 17 Float.toString emits a non-shortest "1.18846831E13" here;
+      // Go's shortest %g is 8 digits — the formatter must not trust it.
+      1.18846831e13f -> "1.1884683e+13")
+    // shortest-digit property: the rendering must round-trip and no
+    // shorter prefix rounding may (sampled)
+    samples(org.scalacheck.Gen.chooseNum(Float.MinValue / 2, Float.MaxValue / 2), 200)
+      .foreach { x =>
+        val r = graft.functions.GoFormat.format(x)
+        val parsed = r.replace("e", "E").toFloat
+        assert(parsed == x, s"$x rendered '$r' fails round-trip")
+      }
     val got = cases.map(_._1).toDF("v")
       .select(Transforms.floatRepr(col("v")).as("r")).collect().map(_.getString(0)).toSeq
     cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"want $want got $g") }
