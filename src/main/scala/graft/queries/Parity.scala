@@ -41,10 +41,13 @@ object Parity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S5/P1: full scan with explicit projection (hhek2sqlite.go:212 —
     // projection lists are explicit, never SELECT *).
+    // NOTE the testdata contains duplicate (l_orderkey, l_linenumber)
+    // pairs, so orderings must include enough columns to be TOTAL — tied
+    // rows otherwise swap arbitrarily between engines (found at sf0.1).
     "q_scan_project" -> ((s, dir) =>
       lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")),
 
     // P2: parameterized point lookup WHERE (Löpnr=?) (db_test.go:414-415).
     // The "parameter" is derived (min key) so the query is sf-stable; the
@@ -114,7 +117,7 @@ object Parity {
       lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_discount") > 0.05).cast(StringType).as("flag"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "flag")),
 
     // A2 flagship: account balance as exact signed decimal sum
     // (db_test.go:374-386 — Saldo = deposits − purchases). Partial
@@ -129,15 +132,18 @@ object Parity {
     // §2.5: the latent running balance the converter NULLs out
     // (hhek2sqlite.go:260) — reconstructed per account in date order.
     "q_running_saldo" -> ((s, dir) => {
+      // belopp is the final tiebreaker: (konto, shipdate, orderkey,
+      // linenumber) is NOT unique in the testdata, and the running sum
+      // visits tied rows in window order — both engines must agree on it.
       val w = Window.partitionBy("konto")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "belopp")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       lineitem(s, dir)
         .select(col("l_suppkey").as("konto"), col("l_shipdate"),
           col("l_orderkey"), col("l_linenumber"), signedAmount.as("belopp"))
         .withColumn("saldo", sum("belopp").over(w).cast(Money).cast(DoubleType))
         .withColumn("belopp", col("belopp").cast(DoubleType))
-        .orderBy("konto", "l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("konto", "l_shipdate", "l_orderkey", "l_linenumber", "belopp")
     }),
 
     // §2.4: implied FK equi-join fact→dim; dimension broadcast so the
@@ -318,14 +324,16 @@ object Parity {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       src.write.mode("overwrite").parquet(out)
       src.write.mode("overwrite").parquet(out) // idempotent truncate-load
-      s.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
+      s.read.parquet(out)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag""".stripMargin,
     "q_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders) ORDER BY o_orderkey""".stripMargin,
@@ -379,7 +387,7 @@ object Parity {
         |GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
     "q_bool_format" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_discount > 0.05 AS VARCHAR) AS flag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, flag""".stripMargin,
     "q_saldo_per_konto" ->
       """SELECT l_suppkey AS konto,
         |       CAST(CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
@@ -392,10 +400,12 @@ object Parity {
         |       CAST(CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
         |                          ELSE l_extendedprice END AS DECIMAL(19,4)))
         |            OVER (PARTITION BY l_suppkey
-        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                           CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+        |                                ELSE l_extendedprice END AS DECIMAL(19,4))
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            AS DECIMAL(19,4)) AS DOUBLE) AS saldo
-        |FROM lineitem ORDER BY konto, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY konto, l_shipdate, l_orderkey, l_linenumber, belopp""".stripMargin,
     "q_fk_join_segment" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total
@@ -443,6 +453,7 @@ object Parity {
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin
   )
 }
