@@ -46,6 +46,49 @@ final class ParquetTableIO(root: String) extends TableIO {
   }
 }
 
+/** CSV TableIO in a configurable charset — the file-level analog of the
+  * reference's Windows-1252 ↔ UTF-8 boundary (F1, `hhek2sqlite.go:60-73`):
+  * with `charset = "windows-1252"` the on-disk bytes are cp1252 exactly
+  * like the Jet side, and Spark's csv codec performs the decode/encode
+  * that `toUtf8` does row-by-row in the reference. Semicolon separator
+  * (the Swedish-locale CSV convention, matching the comma-decimal data).
+  *
+  * `nullValue = "\\N"` keeps NULL distinct from the empty string — the
+  * reference treats empty TEXT and NULL differently (F6, empty-bytes →
+  * NULL applies only to specific columns), so a sink that conflated them
+  * would corrupt the round-trip. */
+final class CsvTableIO(root: String, charset: String = "windows-1252") extends TableIO {
+
+  private def path(table: HogiaTable): String = s"$root/${table.name}"
+
+  private def opts = Map(
+    "header" -> "true", "sep" -> ";", "encoding" -> charset,
+    "charset" -> charset, "nullValue" -> "\\N", "emptyValue" -> "")
+
+  /** Spark ≥3.5 rejects non-mainstream charsets in the csv codec unless
+    * the java-charsets legacy flag is on (same restriction SURVEY §2.7
+    * notes for the `decode` builtin — the in-engine cp1252 EXPRESSION
+    * avoids the flag via graft.functions.Cp1252, but the FILE codec has
+    * no custom-expression escape hatch). */
+  private def enableCharsets(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
+  override def read(spark: SparkSession, table: HogiaTable): DataFrame = {
+    enableCharsets(spark)
+    spark.read.options(opts).schema(table.schema).csv(path(table))
+  }
+
+  override def truncateLoad(df: DataFrame, table: HogiaTable): Unit = {
+    enableCharsets(df.sparkSession)
+    df.write.options(opts).mode(SaveMode.Overwrite).csv(path(table))
+  }
+
+  override def exists(spark: SparkSession, table: HogiaTable): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
 /** JDBC TableIO — the production drop-in when an Access (UCanAccess) or
   * SQLite (org.xerial) driver is on the executor classpath. Semantics per
   * reference: truncate-load ≙ `option("truncate", true)` + Overwrite (D3);

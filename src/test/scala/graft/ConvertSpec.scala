@@ -146,6 +146,36 @@ class ConvertSpec extends SparkSpecBase {
     assert(row.getAs[java.math.BigDecimal]("Belopp").compareTo(dec) == 0)
   }
 
+  test("cp1252 CSV sink round-trips the golden fixture (file-level F1 boundary)") {
+    import graft.sources.CsvTableIO
+    val mdb = new ParquetTableIO(s"$work/csv_src")
+    Convert.goldenFixture(spark).foreach { case (n, df) =>
+      mdb.truncateLoad(df, HogiaSchema.byName(n))
+    }
+    val csv = new CsvTableIO(s"$work/csv_out", "windows-1252")
+    Convert.konvertera(spark, mdb, csv, reverse = false)
+    // € and å/ä/ö must survive the cp1252 file encoding
+    checkGolden2(csv)
+    // and the bytes on disk really are cp1252 (€ = 0x80, not UTF-8 E2 82 AC)
+    val dir = new java.io.File(s"$work/csv_out/Transaktioner")
+    val part = dir.listFiles().find(_.getName.endsWith(".csv")).get
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    assert(bytes.contains(0x80.toByte), "cp1252 € byte missing from the file")
+    assert(!new String(bytes, "ISO-8859-1").contains("â¬"),
+      "found UTF-8 € byte sequence — file is not cp1252")
+  }
+
+  /** Golden value checks shared with the CSV sink (string/decimal/€ only —
+    * Saldo is nulled by the forward transform). */
+  private def checkGolden2(io: graft.sources.TableIO): Unit = {
+    val t2 = io.read(spark, HogiaSchema.byName("Transaktioner"))
+      .filter(col("Löpnr") === 2).collect().head
+    assert(t2.getAs[String]("Text") == "Tom € räksmörgås")
+    assert(t2.getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("0.10")) == 0)
+    val p = io.read(spark, HogiaSchema.byName("Platser")).collect().head
+    assert(p.getAs[String]("Namn") == "Plats Ett")
+  }
+
   test("copy order matches the reference pipeline (hhek2sqlite.go:1287-1296)") {
     assert(HogiaSchema.copyOrder.map(_.name) == Seq(
       "DtbVer", "Platser", "Personer", "Konton", "BetalKonton",
