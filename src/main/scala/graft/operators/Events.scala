@@ -57,6 +57,27 @@ object Events {
         // sides (Spark default NULLS FIRST vs DuckDB NULLS LAST)
         .orderBy(asc_nulls_first("k"))),
 
+    // schema-full JSON parsing (from_json with an explicit struct schema,
+    // vs q_events_json's path extraction) — same result, different
+    // operator: the parsed struct is columnar-prunable downstream.
+    "q_json_struct" -> ((s, dir) =>
+      events(s, dir)
+        .select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("k"))),
+
+    // RANGE window frame: per-user 7-day rolling event count over daily
+    // buckets — RANGE (value-based) semantics are tie-immune by
+    // construction, unlike ROWS frames.
+    "q_rolling_week" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+        .groupBy("user_id", "d").agg(count(lit(1)).as("n"))
+        .withColumn("rolling_7d",
+          sum("n").over(Window.partitionBy("user_id").orderBy("d")
+            .rangeBetween(-7, 0)).cast(LongType))
+        .orderBy("user_id", "d")),
+
     // sessionization: per-user session count with a 30-minute gap rule —
     // the mapGroupsWithState analog, expressed as one lag window over
     // epoch seconds.
@@ -85,6 +106,16 @@ object Events {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
+    "q_json_struct" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
+    "q_rolling_week" ->
+      """SELECT user_id, d, n,
+        |       CAST(sum(n) OVER (PARTITION BY user_id ORDER BY d
+        |                         RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
+        |FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS d, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |ORDER BY user_id, d""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, count(*) AS n_events,
         |       CAST(sum(new_session) AS BIGINT) AS n_sessions

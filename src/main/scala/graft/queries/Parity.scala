@@ -231,6 +231,14 @@ object Parity {
           sum("qty").cast(Money).cast(DoubleType).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // grouping_id over ROLLUP: distinguishes NULL-as-subtotal from NULL
+    // data (Spark grouping_id == DuckDB GROUPING bitmask, MSB = first key).
+    "q_grouping_id" -> ((s, dir) =>
+      lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast(IntegerType).as("gid"), count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // exact COUNT(DISTINCT) — two-phase partial aggregation under AQE.
     "q_count_distinct" -> ((s, dir) =>
       lineitem(s, dir)
@@ -451,6 +459,11 @@ object Parity {
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem
