@@ -22,27 +22,47 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup (untimed): FileSystem init, parquet footers, codegen paths.
-    // The nanos flag must be set BEFORE touching events.parquet (its
-    // TIMESTAMP(NANOS) column is otherwise rejected at footer read and
-    // the silent catch would leave events cold).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // (events.parquet is TIMESTAMP(NANOS): inference would reject it, so
+    // warm it through the explicit-schema reader like the queries do.)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
+    try graft.queries.Tables.events(spark, sfDir).limit(1).count()
+    catch { case _: Throwable => () }
     try SparkEntry.queries("q_count_rows")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // A failing query must POISON the bench, not flatter it: its error is
+    // recorded per-query in the JSON and the process exits non-zero (a
+    // regression that breaks a query can otherwise look like a speedup).
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, Some(m)) => k -> m }
+    val errJson = errors.map { case (k, m) => s"\"$k\":\"${jsonEscape(m)}\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }
+      sys.exit(1)
+    }
   }
 }

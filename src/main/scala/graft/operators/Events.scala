@@ -68,14 +68,15 @@ object Events {
 
     // RANGE window frame: per-user 7-day rolling event count over daily
     // buckets — RANGE (value-based) semantics are tie-immune by
-    // construction, unlike ROWS frames.
+    // construction, unlike ROWS frames. (-6, 0) over day numbers spans
+    // exactly 7 calendar days inclusive (r2 shipped -7: an 8-day frame).
     "q_rolling_week" -> ((s, dir) =>
       events(s, dir)
         .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
         .groupBy("user_id", "d").agg(count(lit(1)).as("n"))
         .withColumn("rolling_7d",
           sum("n").over(Window.partitionBy("user_id").orderBy("d")
-            .rangeBetween(-7, 0)).cast(LongType))
+            .rangeBetween(-6, 0)).cast(LongType))
         .orderBy("user_id", "d")),
 
     // sessionization: per-user session count with a 30-minute gap rule —
@@ -112,7 +113,7 @@ object Events {
     "q_rolling_week" ->
       """SELECT user_id, d, n,
         |       CAST(sum(n) OVER (PARTITION BY user_id ORDER BY d
-        |                         RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
+        |                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
         |FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS d, count(*) AS n
         |      FROM events GROUP BY 1, 2)
         |ORDER BY user_id, d""".stripMargin,

@@ -18,20 +18,26 @@ object Tables {
   def nation(s: SparkSession, dir: String): DataFrame = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = t(s, dir, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects at
-    * read ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long (legacy flag)
-    * and convert losslessly to a microsecond timestamp with integer DIV
-    * (a double division would lose precision above 2^53 ns).
-    *
-    * SIDE EFFECT: the legacy flag is session-global and stays set — any
-    * later nanos-timestamp parquet read in the same session will come
-    * back as bigint instead of failing. It cannot be unset around the
-    * read because the flag is consulted again at execution time. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    * schema inference ([PARQUET_TYPE_ILLEGAL]). Supplying the schema
+    * explicitly (ts as plain LONG nanos) sidesteps inference with NO
+    * session-global flag (the earlier nanosAsLong approach leaked a
+    * legacy flag that silently changed unrelated reads — ADVICE r2);
+    * then convert losslessly to a microsecond timestamp with integer DIV
+    * (a double division would lose precision above 2^53 ns). */
+  val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+  def events(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
-  }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }

@@ -28,19 +28,12 @@ import graft.ops.Transforms
 object EventStream {
 
   /** Explicit source schema (streaming reads cannot infer). `ts` arrives
-    * as parquet TIMESTAMP(NANOS) → read as nanos long (legacy flag set by
-    * the caller's session via [[readEvents]]) and converted with integer
-    * DIV, exactly like the batch reader (Tables.events). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+    * as parquet TIMESTAMP(NANOS) → read as a nanos long via the explicit
+    * schema (no legacy flag needed) and converted with integer DIV,
+    * exactly like the batch reader (Tables.events). */
+  val eventSchema: StructType = graft.queries.Tables.eventsRawSchema
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventSchema)
       // the testdata ships one parquet FILE per table; FileStreamSource
@@ -49,7 +42,6 @@ object EventStream {
       // streams point at directories and don't need this.
       .parquet(s"$dir/[e]vents.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
 
   /** Watermarked 1-hour tumbling aggregation (streaming twin of
     * q_events_window). */

@@ -157,9 +157,11 @@ class ConvertSpec extends SparkSpecBase {
     // € and å/ä/ö must survive the cp1252 file encoding
     checkGolden2(csv)
     // and the bytes on disk really are cp1252 (€ = 0x80, not UTF-8 E2 82 AC)
+    // concatenate ALL part files — the € row lands in whichever shard its
+    // partition hashed to, which varies with the session's parallelism
     val dir = new java.io.File(s"$work/csv_out/Transaktioner")
-    val part = dir.listFiles().find(_.getName.endsWith(".csv")).get
-    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val bytes = dir.listFiles().filter(_.getName.endsWith(".csv")).sorted
+      .flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
     assert(bytes.contains(0x80.toByte), "cp1252 € byte missing from the file")
     assert(!new String(bytes, "ISO-8859-1").contains("â¬"),
       "found UTF-8 € byte sequence — file is not cp1252")
