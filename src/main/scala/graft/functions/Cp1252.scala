@@ -2,7 +2,6 @@ package graft.functions
 
 import java.nio.charset.Charset
 import java.nio.ByteBuffer
-import java.nio.CharBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -13,35 +12,80 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Static Windows-1252 codec used by both interpreted eval and generated
   * code. Semantics mirror the reference's `toUtf8` decode half
-  * (`hhek2sqlite.go:60-73`, which uses Go's `charmap.Windows1252` — the
-  * same mapping as java.nio's windows-1252, incl. `€` = 0x80): every byte
-  * decodes (cp1252's five unmapped code points fall back to U+FFFD like
-  * Go's decoder), so the function is total and null-intolerant.
+  * (`hhek2sqlite.go:60-73`) EXACTLY: Go's `charmap.Windows1252` follows
+  * the WHATWG windows-1252 index, where the five code points cp1252
+  * leaves undefined (0x81/0x8D/0x8F/0x90/0x9D) decode to the C1 control
+  * characters U+0081/U+008D/U+008F/U+0090/U+009D — NOT U+FFFD, which is
+  * what java.nio's windows-1252 decoder substitutes. The decode table
+  * below is java.nio's mapping with those five positions overridden to
+  * the C1 controls, making the decode total AND bijective over all 256
+  * bytes (TransformsSpec asserts both properties byte-by-byte).
+  *
+  * The encode half inverts the table (so the five C1 controls map back
+  * to their bytes — full 256-byte round-trip) and substitutes '?' for
+  * unmappable code points, one per code point. The reference has no
+  * encode analog to diverge from: its reverse mode passes UTF-8 bytes
+  * through unchanged (`hhek2sqlite.go:63-65`).
   *
   * Built-in alternative: `decode(col, 'windows-1252')` needs
-  * `spark.sql.legacy.javaCharsets=true` on Spark ≥3.5 (SURVEY.md §2.7 F1);
-  * this expression avoids the session-config dependency and stays inside
-  * whole-stage codegen.
+  * `spark.sql.legacy.javaCharsets=true` on Spark ≥3.5 (SURVEY.md §2.7 F1),
+  * and carries java.nio's U+FFFD policy; this expression avoids the
+  * session-config dependency, matches the reference byte-for-byte, and
+  * stays inside whole-stage codegen.
   */
 object Cp1252Codec {
   private val cs: Charset = Charset.forName("windows-1252")
 
+  /** byte (0..255) → char, WHATWG/Go-exact. */
+  val decodeTable: Array[Char] = {
+    val t = new Array[Char](256)
+    var b = 0
+    while (b < 256) {
+      val cb = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        .decode(ByteBuffer.wrap(Array(b.toByte)))
+      t(b) = cb.get(0)
+      b += 1
+    }
+    // WHATWG / Go charmap.Windows1252: undefined positions are the C1
+    // controls, not java.nio's U+FFFD
+    Seq(0x81, 0x8D, 0x8F, 0x90, 0x9D).foreach(b => t(b) = b.toChar)
+    t
+  }
+
+  /** char → cp1252 byte (-1 = unmappable); exact inverse of
+    * [[decodeTable]]. */
+  private val encodeTable: Array[Short] = {
+    val t = Array.fill[Short](65536)(-1)
+    var b = 0
+    while (b < 256) { t(decodeTable(b)) = b.toShort; b += 1 }
+    t
+  }
+
   def decode(bytes: Array[Byte]): UTF8String = {
-    val cb = cs.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-      .decode(ByteBuffer.wrap(bytes))
-    UTF8String.fromString(cb.toString)
+    val chars = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      chars(i) = decodeTable(bytes(i) & 0xFF)
+      i += 1
+    }
+    UTF8String.fromString(new String(chars))
   }
 
   def encode(s: UTF8String): Array[Byte] = {
-    val bb = cs.newEncoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-      .encode(CharBuffer.wrap(s.toString))
-    val out = new Array[Byte](bb.remaining())
-    bb.get(out)
-    out
+    val str = s.toString
+    val out = new Array[Byte](str.length) // ≤ one byte per char
+    var i = 0
+    var o = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val b = if (cp < 65536) encodeTable(cp) else -1
+      out(o) = if (b >= 0) b.toByte else '?'.toByte // one '?' per code point
+      o += 1
+      i += Character.charCount(cp)
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
   }
 }
 

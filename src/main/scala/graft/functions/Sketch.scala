@@ -59,6 +59,8 @@ object Sketch {
       "graft_minhash_shingles", exprs => MinHashShingleFeatures(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_winnow", exprs => WinnowFingerprints(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_id_pairs", exprs => IdPairs(exprs.head), "built-in")
   }
 
   /** 64-bit SimHash from `array<string>` tokens: per-bit ±1 votes over
@@ -79,6 +81,14 @@ object Sketch {
     * Call [[register]] on the session first. */
   def winnow(text: Column): Column =
     call_function("graft_winnow", text)
+
+  /** All ordered id pairs (a < b) from an id array —
+    * `array<struct<doc1: bigint, doc2: bigint>>`. Turns a bounded
+    * posting list into its C(n,2) co-occurrence pairs in one narrow
+    * expression (the fast alternative to a posting-list self-join).
+    * Call [[register]] on the session first. */
+  def idPairs(ids: Column): Column =
+    call_function("graft_id_pairs", ids)
 
   /** LSH banding: `(band_idx, band_val)` structs covering ALL 64 bits of
     * a sketch in `numBands` contiguous ranges (widths differ by ≤1 when
@@ -237,6 +247,29 @@ object SketchOps {
 
   private def mix(x: Long): Long = Hashing.splitmix64(x)
 
+  /** Sorted (a, b) a<b pairs from an id array — the [[IdPairs]] kernel.
+    * Output size is C(n,2); callers bound n (stop-fingerprint cap). */
+  def idPairs(ids: ArrayData): GenericArrayData = {
+    val n = ids.numElements()
+    val sorted = new Array[Long](n)
+    var i = 0
+    while (i < n) { sorted(i) = ids.getLong(i); i += 1 }
+    java.util.Arrays.sort(sorted)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](sorted(i), sorted(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash: ±1 votes per bit over per-occurrence token hashes. */
   def simhash(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -292,6 +325,25 @@ case class WinnowFingerprints(child: Expression) extends UnaryExpression {
       c => s"${ev.value} = graft.functions.SketchOps.winnow($c);")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** `graft_id_pairs(array<bigint>) -> array<struct<doc1,doc2>>`. */
+case class IdPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc1", LongType, nullable = false),
+    StructField("doc2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_id_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchOps.idPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.SketchOps.idPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): IdPairs =
     copy(child = newChild)
 }
 

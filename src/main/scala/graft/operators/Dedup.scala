@@ -82,14 +82,29 @@ object Dedup {
     * sets: two hash-joins on doc_id (auto-broadcast when the feature side
     * is small), then a per-pair array intersection — never a corpus
     * re-scan. */
-  def verifiedJaccard(docs: DataFrame, candidates: DataFrame): DataFrame = {
+  def verifiedJaccard(docs: DataFrame, candidates: DataFrame): DataFrame =
+    verifiedOverlap(docs, candidates)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+
+  /** Like [[verifiedJaccard]] but keeps the integer intersection/union
+    * sizes, so thresholds can be applied in EXACT integer arithmetic
+    * (`2*n_common >= n_union` ⟺ J ≥ 0.5) — no float-boundary risk in
+    * the oracle compare. */
+  def verifiedOverlap(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    // NOTE: sketching only the docs referenced by a candidate pair (a
+    // broadcast semi-join) measured SLOWER here — the broadcast side
+    // forces a second evaluation of the whole candidate subtree, which
+    // costs more than re-sketching the corpus once (2.4 s → 7.8 s at
+    // sf0.1). Keep the straight full-corpus sketch.
     val sets = minhashFeatures(docs).select(col("doc_id"), col("sh_set"))
     candidates
       .join(sets.select(col("doc_id").as("doc1"), col("sh_set").as("sh1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("sh_set").as("sh2")), "doc2")
       .select(col("doc1"), col("doc2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-          size(array_union(col("sh1"), col("sh2"))).cast(DoubleType)).as("jaccard"))
+        size(array_intersect(col("sh1"), col("sh2"))).as("n_common"),
+        size(array_union(col("sh1"), col("sh2"))).as("n_union"))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
   }
 
   // --- SimHash ---------------------------------------------------------
@@ -153,13 +168,18 @@ object Dedup {
   def winnowPairs(docs: DataFrame, minShared: Int, maxPostings: Int = 64): DataFrame = {
     val f = winnowFeatures(docs)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-    val rare = f.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxPostings)
-      .select("fp")
-    val filtered = f.join(rare, "fp")
-    val x = filtered.as("x"); val y = filtered.as("y")
-    x.join(y, col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+    // ONE shuffle builds the posting list per fingerprint (bounded by the
+    // stop-fingerprint cap), then a narrow kernel emits its C(df,2)
+    // co-occurrence pairs — replacing the r2 plan's df-groupBy + filter
+    // join-back + exploded self-join, which pushed the fingerprint stream
+    // through three exchanges (9.3 s at sf0.1; this shape: ~1 s).
+    val posting = f.groupBy("fp")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxPostings))
+    posting
+      .select(explode(Sketch.idPairs(col("ids"))).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .groupBy("doc1", "doc2")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -188,15 +208,19 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
-    // MinHash LSH near-dup: top-100 verified candidate pairs by exact
-    // Jaccard (threshold-free so the result is non-empty on corpora
-    // without true near-dups). No SQL oracle — hash-permutation specific.
+    // MinHash LSH near-dup: ALL pairs with exact word-3-gram Jaccard
+    // ≥ 0.5, found via LSH candidates + exact verification. Oracle-checked
+    // against DuckDB's brute-force all-pairs Jaccard over the same shingle
+    // definition — the gate therefore certifies BOTH no-false-positives
+    // AND recall 1.0 of the banding on this corpus (the planted near-dups
+    // sit at J ≥ 0.90, where 16×4 banding misses with P < 4e-8 per pair;
+    // everything else is ≤ 0.07). The ≥ 0.5 cut is applied in integer
+    // arithmetic (2·|∩| ≥ |∪|) so no float boundary can disagree.
     "q_near_dup_minhash" -> ((s, dir) => {
       val docs = documents(s, dir)
-      verifiedJaccard(docs, minhashCandidates(docs))
-        .orderBy(desc("jaccard"), asc("doc1"), asc("doc2"))
-        .limit(100)
-        .select("doc1", "doc2") // drop the double score: deterministic set
+      verifiedOverlap(docs, minhashCandidates(docs))
+        .filter(col("n_common") * 2 >= col("n_union"))
+        .select("doc1", "doc2", "jaccard")
         .orderBy("doc1", "doc2")
     }),
 
@@ -219,6 +243,13 @@ object Dedup {
         .orderBy("doc_id")),
 
     // MOSS-style near-dup: top-100 pairs by shared winnow fingerprints.
+    // Deliberately rows-only: winnowing's ground truth is SUBSTRING
+    // sharing (≥ K+W−1 = 11 normalized bytes), which DuckDB cannot
+    // brute-force (all-pairs LCS), and which measurably diverges from
+    // the word-3-gram Jaccard oracle (at sf0.1 the J ≥ 0.5 set is 256
+    // pairs; the shared-rare-fingerprint set overlaps it at 226 —
+    // different metric, not an error). The substring guarantee and the
+    // ranking are asserted in SketchSpec instead.
     "q_near_dup_winnow" -> ((s, dir) =>
       winnowPairs(documents(s, dir), minShared = 5)
         .orderBy(desc("shared"), asc("doc1"), asc("doc2"))
@@ -227,7 +258,36 @@ object Dedup {
         .orderBy("doc1", "doc2"))
   )
 
+  /** Brute-force all-pairs exact word-3-gram Jaccard ≥ 0.5 in DuckDB —
+    * ground truth for the minhash near-dup gate. The
+    * shingle definition mirrors SketchOps.gramHashes exactly: positional
+    * word-3-grams over the \s+-normalized lowercased text, whole-doc
+    * fallback for docs shorter than 3 tokens, then DISTINCT. Tokens
+    * contain no spaces, so ' '-joined grams are bijective with the token
+    * triples the Spark side hashes (collision probability over 64-bit
+    * xxhash ~1e-8 for this corpus). Threshold in integer arithmetic. */
+  private val allPairsJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(range(1, len(t) - 1),
+      |                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |           END) AS s
+      |  FROM toks)
+      |SELECT doc1, doc2, ni::DOUBLE / nu::DOUBLE AS jaccard FROM (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |         len(list_intersect(a.s, b.s)) AS ni,
+      |         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS nu
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE ni * 2 >= nu
+      |ORDER BY doc1, doc2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_near_dup_minhash" -> allPairsJaccardSql,
     "q_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies

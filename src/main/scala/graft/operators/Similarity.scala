@@ -162,29 +162,57 @@ object Similarity {
         .select("vec_id")
         .orderBy("vec_id")),
 
-    // ANN path: band prefilter + exact rescoring (rows-only; recall vs
-    // brute force is asserted in the test suite).
-    "q_ann_topk" -> ((s, dir) =>
-      annTopK(embeddings(s, dir), 10)
-        .select("vec_id")
-        .orderBy("vec_id")),
+    // ANN path: band prefilter + exact rescoring. Emits recall@10 against
+    // the in-engine brute-force top-10 (itself hash-verified against
+    // DuckDB by q_cosine_topk), oracle = the literal 1.0 row — so the
+    // hash compare FORCES perfect recall: any prefilter miss turns the
+    // 1.0 into 0.9 and the gate red. The rank-10/11 score gap is > 1e-3
+    // at the verify SFs, far above float rounding, so the exact set is
+    // tie-free.
+    // expand=100: the 64-bit-sketch hamming ranking is a loose cosine
+    // proxy on this near-continuum corpus, and the default ×40 window
+    // drops to recall 0.8 at sf0.1 (×60 is the measured knee; ×100 adds
+    // margin). Rescoring 1000 candidates is still narrow and bounded.
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      annTopK(emb, 10, expand = 100).select("vec_id")
+        .join(cosineTopK(emb, 10).select("vec_id"), "vec_id")
+        .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
+    }),
 
-    // IVF coarse-quantization path (rows-only; recall on clustered data
-    // asserted in the test suite).
-    "q_ivf_topk" -> ((s, dir) =>
-      ivfTopK(embeddings(s, dir), 10)
-        .select("vec_id")
-        .orderBy("vec_id")),
+    // IVF coarse-quantization path: same forced-recall gate as
+    // q_ann_topk. nProbe=8 of 16 cells is the measured operating point
+    // for recall 1.0 at every verify SF (at sf0.001 the corpus is 100
+    // vectors, ~6 per cell, so the true top-10 spreads across ~8 cells;
+    // at production cell counts the probe fraction falls, not the probe
+    // count). A probe miss flips the 1.0 red — which is the point.
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      ivfTopK(emb, 10, nProbe = 8).select("vec_id")
+        .join(cosineTopK(emb, 10).select("vec_id"), "vec_id")
+        .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
+    }),
 
-    // embedding-cosine near-dup: top-100 verified candidate pairs by
-    // exact cosine (threshold-free so the result is non-empty on corpora
-    // without true near-dups; rows-only, deterministic).
-    "q_near_dup_embedding" -> ((s, dir) =>
-      nearDupPairs(embeddings(s, dir))
-        .orderBy(desc("cosine"), asc("v1"), asc("v2"))
-        .limit(100)
+    // embedding-cosine near-dup, oracle-checked: the corpus is unioned
+    // with a ×2-scaled copy of itself (ids offset by 10M). Scaling by a
+    // power of two commutes with float rounding, so each copy's SRP
+    // sketch is BIT-IDENTICAL to its original's — every (orig, copy)
+    // pair collides in all 8 bands and recall of the band prefilter is
+    // provably 1.0, while cosine is scale-invariant (≈1 for the planted
+    // pairs vs ≤ 0.61 for everything else on this corpus — no float
+    // boundary anywhere near the 0.99 cut). DuckDB brute-forces all
+    // pairs of the same doubled corpus, so the gate certifies the whole
+    // pipeline: sketch, banding, self-join, verify, threshold, and
+    // no-false-positives.
+    "q_near_dup_embedding" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select("vec_id", "embedding")
+      val scaled = emb.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      nearDupPairs(emb.unionByName(scaled))
+        .filter(col("cosine") >= 0.99)
         .select("v1", "v2")
-        .orderBy("v1", "v2")),
+        .orderBy("v1", "v2")
+    }),
 
     // per-label corpus stats (int-only: oracle-safe).
     "q_embed_stats" -> ((s, dir) =>
@@ -196,6 +224,21 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // forced-recall gates: the Spark side measures recall@10 of the
+    // approximate path against the exact brute-force top-10; the oracle
+    // pins it to exactly 1.0.
+    "q_ann_topk" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_ivf_topk" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_near_dup_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, list_transform(embedding, x -> x * 2)
+        |  FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        |ORDER BY v1, v2""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings
         |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

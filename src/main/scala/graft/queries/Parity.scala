@@ -309,14 +309,21 @@ object Parity {
         .agg(percentile(col("l_extendedprice"), lit(0.5)).as("median_price"))
         .orderBy("l_returnflag")),
 
-    // HLL sketch: approx_count_distinct — the streaming-friendly
-    // cardinality estimator (rows-only: HLL++ estimates are
-    // implementation-specific; a 5%-of-exact bound is asserted in
-    // SketchSpec at rsd 0.02).
+    // HLL sketch: approx_count_distinct, oracle-checked. The HLL++
+    // estimate itself is implementation-specific, so the gate emits the
+    // EXACT distinct count (computed independently in both engines) plus
+    // a boolean asserting the estimate landed within 5% of it — the hash
+    // compare then certifies both the exact cardinality and the sketch's
+    // error bound (rsd 0.02 ⇒ 5% is a ~2.5σ envelope; deterministic for
+    // fixed data since HLL++ has no run-time randomness).
     "q_hll_distinct" -> ((s, dir) =>
       lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("est"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts")) <=
+            col("exact_parts").cast(DoubleType) * 0.05).as("within_5pct"))
         .orderBy("l_returnflag")),
 
     // D3/D4/EP1-EP2: truncate-load round-trip — write Overwrite twice
@@ -338,6 +345,11 @@ object Parity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       TRUE AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem

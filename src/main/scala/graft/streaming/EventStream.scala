@@ -56,45 +56,66 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("event_type"), col("n"), col("total_value"))
 
-  case class SessionInput(user_id: Long, ts_sec: Long)
-  case class SessionState(lastSec: Long, sessions: Long, events: Long)
+  /** Keeps the raw `ts` column (not a derived epoch) because the
+    * event-time-timeout checker requires the watermarked attribute to be
+    * present in the stateful operator's input schema. */
+  case class SessionInput(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Per-key state: finalized gap-rule fold (`lastSec`/`sessions`/
+    * `events` cover everything at or below the watermark, which can
+    * never be contradicted by a future arrival) plus the
+    * watermark-bounded buffer of still-reorderable event times. */
+  case class SessionBuffer(pending: Seq[Long], lastSec: Long,
+      sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
   /** Per-user session counting with explicit state — 30-minute gap rule,
-    * same constant as the batch twin (Events.SessionGapSeconds). Emits
-    * one final row per user when the state times out (or on stream end
-    * in AvailableNow replay via OutputMode.Update upserts).
+    * same constant as the batch twin (Events.SessionGapSeconds).
     *
-    * ORDERING PRECONDITION: events must arrive in per-key event-time
-    * order ACROSS micro-batches (rows within one batch are sorted here).
-    * A source that replays files out of time order can regress
-    * `lastSec` and under-count sessions vs the batch twin; full
-    * out-of-order support requires watermark-bounded event buffering in
-    * state (not implemented — use ordered sources, e.g. per-key Kafka
-    * partitions or time-ordered file batches). */
+    * OUT-OF-ORDER SAFE up to the 1-hour watermark: arrivals are buffered
+    * in state and only the prefix at or below the current watermark is
+    * folded into the finalized counts (nothing older can still arrive),
+    * so cross-micro-batch reordering within the horizon cannot regress
+    * the gap rule (the r2 version required per-key event-time order
+    * across batches and under-counted otherwise — EventStreamSpec now
+    * replays a shuffled delivery to prove the fix). Events later than
+    * the watermark at arrival are dropped, mirroring windowedAgg's
+    * late-data policy. Each emission (Update mode) is the finalized fold
+    * extended provisionally over the buffer, so the last upsert per user
+    * equals the batch twin exactly.
+    *
+    * State is O(events inside the watermark horizon) per key — the
+    * honest price of reorder tolerance; the watermark bounds it, and a
+    * narrower horizon trades memory for lateness tolerance. */
   def sessionCounts(events: DataFrame): Dataset[UserSessions] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gap = graft.operators.Events.SessionGapSeconds
     events
-      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
       .as[SessionInput]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSessions](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (uid, rows, state: GroupState[SessionState]) =>
-          // rows within a micro-batch are not ordered: sort by ts_sec
-          // (bounded by micro-batch size; at 100 TB the AvailableNow
-          // replay bounds each batch by maxFilesPerTrigger).
-          val sorted = rows.toSeq.sortBy(_.ts_sec)
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          sorted.foreach { r =>
-            val newSession = st.lastSec == Long.MinValue || r.ts_sec - st.lastSec >= gap
-            st = SessionState(r.ts_sec,
-              st.sessions + (if (newSession) 1 else 0), st.events + 1)
-          }
-          state.update(st)
-          Iterator(UserSessions(uid, st.events, st.sessions))
+      .flatMapGroupsWithState[SessionBuffer, UserSessions](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionBuffer]) =>
+          // previous batch's watermark (0 before any batch completes)
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val st = state.getOption.getOrElse(
+            SessionBuffer(Vector.empty, Long.MinValue, 0L, 0L))
+          val arrivals =
+            rows.map(_.ts.getTime / 1000).filter(_ >= wmSec).toVector
+          val (ripe, pending) =
+            (st.pending ++ arrivals).sorted.partition(_ < wmSec)
+          def fold(last0: Long, sess0: Long, ev0: Long, ts: Seq[Long]) =
+            ts.foldLeft((last0, sess0, ev0)) { case ((last, sess, ev), s) =>
+              val newSession = last == Long.MinValue || s - last >= gap
+              (s, sess + (if (newSession) 1 else 0), ev + 1)
+            }
+          val (fLast, fSess, fEv) = fold(st.lastSec, st.sessions, st.events, ripe)
+          state.update(SessionBuffer(pending, fLast, fSess, fEv))
+          val (_, pSess, pEv) = fold(fLast, fSess, fEv, pending)
+          Iterator(UserSessions(uid, pEv, pSess))
       }
   }
 

@@ -44,6 +44,41 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("sessionCounts is exact under out-of-order delivery within the watermark") {
+    import testImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStream.sessionCounts(
+      source.toDF().toDF("user_id", "ts"))
+    val q = sessions.toDF().writeStream.format("memory").queryName("ooo_test")
+      .outputMode(OutputMode.Update).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // batch 1 delivers 11:00 and 11:40 (gap 40 min ≥ 30 ⇒ looks like 2
+      // sessions); batch 2 delivers the MISSING 11:20 out of order but
+      // within the 1-hour watermark (wm after batch 1 = 10:40). True
+      // timeline 11:00/11:20/11:40 has every gap 20 min ⇒ ONE session.
+      // The r2 ordering-precondition fold would keep 2.
+      source.addData((1L, t("2024-01-01 11:00:00")), (1L, t("2024-01-01 11:40:00")))
+      q.processAllAvailable()
+      source.addData((1L, t("2024-01-01 11:20:00")))
+      q.processAllAvailable()
+      // batch 3: much later event advances the watermark past the buffer
+      // (finalizes it) and opens a genuine second session
+      source.addData((1L, t("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // n_sessions is NOT monotone under reordering (2 → 1 → 2 here), so
+      // pick the final upsert via the monotone n_events inside a struct
+      val last = spark.table("ooo_test")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("fin"))
+        .select("user_id", "fin.n_events", "fin.n_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(last == Seq((1L, 4L, 2L)),
+        s"expected 4 events in 2 sessions after reordered replay, got $last")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import testImplicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -66,6 +66,44 @@ class TransformsSpec extends SparkSpecBase {
     assert(bytes.toSeq == Seq(0x80.toByte))
   }
 
+  test("F1 cp1252: all 256 bytes decode per Go charmap.Windows1252 (WHATWG) and round-trip") {
+    import graft.functions.Cp1252Codec
+    // the 0x80–0x9F row of the WHATWG windows-1252 index — including the
+    // five positions cp1252 leaves undefined, which Go decodes to the C1
+    // controls (0x81→U+0081 …), NOT java.nio's U+FFFD (hhek2sqlite.go:65)
+    val whatwgC1 = Array(
+      0x20AC, 0x0081, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+      0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008D, 0x017D, 0x008F,
+      0x0090, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+      0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178)
+    (0 until 256).foreach { b =>
+      val expected =
+        if (b < 0x80) b // ASCII identity
+        else if (b < 0xA0) whatwgC1(b - 0x80)
+        else b // Latin-1 identity
+      assert(Cp1252Codec.decodeTable(b).toInt == expected,
+        f"decode(0x$b%02X) = U+${Cp1252Codec.decodeTable(b).toInt}%04X, want U+$expected%04X")
+      // bijectivity: encode(decode(b)) == b for every byte
+      val rt = Cp1252Codec.encode(Cp1252Codec.decode(Array(b.toByte)))
+      assert(rt.length == 1 && (rt(0) & 0xFF) == b,
+        f"round-trip of 0x$b%02X gave ${rt.toSeq}")
+    }
+    // and through the Spark expression path (codegen), all bytes at once
+    val all = (0 until 256).map(_.toByte).toArray
+    val got = Seq(Tuple1(all)).toDF("b")
+      .select(Transforms.fromUtf8(Transforms.toUtf8(col("b"))).as("r"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(got.toSeq == all.toSeq)
+  }
+
+  test("F1 cp1252 encode: one '?' per unmappable code point") {
+    import graft.functions.Cp1252Codec
+    import org.apache.spark.unsafe.types.UTF8String
+    // Ω is BMP-unmappable; 𝄞 is a surrogate pair (one code point)
+    val got = Cp1252Codec.encode(UTF8String.fromString("aΩb𝄞c"))
+    assert(new String(got, "ISO-8859-1") == "a?b?c")
+  }
+
   test("F6: emptyToNull nulls empty strings only") {
     assert(evalStr(Seq("", "x", " "), Transforms.emptyToNull) == Seq(null, "x", " "))
   }
