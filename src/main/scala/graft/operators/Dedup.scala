@@ -39,7 +39,7 @@ object Dedup {
   private val NumBands = Sketch.NumPerm / BandRows
 
   /** Normalized word-token array. */
-  private def tokens(text: Column): Column =
+  private[operators] def tokens(text: Column): Column =
     split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
 
   /** (doc_id, sh_set, sig): one narrow codegen'd projection per doc —
@@ -67,8 +67,14 @@ object Dedup {
 
   /** Candidate pairs: docs sharing any LSH band bucket (doc1 < doc2),
     * deduped. The bucket self-join shuffles on the uniform band hash. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val b = bands(minhashFeatures(docs))
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFromFeatures(minhashFeatures(docs))
+
+  /** [[minhashCandidates]] from PRECOMPUTED features (doc_id, sig) — the
+    * stored-sketch ingest path (Ingest.scala): no re-sketching, the scan
+    * reads the 64-long signature column only. */
+  def minhashCandidatesFromFeatures(features: DataFrame): DataFrame = {
+    val b = bands(features.select("doc_id", "sig"))
     val x = b.as("x"); val y = b.as("y")
     x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
@@ -96,7 +102,12 @@ object Dedup {
     // forces a second evaluation of the whole candidate subtree, which
     // costs more than re-sketching the corpus once (2.4 s → 7.8 s at
     // sf0.1). Keep the straight full-corpus sketch.
-    val sets = minhashFeatures(docs).select(col("doc_id"), col("sh_set"))
+    verifiedOverlapFromFeatures(minhashFeatures(docs), candidates)
+  }
+
+  /** [[verifiedOverlap]] from PRECOMPUTED features (doc_id, sh_set). */
+  def verifiedOverlapFromFeatures(features: DataFrame, candidates: DataFrame): DataFrame = {
+    val sets = features.select(col("doc_id"), col("sh_set"))
     candidates
       .join(sets.select(col("doc_id").as("doc1"), col("sh_set").as("sh1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("sh_set").as("sh2")), "doc2")

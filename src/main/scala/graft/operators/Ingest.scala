@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Sketch, VectorOps}
+import graft.queries.Tables.{documents, embeddings}
+
+/** The STORED-SKETCH ingest path (SURVEY.md §9.2): at 100 TB, sketches
+  * and index assignments are computed ONCE when data lands and persisted
+  * as columns, so every downstream dedup/ANN run starts from fixed-width
+  * stored features instead of re-reading and re-sketching the raw corpus.
+  *
+  * This module materializes that layout and re-runs the near-dup and IVF
+  * operators from it:
+  *
+  *  - `documents` → `docs_sketched`: (doc_id, sig, sh_set, simhash) — the
+  *    MinHash signature (64×8 B), the exact shingle-hash set (for
+  *    verification), and the 64-bit SimHash, all computed in one narrow
+  *    scan-stage pass. The raw `text` column is deliberately NOT carried:
+  *    a warm near-dup run reads only fixed-width sketch columns (at
+  *    100 TB of text that is a ~30× I/O cut; at petabyte corpora the
+  *    sh_set column for exact verification is the only variable-width
+  *    survivor, itself ~8 B per distinct shingle).
+  *  - `embeddings` → IVF index: a 16-row centroid table plus per-vector
+  *    cell assignments written `partitionBy("cell")` — the inverted-file
+  *    layout. A probe then reads ONLY the probed cells' directories
+  *    (static partition pruning at the scan; the executed plan carries no
+  *    Exchange at all — PlanSpec asserts both).
+  *
+  * Write-once semantics: each table is written under a per-application
+  * scratch dir with SaveMode.Ignore, so the first query that needs it
+  * pays the ingest cost (in Bench that is q_ingest_sketches, which runs
+  * first alphabetically) and every later query gets the warm path —
+  * exactly the amortization story the layout exists for. The stored
+  * near-dup query shares q_near_dup_minhash's brute-force DuckDB oracle,
+  * proving stored-path ≡ fresh-path ≡ ground truth; the stored IVF query
+  * keeps the forced-recall(1.0) gate.
+  */
+object Ingest {
+
+  private def scratch(s: SparkSession, dir: String, name: String): String = {
+    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
+    s"$root/${s.sparkContext.applicationId}/${name}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+  }
+
+  /** Enriched documents table, written once per (app, sf) — see module
+    * doc. Returns a reader over the STORED parquet (scan sees only the
+    * sketch columns; no text, no sketch expressions in the plan). */
+  def ensureSketchedDocs(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "docs_sketched")
+    Sketch.register(s)
+    val docs = documents(s, dir)
+    docs
+      .select(col("doc_id"),
+        Sketch.minhashShingles(Dedup.tokens(col("text"))).as("f"),
+        Sketch.simhashTokens(Dedup.tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"), col("f.sig").as("sig"),
+        col("f.sh_set").as("sh_set"), col("simhash"))
+      .write.mode("ignore").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** IVF index tables (centroids + cell-partitioned assignments), written
+    * once per (app, sf). Returns (centroids, assignments-reader). */
+  def ensureIvfIndex(s: SparkSession, dir: String,
+      nCells: Int = 16): (DataFrame, DataFrame) = {
+    val cPath = scratch(s, dir, "ivf_centroids")
+    val aPath = scratch(s, dir, "ivf_assign")
+    VectorOps.register(s)
+    val emb = embeddings(s, dir)
+    val centroids = Similarity.ivfCentroids(emb, nCells)
+    centroids.write.mode("ignore").parquet(cPath)
+    Similarity.ivfAssign(emb, centroids)
+      .write.mode("ignore").partitionBy("cell").parquet(aPath)
+    (s.read.parquet(cPath), s.read.parquet(aPath))
+  }
+
+  /** Warm-path IVF top-k from the STORED index: probe-cell selection is a
+    * driver-side decision over the (tiny, nCells-row) centroid table —
+    * the IVF analog of AQE picking a plan from collected stats — and the
+    * resulting `isin` filter prunes cell directories AT THE SCAN. No
+    * assignment computation, no Exchange anywhere in the executed plan. */
+  def ivfTopKStored(s: SparkSession, dir: String, k: Int,
+      nProbe: Int = 8): DataFrame = {
+    val (centroids, assign) = ensureIvfIndex(s, dir)
+    val q = Similarity.queryRow(embeddings(s, dir))
+    val probed: Array[Long] = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), VectorOps.cosine(col("cvec"), col("q_emb")).as("qsim"))
+      .orderBy(desc("qsim"), asc("cid"))
+      .limit(nProbe)
+      .collect().map(_.getLong(0))
+    assign
+      .filter(col("cell").isin(probed: _*))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  // --- query surface ---------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the ingest step itself: materialize both stored layouts, report
+    // row counts (oracle-checked). In the sorted bench order this runs
+    // before the *_stored queries, so they measure the WARM path.
+    "q_ingest_sketches" -> ((s, dir) => {
+      import s.implicits._
+      val nDocs = ensureSketchedDocs(s, dir).count()
+      val nVecs = ensureIvfIndex(s, dir)._2.count()
+      Seq(("docs_sketched", nDocs), ("ivf_assign", nVecs))
+        .toDF("stored_table", "n_rows")
+        .orderBy("stored_table")
+    }),
+
+    // near-dup from STORED sketches: identical output (and identical
+    // brute-force DuckDB oracle) to q_near_dup_minhash, but the plan
+    // reads stored sig/sh_set columns — no tokenization, no sketch
+    // expressions (PlanSpec asserts), no text I/O.
+    "q_near_dup_minhash_stored" -> ((s, dir) => {
+      val stored = ensureSketchedDocs(s, dir)
+      Dedup.verifiedOverlapFromFeatures(stored,
+          Dedup.minhashCandidatesFromFeatures(stored))
+        .filter(col("n_common") * 2 >= col("n_union"))
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    }),
+
+    // IVF from the STORED index, forced-recall gate (same as q_ivf_topk:
+    // oracle pins recall@10 = 1.0, a probe miss turns the gate red).
+    "q_ivf_topk_stored" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      ivfTopKStored(s, dir, 10).select("vec_id")
+        .join(Similarity.cosineTopK(emb, 10).select("vec_id"), "vec_id")
+        .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ingest_sketches" ->
+      """SELECT 'docs_sketched' AS stored_table, count(*) AS n_rows FROM documents
+        |UNION ALL
+        |SELECT 'ivf_assign', count(*) FROM embeddings
+        |ORDER BY stored_table""".stripMargin,
+    "q_near_dup_minhash_stored" -> Dedup.oracles("q_near_dup_minhash"),
+    "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10"
+  )
+}

@@ -40,7 +40,7 @@ object Similarity {
 
   /** The deterministic probe row (min vec_id) used by the top-k queries
     * so they are parameter-free and sf-stable. */
-  private def queryRow(emb: DataFrame): DataFrame =
+  private[operators] def queryRow(emb: DataFrame): DataFrame =
     emb.join(broadcast(emb.agg(min("vec_id").as("qid"))), col("vec_id") === col("qid"))
       .select(col("embedding").as("q_emb"), col("vec_id").as("q_id"))
 
@@ -97,26 +97,14 @@ object Similarity {
     * assignment (one groupBy on vec_id). */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     VectorOps.register(emb.sparkSession)
-    val centroids = emb.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    // cell assignment: argmax cosine over centroids
-    // tie-break: equal cosine to two centroids resolves to the LOWEST
-    // cid (max over (csim, -cid)), keeping the assignment — and thus the
-    // rows-only gate output — identical across partitionings/reruns.
-    val assign = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        VectorOps.cosine(col("embedding"), col("cvec")).as("csim"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cid"), col("embedding")),
-        struct(col("csim"), -col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cell"), col("best.embedding").as("embedding"))
+    val centroids = ivfCentroids(emb, nCells)
     val q = queryRow(emb)
     val probeCells = centroids.crossJoin(broadcast(q))
       .select(col("cid").as("cell"), VectorOps.cosine(col("cvec"), col("q_emb")).as("qsim"))
       .orderBy(desc("qsim"), asc("cell"))
       .limit(nProbe)
       .select("cell")
-    assign
+    ivfAssign(emb, centroids)
       .join(broadcast(probeCells), "cell")
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
@@ -124,6 +112,29 @@ object Similarity {
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Deterministic IVF "centroids": the lowest `nCells` vec_ids stand in
+    * for trained k-means centroids (training is out of scope; the probe /
+    * assignment machinery is identical). */
+  def ivfCentroids(emb: DataFrame, nCells: Int = 16): DataFrame =
+    emb.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** Per-vector argmax-cosine cell assignment — (vec_id, cell, embedding).
+    * Tie-break: equal cosine to two centroids resolves to the LOWEST cid
+    * (max over (csim, -cid)), keeping the assignment identical across
+    * partitionings/reruns. This is the ONE wide op in IVF (a groupBy on
+    * vec_id carrying the payload); at scale it runs ONCE at ingest and is
+    * stored partitioned by cell (Ingest.scala demonstrates that path —
+    * query time then touches no assignment shuffle at all). */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        VectorOps.cosine(col("embedding"), col("cvec")).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("best.embedding").as("embedding"))
 
   /** Embedding near-dup candidate pairs: SRP band self-join (8×8-bit
     * bands — full recall for hamming ≤ 7, probabilistic beyond) + exact

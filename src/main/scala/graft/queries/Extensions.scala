@@ -16,7 +16,8 @@ object Extensions {
       graft.operators.Events.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.ScalePatterns.queries ++
-      graft.operators.AsOf.queries
+      graft.operators.AsOf.queries ++
+      graft.operators.Ingest.queries
 
   def oracles: Map[String, String] =
     graft.operators.TextAnalysis.oracles ++
@@ -25,5 +26,6 @@ object Extensions {
       graft.operators.Events.oracles ++
       graft.operators.Multimodal.oracles ++
       graft.operators.ScalePatterns.oracles ++
-      graft.operators.AsOf.oracles
+      graft.operators.AsOf.oracles ++
+      graft.operators.Ingest.oracles
 }

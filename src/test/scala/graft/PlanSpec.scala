@@ -48,4 +48,31 @@ class PlanSpec extends SparkSpecBase {
     val p = plan(SparkEntry.queries("q_saldo_per_konto")(spark, TestSpark.Sf0001))
     assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
   }
+
+  test("stored-sketch near-dup re-reads no text and re-sketches nothing") {
+    val stored = graft.operators.Ingest.ensureSketchedDocs(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Dedup.verifiedOverlapFromFeatures(stored,
+      graft.operators.Dedup.minhashCandidatesFromFeatures(stored)))
+    // warm path = stored columns only: no sketch expressions anywhere in
+    // the executed plan, no scan of the raw documents table / text column
+    assert(!p.toLowerCase.contains("minhashshingle"),
+      s"stored path must not re-sketch:\n$p")
+    assert(!p.contains("text#"), s"stored path must not read text:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"stored path must scan the sketched table, not the corpus:\n$p")
+  }
+
+  test("stored IVF probe prunes cell partitions and plans zero exchanges") {
+    val df = graft.operators.Ingest.ivfTopKStored(spark, TestSpark.Sf0001, 10)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [cell#") || p.contains("cell IN ("),
+      s"probe must prune cell directories at the scan:\n$p")
+    // the 1-row query-vector lookup legitimately reduces to a single
+    // partition inside its broadcast subtree; what must NOT appear is a
+    // wide repartitioning of the data path (the assignment shuffle the
+    // fresh path pays)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"warm IVF probe must not shuffle the data path:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
