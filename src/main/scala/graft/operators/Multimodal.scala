@@ -4,25 +4,34 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.MediaFormats
 import graft.queries.Tables.documents
 
-/** Multimodal-column plumbing (SURVEY.md §2.11): image/audio/video
-  * treated as opaque `binary` payloads with a typed metadata struct,
-  * processed in partition-sized batches through typed `mapPartitions`
-  * (the Scala analog of a Pandas-UDF `mapInPandas` stage: one iterator
-  * per partition, vectorizable batch shape, no per-row driver work).
+/** Multimodal-column plumbing (SURVEY.md §2.11): image/audio payloads as
+  * `binary` columns with typed metadata, feature extraction as a narrow
+  * typed mapPartitions stage (the Scala analog of a Pandas-UDF
+  * `mapInPandas` stage: one iterator per partition, vectorizable batch
+  * shape, no per-row driver work).
   *
-  * The actual media decode is STUBBED — this container has no
-  * image/audio codecs — behind [[MediaCodec]], which produces a
-  * deterministic fake feature vector from the payload bytes. Everything
-  * Spark-side is real and tested: the schema, the binary payload
-  * handling, the partition-batch UDF signature, frame sampling, and the
-  * size-capped payload + path-reference pattern.
+  * The decode step is REAL: graft.functions.MediaFormats implements the
+  * PNG (chunk walk + CRC32 + inflate + full unfilter), BMP and PCM-WAV
+  * container formats, and [[extractFeatures]] sniffs the format from
+  * magic bytes and parses actual file structure. What is synthetic — and
+  * clearly scoped — is the CORPUS: this container ships no media files,
+  * so [[mediaFrame]] renders deterministic PNG/WAV/BMP payloads from
+  * doc_id (formulas below), which is precisely what lets the DuckDB
+  * oracle brute-force the expected decoded structure and certify the
+  * byte-level encode→decode round-trip (a wrong chunk offset, CRC,
+  * filter or endianness turns the gate red). Video container parsing
+  * (mp4/mkv) is OUT of scope — at 100 TB those stay opaque
+  * payload+`ref` columns feeding an external transcode fleet, which the
+  * oversize-`ref` split below models.
   *
   * 100 TB design notes:
   *  - Payloads stay columnar in parquet (BinaryType); metadata columns
-  *    (mime, n_bytes, checksum) are scalar and prunable, so metadata-only
-  *    queries never read payload bytes (ReadSchema shows the pruning).
+  *    (mime, n_bytes, width, …) are scalar and prunable, so
+  *    metadata-only queries never read payload bytes (MultimodalSpec
+  *    asserts the pruning).
   *  - Oversized payloads (> [[Multimodal.InlineCap]]) are not inlined:
   *    the payload column is NULL and `ref` carries an object-store path —
   *    the standard pattern for >1 MB media at scale.
@@ -38,75 +47,86 @@ object Multimodal {
   case class MediaRecord(
       media_id: Long,
       mime: String,
-      n_bytes: Long,
-      checksum: Long,
-      payload: Array[Byte],
-      ref: String)
+      payload: Array[Byte])
 
   case class MediaFeatures(
       media_id: Long,
       mime: String,
-      n_frames: Int,
-      features: Array[Float])
+      width: Int,
+      height: Int,
+      n_units: Long,
+      value_sum: Long,
+      ok: Boolean)
 
-  /** STUB media codec — deterministic fake standing in for the real
-    * image/audio decode (libs not present in this container). Replace
-    * `decodeFeatures`/`frameOffsets` with real codec calls in production;
-    * the Spark plumbing around them is unchanged. */
-  object MediaCodec {
-    val FeatureDim = 16
+  // --- deterministic corpus synthesis (doc_id → real media bytes) -----
+  // Formulas are mirrored in the DuckDB oracles; change BOTH or neither.
 
-    /** Fake "decoded features": a per-dimension byte histogram moment,
-      * deterministic in the payload bytes. */
-    def decodeFeatures(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](FeatureDim)
-      var i = 0
-      while (i < payload.length) {
-        acc(java.lang.Byte.toUnsignedInt(payload(i)) % FeatureDim) += 1f
-        i += 1
-      }
-      val n = math.max(payload.length, 1).toFloat
-      acc.map(_ / n)
+  private[operators] def pngDims(d: Long): (Int, Int) =
+    (8 + (d % 9).toInt, 8 + ((d / 9) % 9).toInt)
+  private[operators] def bmpDims(d: Long): (Int, Int) =
+    (8 + (d % 7).toInt, 8 + ((d / 7) % 7).toInt)
+  private[operators] def pixel(d: Long)(x: Int, y: Int): Int =
+    ((x + 3L * y + d) % 256).toInt
+  private[operators] def wavRate(d: Long): Int =
+    Array(8000, 16000, 44100)(((d / 3) % 3).toInt)
+  private[operators] def wavSamples(d: Long): Array[Short] = {
+    val n = 200 + (d % 100).toInt
+    val mult = (d % 251) + 3
+    Array.tabulate(n)(i => ((i * mult % 2003) - 1001).toShort)
+  }
+
+  private[operators] def renderPayload(d: Long): (String, Array[Byte]) =
+    (d % 3) match {
+      case 0 =>
+        val (w, h) = pngDims(d)
+        ("image/png", MediaFormats.encodePng(w, h, pixel(d)))
+      case 1 =>
+        ("audio/wav", MediaFormats.encodeWav(wavRate(d), wavSamples(d)))
+      case _ =>
+        val (w, h) = bmpDims(d)
+        ("image/bmp", MediaFormats.encodeBmp(w, h, pixel(d)))
     }
 
-    /** Fake "frame" boundaries: fixed-stride byte windows standing in
-      * for video frame sampling / audio windowing. */
-    def frameOffsets(nBytes: Long, stride: Int = 4096): Seq[Long] =
-      0L until nBytes by stride.toLong
-  }
-
-  /** Build a multimodal frame from `documents` — payload = UTF-8 bytes of
-    * the text (the deterministic stand-in for media bytes), metadata
-    * derived from it. Demonstrates the inline-vs-reference split. */
+  /** Build the multimodal frame from `documents`: one REAL media file per
+    * doc (rendered in a narrow mapPartitions stage), metadata columns
+    * derived from the payload, inline-vs-reference split applied. */
   def mediaFrame(docs: DataFrame): DataFrame = {
-    val payload = encode(col("text"), "UTF-8")
-    docs.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, lit("image/png"))
-        .when(col("doc_id") % 3 === 1, lit("audio/wav"))
-        .otherwise(lit("video/mp4")).as("mime"),
-      length(payload).cast(LongType).as("n_bytes"),
-      xxhash64(payload).as("checksum"),
-      when(length(payload) <= InlineCap, payload).as("payload"),
-      when(length(payload) > InlineCap,
-        concat(lit("ref://media/"), col("doc_id"))).as("ref"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rendered = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (mime, bytes) = renderPayload(d)
+        MediaRecord(d, mime, bytes)
+      }).toDF()
+    inlineSplit(rendered, InlineCap)
   }
 
-  /** Partition-batch feature extraction (the mapInPandas-shaped stage):
-    * one iterator per partition, codec invoked per record, typed output. */
+  /** Metadata derivation + inline-vs-reference split over a rendered
+    * (media_id, mime, payload) frame. */
+  def inlineSplit(rendered: DataFrame, cap: Int): DataFrame =
+    rendered.select(
+      col("media_id"), col("mime"),
+      length(col("payload")).cast(LongType).as("n_bytes"),
+      xxhash64(col("payload")).as("checksum"),
+      when(length(col("payload")) <= cap, col("payload")).as("payload"),
+      when(length(col("payload")) > cap,
+        concat(lit("ref://media/"), col("media_id"))).as("ref"))
+
+  /** Partition-batch feature extraction: format sniffed from magic bytes
+    * (not the mime label), then a full structural parse — dimensions,
+    * unit counts and value sums come from DECODED bytes (PNG: CRC-checked
+    * chunks, inflated and unfiltered scanlines). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { batch =>
-      batch.map { r =>
-        val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
-        MediaFeatures(
-          r.media_id,
-          r.mime,
-          MediaCodec.frameOffsets(r.n_bytes).size,
-          MediaCodec.decodeFeatures(bytes))
-      }
-    }
+    media.select(col("media_id"), col("mime"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val info = MediaFormats.decode(
+          Option(r.payload).getOrElse(Array.emptyByteArray))
+        MediaFeatures(r.media_id, r.mime, info.width, info.height,
+          info.nUnits, info.valueSum, info.ok)
+      })
   }
 
   // --- query surface ---------------------------------------------------
@@ -117,29 +137,78 @@ object Multimodal {
       mediaFrame(documents(s, dir))
         .groupBy("mime")
         .agg(count(lit(1)).as("n_media"),
-          sum("n_bytes").as("total_bytes"))
+          count(col("payload")).as("n_inline"),
+          count(col("ref")).as("n_ref"))
         .orderBy("mime")),
 
-    // partition-batch decode stub: per-mime feature/frame stats
-    // (rows-only: the fake codec is not SQL-expressible).
-    "q_multimodal_features" -> ((s, dir) => {
-      val f = extractFeatures(mediaFrame(documents(s, dir))).toDF()
-      f.groupBy("mime")
+    // REAL decode: per-mime totals of parsed structure. The oracle
+    // recomputes every number from the generator formulas (pixel sums
+    // brute-forced per doc), so the hash compare certifies the whole
+    // binary path: chunk offsets, CRCs, zlib, all five PNG filters, BMP
+    // row order/padding, WAV chunk walk and sign extension. all_ok
+    // additionally pins per-chunk CRC verification to TRUE.
+    "q_multimodal_features" -> ((s, dir) =>
+      extractFeatures(mediaFrame(documents(s, dir))).toDF()
+        .groupBy("mime")
         .agg(count(lit(1)).as("n_media"),
-          sum("n_frames").cast(LongType).as("total_frames"),
-          sum(size(col("features"))).cast(LongType).as("total_feature_dims"))
-        .orderBy("mime")
-    })
+          sum("width").cast(LongType).as("sum_width"),
+          sum("height").cast(LongType).as("sum_height"),
+          sum("n_units").as("sum_units"),
+          sum("value_sum").as("sum_values"),
+          min(col("ok").cast(IntegerType)).cast(BooleanType).as("all_ok"))
+        .orderBy("mime"))
   )
 
+  private val mimeCase =
+    """CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |     WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |     ELSE 'image/bmp' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // strlen = UTF-8 byte length in DuckDB (length() counts characters).
     "q_multimodal_meta" ->
-      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
-        |            ELSE 'video/mp4' END AS mime,
-        |       count(*) AS n_media,
-        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin
+      s"""SELECT $mimeCase AS mime,
+         |       count(*) AS n_media,
+         |       count(*) AS n_inline,
+         |       CAST(0 AS BIGINT) AS n_ref
+         |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    // ground truth from the generator formulas; pixel/sample sums
+    // brute-forced per document via scalar range() lists.
+    "q_multimodal_features" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $mimeCase AS mime,
+         |    CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
+         |         WHEN doc_id % 3 = 2 THEN 8 + doc_id % 7
+         |         ELSE (CASE (doc_id // 3) % 3 WHEN 0 THEN 8000
+         |               WHEN 1 THEN 16000 ELSE 44100 END) END AS width,
+         |    CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id // 9) % 9
+         |         WHEN doc_id % 3 = 2 THEN 8 + (doc_id // 7) % 7
+         |         ELSE 0 END AS height,
+         |    CASE WHEN doc_id % 3 = 1 THEN 200 + doc_id % 100
+         |         ELSE (CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
+         |                    ELSE 8 + doc_id % 7 END) *
+         |              (CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id // 9) % 9
+         |                    ELSE 8 + (doc_id // 7) % 7 END) END AS n_units,
+         |    CASE WHEN doc_id % 3 = 1 THEN
+         |           list_sum(list_transform(range(0, 200 + doc_id % 100),
+         |             i -> abs((i * (doc_id % 251 + 3)) % 2003 - 1001)))
+         |         WHEN doc_id % 3 = 0 THEN
+         |           list_sum(list_transform(
+         |             range(0, (8 + doc_id % 9) * (8 + (doc_id // 9) % 9)),
+         |             i -> (i % (8 + doc_id % 9) +
+         |                   3 * (i // (8 + doc_id % 9)) + doc_id) % 256))
+         |         ELSE
+         |           list_sum(list_transform(
+         |             range(0, (8 + doc_id % 7) * (8 + (doc_id // 7) % 7)),
+         |             i -> (i % (8 + doc_id % 7) +
+         |                   3 * (i // (8 + doc_id % 7)) + doc_id) % 256))
+         |    END AS value_sum
+         |  FROM documents)
+         |SELECT mime, count(*) AS n_media,
+         |       CAST(sum(width) AS BIGINT) AS sum_width,
+         |       CAST(sum(height) AS BIGINT) AS sum_height,
+         |       CAST(sum(n_units) AS BIGINT) AS sum_units,
+         |       CAST(sum(value_sum) AS BIGINT) AS sum_values,
+         |       TRUE AS all_ok
+         |FROM m GROUP BY 1 ORDER BY mime""".stripMargin
   )
 }

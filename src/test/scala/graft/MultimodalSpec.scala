@@ -1,31 +1,150 @@
 package graft
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.functions._
 
+import graft.functions.MediaFormats
 import graft.operators.Multimodal
 
-/** Multimodal plumbing tests: schema, inline-vs-reference payloads, and
-  * the partition-batch feature extraction stub. */
+/** Multimodal tests: the REAL format codecs (PNG/BMP/WAV) are
+  * cross-checked against the JDK's independent ImageIO / AudioSystem
+  * implementations in both directions, so a matched encoder/decoder bug
+  * pair cannot hide behind a clean round-trip. Plus corruption handling,
+  * inline-vs-ref split, payload pruning, and generator↔parser parity.
+  */
 class MultimodalSpec extends SparkSpecBase {
 
   import testImplicits._
 
-  private def docFrame(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+  private def gradient(d: Long)(x: Int, y: Int): Int = ((x + 3 * y + d) % 256).toInt
 
-  test("mediaFrame: schema + checksum + byte length") {
-    val m = Multimodal.mediaFrame(docFrame(0L -> "abc", 1L -> "åäö")).collect()
-    val r0 = m.find(_.getLong(0) == 0).get
-    assert(r0.getAs[String]("mime") == "image/png")
-    assert(r0.getAs[Long]("n_bytes") == 3)
-    assert(r0.getAs[Array[Byte]]("payload").toSeq == "abc".getBytes("UTF-8").toSeq)
-    // non-ASCII: n_bytes counts UTF-8 bytes, not characters
-    val r1 = m.find(_.getLong(0) == 1).get
-    assert(r1.getAs[Long]("n_bytes") == 6)
+  test("PNG: our encoder is readable by ImageIO, pixel-exact") {
+    val (w, h) = (13, 7) // exercises filters 0..4 (h > 5 rows)
+    val bytes = MediaFormats.encodePng(w, h, gradient(5))
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO must accept our PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRaster.getSample(x, y, 0)) == gradient(5)(x, y),
+        s"pixel ($x,$y)")
+  }
+
+  test("PNG: our decoder reads ImageIO-encoded files (independent producer)") {
+    val (w, h) = (9, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var expected = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      img.getRaster.setSample(x, y, 0, gradient(42)(x, y))
+      expected += gradient(42)(x, y)
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val info = MediaFormats.decodePng(bos.toByteArray)
+    assert(info.ok && info.width == w && info.height == h)
+    assert(info.valueSum == expected)
+  }
+
+  test("PNG: corrupted IDAT byte fails the CRC check (ok = false)") {
+    val bytes = MediaFormats.encodePng(8, 8, gradient(0))
+    val idat = {
+      // find the IDAT chunk and flip a payload byte
+      var off = 8; var at = -1
+      while (at < 0) {
+        val len = ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
+          ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+        if (new String(bytes, off + 4, 4, "US-ASCII") == "IDAT") at = off + 8
+        else off += 12 + len
+      }
+      at
+    }
+    val corrupt = bytes.clone()
+    corrupt(idat) = (corrupt(idat) ^ 0xFF).toByte
+    assert(!MediaFormats.decodePng(corrupt).ok)
+    assert(MediaFormats.decodePng(bytes).ok)
+  }
+
+  test("PNG/BMP/WAV: truncated and garbage inputs report ok=false, never throw") {
+    for (src <- Seq(MediaFormats.encodePng(8, 8, gradient(1)),
+        MediaFormats.encodeBmp(8, 8, gradient(1)),
+        MediaFormats.encodeWav(8000, Array[Short](1, -2, 3)));
+        cut <- Seq(0, 4, 10, src.length / 2, src.length - 1))
+      assert(!MediaFormats.decode(src.take(cut)).ok, s"cut=$cut")
+    assert(!MediaFormats.decode("not media at all".getBytes).ok)
+  }
+
+  test("BMP: our encoder is readable by ImageIO, pixel-exact (incl. row padding)") {
+    val (w, h) = (5, 4) // 15-byte rows → 1-byte pad, bottom-up
+    val bytes = MediaFormats.encodeBmp(w, h, gradient(9))
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO must accept our BMP")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xFF) == gradient(9)(x, y), s"pixel ($x,$y)")
+    val info = MediaFormats.decodeBmp(bytes)
+    assert(info.ok && info.width == w && info.height == h &&
+      info.valueSum == (for (y <- 0 until h; x <- 0 until w)
+        yield gradient(9)(x, y).toLong).sum)
+  }
+
+  test("WAV: our encoder is readable by AudioSystem; decoder agrees on format") {
+    val samples = Array.tabulate(300)(i => ((i * 7 % 2003) - 1001).toShort)
+    val bytes = MediaFormats.encodeWav(16000, samples)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == samples.length)
+    val info = MediaFormats.decodeWav(bytes)
+    assert(info.ok && info.width == 16000 && info.nUnits == samples.length)
+    assert(info.valueSum == samples.map(s => math.abs(s.toLong)).sum)
+  }
+
+  test("WAV: chunk walk tolerates ancillary RIFF chunks before data") {
+    // splice a LIST chunk between fmt and data
+    val base = MediaFormats.encodeWav(8000, Array[Short](100, -100))
+    val fmtEnd = 12 + 8 + 16
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val spliced = base.take(fmtEnd) ++ list ++ base.drop(fmtEnd)
+    // patch RIFF size
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xFF).toByte
+    spliced(5) = ((riffLen >> 8) & 0xFF).toByte
+    val info = MediaFormats.decodeWav(spliced)
+    assert(info.ok && info.nUnits == 2 && info.valueSum == 200)
+  }
+
+  test("decode() sniffs format from magic bytes, not labels") {
+    assert(MediaFormats.decode(MediaFormats.encodePng(8, 8, gradient(0))).format == "png")
+    assert(MediaFormats.decode(MediaFormats.encodeBmp(8, 8, gradient(0))).format == "bmp")
+    assert(MediaFormats.decode(MediaFormats.encodeWav(8000, Array[Short](0))).format == "wav")
+  }
+
+  test("extractFeatures parses generated payloads back to the formulas") {
+    val docs = (0L until 9L).toDF("doc_id")
+    val f = Multimodal.extractFeatures(Multimodal.mediaFrame(docs))
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f.values.forall(_.ok), "every generated file must parse clean")
+    // d=0: png 8x8; d=3: png 11x8 — dims from the real IHDR parse
+    assert(f(0L).width == 8 && f(0L).height == 8 && f(0L).n_units == 64)
+    assert(f(3L).width == 11 && f(3L).height == 8)
+    // d=1: wav — width carries the sample rate, n_units the sample count
+    assert(f(1L).width == 8000 && f(1L).n_units == 201)
+    // d=2: bmp 10x8
+    assert(f(2L).width == 10 && f(2L).height == 8)
+    // pixel sum of d=0 png: Σ (x+3y) % 256 over 8×8
+    val expect0 = (for (y <- 0 until 8; x <- 0 until 8) yield (x + 3 * y) % 256).sum
+    assert(f(0L).value_sum == expect0)
   }
 
   test("oversized payloads go by reference, small ones inline") {
-    val big = "x" * (Multimodal.InlineCap + 1)
-    val m = Multimodal.mediaFrame(docFrame(0L -> "small", 1L -> big))
+    val rendered = Seq(
+      (0L, "image/png", Array.fill[Byte](10)(1)),
+      (1L, "video/mp4", Array.fill[Byte](100)(2))
+    ).toDF("media_id", "mime", "payload")
+    val m = Multimodal.inlineSplit(rendered, cap = 50)
       .select("media_id", "payload", "ref").collect()
     val small = m.find(_.getLong(0) == 0).get
     val large = m.find(_.getLong(0) == 1).get
@@ -33,26 +152,11 @@ class MultimodalSpec extends SparkSpecBase {
     assert(large.isNullAt(1) && large.getAs[String]("ref") == "ref://media/1")
   }
 
-  test("extractFeatures: partition-batch decode stub yields normalized features") {
-    val f = Multimodal.extractFeatures(
-      Multimodal.mediaFrame(docFrame(0L -> "hello world", 1L -> ""))).collect()
-    val r0 = f.find(_.media_id == 0).get
-    assert(r0.features.length == Multimodal.MediaCodec.FeatureDim)
-    assert(math.abs(r0.features.sum - 1.0f) < 1e-5) // histogram normalized
-    assert(r0.n_frames == 1) // 11 bytes → one 4096-byte frame window
-    // decode is deterministic
-    val f2 = Multimodal.extractFeatures(
-      Multimodal.mediaFrame(docFrame(0L -> "hello world"))).collect()
-    assert(f2.head.features.toSeq == r0.features.toSeq)
-  }
-
-  test("metadata-only query prunes the payload column at the scan") {
+  test("metadata-only query reads only doc_id from the corpus scan") {
     val plan = Multimodal.queries("q_multimodal_meta")(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString
-    // the scan must not read `text` beyond what metadata needs — the
-    // payload bytes are derived from text, so ReadSchema includes text,
-    // but the aggregation itself only carries mime/n_bytes (no binary
-    // column in any exchange).
-    assert(!plan.contains("payload"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must read doc_id only:\n$plan")
+    assert(!plan.contains("text#"), "text must not be read")
   }
 }
