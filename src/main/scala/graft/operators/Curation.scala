@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.documents
+
+/** Dataset-curation operators (SURVEY.md §2.11): the reproducibility
+  * layer of a training-data pipeline — deterministic splits, PII
+  * redaction, duplicate-cluster resolution, stratified sampling. Every
+  * operator here is hash- or arithmetic-deterministic (NO RNG): rerunning
+  * on a 1000-executor cluster, or in a different engine entirely,
+  * reproduces byte-identical output — which is what lets DuckDB serve as
+  * a full oracle for all four.
+  *
+  * 100 TB design notes:
+  *  - Split/sample/redact are all NARROW per-row transforms (window
+  *    functions partition by stratum for sampling) — they pipeline inside
+  *    the scan stage or one bounded shuffle per stratum.
+  *  - Connected components materializes the (tiny) near-dup edge list
+  *    once, then iterates min-label propagation over it: per iteration
+  *    one join + one groupBy on the EDGE list (≪ corpus), O(diameter)
+  *    iterations with an early-exit convergence check. Duplicate
+  *    clusters are shallow (near-dup similarity is near-transitive), so
+  *    diameter is small in practice; for adversarial diameters the
+  *    large-star/small-star variant (Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond", SoCC'14) drops iterations to
+  *    O(log² n) — same join shape, worth it only past ~10⁹ edges.
+  *  - Lineage is truncated every iteration (localCheckpoint; at cluster
+  *    scale, checkpoint to the shared FS) so plan depth stays O(1).
+  */
+object Curation {
+
+  /** Hash-prefix split on md5(doc_id): the first hex nibble buckets
+    * 16 ways — 12/16 train, 2/16 valid, 2/16 test. String-prefix
+    * bucketing (not modulo over a float) is exactly reproducible in any
+    * engine with md5, and keying on the ID (not the text) keeps
+    * exact-duplicate documents from leaking the SAME text across splits
+    * only when ids differ — dedup first (q_dedup_*), then split. */
+  def splitColumn(id: Column): Column = {
+    val nibble = substring(md5(id.cast(StringType)), 1, 1)
+    when(nibble.isin("c", "d"), "valid")
+      .when(nibble.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+
+  /** ASCII-safe PII patterns — identical semantics under Java regex and
+    * RE2 (no \w/\s dialect divergence; see the verify-skill notes). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Min-label propagation connected components over an undirected edge
+    * list (doc1, doc2). Returns (doc_id, cluster_id = min id reachable);
+    * only nodes that appear in an edge are returned. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .unionByName(edges.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint() // materialize once: iterations must not re-run
+                         // the (expensive) edge-producing lineage
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborMin = e.join(labels, e("dst") === labels("node"))
+        .groupBy(col("src")).agg(min("label").as("nl"))
+      val next = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("node").as("pn"), col("label").as("pl")),
+          col("node") === col("pn"))
+        .filter(col("label") < col("pl"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Deterministic 10% stratified sample: within each stratum, rank by
+    * md5(doc_id) (a reproducible pseudo-random order) and keep the first
+    * ceil(n/10) — integer arithmetic, no float boundary. */
+  def stratifiedSample(docs: DataFrame, stratum: String): DataFrame = {
+    val byHash = Window.partitionBy(stratum)
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    val whole = Window.partitionBy(stratum)
+    docs
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(expr("rn <= (n + 9) div 10"))
+      .select(col("doc_id"), col(stratum))
+  }
+
+  // --- query surface ---------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic hash split: membership is bound by sum(doc_id), not
+    // just counts, so a single doc landing in the wrong split flips the
+    // gate even if totals balance.
+    "q_train_test_split" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy(splitColumn(col("doc_id")).as("split"))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .orderBy("split")),
+
+    // PII redaction: every doc gets a planted email + phone appended (the
+    // corpus itself has none), then both patterns are scrubbed. The gate
+    // hashes the full redacted text per doc — byte-exact equality of the
+    // two engines' regex semantics, anchors, and replacement behavior.
+    "q_redact_pii" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          md5(redactPii(concat(col("text"),
+            lit(" Contact: user"), col("doc_id"), lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))).as("redacted_fp"))
+        .orderBy("doc_id")),
+
+    // duplicate-cluster resolution: connected components over the exact
+    // J ≥ 0.5 near-dup pair set (the same edge set q_near_dup_minhash
+    // proves equal to DuckDB's brute force), cluster id = min member id
+    // — the canonical-survivor rule. Oracle recomputes components via a
+    // recursive transitive closure.
+    "q_dup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val edges = Dedup.verifiedOverlap(docs, Dedup.minhashCandidates(docs))
+        .filter(col("n_common") * 2 >= col("n_union"))
+        .select("doc1", "doc2")
+      connectedComponents(edges).orderBy("doc_id")
+    }),
+
+    // deterministic stratified 10% sample by language: emits the sampled
+    // ids themselves, so the gate pins exact membership.
+    "q_stratified_sample" -> ((s, dir) =>
+      stratifiedSample(documents(s, dir), "lang")
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_train_test_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |            ELSE 'train' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(
+        |             regexp_replace(
+        |               text || ' Contact: user' || doc_id || '@example.com or +1-555-' ||
+        |                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE ${Dedup.allPairsJaccardCtes},
+         |edges AS (
+         |  SELECT doc1 AS s, doc2 AS d FROM jpairs
+         |  UNION ALL
+         |  SELECT doc2, doc1 FROM jpairs),
+         |reach AS (
+         |  SELECT s AS node, s AS r FROM edges
+         |  UNION
+         |  SELECT e.d AS node, reach.r AS r
+         |  FROM reach JOIN edges e ON e.s = reach.node)
+         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn <= (n + 9) // 10
+        |ORDER BY doc_id""".stripMargin
+  )
+}

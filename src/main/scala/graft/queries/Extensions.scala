@@ -17,7 +17,8 @@ object Extensions {
       graft.operators.Multimodal.queries ++
       graft.operators.ScalePatterns.queries ++
       graft.operators.AsOf.queries ++
-      graft.operators.Ingest.queries
+      graft.operators.Ingest.queries ++
+      graft.operators.Curation.queries
 
   def oracles: Map[String, String] =
     graft.operators.TextAnalysis.oracles ++
@@ -27,5 +28,6 @@ object Extensions {
       graft.operators.Multimodal.oracles ++
       graft.operators.ScalePatterns.oracles ++
       graft.operators.AsOf.oracles ++
-      graft.operators.Ingest.oracles
+      graft.operators.Ingest.oracles ++
+      graft.operators.Curation.oracles
 }
