@@ -61,27 +61,56 @@ final class CsvTableIO(root: String, charset: String = "windows-1252") extends T
 
   private def path(table: HogiaTable): String = s"$root/${table.name}"
 
-  private def opts = Map(
-    "header" -> "true", "sep" -> ";", "encoding" -> charset,
-    "charset" -> charset, "nullValue" -> "\\N", "emptyValue" -> "")
-
   /** Spark ≥3.5 rejects non-mainstream charsets in the csv codec unless
-    * the java-charsets legacy flag is on (same restriction SURVEY §2.7
-    * notes for the `decode` builtin — the in-engine cp1252 EXPRESSION
-    * avoids the flag via graft.functions.Cp1252, but the FILE codec has
-    * no custom-expression escape hatch). */
-  private def enableCharsets(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    * the session-global `spark.sql.legacy.javaCharsets` flag is on — and
+    * that flag is read at EXECUTION time, so it cannot be scoped to one
+    * lazy read (ADVICE r2 flagged the leak; a snapshot/restore breaks the
+    * later collect). This implementation needs NO flag at all: the file
+    * codec runs in `iso-8859-1` — always permitted, and byte↔char
+    * BIJECTIVE over all 256 values — so on-disk bytes pass through the
+    * csv layer untouched, and the real cp1252 work happens per string
+    * column in the session-config-free codegen expression
+    * (graft.functions.Cp1252, WHATWG/Go-exact). Structural csv characters
+    * (`;`, quotes, newlines, `\N`) are ASCII, identical in both charsets,
+    * so parsing is unaffected; non-string columns are ASCII by
+    * construction and need no fixup. */
+  private def opts = Map(
+    "header" -> "true", "sep" -> ";", "encoding" -> "iso-8859-1",
+    "charset" -> "iso-8859-1", "nullValue" -> "\\N", "emptyValue" -> "")
 
-  override def read(spark: SparkSession, table: HogiaTable): DataFrame = {
-    enableCharsets(spark)
-    spark.read.options(opts).schema(table.schema).csv(path(table))
+  require(charset.equalsIgnoreCase("windows-1252") ||
+    charset.equalsIgnoreCase("iso-8859-1"),
+    s"CsvTableIO supports windows-1252 / iso-8859-1, got $charset")
+
+  private def isCp1252 = charset.equalsIgnoreCase("windows-1252")
+
+  /** latin-1 chars (= raw file bytes) → proper UTF-8 strings. */
+  private def decodeCols(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, encode}
+    if (!isCp1252) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        graft.ops.Transforms.toUtf8(encode(col(f.name), "ISO-8859-1")).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
   }
 
-  override def truncateLoad(df: DataFrame, table: HogiaTable): Unit = {
-    enableCharsets(df.sparkSession)
-    df.write.options(opts).mode(SaveMode.Overwrite).csv(path(table))
+  /** proper strings → latin-1 chars that serialize to cp1252 bytes. */
+  private def encodeCols(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, decode}
+    if (!isCp1252) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        decode(graft.ops.Transforms.fromUtf8(col(f.name)), "ISO-8859-1").as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
   }
+
+  override def read(spark: SparkSession, table: HogiaTable): DataFrame =
+    decodeCols(spark.read.options(opts).schema(table.schema).csv(path(table)))
+
+  override def truncateLoad(df: DataFrame, table: HogiaTable): Unit =
+    encodeCols(df).write.options(opts).mode(SaveMode.Overwrite).csv(path(table))
 
   override def exists(spark: SparkSession, table: HogiaTable): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table))

@@ -162,6 +162,11 @@ class ConvertSpec extends SparkSpecBase {
     val dir = new java.io.File(s"$work/csv_out/Transaktioner")
     val bytes = dir.listFiles().filter(_.getName.endsWith(".csv")).sorted
       .flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+    // the charset boundary must need NO legacy session flag (ADVICE r2
+    // flagged the session-global mutation): after the full read/write
+    // round-trip above the flag is still at its default
+    assert(!spark.conf.getOption("spark.sql.legacy.javaCharsets").contains("true"),
+      "javaCharsets flag leaked into the session")
     assert(bytes.contains(0x80.toByte), "cp1252 € byte missing from the file")
     assert(!new String(bytes, "ISO-8859-1").contains("â¬"),
       "found UTF-8 € byte sequence — file is not cp1252")
