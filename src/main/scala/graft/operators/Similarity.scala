@@ -97,7 +97,13 @@ object Similarity {
     * assignment (one groupBy on vec_id). */
   def ivfTopK(emb: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     VectorOps.register(emb.sparkSession)
-    val centroids = ivfCentroids(emb, nCells)
+    ivfTopKFrom(emb, ivfCentroids(emb, nCells), k, nProbe)
+  }
+
+  /** IVF probe against a GIVEN centroid table — shared by the
+    * deterministic-centroid, k-means-trained, and stored-index paths. */
+  def ivfTopKFrom(emb: DataFrame, centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    VectorOps.register(emb.sparkSession)
     val q = queryRow(emb)
     val probeCells = centroids.crossJoin(broadcast(q))
       .select(col("cid").as("cell"), VectorOps.cosine(col("cvec"), col("q_emb")).as("qsim"))
@@ -111,6 +117,50 @@ object Similarity {
       .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Spherical k-means training for the IVF quantizer: Lloyd iterations
+    * with cosine assignment (centroid scale is irrelevant to cosine, so
+    * the mean needs no explicit re-normalization) and deterministic
+    * lowest-id seeding. Runs a FIXED number of iterations — bounded work,
+    * no convergence polling.
+    *
+    * Per iteration: one broadcast crossJoin + the assignment groupBy
+    * (wide), then an element-wise mean via posexplode → groupBy(cell,
+    * pos) — the shuffle carries (cell, pos, partial-sum) triples, k×dim
+    * rows after combine. At 100 TB the quantizer is trained on a 1-10%
+    * SAMPLE at ingest (standard IVF practice — assignment quality, not
+    * training set size, is what matters) and the resulting centroid
+    * table is stored (Ingest.scala); this full-corpus version is the
+    * small-scale path. Empty cells inherit their previous centroid.
+    *
+    * Float caveat: groupBy avg sums in partition order, so centroid
+    * coordinates can wiggle at the last ulp across runs — harmless for
+    * the recall gate (assignment flips require two centroids equidistant
+    * to ~1e-15) but the reason centroids are STORED, not recomputed, in
+    * any reproducibility-critical pipeline. */
+  def kmeansCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 3): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    var centroids = ivfCentroids(emb, nCells)
+    var it = 0
+    while (it < iters) {
+      val members = ivfAssign(emb, centroids)
+      val means = members
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cid"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cvec"))
+      // empty cells keep their old centroid
+      centroids = centroids.select(col("cid"), col("cvec").as("old"))
+        .join(means.select(col("cid"), col("cvec").as("new")), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new"), col("old")).as("cvec"))
+        .localCheckpoint() // truncate the per-iteration lineage
+      it += 1
+    }
+    centroids
   }
 
   /** Deterministic IVF "centroids": the lowest `nCells` vec_ids stand in
@@ -204,6 +254,20 @@ object Similarity {
         .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
     }),
 
+    // IVF with a TRAINED quantizer (spherical k-means, 3 Lloyd
+    // iterations): same forced-recall gate. Trained centroids partition
+    // the sphere better than the id-seeded ones, so recall 1.0 at
+    // nProbe=8 holds with more margin, not less; a training bug that
+    // degrades the quantizer (collapsed cells, NaN coordinates) breaks
+    // recall and turns the gate red.
+    "q_ivf_trained" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      ivfTopKFrom(emb, kmeansCentroids(emb, 16, iters = 3), 10, nProbe = 8)
+        .select("vec_id")
+        .join(cosineTopK(emb, 10).select("vec_id"), "vec_id")
+        .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
+    }),
+
     // embedding-cosine near-dup, oracle-checked: the corpus is unioned
     // with a ×2-scaled copy of itself (ids offset by 10M). Scaling by a
     // power of two commutes with float rounding, so each copy's SRP
@@ -240,6 +304,7 @@ object Similarity {
     // pins it to exactly 1.0.
     "q_ann_topk" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivf_topk" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_ivf_trained" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_near_dup_embedding" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

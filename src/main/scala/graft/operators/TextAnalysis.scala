@@ -115,7 +115,24 @@ object TextAnalysis {
     "q_fingerprint" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // vocabulary statistics: top-20 terms by document frequency — the
+    // one text operator that IS explode-shaped (a corpus-wide token
+    // stream into a groupBy). Scale notes: partial aggregation combines
+    // per-partition counts before the exchange, so the shuffle carries
+    // one (term, tf, df-partial) row per distinct term per partition,
+    // not the token stream; the top-20 is TakeOrderedAndProject. Total
+    // order (df desc, tf desc, term) is tie-free because term is unique.
+    "q_term_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("df"), desc("tf"), asc("term"))
+        .limit(20)
+        .orderBy("term"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,6 +177,15 @@ object TextAnalysis {
         |SELECT lang, guess, count(*) AS cnt FROM g GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_term_stats" ->
+      """SELECT term, tf, df FROM (
+        |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1
+        |  ORDER BY df DESC, tf DESC, term LIMIT 20)
+        |ORDER BY term""".stripMargin
   )
 }
