@@ -39,6 +39,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle_sql = json.load(open(f"{OUT}/oracle_sql.json"))
 
+    sql_cache = {}
     n_pass = n_fail = n_noora = 0
     for name in sorted(glob.glob(f"{OUT}/q_*")):
         q = name.split("/")[-1]
@@ -55,7 +56,15 @@ def main():
             n_noora += 1
             continue
         try:
-            odf = con.sql(oracle_sql[q]).df()
+            # memoize by SQL text: several gates share one brute-force
+            # oracle (minhash fresh/stored, dup_clusters' CTE prefix is
+            # separate, but identical statements run once)
+            sql = oracle_sql[q]
+            if sql in sql_cache:
+                odf = sql_cache[sql]
+            else:
+                odf = con.sql(sql).df()
+                sql_cache[sql] = odf
             o_cols = list(odf.columns)
             o_rows = list(odf.itertuples(index=False, name=None))
         except Exception as e:

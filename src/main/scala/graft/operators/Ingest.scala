@@ -73,7 +73,12 @@ object Ingest {
     val emb = embeddings(s, dir)
     val centroids = Similarity.ivfCentroids(emb, nCells)
     centroids.write.mode("ignore").parquet(cPath)
+    // repartition on the partition column first: each write task then owns
+    // whole cells, so the layout is nCells files instead of
+    // nCells × shuffle.partitions fragments (the small-files problem that
+    // kills object-store listings at scale)
     Similarity.ivfAssign(emb, centroids)
+      .repartition(col("cell"))
       .write.mode("ignore").partitionBy("cell").parquet(aPath)
     (s.read.parquet(cPath), s.read.parquet(aPath))
   }
