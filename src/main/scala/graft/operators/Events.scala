@@ -94,7 +94,25 @@ object Events {
         .agg(count(lit(1)).as("n_events"),
           sum("new_session").cast(LongType).as("n_sessions"))
         .orderBy("user_id")
-    })
+    }),
+
+    // the same session semantics through Spark's NATIVE session_window
+    // operator (built-in-first: one groupBy with a dynamic-gap window
+    // instead of the lag+cumsum rewrite above). Unlike q_sessionize
+    // (whose gap rule is SECOND-truncated to mirror unix_timestamp),
+    // session_window measures the gap at full microsecond precision, so
+    // its oracle is the micros-level lag rule; the boundary matches
+    // because the session interval is [start, last+gap) exclusive
+    // (diff == gap ⇒ new session on both sides).
+    "q_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy("user_id")
+        .agg(sum("n_ev").cast(LongType).as("n_events"),
+          count(lit(1)).as("n_sessions"))
+        .select("user_id", "n_events", "n_sessions")
+        .orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -130,6 +148,19 @@ object Events {
         |    SELECT user_id, ts,
         |           lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
         |                                              ORDER BY ts, event_id) AS prev_s
+        |    FROM events))
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_session_window" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(new_session) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS prev_us
         |    FROM events))
         |GROUP BY 1 ORDER BY user_id""".stripMargin
   )

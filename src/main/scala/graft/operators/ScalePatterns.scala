@@ -45,6 +45,34 @@ object ScalePatterns {
       .drop("__salt")
   }
 
+  /** Bucketed range self-join — the rewrite that turns a pure interval
+    * predicate (which Spark can only plan as a broadcast-nested-loop /
+    * cartesian — THE 100 TB scale killer) into an equi-join on a time
+    * bucket. One side keeps its own bucket; the other is replicated to
+    * (bucket, bucket−1); since a qualifying pair's buckets differ by at
+    * most one, every pair matches exactly once — no post-dedup. The
+    * exact range filter then runs on the bucket-bounded candidates.
+    * PlanSpec asserts the plan contains no nested-loop join. */
+  def bucketedRangePairs(ev: DataFrame, windowUs: Long): DataFrame = {
+    val a = ev.select(unix_micros(col("ts")).as("a_us"), col("event_type").as("a_type"))
+      .withColumn("bkt", expr(s"a_us div $windowUs"))
+    val b = ev.select(unix_micros(col("ts")).as("b_us"), col("event_type").as("b_type"))
+      .withColumn("bkt", explode(array(
+        expr(s"b_us div $windowUs - 1"), expr(s"b_us div $windowUs"))))
+    a.join(b, "bkt")
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + windowUs)
+  }
+
+  /** CDC-style merge (upsert): rows of `target` whose key appears in
+    * `updates` are replaced; new keys are appended — the incremental
+    * alternative to the reference's truncate-load (D3), and what a
+    * periodically-refreshed 100 TB table actually runs. One anti-join
+    * (broadcast when the update batch is small, the common case) + a
+    * union — no full rewrite of unchanged data when the target is
+    * partitioned and the writer prunes to touched partitions. */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    target.join(updates, Seq(key), "left_anti").unionByName(updates)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // salted fact⋈dim aggregation — the oracle is the PLAIN join, so a
     // hash match proves the salting is semantics-preserving.
@@ -57,7 +85,36 @@ object ScalePatterns {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"),
           sum("qty").cast(Transforms.Money).cast(DoubleType).as("sum_qty"))
-        .orderBy("s_nationkey"))
+        .orderBy("s_nationkey")),
+
+    // temporal proximity pairs (burst structure): events followed by
+    // another event within 10 minutes, counted per type pair. The oracle
+    // runs the plain non-equi join — a hash match proves the bucketed
+    // equi-rewrite is semantics-preserving.
+    "q_range_join" -> ((s, dir) =>
+      bucketedRangePairs(events(s, dir), windowUs = 600000000L)
+        .groupBy("a_type", "b_type")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("a_type", "b_type")),
+
+    // merge/upsert: deterministic update batch (keys %97 get a price
+    // bump, keys %193 arrive as new orders) merged into orders; the
+    // per-status aggregate pins both the survivor set and the arithmetic.
+    "q_merge_upsert" -> ((s, dir) => {
+      val ord = orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(Transforms.Money).as("price"))
+      val mods = ord.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("price", (col("price") + lit(1000)).cast(Transforms.Money))
+      val ins = ord.filter(col("o_orderkey") % 193 === 0)
+        .select((col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+          col("o_orderstatus"), col("price"))
+      mergeUpsert(ord, mods.unionByName(ins), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("price").cast(Transforms.Money).cast(DoubleType).as("total_price"))
+        .orderBy("o_orderstatus")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,6 +122,32 @@ object ScalePatterns {
       """SELECT s_nationkey, count(*) AS n_items,
         |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+    "q_range_join" ->
+      """SELECT a_type, b_type, count(*) AS n_pairs FROM (
+        |  SELECT a.event_type AS a_type, b.event_type AS b_type
+        |  FROM events a JOIN events b
+        |    ON epoch_us(b.ts) > epoch_us(a.ts)
+        |   AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000)
+        |GROUP BY 1, 2 ORDER BY a_type, b_type""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(19,4)) AS price
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(price + 1000 AS DECIMAL(19,4)) AS price
+        |  FROM ord WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus, price
+        |  FROM ord WHERE o_orderkey % 193 = 0),
+        |merged AS (
+        |  SELECT * FROM ord WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(CAST(sum(price) AS DECIMAL(19,4)) AS DOUBLE) AS total_price
+        |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
   )
 }

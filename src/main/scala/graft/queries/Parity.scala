@@ -326,6 +326,22 @@ object Parity {
             col("exact_parts").cast(DoubleType) * 0.05).as("within_5pct"))
         .orderBy("l_returnflag")),
 
+    // quantile SKETCH (approx_percentile, the KLL/GK-style mergeable
+    // estimator — the streaming/distributed path where exact PERCENTILE
+    // would need a global sort): gate mirrors q_hll_distinct — emit the
+    // EXACT median (computed independently in both engines) plus a
+    // boolean pinning the sketch estimate within 1% of it. accuracy
+    // 10000 ⇒ rank error ≤ 0.01%; deterministic for fixed input.
+    "q_approx_quantile" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("est"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (abs(col("est") - col("exact_median")) <=
+            abs(col("exact_median")) * 0.01).as("within_1pct"))
+        .orderBy("l_returnflag")),
+
     // D3/D4/EP1-EP2: truncate-load round-trip — write Overwrite twice
     // (idempotence), read back, prove identity against the source.
     // Scratch dir is per-application (appId) under an overridable root
@@ -345,6 +361,11 @@ object Parity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.5) AS exact_median,
+        |       TRUE AS within_1pct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_hll_distinct" ->
       """SELECT l_returnflag,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

@@ -49,6 +49,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), s"map-side combine missing:\n$p")
   }
 
+  test("bucketed range join plans as an equi-join, never a nested loop") {
+    val p = plan(SparkEntry.queries("q_range_join")(spark, TestSpark.Sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval predicate must ride the bucket equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("stored-sketch near-dup re-reads no text and re-sketches nothing") {
     val stored = graft.operators.Ingest.ensureSketchedDocs(spark, TestSpark.Sf0001)
     val p = plan(graft.operators.Dedup.verifiedOverlapFromFeatures(stored,
