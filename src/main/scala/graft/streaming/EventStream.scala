@@ -56,6 +56,23 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming NATIVE session windows (twin of the batch
+    * q_session_window): Spark's built-in session_window state merging
+    * under a watermark — sessions finalize (Append mode) once the
+    * watermark passes session end + gap, which also bounds state. This
+    * is the built-in counterpart of the hand-rolled [[sessionCounts]]:
+    * use it when per-session rows are the product; keep the
+    * flatMapGroupsWithState version when custom per-key state (running
+    * counters, provisional upserts) is needed. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** Keeps the raw `ts` column (not a derived epoch) because the
     * event-time-timeout checker requires the watermarked attribute to be
     * present in the stateful operator's input schema. */

