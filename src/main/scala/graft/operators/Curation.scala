@@ -144,7 +144,39 @@ object Curation {
     // ids themselves, so the gate pins exact membership.
     "q_stratified_sample" -> ((s, dir) =>
       stratifiedSample(documents(s, dir), "lang")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the WHOLE curation pipeline as ONE declarative plan — exact-dedup
+    // survivors → stopword-ratio quality filter → hash split → 10%
+    // stratified sample → per-(split, lang) membership-binding counts.
+    // This is the composition story: four pipeline stages cost THREE
+    // shuffles total (fp window, split window, final agg — the quality
+    // filter and split assignment are narrow and fuse into the adjacent
+    // stages), and every stage is hash-deterministic, which is what lets
+    // one DuckDB statement replay the full pipeline as the oracle.
+    // sum(doc_id) binds exact membership: one doc surviving the wrong
+    // stage flips the gate even if counts balance.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val byFp = Window.partitionBy("fp").orderBy("doc_id")
+      val survivors = documents(s, dir)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(byFp))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text", "lang")
+      val quality = survivors
+        .filter(TextAnalysis.stopwordRatio(col("text")) >= 0.10)
+        .withColumn("split", splitColumn(col("doc_id")))
+      val byHash = Window.partitionBy("split")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      val whole = Window.partitionBy("split")
+      quality
+        .withColumn("srn", row_number().over(byHash))
+        .withColumn("n", count(lit(1)).over(whole))
+        .filter(expr("srn <= (n + 9) div 10"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .orderBy("split", "lang")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +209,37 @@ object Curation {
          |  FROM reach JOIN edges e ON e.s = reach.node)
          |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |           row_number() OVER (
+        |             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |             ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |quality AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split
+        |  FROM (SELECT doc_id, lang,
+        |               string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM survivors)
+        |  WHERE len(t) > 0
+        |    AND CAST(len(list_filter(t, x -> list_contains(
+        |          ['the','a','an','and','or','of','to','in','is','it',
+        |           'that','for','on','with','as'], x))) AS DOUBLE)
+        |        / CAST(len(t) AS DOUBLE) >= 0.10),
+        |sampled AS (
+        |  SELECT doc_id, lang, split FROM (
+        |    SELECT doc_id, lang, split,
+        |           row_number() OVER (PARTITION BY split
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srn,
+        |           count(*) OVER (PARTITION BY split) AS n
+        |    FROM quality) WHERE srn <= (n + 9) // 10)
+        |SELECT split, lang, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM sampled GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

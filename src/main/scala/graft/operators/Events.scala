@@ -96,6 +96,32 @@ object Events {
         .orderBy("user_id")
     }),
 
+    // funnel attribution: click → purchase by the same user within one
+    // hour, counted per user — the BATCH TWIN of the watermarked
+    // stream-stream join (EventStream.funnelJoin; equivalence asserted in
+    // EventStreamSpec). The equi-key is user_id (shuffle partitioning
+    // key; per-user event counts bound the range-condition fan-out), the
+    // time range is a residual predicate — at 100 TB this is one shuffle
+    // of the two filtered event streams, no cross product. Joined on
+    // integer MICROSECOND epochs on both engines: Spark's reader
+    // truncates the nanos timestamps to micros, so the oracle compares
+    // at the same precision (epoch_ns // 1000) instead of risking a
+    // boundary flip on sub-microsecond differences.
+    "q_funnel_attrib" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), unix_micros(col("ts")).as("b_us"))
+      clicks.join(buys,
+          col("user_id") === col("b_user") &&
+            col("b_us") >= col("c_us") &&
+            col("b_us") - col("c_us") < lit(3600000000L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_attributed"))
+        .orderBy("user_id")
+    }),
+
     // the same session semantics through Spark's NATIVE session_window
     // operator (built-in-first: one groupBy with a dynamic-gap window
     // instead of the lag+cumsum rewrite above). Unlike q_sessionize
@@ -150,6 +176,15 @@ object Events {
         |                                              ORDER BY ts, event_id) AS prev_s
         |    FROM events))
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_funnel_attrib" ->
+      """SELECT c.user_id, count(*) AS n_attributed
+        |FROM (SELECT user_id, epoch_ns(ts) // 1000 AS c_us
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, epoch_ns(ts) // 1000 AS b_us
+        |      FROM events WHERE event_type = 'purchase') b
+        |  ON c.user_id = b.user_id
+        | AND b.b_us >= c.c_us AND b.b_us - c.c_us < 3600000000
+        |GROUP BY 1 ORDER BY c.user_id""".stripMargin,
     "q_session_window" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(new_session) AS BIGINT) AS n_sessions

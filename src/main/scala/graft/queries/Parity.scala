@@ -156,6 +156,22 @@ object Parity {
           sum(col("o_totalprice").cast(Money)).cast(Money).cast(DoubleType).as("total"))
         .orderBy("c_mktsegment")),
 
+    // §2.4: multi-way STAR join — fact (orders) against a 3-level dim
+    // chain (customer → nation → region), revenue per region. The scale
+    // shape: every dim side broadcasts (region 5 rows, nation 25,
+    // customer ~1.5% of fact), so the fact table never shuffles for the
+    // joins; the only exchange is the 5-group final agg after map-side
+    // partial aggregation. PlanSpec asserts the all-broadcast plan.
+    "q_star_join" -> ((s, dir) =>
+      orders(s, dir)
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Money)).cast(Money).cast(DoubleType).as("revenue"))
+        .orderBy("r_name")),
+
     // §2.4: left_semi (EXISTS) integrity probe.
     "q_semi_exists" -> ((s, dir) =>
       customer(s, dir)
@@ -452,6 +468,14 @@ object Parity {
         |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
     "q_semi_exists" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -136,6 +136,33 @@ object EventStream {
       }
   }
 
+  /** Watermarked STREAM-STREAM inner join — funnel attribution: every
+    * (click, purchase) pair by the same user with the purchase inside
+    * [click, click + 1 h). Batch twin: q_funnel_attrib (DuckDB-oracled);
+    * equivalence asserted in EventStreamSpec.
+    *
+    * The time-range condition plus the watermark on BOTH inputs is what
+    * makes this run forever: Spark derives per-side state-eviction
+    * bounds from them (a click can stop waiting for purchases once the
+    * purchase watermark passes click_ts + 1 h; a purchase can never
+    * match a click older than 1 h), so join state is bounded by the
+    * event rate × (watermark + range span) per side, independent of
+    * stream length. Append mode: a pair is emitted exactly once, when
+    * it can no longer be contradicted. */
+  def funnelJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(buys,
+        col("user_id") === col("b_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids within the
     * watermark horizon — the streaming twin of the exact-dedup batch
     * operator (state per key is bounded by the watermark, so this runs

@@ -74,6 +74,51 @@ class EventStreamSpec extends SparkSpecBase {
     assert(mismatch == 0, "every finalized streaming session must equal its batch twin")
   }
 
+  test("funnelJoin (stream-stream, Append) == q_funnel_attrib (batch)") {
+    val stream = EventStream.funnelJoin(
+      EventStream.readEvents(spark, TestSpark.Sf0001))
+    val q = EventStream.runToMemory(stream, "funnel_test", OutputMode.Append)
+    q.awaitTermination()
+    // AvailableNow drains the whole (static) input, so every joinable
+    // pair is watermark-finalized by the terminal batch; per-user pair
+    // counts must equal the batch twin exactly.
+    val streamed = spark.table("funnel_test")
+      .groupBy("user_id").agg(count(lit(1)).as("n_attributed"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val batch = Events.queries("q_funnel_attrib")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("funnelJoin emits pairs incrementally and bounds state by the watermark") {
+    import testImplicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStream.funnelJoin(
+      source.toDF().toDF("user_id", "ts", "event_type"))
+    val q = joined.writeStream.format("memory").queryName("funnel_inc")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      // click at 09:00; purchases at 09:30 (in window) and 10:30 (outside)
+      source.addData((1L, t("2024-01-01 09:00:00"), "click"),
+        (1L, t("2024-01-01 09:30:00"), "purchase"),
+        (1L, t("2024-01-01 10:30:00"), "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks far past every join window so the 09:00
+      // click's pairs finalize (and its state is evictable)
+      source.addData((2L, t("2024-01-01 15:00:00"), "click"),
+        (2L, t("2024-01-01 15:00:00"), "purchase"))
+      q.processAllAvailable()
+      val pairs = spark.table("funnel_inc")
+        .select("user_id", "purchase_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+      assert(pairs == Set((1L, "2024-01-01 09:30:00.0"),
+          (2L, "2024-01-01 15:00:00.0")),
+        s"only in-window pairs may be emitted: $pairs")
+    } finally q.stop()
+  }
+
   test("sessionCounts is exact under out-of-order delivery within the watermark") {
     import testImplicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -33,6 +33,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("star join broadcasts every dim level — the fact never shuffles for a join") {
+    val p = plan(SparkEntry.queries("q_star_join")(spark, TestSpark.Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan(SparkEntry.queries("q_topk_orders")(spark, TestSpark.Sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
