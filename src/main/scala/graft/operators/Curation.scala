@@ -89,6 +89,19 @@ object Curation {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Distinct word-n-gram array per doc (whole-doc fallback below n
+    * tokens) — the decontamination unit. n = 8 is the standard
+    * benchmark-decontamination window: long enough that shared grams mean
+    * copied text, not shared phrasing (3-grams flag 100% of this corpus;
+    * 8-grams flag exactly the planted cross-split duplicates). */
+  def wordGrams(text: Column, n: Int): Column = {
+    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
   /** Deterministic 10% stratified sample: within each stratum, rank by
     * md5(doc_id) (a reproducible pseudo-random order) and keep the first
     * ceil(n/10) — integer arithmetic, no float boundary. */
@@ -145,6 +158,29 @@ object Curation {
     "q_stratified_sample" -> ((s, dir) =>
       stratifiedSample(documents(s, dir), "lang")
         .orderBy("doc_id")),
+
+    // benchmark decontamination: every valid/test doc sharing ≥1 word-
+    // 8-gram with ANY train doc — the standard train/eval leakage check.
+    // Shape at 100 TB: the gram stream is narrow until the two shuffles
+    // that matter — distinct train-gram build and the semi-join — and
+    // both shuffle 8-byte xxhash64 gram keys, never gram text (the same
+    // fixed-width-through-the-exchange rule as the LSH band joins; a
+    // broadcast Bloom filter over train grams is the next pruning step
+    // at petabyte scale). Oracle joins the raw gram STRINGS, so the gate
+    // also certifies the hashed join ≡ exact join on this corpus (any
+    // xxhash64 collision would surface a spurious doc and turn it red).
+    "q_decontaminate" -> ((s, dir) => {
+      val grams = documents(s, dir)
+        .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
+          explode(wordGrams(col("text"), 8)).as("gram"))
+        .select(col("doc_id"), col("split"), xxhash64(col("gram")).as("g"))
+      val trainGrams = grams.filter(col("split") === "train")
+        .select("g").distinct()
+      grams.filter(col("split") =!= "train")
+        .join(trainGrams, Seq("g"), "left_semi")
+        .select("doc_id", "split").distinct()
+        .orderBy("doc_id")
+    }),
 
     // the WHOLE curation pipeline as ONE declarative plan — exact-dedup
     // survivors → stopword-ratio quality filter → hash split → 10%
@@ -209,6 +245,30 @@ object Curation {
          |  FROM reach JOIN edges e ON e.s = reach.node)
          |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(range(1, len(t) - 6),
+        |                               i -> array_to_string(t[i:i+7], ' '))
+        |           END) AS s
+        |  FROM toks),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |                      ELSE 'train' END AS split
+        |  FROM documents),
+        |grams AS (SELECT sh.doc_id, sp.split, unnest(sh.s) AS g
+        |          FROM sh JOIN sp USING (doc_id)),
+        |train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+        |SELECT DISTINCT t.doc_id, t.split
+        |FROM grams t JOIN train_g USING (g)
+        |WHERE t.split <> 'train'
+        |ORDER BY t.doc_id""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH survivors AS (
         |  SELECT doc_id, text, lang FROM (
