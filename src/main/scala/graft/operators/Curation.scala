@@ -102,6 +102,22 @@ object Curation {
           i => array_join(slice(toks, i, lit(n)), " "))))
   }
 
+  /** 16-way shard from the first md5 nibble of the id — the scale-out
+    * unit for sequence packing: each shard is an independent token
+    * stream, so packing parallelizes with ONE bounded shuffle (the
+    * per-shard window) and no global order. */
+  def shardColumn(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 1), 16, 10).cast(IntegerType)
+
+  /** Per-source mixing weight (epochs). Exogenous config in a real
+    * pipeline; a fixed literal here, mirrored in the oracle CASE. */
+  def mixWeight(source: Column): Column =
+    when(source === "src0", 3.0)
+      .when(source === "src1", 2.5)
+      .when(source === "src2", 0.5)
+      .when(source === "src3", 0.25)
+      .otherwise(1.0)
+
   /** Deterministic 10% stratified sample: within each stratum, rank by
     * md5(doc_id) (a reproducible pseudo-random order) and keep the first
     * ceil(n/10) — integer arithmetic, no float boundary. */
@@ -180,6 +196,50 @@ object Curation {
         .join(trainGrams, Seq("g"), "left_semi")
         .select("doc_id", "split").distinct()
         .orderBy("doc_id")
+    }),
+
+    // sequence packing: concatenate each shard's token stream in doc_id
+    // order and chunk it at a 512-token budget — the standard pretraining
+    // packing step (docs span chunk boundaries; every token lands in
+    // exactly one fixed-size training window). The shard is the scale
+    // unit: 16 here, thousands at 100 TB — each shard's running offset is
+    // one bounded window over its own partition, so packing 100 TB is
+    // embarrassingly parallel across shards (vs. the naive global running
+    // sum, which would serialize the corpus through one partition). The
+    // gate pins every doc's (shard, chunk) placement, so one token-count
+    // or offset divergence between engines flips it red.
+    "q_pack_chunks" -> ((s, dir) => {
+      val byShard = Window.partitionBy("shard").orderBy("doc_id")
+      documents(s, dir)
+        .select(col("doc_id"), shardColumn(col("doc_id")).as("shard"),
+          TextAnalysis.wsTokens(col("text")).cast(LongType).as("toks"))
+        .withColumn("end_off", sum("toks").over(byShard))
+        .select(col("doc_id"), col("shard"),
+          explode(sequence(expr("(end_off - toks) div 512"),
+            expr("(end_off - 1) div 512"))).as("chunk_id"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // source mixing: per-source epoch weights (src0×3.0, src1×2.5,
+    // src2×0.5, src3×0.25, rest ×1.0) — the Pile/LLaMA-style data-mixing
+    // step. Integer epochs replicate via sequence+explode (a NARROW
+    // generator — replication never shuffles, it multiplies rows inside
+    // the scan stage); the fractional epoch keeps a doc iff a fresh
+    // md5(doc_id:epoch) prefix clears the fraction threshold, so
+    // up/down-sampling is reproducible row-by-row in any engine with md5
+    // — which is exactly what lets DuckDB pin every replication decision.
+    "q_source_mix" -> ((s, dir) => {
+      val wt = mixWeight(col("source"))
+      val full = floor(wt).cast(IntegerType)
+      val fracHex = lower(lpad(hex(((wt - floor(wt)) * 256).cast(IntegerType)), 2, "0"))
+      val extra = (substring(md5(concat(col("doc_id").cast(StringType), lit(":"),
+        (full + 1).cast(StringType))), 1, 2) < fracHex).cast(IntegerType)
+      documents(s, dir)
+        .select(col("doc_id"), col("source"), (full + extra).as("n_ep"))
+        .select(col("doc_id"), col("source"),
+          explode(when(col("n_ep") >= 1, sequence(lit(1), col("n_ep")))
+            .otherwise(array().cast("array<int>"))).as("epoch"))
+        .orderBy("doc_id", "epoch")
     }),
 
     // the WHOLE curation pipeline as ONE declarative plan — exact-dedup
@@ -269,6 +329,40 @@ object Curation {
         |FROM grams t JOIN train_g USING (g)
         |WHERE t.split <> 'train'
         |ORDER BY t.doc_id""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(strpos('0123456789abcdef',
+        |                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard,
+        |         len(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, toks,
+        |         sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |                         ROWS UNBOUNDED PRECEDING) AS end_off
+        |  FROM d)
+        |SELECT doc_id, shard,
+        |       unnest(range(CAST((end_off - toks) // 512 AS BIGINT),
+        |                    CAST((end_off - 1) // 512 + 1 AS BIGINT))) AS chunk_id
+        |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_source_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.5
+        |                     WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+        |                     ELSE 1.0 END AS wt
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(wt) AS INT)
+        |           + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |                              CAST(CAST(floor(wt) AS INT) + 1 AS VARCHAR)), 1, 2)
+        |                       < printf('%02x', CAST((wt - floor(wt)) * 256 AS INT))
+        |                  THEN 1 ELSE 0 END AS n_ep
+        |  FROM w)
+        |SELECT doc_id, source,
+        |       CAST(unnest(range(1, CAST(n_ep AS BIGINT) + 1)) AS INT) AS epoch
+        |FROM e ORDER BY doc_id, epoch""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH survivors AS (
         |  SELECT doc_id, text, lang FROM (

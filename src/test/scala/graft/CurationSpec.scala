@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Curation
+import graft.operators.{Curation, TextAnalysis}
 
 /** Curation operator tests: connected-component edge cases the corpus
   * gate can't isolate (chains, singleton edges, convergence), split
@@ -58,6 +58,60 @@ class CurationSpec extends SparkSpecBase {
       "mail <EMAIL> and <EMAIL> twice",
       "call <PHONE> or <PHONE>",
       "no pii here, just 12-34 and a@b (not an email)"))
+  }
+
+  test("wordGrams emits sliding word windows, whole doc below n") {
+    val got = Seq("a b c d", "x y").toDF("text")
+      .select(Curation.wordGrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq("x y")))
+  }
+
+  test("pack-chunk invariants: spans contiguous, per-shard token accounting") {
+    // 600 docs, varying token counts; replay q_pack_chunks' arithmetic
+    // and assert structural invariants independent of the oracle.
+    val docs = (0L until 600L)
+      .map(i => (i, Seq.fill((i % 37 + 3).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    val packed = docs
+      .select(col("doc_id"), Curation.shardColumn(col("doc_id")).as("shard"),
+        TextAnalysis.wsTokens(col("text")).cast("long").as("toks"))
+      .withColumn("end_off", sum("toks").over(byShard))
+      .select(col("doc_id"), col("shard"), col("toks"), col("end_off"),
+        explode(expr("sequence((end_off - toks) div 64, (end_off - 1) div 64)")).as("chunk_id"))
+      .collect()
+    // every doc's chunks are a contiguous integer range
+    packed.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.map(_.getLong(4)).sorted
+      assert(cs.zip(cs.head to cs.last).forall { case (a, b) => a == b })
+    }
+    // per shard: chunk ids cover exactly 0..(total_toks-1)/64 with no gap
+    packed.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val total = rows.groupBy(_.getLong(0)).values.map(_.head.getLong(2)).sum
+      val chunks = rows.map(_.getLong(4)).distinct.sorted.toVector
+      assert(chunks == (0L to (total - 1) / 64).toVector)
+    }
+  }
+
+  test("mixWeight replication: integer epochs exact, fractional deterministic") {
+    val docs = (0L until 400L).map(i => (i, s"src${i % 8}")).toDF("doc_id", "source")
+    val wt = Curation.mixWeight(col("source"))
+    val full = floor(wt).cast("int")
+    val fracHex = lower(lpad(hex(((wt - floor(wt)) * 256).cast("int")), 2, "0"))
+    val extra = (substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      (full + 1).cast("string"))), 1, 2) < fracHex).cast("int")
+    val reps = docs.select(col("doc_id"), col("source"), (full + extra).as("n"))
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    val bySrc = reps.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(bySrc("src0").forall(_ == 3))          // exactly 3 epochs
+    assert(bySrc("src1").forall(n => n == 2 || n == 3)) // 2.5 → 2 or 3
+    assert(bySrc("src2").forall(n => n == 0 || n == 1)) // 0.5 → 0 or 1
+    assert(bySrc("src4").forall(_ == 1))          // default weight
+    // fractions land near expectation (50 docs per source)
+    val src1x3 = bySrc("src1").count(_ == 3)
+    assert(src1x3 > 10 && src1x3 < 40, s"src1 frac keep=$src1x3")
   }
 
   test("stratifiedSample keeps ceil(n/10) per stratum, deterministically") {
