@@ -132,7 +132,34 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy(desc("df"), desc("tf"), asc("term"))
         .limit(20)
-        .orderBy("term"))
+        .orderBy("term")),
+
+    // per-doc top-3 characteristic terms by tf·idf (probed on doc_id<40
+    // to bound output; tf/df are corpus-wide). Ranking is over the
+    // ROUNDED score in BOTH engines, so a last-ulp ln() divergence can't
+    // flip rank order; ties break on term. N arrives as a broadcast
+    // 1-row frame (never a global window — that would serialize the
+    // corpus through one partition at 100 TB); tf⋈df shuffles on term
+    // with two-phase aggs on both inputs.
+    "q_tfidf_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val byDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.filter(col("doc_id") < 40)
+        .join(df, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 6))
+        .withColumn("rn", row_number().over(byDoc))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id", "term")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,6 +213,24 @@ object TextAnalysis {
         |    FROM documents)
         |  GROUP BY 1
         |  ORDER BY df DESC, tf DESC, term LIMIT 20)
-        |ORDER BY term""".stripMargin
+        |ORDER BY term""".stripMargin,
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS score
+        |  FROM tfc t JOIN dfc d USING (term), n
+        |  WHERE t.doc_id < 40)
+        |SELECT doc_id, term, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
   )
 }

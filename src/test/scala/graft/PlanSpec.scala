@@ -89,4 +89,41 @@ class PlanSpec extends SparkSpecBase {
       s"warm IVF probe must not shuffle the data path:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("runtime Bloom filter prunes the big side of a selective join") {
+    // The petabyte pruning step q_decontaminate's docstring names: when
+    // one join side is small-after-filter, Catalyst's InjectRuntimeFilter
+    // plants bloom_filter_might_contain on the big side's scan so most
+    // rows die before the exchange. Local testdata is below the default
+    // 10 GB application-side threshold, so lower it (the cluster profile
+    // keeps the default); creation-side threshold stays well above the
+    // filtered dim size, exactly as at scale.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // at 100 TB neither side broadcasts — force the shuffle-join shape
+      // the rule targets (it skips joins that would broadcast anyway)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, TestSpark.Sf0001)
+      val ord = Tables.orders(spark, TestSpark.Sf0001)
+        .filter(col("o_orderstatus") === "F")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"runtime bloom filter must be injected on the fact side:\n$opt")
+      // the filter must land on the FACT scan (lineitem keys probed),
+      // built from the filtered dim's keys
+      assert(opt.contains("might_contain(scalar-subquery"), opt)
+      assert("might_contain".r.findAllIn(opt).size >= 1 &&
+        opt.indexOf("xxhash64(l_orderkey") > 0, opt)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
