@@ -61,6 +61,8 @@ object Sketch {
       "graft_winnow", exprs => WinnowFingerprints(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_id_pairs", exprs => IdPairs(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_repetition", exprs => RepetitionStats(exprs.head), "built-in")
   }
 
   /** 64-bit SimHash from `array<string>` tokens: per-bit ±1 votes over
@@ -81,6 +83,15 @@ object Sketch {
     * Call [[register]] on the session first. */
   def winnow(text: Column): Column =
     call_function("graft_winnow", text)
+
+  /** Single-pass per-document token-repetition stats (the Gopher-rule
+    * quality signals: top-word fraction, duplicate-word and
+    * duplicate-2-gram fractions) from `array<string>` tokens —
+    * `struct<total_tokens, distinct_tokens, top_count, total_bigrams,
+    * distinct_bigrams>` (all int). Call [[register]] on the session
+    * first. */
+  def repetitionStats(tokens: Column): Column =
+    call_function("graft_repetition", tokens)
 
   /** All ordered id pairs (a < b) from an id array —
     * `array<struct<doc1: bigint, doc2: bigint>>`. Turns a bounded
@@ -270,6 +281,37 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Per-doc token-repetition stats in ONE pass over the token array
+    * (Rae et al. 2021 "Gopher" repetition filters, reduced to their
+    * sufficient statistics). Exact string counting — a java HashMap per
+    * document, bounded by document size — so the result is identical to
+    * a SQL unnest+GROUP BY and DuckDB can oracle it; the point of the
+    * kernel is doing it without exploding the token stream through a
+    * (doc_id, token) exchange (at 100 TB that shuffle is the whole
+    * corpus; this is a narrow scan-stage projection emitting 20 B/doc). */
+  def repetitionStats(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int](Math.max(16, n * 2))
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val c = counts.merge(t, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    // distinct bigrams: adjacent token pairs joined by a single space —
+    // exactly DuckDB's toks[i] || ' ' || toks[i+1]
+    val bigrams = new java.util.HashSet[String](Math.max(16, n * 2))
+    i = 0
+    while (i < n - 1) {
+      bigrams.add(tokens.getUTF8String(i).toString + " " + tokens.getUTF8String(i + 1).toString)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      n, counts.size(), top, Math.max(0, n - 1), bigrams.size()))
+  }
+
   /** 64-bit SimHash: ±1 votes per bit over per-occurrence token hashes. */
   def simhash(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -344,6 +386,29 @@ case class IdPairs(child: Expression) extends UnaryExpression {
       c => s"${ev.value} = graft.functions.SketchOps.idPairs($c);")
 
   override protected def withNewChildInternal(newChild: Expression): IdPairs =
+    copy(child = newChild)
+}
+
+/** `graft_repetition(array<string>) -> struct<total_tokens, distinct_tokens,
+  * top_count, total_bigrams, distinct_bigrams>` (all int). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_tokens", IntegerType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false),
+    StructField("total_bigrams", IntegerType, nullable = false),
+    StructField("distinct_bigrams", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchOps.repetitionStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.SketchOps.repetitionStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
 

@@ -186,6 +186,44 @@ object Similarity {
         struct(col("csim"), -col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("best.embedding").as("embedding"))
 
+  /** Batched kNN join: exact top-k neighbors for EVERY query vector in a
+    * (small, broadcast) query set — the production retrieval shape, where
+    * q_cosine_topk's single probe is the degenerate |Q|=1 case.
+    *
+    * Two-phase per-group top-k: scoring is a narrow broadcast
+    * nested-loop (corpus × |Q| fixed-width (q_id, vec_id, score) rows,
+    * never a shuffled cross product), then a LOCAL top-k per (query,
+    * input-partition) — the window keys include the scan partition id,
+    * so the first exchange spreads each query's candidates over the
+    * whole cluster instead of funneling |corpus| rows into |Q|
+    * partitions (the single-phase window's skew collapse: at 100 TB and
+    * |Q|=8, 8 reducers would each sort the corpus). The global top-k
+    * then ranks the surviving ≤ partitions×k rows per query — tiny.
+    *
+    * Both phases rank over (round(score, 6) DESC, vec_id): the rounding
+    * absorbs last-ulp float divergence between engines (same rule as
+    * q_tfidf_terms) and vec_id makes the order total, so the phase-1
+    * prune keeps a superset of the global top-k by construction. */
+  def knnJoin(emb: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorOps.register(emb.sparkSession)
+    val scored = emb.crossJoin(broadcast(queriesDf))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"),
+        spark_partition_id().as("pid"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(desc("score"), asc("vec_id"))
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(desc("score"), asc("vec_id"))
+    scored
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rnk", row_number().over(global))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"))
+  }
+
   /** Embedding near-dup candidate pairs: SRP band self-join (8×8-bit
     * bands — full recall for hamming ≤ 7, probabilistic beyond) + exact
     * cosine verification. The banding bounds the quadratic rescore step;
@@ -289,6 +327,17 @@ object Similarity {
         .orderBy("v1", "v2")
     }),
 
+    // batched kNN join: exact top-10 per query over the 8 lowest-id
+    // query vectors (deterministic, sf-stable probe set). Oracle is the
+    // same cross-score + per-query rank in DuckDB; both engines rank
+    // over the ROUNDED score with vec_id tiebreak.
+    "q_knn_join" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      knnJoin(emb, qs, 10).orderBy("q_id", "rnk")
+    }),
+
     // per-label corpus stats (int-only: oracle-safe).
     "q_embed_stats" -> ((s, dir) =>
       embeddings(s, dir)
@@ -323,6 +372,19 @@ object Similarity {
         |  FROM embeddings, q WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
         |  ORDER BY score DESC, vec_id LIMIT 10)
         |ORDER BY vec_id""".stripMargin,
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(list_cosine_similarity(e.embedding, q.q_emb), 6) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, rnk, vec_id FROM (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, vec_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "q_embed_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |       CAST(sum(len(embedding)) AS BIGINT) AS total_dims

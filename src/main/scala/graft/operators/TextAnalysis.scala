@@ -117,6 +117,30 @@ object TextAnalysis {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    // per-doc top-word count, duplicate-word and duplicate-2-gram counts,
+    // plus the derived "repetitive" flag (top word > 20% of tokens) via
+    // integer cross-multiplication — no float thresholds anywhere. The
+    // kernel (functions/Sketch.RepetitionStats) is a single narrow pass
+    // per document inside the scan stage; the SQL-equivalent
+    // unnest+GROUP BY formulation — which the DuckDB oracle runs — would
+    // shuffle the entire token stream at 100 TB.
+    "q_repetition" -> ((s, dir) => {
+      graft.functions.Sketch.register(s)
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Sketch.repetitionStats(
+            split(lower(trim(col("text"))), "\\s+")).as("r"))
+        .select(col("doc_id"),
+          col("r.total_tokens").as("total_tokens"),
+          col("r.distinct_tokens").as("distinct_tokens"),
+          col("r.top_count").as("top_count"),
+          col("r.total_bigrams").as("total_bigrams"),
+          col("r.distinct_bigrams").as("distinct_bigrams"),
+          (col("r.top_count") * 5 > col("r.total_tokens")).as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // vocabulary statistics: top-20 terms by document frequency — the
     // one text operator that IS explode-shaped (a corpus-wide token
     // stream into a groupBy). Scale notes: partial aggregation combines
@@ -205,6 +229,32 @@ object TextAnalysis {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        |ws AS (
+        |  SELECT doc_id, CAST(sum(c) AS INT) AS total_tokens,
+        |         CAST(count(*) AS INT) AS distinct_tokens,
+        |         CAST(max(c) AS INT) AS top_count
+        |  FROM wc GROUP BY 1),
+        |bs AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS total_bigrams,
+        |         CAST(count(DISTINCT bg) AS INT) AS distinct_bigrams
+        |  FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(toks)),
+        |                      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |        FROM t)
+        |  GROUP BY 1)
+        |SELECT ws.doc_id, ws.total_tokens, ws.distinct_tokens, ws.top_count,
+        |       coalesce(bs.total_bigrams, 0) AS total_bigrams,
+        |       coalesce(bs.distinct_bigrams, 0) AS distinct_bigrams,
+        |       (ws.top_count * 5 > ws.total_tokens) AS repetitive
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        |ORDER BY ws.doc_id""".stripMargin,
     "q_term_stats" ->
       """SELECT term, tf, df FROM (
         |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (

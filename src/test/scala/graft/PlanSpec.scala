@@ -126,4 +126,15 @@ class PlanSpec extends SparkSpecBase {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("kNN join: broadcast scoring, local top-k keyed by scan partition") {
+    val p = plan(SparkEntry.queries("q_knn_join")(spark, TestSpark.Sf0001))
+    // scoring is a broadcast nested loop over the tiny query set — the
+    // corpus side must never shuffle for the join itself
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // phase-1 window partitions by (q_id, pid): the first exchange key
+    // includes the scan partition id, so no |Q|-partition skew collapse
+    assert(p.contains("hashpartitioning(q_id#") && p.contains(", pid#"),
+      s"local top-k must partition by (q_id, pid):\n$p")
+  }
 }

@@ -133,4 +133,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ham(out(1L), out(2L)) <= 2)
     assert(ham(out(1L), out(3L)) > 10)
   }
+
+  test("knnJoin: per-query results equal the single-probe brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val knn = Similarity.knnJoin(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val qids = qs.collect().map(_.getLong(0))
+    assert(knn.map(_._1).toSet == qids.toSet)
+    qids.foreach { qid =>
+      // brute force for this one query: exclude the probe, top-5 by
+      // rounded score with vec_id tiebreak (the operator's exact order)
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("q_emb"))
+      val bf = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= qid)
+        .select(col("vec_id"),
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("s"))
+        .orderBy(desc("s"), asc("vec_id")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val got = knn.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(got == bf, s"query $qid: knn $got vs brute force $bf")
+    }
+  }
 }

@@ -128,4 +128,22 @@ class SketchSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(fp == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("repetition stats: hand-computed counts, empty doc, single token") {
+    graft.functions.Sketch.register(spark)
+    // "a b a c a b": 6 tokens, 3 distinct, top=3 (a);
+    // bigrams: [a b, b a, a c, c a, a b] → 5 total, 4 distinct
+    val r = docs(1L -> "a b a c a b", 2L -> "", 3L -> "solo")
+      .select(col("doc_id"),
+        graft.functions.Sketch.repetitionStats(
+          split(lower(trim(col("text"))), "\\s+")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getInt(5))).toMap
+    assert(r(1L) == ((6, 3, 3, 5, 4)))
+    // empty text tokenizes to one empty token (split semantics shared
+    // with the DuckDB oracle); no bigrams
+    assert(r(2L) == ((1, 1, 1, 0, 0)))
+    assert(r(3L) == ((1, 1, 1, 0, 0)))
+  }
 }
