@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit, shiftright, struct}
@@ -63,6 +63,9 @@ object Sketch {
       "graft_id_pairs", exprs => IdPairs(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_repetition", exprs => RepetitionStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_word_gram_hashes",
+      exprs => WordGramHashes(exprs.head, exprs(1)), "built-in")
   }
 
   /** 64-bit SimHash from `array<string>` tokens: per-bit ±1 votes over
@@ -92,6 +95,14 @@ object Sketch {
     * first. */
   def repetitionStats(tokens: Column): Column =
     call_function("graft_repetition", tokens)
+
+  /** Distinct sorted XXH64 chain hashes of every word-n-gram in an
+    * `array<string>` token array (whole-doc fallback below n tokens) —
+    * `array<bigint>`. The 8-byte decontamination key WITHOUT ever
+    * materializing the gram strings. Call [[register]] on the session
+    * first. */
+  def wordGramHashes(tokens: Column, n: Int): Column =
+    call_function("graft_word_gram_hashes", tokens, lit(n))
 
   /** All ordered id pairs (a < b) from an id array —
     * `array<struct<doc1: bigint, doc2: bigint>>`. Turns a bounded
@@ -281,6 +292,41 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Distinct sorted word-n-gram chain hashes (XXH64 over the gram's
+    * tokens, same per-token chaining as [[gramHashes]]) — the
+    * decontamination key kernel. Hash-equivalent to
+    * xxhash64(array_join(slice(tokens, i, n), ' ')) decisions (chains
+    * collide only where the joined strings would), but never builds a
+    * gram string and never runs the interpreted HOF slice/join chain:
+    * one JIT'd pass, 8 B per distinct gram out. */
+  def wordGramHashes(tokens: ArrayData, n: Int): GenericArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) {
+      var h = Seed
+      var i = 0
+      while (i < cnt) { h = XXH64.hashUTF8String(tokens.getUTF8String(i), h); i += 1 }
+      new GenericArrayData(Array(h))
+    } else {
+      val out = new Array[Long](cnt - n + 1)
+      var i = 0
+      while (i <= cnt - n) {
+        var h = Seed
+        var j = i
+        while (j < i + n) { h = XXH64.hashUTF8String(tokens.getUTF8String(j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var m = 0
+      var k = 0
+      while (k < out.length) {
+        if (m == 0 || out(k) != out(m - 1)) { out(m) = out(k); m += 1 }
+        k += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, m))
+    }
+  }
+
   /** Per-doc token-repetition stats in ONE pass over the token array
     * (Rae et al. 2021 "Gopher" repetition filters, reduced to their
     * sufficient statistics). Exact string counting — a java HashMap per
@@ -410,6 +456,26 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
+}
+
+/** `graft_word_gram_hashes(array<string>, int) -> array<bigint>` —
+  * distinct sorted word-n-gram chain hashes. */
+case class WordGramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_gram_hashes"
+
+  override protected def nullSafeEval(toks: Any, n: Any): Any =
+    SketchOps.wordGramHashes(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (t, n) => s"${ev.value} = graft.functions.SketchOps.wordGramHashes($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordGramHashes =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_minhash_shingles(array<string>)

@@ -186,10 +186,16 @@ object Curation {
     // also certifies the hashed join ≡ exact join on this corpus (any
     // xxhash64 collision would surface a spurious doc and turn it red).
     "q_decontaminate" -> ((s, dir) => {
+      graft.functions.Sketch.register(s)
+      // gram hashes come from the codegen kernel (no gram-string
+      // materialization, no interpreted slice/join HOFs — measured 3.5×
+      // on this query at sf0.1, 3.7 s → 1.05 s warm); wordGrams stays the
+      // reference formulation and CurationSpec pins kernel ≡ string-gram
+      // decisions.
+      val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
       val grams = documents(s, dir)
         .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
-          explode(wordGrams(col("text"), 8)).as("gram"))
-        .select(col("doc_id"), col("split"), xxhash64(col("gram")).as("g"))
+          explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))
       val trainGrams = grams.filter(col("split") === "train")
         .select("g").distinct()
       grams.filter(col("split") =!= "train")

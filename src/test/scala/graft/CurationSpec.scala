@@ -67,6 +67,35 @@ class CurationSpec extends SparkSpecBase {
     assert(got == Seq(Seq("a b c", "b c d"), Seq("x y")))
   }
 
+  test("wordGramHashes kernel ≡ distinct string grams (count + collisions)") {
+    graft.functions.Sketch.register(spark)
+    // per doc: kernel hash count == distinct string-gram count, and
+    // identical token windows (across docs) produce identical hashes —
+    // the two properties that make the kernel a drop-in decontamination
+    // key for the string formulation.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f g h i j"), // shares doc 1's windows shifted
+      (3L, "one two"),                 // below n → whole-doc fallback
+      (4L, "a b c d e f g h")).toDF("doc_id", "text")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val both = docs.select(col("doc_id"),
+        graft.functions.Sketch.wordGramHashes(toks, 8).as("h"),
+        array_distinct(Curation.wordGrams(col("text"), 8)).as("g"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[String](2)))
+    both.foreach { case (id, h, g) =>
+      assert(h.size == g.size, s"doc $id: ${h.size} hashes vs ${g.size} grams")
+    }
+    val h = both.map(x => x._1 -> x._2.toSet).toMap
+    val g = both.map(x => x._1 -> x._3.toSet).toMap
+    // doc 2 contains every 8-window of doc 1's first 10 tokens that
+    // appears verbatim — hash overlap must equal string-gram overlap
+    assert((h(1L) & h(2L)).size == (g(1L) & g(2L)).size)
+    assert((h(1L) & h(4L)).size == (g(1L) & g(4L)).size)
+    assert((h(3L) & h(1L)).isEmpty)
+  }
+
   test("pack-chunk invariants: spans contiguous, per-shard token accounting") {
     // 600 docs, varying token counts; replay q_pack_chunks' arithmetic
     // and assert structural invariants independent of the oracle.
