@@ -175,6 +175,27 @@ object Curation {
       stratifiedSample(documents(s, dir), "lang")
         .orderBy("doc_id")),
 
+    // quartile length filter: keep each source's longest quartile — the
+    // drop-short-documents curation rule as a per-stratum quantile cut,
+    // not a global threshold (per-source corpora have different length
+    // regimes; a global cut empties the short-form source). NTILE over
+    // a total integer order is engine-exact — no float quantile
+    // boundaries anywhere — and the one shuffle is the per-source
+    // window; the aggregation reuses its partitioning.
+    "q_quartile_filter" -> ((s, dir) => {
+      val bySource = Window.partitionBy("source")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          ntile(4).over(bySource).as("quartile"))
+        .filter(col("quartile") === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").as("chars_kept"),
+          min("n_chars").as("len_cutoff"))
+        .orderBy("source")
+    }),
+
     // benchmark decontamination: every valid/test doc sharing ≥1 word-
     // 8-gram with ANY train doc — the standard train/eval leakage check.
     // Shape at 100 TB: the gram stream is narrow until the two shuffles
@@ -408,6 +429,17 @@ object Curation {
         |         count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |WHERE rn <= (n + 9) // 10
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_quartile_filter" ->
+      """SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+        |       min(n_chars) AS len_cutoff
+        |FROM (
+        |  SELECT source, n_chars,
+        |         ntile(4) OVER (PARTITION BY source
+        |                        ORDER BY n_chars DESC, doc_id) AS quartile
+        |  FROM documents)
+        |WHERE quartile = 1
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }
