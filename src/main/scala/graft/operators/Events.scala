@@ -45,6 +45,23 @@ object Events {
           sum(col("value").cast(Money)).cast(Money).cast(DoubleType).as("total_value"))
         .orderBy("h", "event_type")),
 
+    // stream-static dimension enrichment, batch twin: events left-join
+    // the customer dim on user_id (broadcast — the fact side never
+    // shuffles for the join; unmatched users land in 'UNKNOWN'), then
+    // per-segment totals. The streaming side (EventStream.enriched) runs
+    // the IDENTICAL stateless join incrementally; EventStreamSpec
+    // asserts row-level streaming ≡ batch. Money sums go through
+    // DECIMAL(19,4) (order-independent) before the final double render.
+    "q_enrich_events" -> ((s, dir) =>
+      events(s, dir)
+        .join(broadcast(graft.queries.Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(Money)).cast(Money).cast(DoubleType).as("total_value"))
+        .orderBy("segment")),
+
     // JSON property extraction + aggregation.
     "q_events_json" -> ((s, dir) =>
       events(s, dir)
@@ -147,6 +164,12 @@ object Events {
         |       event_type, count(*) AS n,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+    "q_enrich_events" ->
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |       count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(e.value AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS total_value

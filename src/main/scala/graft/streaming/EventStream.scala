@@ -163,6 +163,22 @@ object EventStream {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-static dimension enrichment: the event stream left-joins a
+    * STATIC customer dim on user_id — stateless (no watermark, no state
+    * store; the static side is re-broadcast per micro-batch, picking up
+    * dim updates between batches). The production lookup-join shape:
+    * at 100 TB/day ingest the fact stream never shuffles; only the
+    * bounded dim moves. Batch twin: q_enrich_events (DuckDB-oracled
+    * aggregate over the identical join). */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        org.apache.spark.sql.functions.broadcast(
+          dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("value"))
+
   /** Streaming exact dedup: drop duplicate event_ids within the
     * watermark horizon — the streaming twin of the exact-dedup batch
     * operator (state per key is bounded by the watermark, so this runs

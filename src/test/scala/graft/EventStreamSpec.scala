@@ -26,6 +26,25 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("enriched (stream-static left join, Append) == batch join row set") {
+    import org.apache.spark.sql.functions._
+    val dim = graft.queries.Tables.customer(spark, TestSpark.Sf0001)
+    val stream = EventStream.enriched(
+      EventStream.readEvents(spark, TestSpark.Sf0001), dim)
+    val q = EventStream.runToMemory(stream, "enrich_test", OutputMode.Append)
+    q.awaitTermination()
+    val streamed = spark.table("enrich_test")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val batch = EventStream.enriched(
+        graft.queries.Tables.events(spark, TestSpark.Sf0001), dim)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // the aggregate over the same join is the oracle-gated batch twin
+    val agg = Events.queries("q_enrich_events")(spark, TestSpark.Sf0001)
+      .agg(sum("n_events")).collect().head.getLong(0)
+    assert(agg == streamed.size)
+  }
+
   test("sessionCounts (flatMapGroupsWithState) == q_sessionize (batch)") {
     val stream = EventStream.sessionCounts(
       EventStream.readEvents(spark, TestSpark.Sf0001))
