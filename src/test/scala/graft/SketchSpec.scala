@@ -129,6 +129,59 @@ class SketchSpec extends SparkSpecBase {
     assert(fp == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("repetition stats ≡ brute-force Scala counting on random docs (property)") {
+    import org.scalacheck.Gen
+    graft.functions.Sketch.register(spark)
+    val wordGen = Gen.oneOf("a", "b", "c", "dd", "e f".replace(" ", ""), "x")
+    val docGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    val docsIn = samples(docGen, 60).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val got = docs(docsIn: _*)
+      .select(col("doc_id"),
+        graft.functions.Sketch.repetitionStats(
+          split(lower(trim(col("text"))), "\\s+")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getInt(5))).toMap
+    docsIn.foreach { case (id, text) =>
+      // reference semantics: split on whitespace runs of the trimmed,
+      // lowered text (empty text → one empty token, like the kernel input)
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val expect = (toks.size, toks.distinct.size,
+        toks.groupBy(identity).values.map(_.size).max,
+        math.max(0, toks.size - 1), bigrams.distinct.size)
+      assert(got(id) == expect, s"doc $id '$text': ${got(id)} vs $expect")
+    }
+  }
+
+  test("wordGramHashes ≡ distinct string grams on random docs (property)") {
+    import org.scalacheck.Gen
+    graft.functions.Sketch.register(spark)
+    val wordGen = Gen.oneOf("w1", "w2", "w3", "w4")
+    val docGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, wordGen))
+    val docsIn = samples(docGen, 60).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    // n=3 exercises both the windowed path and the whole-doc fallback
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val rows = docs(docsIn: _*)
+      .select(col("doc_id"),
+        graft.functions.Sketch.wordGramHashes(toks, 3).as("h"),
+        array_distinct(graft.operators.Curation.wordGrams(col("text"), 3)).as("g"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).size == r.getSeq[String](2).size,
+        s"doc ${r.getLong(0)}: hash/string gram count mismatch")
+    }
+    // cross-doc: equal string-gram sets ⇒ equal hash sets (collision-free
+    // chaining on this vocabulary)
+    val byGrams = rows.groupBy(_.getSeq[String](2).toSet)
+    byGrams.values.foreach { grp =>
+      assert(grp.map(_.getSeq[Long](1).toSet).distinct.size == 1)
+    }
+  }
+
   test("repetition stats: hand-computed counts, empty doc, single token") {
     graft.functions.Sketch.register(spark)
     // "a b a c a b": 6 tokens, 3 distinct, top=3 (a);
