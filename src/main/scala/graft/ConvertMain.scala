@@ -4,19 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ops.Convert
 import graft.schema.HogiaSchema
-import graft.sources.ParquetTableIO
+import graft.sources.{ParquetTableIO, SqliteTableIO, TableIO}
 
 /** CLI entry with the reference's flag surface (O1,
-  * `hhek2sqlite.go:1205-1228`): `-optin=<dir>` source root,
-  * `-optout=<dir>` target root, `-backa` reverse direction, `-readonly`
-  * accepted for compatibility (parquet mirror reads are always
-  * read-only). Table roots are parquet "jet-dump" mirrors (one dir per
-  * table, SURVEY.md §7.3); swap [[graft.sources.JdbcTableIO]] in when a
-  * real Access/SQLite JDBC driver is on the classpath.
+  * `hhek2sqlite.go:1205-1228`): `-optin=<path>` source,
+  * `-optout=<path>` target, `-backa` reverse direction, `-readonly`
+  * accepted for compatibility (mirror reads are always read-only).
+  * A path ending in `.db` is a REAL single-file SQLite database
+  * (graft.sources.SqliteFile — like the reference's forward output,
+  * `hhek2sqlite.go:1148-1165`); any other path is a parquet "jet-dump"
+  * mirror (one dir per table, SURVEY.md §7.3). Swap
+  * [[graft.sources.JdbcTableIO]] in when a real Access/SQLite JDBC
+  * driver is on the classpath.
   *
   * Pre-flight guards per the reference (`hhek2sqlite.go:1233-1242`):
   * forward requires the source to exist; reverse refuses to overwrite an
   * existing target. Exit code 1 on argument errors (`:1216`).
+  *
+  * Invocation note: table directories are non-ASCII (`Överföringar`,
+  * `LÅN` — §1.3 invariant 4), so the JVM must run under a UTF-8 locale
+  * (`LANG=C.UTF-8`); `sun.jnu.encoding` derives from the locale and a
+  * POSIX/C locale mangles the filenames at the syscall layer.
   */
 object ConvertMain {
   def main(args: Array[String]): Unit = {
@@ -46,8 +54,11 @@ object ConvertMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val source = new ParquetTableIO(in)
-      val sink = new ParquetTableIO(out)
+      def io(path: String): TableIO =
+        if (path.endsWith(".db")) new SqliteTableIO(path)
+        else new ParquetTableIO(path)
+      val source = io(in)
+      val sink = io(out)
       // pre-flight (reference: source must exist; reverse target must not)
       if (!source.exists(spark, HogiaSchema.byName("DtbVer"))) {
         System.err.println(s"källan saknas: $in")
