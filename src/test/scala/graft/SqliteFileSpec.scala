@@ -98,6 +98,19 @@ class SqliteFileSpec extends SparkSpecBase {
     assert(lines(5) == "3")
   }
 
+  test("reverse conversion FROM the real .db: identity survives (EP2)") {
+    val dir = Files.createTempDirectory("graft_sqlite_rev").toString
+    val back = new ParquetTableIO(s"$dir/mdb2")
+    Convert.konvertera(spark, new SqliteTableIO(dbPath), back, reverse = true)
+    val p = back.read(spark, HogiaSchema.byName("Personer"))
+    assert(p.select("Löpnr").orderBy("Löpnr").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L))
+    val t2 = back.read(spark, HogiaSchema.byName("Transaktioner"))
+      .filter(col("Löpnr") === 2).collect().head
+    assert(t2.getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("0.10")) == 0)
+    assert(t2.getAs[String]("Text") == "Tom € räksmörgås")
+  }
+
   test("multi-page btree (interior pages): 2000 rows, real engine verified") {
     val dir = Files.createTempDirectory("graft_sqlite_big").toString
     val path = s"$dir/big.db"
