@@ -4,18 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ops.Convert
 import graft.schema.HogiaSchema
-import graft.sources.{ParquetTableIO, SqliteTableIO, TableIO}
+import graft.sources.{JetTableIO, ParquetTableIO, SqliteTableIO, TableIO}
 
 /** CLI entry with the reference's flag surface (O1,
   * `hhek2sqlite.go:1205-1228`): `-optin=<path>` source,
   * `-optout=<path>` target, `-backa` reverse direction, `-readonly`
   * accepted for compatibility (mirror reads are always read-only).
-  * A path ending in `.db` is a REAL single-file SQLite database
-  * (graft.sources.SqliteFile — like the reference's forward output,
-  * `hhek2sqlite.go:1148-1165`); any other path is a parquet "jet-dump"
-  * mirror (one dir per table, SURVEY.md §7.3). Swap
-  * [[graft.sources.JdbcTableIO]] in when a real Access/SQLite JDBC
-  * driver is on the classpath.
+  * A path ending in `.mdb` is a REAL Jet 2.0-era Access database,
+  * parsed natively read-only (graft.sources.JetFile — the reference's
+  * forward INPUT, `hhek2sqlite.go:1253-1279`); a path ending in `.db`
+  * is a REAL single-file SQLite database (graft.sources.SqliteFile —
+  * the reference's forward output, `hhek2sqlite.go:1148-1165`); any
+  * other path is a parquet "jet-dump" mirror (one dir per table,
+  * SURVEY.md §7.3). So `-optin=GOTEST1.MDB -optout=out.db` runs the
+  * reference's exact forward conversion with genuine artifacts on both
+  * ends. Swap [[graft.sources.JdbcTableIO]] in when a real Access/
+  * SQLite JDBC driver is on the classpath.
   *
   * Pre-flight guards per the reference (`hhek2sqlite.go:1233-1242`):
   * forward requires the source to exist; reverse refuses to overwrite an
@@ -55,7 +59,8 @@ object ConvertMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       def io(path: String): TableIO =
-        if (path.endsWith(".db")) new SqliteTableIO(path)
+        if (path.toLowerCase.endsWith(".mdb")) new JetTableIO(path)
+        else if (path.endsWith(".db")) new SqliteTableIO(path)
         else new ParquetTableIO(path)
       val source = io(in)
       val sink = io(out)
