@@ -144,6 +144,63 @@ class SqliteFileSpec extends SparkSpecBase {
     }
   }
 
+  test("randomized round-trip: special chars, NULLs, negatives, both decimal storage classes") {
+    val dir = Files.createTempDirectory("graft_sqlite_rand").toString
+    val path = s"$dir/rand.db"
+    val trans = HogiaSchema.byName("Transaktioner")
+    val rng = new scala.util.Random(4711)
+    val texts = Seq("", " ", "räksmörgås", "€uro", "it's", "a\"b", "tab\there",
+      "new\nline", "åäö ÅÄÖ", "semi;colon", "back\\slash")
+    def dec(): BigDecimal = // integral values exercise the INTEGER storage class
+      if (rng.nextInt(4) == 0) new BigDecimal(rng.nextInt(2000000) - 1000000).setScale(4)
+      else new BigDecimal(rng.nextLong() % 100000000L).movePointLeft(4).setScale(4)
+    val rows = (1 to 300).map { i =>
+      org.apache.spark.sql.Row(
+        i.toLong, texts(rng.nextInt(texts.size)), texts(rng.nextInt(texts.size)),
+        "Typ" + i, "2020-01-0" + (1 + i % 9), texts(rng.nextInt(texts.size)),
+        "Vem" + i, dec(), if (rng.nextBoolean()) null else dec(),
+        rng.nextBoolean(), texts(rng.nextInt(texts.size)))
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+      trans.schema)
+    new SqliteTableIO(path).truncateLoad(df, trans)
+
+    // own reader: field-for-field equality
+    val back = graft.sources.SqliteFile.readTable(path, trans)
+      .sortBy(_.getLong(0))
+    rows.zip(back).foreach { case (exp, got) =>
+      (0 until exp.size).foreach { i =>
+        (exp.get(i), got.get(i)) match {
+          case (a: BigDecimal, b: BigDecimal) =>
+            assert(a.compareTo(b) == 0, s"row ${exp.get(0)} col $i: $a vs $b")
+          case (a, b) => assert(a == b, s"row ${exp.get(0)} col $i: $a vs $b")
+        }
+      }
+    }
+
+    // real engine: canonical digest over (Löpnr, scaled Belopp, Text)
+    if (havePython) {
+      val expected = rows.map { r =>
+        val scaled = r.get(7).asInstanceOf[BigDecimal].movePointRight(4).longValueExact
+        s"${r.get(0)}$scaled${r.get(10)}"
+      }.mkString("")
+      val expMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = python(
+        s"""import sqlite3, hashlib
+           |c = sqlite3.connect('$path')
+           |rows = c.execute('SELECT Löpnr, Belopp, Text FROM Transaktioner ORDER BY Löpnr').fetchall()
+           |s = chr(30).join(f'{r[0]}'+chr(31)+str(round(r[1]*10000))+chr(31)+r[2] for r in rows)
+           |print(hashlib.md5(s.encode()).hexdigest())
+           |print(c.execute('PRAGMA integrity_check').fetchone()[0])""".stripMargin)
+      val lines = out.linesIterator.toSeq
+      assert(lines(1) == "ok")
+      assert(lines(0) == expMd5, "real-engine value digest mismatch")
+    }
+  }
+
   test("real SQLite engine can INSERT into the written file (writable db)") {
     assume(havePython, "python3 unavailable")
     // a copy, so other tests see the original
