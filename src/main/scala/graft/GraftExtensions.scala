@@ -44,5 +44,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => Cp1252Decode(es.head)),
     (FunctionIdentifier("graft_cp1252_encode"),
       info("graft_cp1252_encode", classOf[Cp1252Encode]),
-      (es: Seq[Expression]) => Cp1252Encode(es.head)))
+      (es: Seq[Expression]) => Cp1252Encode(es.head)),
+    (FunctionIdentifier("graft_id_pairs"), info("graft_id_pairs", classOf[IdPairs]),
+      (es: Seq[Expression]) => IdPairs(es.head)),
+    (FunctionIdentifier("graft_repetition"),
+      info("graft_repetition", classOf[RepetitionStats]),
+      (es: Seq[Expression]) => RepetitionStats(es.head)),
+    (FunctionIdentifier("graft_word_gram_hashes"),
+      info("graft_word_gram_hashes", classOf[WordGramHashes]),
+      (es: Seq[Expression]) => WordGramHashes(es(0), es(1))))
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Sketch, VectorOps}
+
+/** The SQL-text surface: every custom expression must be reachable from
+  * `spark.sql(...)` — the path a cluster deployment takes via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — and agree with
+  * the Column-API route. The injector's own builder list is applied to
+  * the session registry, so a drifted builder signature fails here. */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  private def inject(): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+  }
+
+  test("every GraftExtensions function is invocable from SQL text") {
+    inject()
+    val r = spark.sql(
+      """SELECT graft_simhash(array('a','b','c')) AS sh,
+        |       graft_minhash_shingles(array('a','b','c','d')).sig[0] AS mh,
+        |       graft_winnow('hello winnowing world') AS wf,
+        |       graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |       graft_srp64(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT))) AS srp,
+        |       graft_cp1252_decode(graft_cp1252_encode('€ räksmörgås')) AS rt,
+        |       graft_repetition(array('a','b','a')).top_count AS top,
+        |       size(graft_word_gram_hashes(array('a','b','c','d'), 3)) AS ng,
+        |       size(graft_id_pairs(array(3L, 1L, 2L))) AS np
+        |""".stripMargin).collect().head
+    assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getAs[String]("rt") == "€ räksmörgås")
+    assert(r.getSeq[Long](r.fieldIndex("wf")).nonEmpty)
+    assert(r.getAs[Int]("top") == 2)
+    assert(r.getAs[Int]("ng") == 2)
+    assert(r.getAs[Int]("np") == 3)
+  }
+
+  test("SQL route ≡ Column-API route (same kernels, same results)") {
+    inject()
+    Sketch.register(spark)
+    VectorOps.register(spark)
+    import testImplicits._
+    val df = Seq("the quick brown fox", "completely different text")
+      .toDF("text").select(split(col("text"), " ").as("toks"))
+    df.createOrReplaceTempView("sql_surface_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(toks) AS sh FROM sql_surface_docs")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(Sketch.simhashTokens(col("toks")).as("sh"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+}
