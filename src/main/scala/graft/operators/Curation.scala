@@ -69,19 +69,19 @@ object Curation {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts the min label among itself and its neighbors
+      // each node adopts the min label among itself and its neighbors;
+      // the convergence flag rides the same checkpointed frame, so
+      // detecting it is a narrow filter over materialized rows instead
+      // of a per-iteration re-join
       val neighborMin = e.join(labels, e("dst") === labels("node"))
         .groupBy(col("src")).agg(min("label").as("nl"))
       val next = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("node").as("pn"), col("label").as("pl")),
-          col("node") === col("pn"))
-        .filter(col("label") < col("pl"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select("node", "label")
       converged = changed == 0
       iter += 1
     }
