@@ -22,7 +22,7 @@ final case class Col(
 }
 
 /** Secondary-index metadata (reference creates these only on the Jet side,
-  * reverse mode — 17 CREATE INDEX sites, e.g. `hhek2sqlite.go:91-93`).
+  * reverse mode — 15 CREATE INDEX statements, e.g. `hhek2sqlite.go:91-93`).
   * Spark has no indexes; this metadata is preserved so a JDBC sink can
   * re-emit the DDL and so the reverse-conversion contract is documentable.
   */
