@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.ops.Convert
 import graft.schema.HogiaSchema
-import graft.sources.{JetTableIO, ParquetTableIO, SqliteTableIO, TableIO}
+import graft.sources.{JetScriptTableIO, JetTableIO, ParquetTableIO, SqliteTableIO, TableIO}
 
 /** CLI entry with the reference's flag surface (O1,
   * `hhek2sqlite.go:1205-1228`): `-optin=<path>` source,
@@ -61,6 +61,7 @@ object ConvertMain {
       def io(path: String): TableIO =
         if (path.toLowerCase.endsWith(".mdb")) new JetTableIO(path)
         else if (path.endsWith(".db")) new SqliteTableIO(path)
+        else if (path.endsWith(".sql")) new JetScriptTableIO(path) // reverse script
         else new ParquetTableIO(path)
       val source = io(in)
       val sink = io(out)
