@@ -49,16 +49,23 @@ object Ingest {
   /** Enriched documents table, written once per (app, sf) — see module
     * doc. Returns a reader over the STORED parquet (scan sees only the
     * sketch columns; no text, no sketch expressions in the plan). */
-  def ensureSketchedDocs(s: SparkSession, dir: String): DataFrame = {
-    val path = scratch(s, dir, "docs_sketched")
-    Sketch.register(s)
-    val docs = documents(s, dir)
+  /** The one narrow sketch pass (doc_id, sig, sh_set, simhash) — shared
+    * verbatim by the batch ingest below and the Structured Streaming
+    * twin (graft.streaming.SketchStream), so the two paths cannot
+    * drift. */
+  def sketchProjection(docs: DataFrame): DataFrame = {
+    Sketch.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
         Sketch.minhashShingles(Dedup.tokens(col("text"))).as("f"),
         Sketch.simhashTokens(Dedup.tokens(col("text"))).as("simhash"))
       .select(col("doc_id"), col("f.sig").as("sig"),
         col("f.sh_set").as("sh_set"), col("simhash"))
+  }
+
+  def ensureSketchedDocs(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "docs_sketched")
+    sketchProjection(documents(s, dir))
       .write.mode("ignore").parquet(path)
     s.read.parquet(path)
   }

@@ -45,6 +45,18 @@ class EventStreamSpec extends SparkSpecBase {
     assert(agg == streamed.size)
   }
 
+  test("streaming sketch ingest (SketchStream) == batch stored-sketch table") {
+    val stream = graft.streaming.SketchStream.sketchStream(spark, TestSpark.Sf0001)
+    val q = EventStream.runToMemory(stream, "sketch_ingest_test", OutputMode.Append)
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "sig", "simhash").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    val streamed = canon(spark.table("sketch_ingest_test"))
+    val batch = canon(graft.operators.Ingest.ensureSketchedDocs(spark, TestSpark.Sf0001))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("sessionCounts (flatMapGroupsWithState) == q_sessionize (batch)") {
     val stream = EventStream.sessionCounts(
       EventStream.readEvents(spark, TestSpark.Sf0001))
