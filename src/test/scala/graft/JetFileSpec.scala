@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.Convert
 import graft.schema.HogiaSchema
-import graft.sources.{JetTableIO, SqliteTableIO}
+import graft.sources.{JetFile, JetTableIO, SqliteTableIO}
 
 /** The native Jet 2.0 reader against the reference's REAL binary fixture
   * (`/root/reference/GOTEST1.MDB`, read-only) — the same checkDB1
@@ -83,6 +83,28 @@ class JetFileSpec extends SparkSpecBase {
     val b = io.read(spark, HogiaSchema.byName("Budget"))
     assert(b.count() == 34)
     assert(b.filter(col("Typ") === lit("Livsmedel")).count() >= 1)
+  }
+
+  test("malformed inputs are rejected loudly, never misparsed") {
+    val dir = Files.createTempDirectory("graft_jet_neg").toString
+    // a real SQLite file is not a Jet database
+    val sqlitePath = s"$dir/not_a_jet.db"
+    graft.sources.SqliteFile.write(sqlitePath,
+      Seq((HogiaSchema.byName("Personer"), Seq.empty)))
+    intercept[IllegalArgumentException](JetFile.open(sqlitePath))
+    // truncated / non-page-aligned files
+    val trunc = s"$dir/trunc.mdb"
+    Files.write(java.nio.file.Paths.get(trunc), Array.fill[Byte](1000)(1))
+    intercept[IllegalArgumentException](JetFile.open(trunc))
+    // and the Jet reader is read-only by contract
+    assume(available)
+    intercept[UnsupportedOperationException] {
+      io.truncateLoad(
+        io.read(spark, HogiaSchema.byName("Personer")), HogiaSchema.byName("Personer"))
+    }
+    // a Jet file is not a SQLite database either
+    intercept[IllegalArgumentException](
+      graft.sources.SqliteFile.readTable(MdbPath, HogiaSchema.byName("Personer")))
   }
 
   test("END-TO-END with real artifacts: GOTEST1.MDB → real SQLite .db") {
