@@ -205,18 +205,26 @@ object Similarity {
     * q_tfidf_terms) and vec_id makes the order total, so the phase-1
     * prune keeps a superset of the global top-k by construction. */
   def knnJoin(emb: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
     val scored = emb.crossJoin(broadcast(queriesDf))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"),
-        spark_partition_id().as("pid"))
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Two-phase per-query top-k over (q_id, vec_id, score) rows: local
+    * rank keyed by the scan partition id (skew-proof), then the global
+    * rank over ≤ partitions×k survivors per query. Shared by the exact
+    * and IVF kNN joins. */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val local = Window.partitionBy(col("q_id"), col("pid"))
       .orderBy(desc("score"), asc("vec_id"))
     val global = Window.partitionBy(col("q_id"))
       .orderBy(desc("score"), asc("vec_id"))
     scored
+      .withColumn("pid", spark_partition_id())
       .withColumn("lrn", row_number().over(local))
       .filter(col("lrn") <= k)
       .withColumn("rnk", row_number().over(global))
