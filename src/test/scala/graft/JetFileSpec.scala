@@ -76,6 +76,18 @@ class JetFileSpec extends SparkSpecBase {
     assert(saldo.compareTo(new BigDecimal("0.9")) == 0)
   }
 
+  test("every table decodes through schema coercion without loss of count") {
+    assume(available)
+    // Budget's 34 seed rows exercise BYTE, SMALLINT, BIT and 12 MONEY
+    // columns; the empty tables exercise zero-row btrees
+    val counts = HogiaSchema.copyOrder.map(t =>
+      t.name -> io.read(spark, t).count()).toMap
+    assert(counts == Map(
+      "DtbVer" -> 1L, "Platser" -> 1L, "Personer" -> 3L, "Konton" -> 1L,
+      "BetalKonton" -> 0L, "Överföringar" -> 0L, "Betalningar" -> 0L,
+      "LÅN" -> 0L, "Budget" -> 34L, "Transaktioner" -> 3L))
+  }
+
   test("real MDB holds data the parquet mirror never had (Budget seeds)") {
     assume(available)
     // the Hogia app seeds the Budget matrix — only visible through the

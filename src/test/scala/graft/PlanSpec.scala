@@ -90,6 +90,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("batched IVF kNN prunes cell partitions; the window keys the scan pid") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val p = plan(graft.operators.Ingest.knnJoinIvfStored(
+      spark, TestSpark.Sf0001, qs, 5, nProbe = 4))
+    assert(p.contains("PartitionFilters: [cell#") || p.contains("cell IN ("),
+      s"probed-cell union must prune at the scan:\n$p")
+    assert(p.contains("hashpartitioning(q_id#") && p.contains(", pid#"),
+      s"local top-k must spread over (q_id, pid):\n$p")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective join") {
     // The petabyte pruning step q_decontaminate's docstring names: when
     // one join side is small-after-filter, Catalyst's InjectRuntimeFilter
