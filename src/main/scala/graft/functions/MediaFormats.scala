@@ -37,13 +37,21 @@ object MediaFormats {
 
   /** Sniff the container from magic bytes and decode — the real-world
     * entry point (mime labels lie; bytes do not). */
-  def decode(bytes: Array[Byte]): MediaInfo =
+  def decode(bytes: Array[Byte]): MediaInfo = decode(bytes, 1)
+
+  /** Decode with decimation `stride` — the resize / frame-sample pass:
+    * images report the nearest-neighbor downsample (every stride-th
+    * pixel in both axes, measured in IMAGE coordinates regardless of
+    * storage order), audio every stride-th sample. stride = 1 is the
+    * plain decode. One pass over the payload either way (PNG unfilter
+    * must reconstruct every pixel regardless — decimation is free). */
+  def decode(bytes: Array[Byte], stride: Int): MediaInfo =
     if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
-        bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
-    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+        bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes, stride)
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes, stride)
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
-        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') decodeWav(bytes)
+        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') decodeWav(bytes, stride)
     else MediaInfo("unknown", 0, 0, 0L, 0L, ok = false)
 
   // --- PNG -------------------------------------------------------------
@@ -126,7 +134,9 @@ object MediaFormats {
     * inflate, unfilter (all five types), gray-value sum. Non-grayscale /
     * non-8-bit files report their header dimensions with ok = false
     * rather than throwing (pipeline stages skip, not crash). */
-  def decodePng(bytes: Array[Byte]): MediaInfo = {
+  def decodePng(bytes: Array[Byte]): MediaInfo = decodePng(bytes, 1)
+
+  def decodePng(bytes: Array[Byte], stride: Int): MediaInfo = {
     var ok = bytes.length > 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i))
     var off = 8
     var width = 0; var height = 0; var bitDepth = 0; var colorType = -1
@@ -194,13 +204,15 @@ object MediaFormats {
           case 3 => (v + (left + up) / 2) & 0xFF
           case 4 => (v + paeth(left, up, ul)) & 0xFF
         }
-        sum += cur(x)
+        if (y % stride == 0 && x % stride == 0) sum += cur(x)
         x += 1
       }
       System.arraycopy(cur, 0, prev, 0, width)
       y += 1
     }
-    MediaInfo("png", width, height, width.toLong * height, sum, ok = true)
+    val rw = (width + stride - 1) / stride
+    val rh = (height + stride - 1) / stride
+    MediaInfo("png", rw, rh, rw.toLong * rh, sum, ok = true)
   }
 
   // --- BMP -------------------------------------------------------------
@@ -257,7 +269,9 @@ object MediaFormats {
     * (equal to B and G for our grayscale frames; for true color this is
     * the red-plane sum). Handles both bottom-up (h > 0) and top-down
     * (h < 0) row order. */
-  def decodeBmp(bytes: Array[Byte]): MediaInfo = {
+  def decodeBmp(bytes: Array[Byte]): MediaInfo = decodeBmp(bytes, 1)
+
+  def decodeBmp(bytes: Array[Byte], stride: Int): MediaInfo = {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
       return MediaInfo("bmp", 0, 0, 0L, 0L, ok = false)
     val dataOff = readLe32(bytes, 10)
@@ -273,18 +287,21 @@ object MediaFormats {
     if (!ok)
       return MediaInfo("bmp", width, height, width.toLong * math.max(height, 0), 0L, ok = false)
     var sum = 0L
-    var row = 0
-    while (row < height) {
-      // stored row `row` is image row (height-1-row) when bottom-up
-      val base = dataOff + row * rowBytes
+    var y = 0 // IMAGE row; bottom-up storage puts it at stored row h-1-y
+    while (y < height) {
+      val storedRow = if (rawH > 0) height - 1 - y else y
+      val base = dataOff + storedRow * rowBytes
       var x = 0
       while (x < width) {
-        sum += bytes(base + x * 3 + 2) & 0xFF // R channel
+        if (y % stride == 0 && x % stride == 0)
+          sum += bytes(base + x * 3 + 2) & 0xFF // R channel
         x += 1
       }
-      row += 1
+      y += 1
     }
-    MediaInfo("bmp", width, height, width.toLong * height, sum, ok = true)
+    val rw = (width + stride - 1) / stride
+    val rh = (height + stride - 1) / stride
+    MediaInfo("bmp", rw, rh, rw.toLong * rh, sum, ok = true)
   }
 
   // --- WAV -------------------------------------------------------------
@@ -314,7 +331,9 @@ object MediaFormats {
     * chunks like LIST), |amplitude| sum over 16-bit mono samples.
     * width/height repurposed as (sampleRate, 0) so MediaInfo stays
     * uniform — callers read sampleRate from `width`. */
-  def decodeWav(bytes: Array[Byte]): MediaInfo = {
+  def decodeWav(bytes: Array[Byte]): MediaInfo = decodeWav(bytes, 1)
+
+  def decodeWav(bytes: Array[Byte], stride: Int): MediaInfo = {
     if (bytes.length < 44) return MediaInfo("wav", 0, 0, 0L, 0L, ok = false)
     var sampleRate = 0; var channels = 0; var bits = 0
     var nSamples = 0L; var sum = 0L
@@ -334,11 +353,14 @@ object MediaFormats {
           sawFmt = fmt == 1 && channels == 1 && bits == 16
         case "data" =>
           sawData = true
-          nSamples = len / 2
+          val total = len / 2
+          nSamples = (total + stride - 1) / stride
           var i = 0
-          while (i < nSamples) {
-            val s = (readLe16(bytes, off + 8 + i * 2) << 16) >> 16 // sign-extend
-            sum += math.abs(s)
+          while (i < total) {
+            if (i % stride == 0) {
+              val s = (readLe16(bytes, off + 8 + i * 2) << 16) >> 16 // sign-extend
+              sum += math.abs(s)
+            }
             i += 1
           }
         case _ => () // ancillary RIFF chunks skipped

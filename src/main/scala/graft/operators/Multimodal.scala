@@ -129,6 +129,24 @@ object Multimodal {
       })
   }
 
+  /** Resize / frame-sample pass: nearest-neighbor decimation by `stride`
+    * DURING decode (images: every stride-th pixel per axis in image
+    * coordinates; audio: every stride-th sample). PNG unfiltering must
+    * reconstruct every pixel anyway, so the downsample is free — one
+    * pass, fixed-width output, the thumbnail-metrics shape at scale. */
+  def resizeFeatures(media: DataFrame, stride: Int): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val info = MediaFormats.decode(
+          Option(r.payload).getOrElse(Array.emptyByteArray), stride)
+        MediaFeatures(r.media_id, r.mime, info.width, info.height,
+          info.nUnits, info.valueSum, info.ok)
+      })
+  }
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -149,6 +167,22 @@ object Multimodal {
     // additionally pins per-chunk CRC verification to TRUE.
     "q_multimodal_features" -> ((s, dir) =>
       extractFeatures(mediaFrame(documents(s, dir))).toDF()
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n_media"),
+          sum("width").cast(LongType).as("sum_width"),
+          sum("height").cast(LongType).as("sum_height"),
+          sum("n_units").as("sum_units"),
+          sum("value_sum").as("sum_values"),
+          min(col("ok").cast(IntegerType)).cast(BooleanType).as("all_ok"))
+        .orderBy("mime")),
+
+    // resize / frame-sample (×2 nearest-neighbor decimation during the
+    // real decode): the oracle recomputes every resized dimension and
+    // even-coordinate pixel / even-index amplitude sum from the
+    // generator formulas, so a half-pixel indexing slip (e.g. sampling
+    // odd rows, or forgetting BMP's bottom-up storage) flips the hash.
+    "q_multimodal_resize" -> ((s, dir) =>
+      resizeFeatures(mediaFrame(documents(s, dir)), 2).toDF()
         .groupBy("mime")
         .agg(count(lit(1)).as("n_media"),
           sum("width").cast(LongType).as("sum_width"),
@@ -201,6 +235,46 @@ object Multimodal {
          |             range(0, (8 + doc_id % 7) * (8 + (doc_id // 7) % 7)),
          |             i -> (i % (8 + doc_id % 7) +
          |                   3 * (i // (8 + doc_id % 7)) + doc_id) % 256))
+         |    END AS value_sum
+         |  FROM documents)
+         |SELECT mime, count(*) AS n_media,
+         |       CAST(sum(width) AS BIGINT) AS sum_width,
+         |       CAST(sum(height) AS BIGINT) AS sum_height,
+         |       CAST(sum(n_units) AS BIGINT) AS sum_units,
+         |       CAST(sum(value_sum) AS BIGINT) AS sum_values,
+         |       TRUE AS all_ok
+         |FROM m GROUP BY 1 ORDER BY mime""".stripMargin,
+    // ×2 decimation: resized dims are ceil(orig/2) = (orig+1)//2; image
+    // pixel (rx, ry) samples original (2rx, 2ry) → (2rx + 6ry + d) % 256;
+    // audio keeps every even sample index.
+    "q_multimodal_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $mimeCase AS mime,
+         |    CASE WHEN doc_id % 3 = 0 THEN (8 + doc_id % 9 + 1) // 2
+         |         WHEN doc_id % 3 = 2 THEN (8 + doc_id % 7 + 1) // 2
+         |         ELSE (CASE (doc_id // 3) % 3 WHEN 0 THEN 8000
+         |               WHEN 1 THEN 16000 ELSE 44100 END) END AS width,
+         |    CASE WHEN doc_id % 3 = 0 THEN (8 + (doc_id // 9) % 9 + 1) // 2
+         |         WHEN doc_id % 3 = 2 THEN (8 + (doc_id // 7) % 7 + 1) // 2
+         |         ELSE 0 END AS height,
+         |    CASE WHEN doc_id % 3 = 1 THEN (200 + doc_id % 100 + 1) // 2
+         |         ELSE ((CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
+         |                     ELSE 8 + doc_id % 7 END + 1) // 2) *
+         |              ((CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id // 9) % 9
+         |                     ELSE 8 + (doc_id // 7) % 7 END + 1) // 2) END AS n_units,
+         |    CASE WHEN doc_id % 3 = 1 THEN
+         |           list_sum(list_transform(range(0, (200 + doc_id % 100 + 1) // 2),
+         |             i -> abs((2 * i * (doc_id % 251 + 3)) % 2003 - 1001)))
+         |         WHEN doc_id % 3 = 0 THEN
+         |           list_sum(list_transform(
+         |             range(0, ((8 + doc_id % 9 + 1) // 2) * ((8 + (doc_id // 9) % 9 + 1) // 2)),
+         |             i -> (2 * (i % ((8 + doc_id % 9 + 1) // 2)) +
+         |                   6 * (i // ((8 + doc_id % 9 + 1) // 2)) + doc_id) % 256))
+         |         ELSE
+         |           list_sum(list_transform(
+         |             range(0, ((8 + doc_id % 7 + 1) // 2) * ((8 + (doc_id // 7) % 7 + 1) // 2)),
+         |             i -> (2 * (i % ((8 + doc_id % 7 + 1) // 2)) +
+         |                   6 * (i // ((8 + doc_id % 7 + 1) // 2)) + doc_id) % 256))
          |    END AS value_sum
          |  FROM documents)
          |SELECT mime, count(*) AS n_media,
