@@ -101,6 +101,21 @@ object Multimodal {
     inlineSplit(rendered, InlineCap)
   }
 
+  /** The rendered media frame written ONCE per (app, corpus) — the same
+    * ingest-amortization pattern as Ingest.ensureSketchedDocs: media
+    * synthesis (standing in for the real upstream fetch/transcode) runs
+    * a single time and every metadata / decode / resize query reads the
+    * STORED binary column. The decode gates still parse real bytes —
+    * they just come off parquet, as they would in production. */
+  def ensureMediaFrame(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
+    val path = s"$root/${s.sparkContext.applicationId}/media_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    mediaFrame(graft.queries.Tables.documents(s, dir))
+      .write.mode("ignore").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Metadata derivation + inline-vs-reference split over a rendered
     * (media_id, mime, payload) frame. */
   def inlineSplit(rendered: DataFrame, cap: Int): DataFrame =
@@ -150,13 +165,15 @@ object Multimodal {
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // metadata-only aggregation — payload column pruned at the scan.
+    // metadata-only aggregation — inline/ref accounting derives from the
+    // scalar n_bytes column, so the stored frame's binary payload is
+    // PRUNED at the scan (MultimodalSpec asserts the ReadSchema).
     "q_multimodal_meta" -> ((s, dir) =>
-      mediaFrame(documents(s, dir))
+      ensureMediaFrame(s, dir)
         .groupBy("mime")
         .agg(count(lit(1)).as("n_media"),
-          count(col("payload")).as("n_inline"),
-          count(col("ref")).as("n_ref"))
+          count(when(col("n_bytes") <= InlineCap, 1)).as("n_inline"),
+          count(when(col("n_bytes") > InlineCap, 1)).as("n_ref"))
         .orderBy("mime")),
 
     // REAL decode: per-mime totals of parsed structure. The oracle
@@ -166,7 +183,7 @@ object Multimodal {
     // row order/padding, WAV chunk walk and sign extension. all_ok
     // additionally pins per-chunk CRC verification to TRUE.
     "q_multimodal_features" -> ((s, dir) =>
-      extractFeatures(mediaFrame(documents(s, dir))).toDF()
+      extractFeatures(ensureMediaFrame(s, dir)).toDF()
         .groupBy("mime")
         .agg(count(lit(1)).as("n_media"),
           sum("width").cast(LongType).as("sum_width"),
@@ -182,7 +199,7 @@ object Multimodal {
     // generator formulas, so a half-pixel indexing slip (e.g. sampling
     // odd rows, or forgetting BMP's bottom-up storage) flips the hash.
     "q_multimodal_resize" -> ((s, dir) =>
-      resizeFeatures(mediaFrame(documents(s, dir)), 2).toDF()
+      resizeFeatures(ensureMediaFrame(s, dir), 2).toDF()
         .groupBy("mime")
         .agg(count(lit(1)).as("n_media"),
           sum("width").cast(LongType).as("sum_width"),

@@ -152,11 +152,15 @@ class MultimodalSpec extends SparkSpecBase {
     assert(large.isNullAt(1) && large.getAs[String]("ref") == "ref://media/1")
   }
 
-  test("metadata-only query reads only doc_id from the corpus scan") {
-    val plan = Multimodal.queries("q_multimodal_meta")(spark, TestSpark.Sf0001)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
-      s"scan must read doc_id only:\n$plan")
-    assert(!plan.contains("text#"), "text must not be read")
+  test("metadata-only query never reads payload bytes from the stored frame") {
+    // the media frame is STORED once (ensureMediaFrame); the metadata
+    // aggregation's scan must prune the binary payload column — the
+    // whole point of columnar multimodal storage at 100 TB
+    val df = Multimodal.queries("q_multimodal_meta")(spark, TestSpark.Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<mime:string,n_bytes:bigint>"),
+      s"stored-frame scan must read only (mime, n_bytes):\n$plan")
+    assert(!plan.contains("payload"), "payload bytes must not be read")
+    assert(!plan.contains("text#"), "the raw corpus must not be read at all")
   }
 }
