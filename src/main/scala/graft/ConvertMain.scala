@@ -11,8 +11,9 @@ import graft.sources.{JetScriptTableIO, JetTableIO, ParquetTableIO, SqliteTableI
   * `-optout=<path>` target, `-backa` reverse direction, `-readonly`
   * accepted for compatibility (mirror reads are always read-only).
   * A path ending in `.mdb` is a REAL Jet 2.0-era Access database,
-  * parsed natively read-only (graft.sources.JetFile — the reference's
-  * forward INPUT, `hhek2sqlite.go:1253-1279`); a path ending in `.db`
+  * parsed AND created natively (graft.sources.JetFile — the reference's
+  * forward INPUT, `hhek2sqlite.go:1253-1279`, and its reverse-mode
+  * OUTPUT, `:1177-1202`); a path ending in `.db`
   * is a REAL single-file SQLite database (graft.sources.SqliteFile —
   * the reference's forward output, `hhek2sqlite.go:1148-1165`); any
   * other path is a parquet "jet-dump" mirror (one dir per table,
@@ -58,11 +59,14 @@ object ConvertMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      def io(path: String): TableIO =
-        if (path.toLowerCase.endsWith(".mdb")) new JetTableIO(path)
-        else if (path.endsWith(".db")) new SqliteTableIO(path)
-        else if (path.endsWith(".sql")) new JetScriptTableIO(path) // reverse script
+      def io(path: String): TableIO = {
+        val lower = path.toLowerCase // case-insensitive for ALL extensions:
+        // OUT.DB must hit the SQLite codec, not fall through to parquet
+        if (lower.endsWith(".mdb")) new JetTableIO(path)
+        else if (lower.endsWith(".db")) new SqliteTableIO(path)
+        else if (lower.endsWith(".sql")) new JetScriptTableIO(path) // reverse script
         else new ParquetTableIO(path)
+      }
       val source = io(in)
       val sink = io(out)
       // pre-flight (reference: source must exist; reverse target must not)

@@ -5,9 +5,9 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import graft.schema.HogiaTable
+import graft.schema.{Col, HogiaTable}
 
-/** Read-only pure-JVM parser for the Jet 2.0-era `.mdb` files the
+/** Pure-JVM reader AND writer for the Jet 2.0-era `.mdb` files the
   * reference actually converts (`hhek2sqlite.go:1253-1279` opens them via
   * ODBC; its own test fixture GOTEST1.MDB is this format — authored by
   * the mid-90s Hogia app, PRE-Jet3, so even mdbtools' documented formats
@@ -37,12 +37,26 @@ import graft.schema.HogiaTable
   *    never through a double); LONG/INT16/BYTE little-endian;
   *    REAL4/REAL8 IEEE.
   *
-  * Scope: rows with 1-byte var boundaries (row length ≤ 255 — every
-  * Hogia fixture row; longer rows fail loudly rather than misparse),
-  * no MEMO/OLE payload decode (the only memo column, LÅN.Anteckningar,
-  * is surfaced as NULL), read-only (reverse-mode .mdb creation requires
-  * the Windows ADOX/COM surface per the reference, `hhek2sqlite.go:
-  * 1177-1202` — no JVM analog exists).
+  * Scope: rows with 1-byte var boundaries (var section ending ≤ byte 255
+  * — every Hogia fixture row; longer rows fail loudly rather than
+  * misparse), no MEMO/OLE payload decode (the only memo column,
+  * LÅN.Anteckningar, is surfaced as NULL).
+  *
+  * [[write]] is the symmetric encoder — it replaces the reference's
+  * reverse-mode ADOX/COM file creation (`hhek2sqlite.go:1177-1202`,
+  * Windows-only) with a direct emission of the same page format the
+  * reader parses, closing the `db_test.go:120-136` round-trip
+  * (mdb → db → mdb, checkDB1 replayed on the result). Structural
+  * choices mirror the fixture byte-for-byte where observable: all-zero
+  * header page except the 0x01 magic, self-owned TDEF pages, data pages
+  * with owner/rowcount/free-offset header and rows packed downward from
+  * the page end. Divergences (documented, loud where lossy): no index
+  * pages are emitted (the reader ignores them; `JetScript` carries the
+  * 15 CREATE INDEX statements), a NULL TEXT value between two non-NULL
+  * var columns reads back as "" (the 1-byte-boundary row form cannot
+  * mark interior var NULLs; trailing NULL vars are truncated and do
+  * round-trip), and a non-empty MEMO payload throws rather than write
+  * an LVAL page chain.
   */
 object JetFile {
 
@@ -183,19 +197,226 @@ object JetFile {
       s"$path is not a Jet database")
     new Db(bytes)
   }
+
+  // ---- writer ------------------------------------------------------------
+
+  /** (Jet type code, fixed byte size) for a schema column — the codes the
+    * reader's decode switch consumes. BITs are fixed columns of size 0
+    * (the null-mask bit IS the value). */
+  private def jetCode(c: Col): (Int, Int) = c.jetType match {
+    case "COUNTER" | "Integer" => (4, 4) // LONG
+    case "Currency" => (5, 8) // scaled int64
+    case "Single" => (6, 4) // REAL4
+    case "SMALLINT" => (3, 2) // INT16
+    case "Bit" => (1, 0)
+    case t if t.startsWith("Text") => (10, 0) // var
+    case "Memo" => (12, 0) // var (payload write unsupported — loud)
+    case t => throw new IllegalArgumentException(s"no Jet type code for $t (${c.name})")
+  }
+
+  private def isFixedType(c: Col): Boolean = jetCode(c)._1 < 10
+
+  /** Strings travel as Windows-1252 (single-byte, pre-Unicode Jet);
+    * unmappable characters fail loudly rather than write `?`. */
+  private def toCp1252(s: String, col: String): Array[Byte] =
+    try {
+      val bb = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+        .encode(java.nio.CharBuffer.wrap(s))
+      java.util.Arrays.copyOfRange(bb.array(), bb.position(), bb.limit())
+    } catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          s"$col value not representable in Windows-1252: '$s'", e)
+    }
+
+  /** Inverse of [[Db.parseRow]]: [len u16][nFixed u8][nVar u8][fixed]
+    * [var bytes][var bounds, descending][nVar u8][null mask]. */
+  private def encodeRow(
+      nFixed: Int, fixed: Array[Byte], mask: Array[Byte],
+      vars: Seq[Array[Byte]]): Array[Byte] = {
+    val nVar = vars.size
+    val varLen = vars.map(_.length).sum
+    require(4 + fixed.length + varLen <= 255,
+      s"row var section ends past byte 255 (${4 + fixed.length + varLen}) — " +
+        "the 1-byte-boundary Jet row form cannot hold it")
+    val len = 4 + fixed.length + varLen + (nVar + 1) + 1 + mask.length
+    val row = new Array[Byte](len)
+    row(0) = (len & 0xFF).toByte; row(1) = ((len >> 8) & 0xFF).toByte
+    row(2) = nFixed.toByte; row(3) = nVar.toByte
+    System.arraycopy(fixed, 0, row, 4, fixed.length)
+    var off = 4 + fixed.length
+    val bounds = new Array[Int](nVar + 1)
+    bounds(0) = off
+    vars.zipWithIndex.foreach { case (v, i) =>
+      System.arraycopy(v, 0, row, off, v.length)
+      off += v.length
+      bounds(i + 1) = off
+    }
+    val offEnd = len - mask.length - 1
+    (0 to nVar).foreach(i => row(offEnd - 1 - i) = bounds(i).toByte)
+    row(offEnd) = nVar.toByte
+    System.arraycopy(mask, 0, row, offEnd + 1, mask.length)
+    row
+  }
+
+  /** One user row → on-page bytes, per the schema's slot assignment
+    * (fixed slots ascend 0.. in declaration order; var slots descend
+    * from 0xFF in declaration order — matching [[Db.readTable]]). */
+  private def encodeUserRow(table: HogiaTable, row: Row): Array[Byte] = {
+    val fixedCols = table.cols.filter(isFixedType)
+    val varCols = table.cols.filter(!isFixedType(_))
+    val mask = new Array[Byte]((fixedCols.size + 7) / 8)
+    val fixed = new java.io.ByteArrayOutputStream()
+    def putLE(v: Long, n: Int): Unit =
+      (0 until n).foreach(i => fixed.write(((v >> (8 * i)) & 0xFF).toInt))
+    fixedCols.zipWithIndex.foreach { case (c, i) =>
+      val v = row.get(row.fieldIndex(c.name))
+      val (code, size) = jetCode(c)
+      val present = code match {
+        case 1 =>
+          require(v != null, s"${table.name}.${c.name}: Jet BITs are non-nullable")
+          v.asInstanceOf[Boolean] // the mask bit IS the value
+        case _ if v == null => putLE(0L, size); false
+        case 4 =>
+          val l = v match { case l: Long => l; case i: Int => i.toLong }
+          require(l >= Int.MinValue && l <= Int.MaxValue,
+            s"${table.name}.${c.name}: $l exceeds Jet LONG range")
+          putLE(l & 0xFFFFFFFFL, 4); true
+        case 3 => putLE(v.asInstanceOf[Short].toLong & 0xFFFF, 2); true
+        case 5 => // CURRENCY: exact scaled 10⁻⁴ int64, never through a double
+          val d = v.asInstanceOf[java.math.BigDecimal]
+            .setScale(4, java.math.RoundingMode.UNNECESSARY)
+          putLE(d.unscaledValue().longValueExact(), 8); true
+        case 6 =>
+          putLE(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xFFFFFFFFL, 4)
+          true
+        case other => throw new IllegalArgumentException(
+          s"unsupported fixed Jet type $other for ${table.name}.${c.name}")
+      }
+      if (present) mask(i / 8) = (mask(i / 8) | (1 << (i % 8))).toByte
+    }
+    // Trailing NULL vars are truncated (how the format marks them);
+    // an interior NULL must be written as "" — documented divergence.
+    val varValsFull = varCols.map { c =>
+      val v = row.get(row.fieldIndex(c.name))
+      val (code, _) = jetCode(c)
+      if (v == null) null
+      else {
+        require(code != 12 || v.asInstanceOf[String].isEmpty,
+          s"${table.name}.${c.name}: MEMO payload write unsupported (LVAL pages)")
+        toCp1252(v.asInstanceOf[String], s"${table.name}.${c.name}")
+      }
+    }
+    val lastLive = varValsFull.lastIndexWhere(_ != null)
+    val vars = varValsFull.take(lastLive + 1).map(v =>
+      if (v == null) Array.emptyByteArray else v)
+    encodeRow(fixedCols.size, fixed.toByteArray, mask, vars)
+  }
+
+  /** Create a complete `.mdb` holding `tables` — the reference's
+    * reverse-mode output artifact (replacing ADOX/COM + ODBC DDL,
+    * `hhek2sqlite.go:1177-1202`), readable by [[open]] and by the same
+    * decode path verified against the real fixture. */
+  def write(path: String, tables: Seq[(HogiaTable, Seq[Row])]): Unit = {
+    val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def newPage(tpe: Int): Int = {
+      val a = new Array[Byte](PageSize)
+      a(0) = tpe.toByte
+      pages += a
+      pages.size - 1
+    }
+    def putU16(pg: Int, off: Int, v: Int): Unit = {
+      pages(pg)(off) = (v & 0xFF).toByte
+      pages(pg)(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def putU32(pg: Int, off: Int, v: Long): Unit = {
+      putU16(pg, off, (v & 0xFFFF).toInt); putU16(pg, off + 2, ((v >> 16) & 0xFFFF).toInt)
+    }
+    def tdefPage(): Int = {
+      val no = newPage(0x05)
+      putU32(no, 4, no) // TDEF pages are self-owned in the fixture
+      no
+    }
+
+    newPage(0x01) // page 0: all-zero header except the magic (as the fixture)
+    newPage(0x07) // page 1: page-usage map slot (opaque to the reader)
+    tdefPage() // page 2: database object TDEF (fixture layout)
+    val objTdef = tdefPage() // page 3: MSysObjects
+    val colTdef = tdefPage() // page 4: MSysColumns
+    require(objTdef == 3 && colTdef == 4, "catalog TDEFs must land on pages 3/4")
+
+    /** Pack encoded rows into 0x06 data pages owned by `owner`. */
+    def dataPages(owner: Int, rows: Seq[Array[Byte]]): Unit = {
+      var pg = -1
+      var floor = 0
+      var count = 0
+      def flush(): Unit = if (pg >= 0) {
+        putU32(pg, 4, owner.toLong)
+        putU16(pg, 8, count)
+        putU16(pg, 10, floor) // free-space end = lowest live row offset
+      }
+      rows.foreach { r =>
+        if (pg < 0 || 20 + 2 * (count + 1) > floor - r.length) {
+          flush(); pg = newPage(0x06); floor = PageSize; count = 0
+        }
+        floor -= r.length
+        System.arraycopy(r, 0, pages(pg), floor, r.length)
+        putU16(pg, 20 + 2 * count, floor)
+        count += 1
+      }
+      flush()
+    }
+
+    val tdefOf = tables.map { case (t, _) => t.name -> tdefPage() }.toMap
+    tables.foreach { case (t, rows) =>
+      dataPages(tdefOf(t.name), rows.map(encodeUserRow(t, _)))
+    }
+
+    // MSysObjects: one row per table — [id LONG] + [name TEXT];
+    // the object id IS the table's TDEF page (what the reader resolves).
+    dataPages(objTdef, tables.map { case (t, _) =>
+      val id = new Array[Byte](4)
+      (0 until 4).foreach(i => id(i) = ((tdefOf(t.name) >> (8 * i)) & 0xFF).toByte)
+      encodeRow(1, id, Array(0x01.toByte), Seq(toCp1252(t.name, "MSysObjects.Name")))
+    })
+
+    // MSysColumns: one row per column — fixed [objid LONG][ordinal INT16]
+    // [slot BYTE][size BYTE][type BYTE] (slot/size/type at fixed offsets
+    // 6/7/8, where the reader looks) + [name TEXT].
+    dataPages(colTdef, tables.flatMap { case (t, _) =>
+      val fixedCols = t.cols.filter(isFixedType)
+      val varCols = t.cols.filter(!isFixedType(_))
+      val slotted = fixedCols.zipWithIndex.map { case (c, i) => (c, i) } ++
+        varCols.zipWithIndex.map { case (c, j) => (c, 0xFF - j) }
+      slotted.zipWithIndex.map { case ((c, slot), ord) =>
+        val (code, size) = jetCode(c)
+        val fixed = new Array[Byte](9)
+        (0 until 4).foreach(i => fixed(i) = ((tdefOf(t.name) >> (8 * i)) & 0xFF).toByte)
+        fixed(4) = (ord & 0xFF).toByte; fixed(5) = ((ord >> 8) & 0xFF).toByte
+        fixed(6) = slot.toByte; fixed(7) = size.toByte; fixed(8) = code.toByte
+        encodeRow(5, fixed, Array(0x1F.toByte), Seq(toCp1252(c.name, "MSysColumns.Name")))
+      }
+    })
+
+    Files.write(Paths.get(path), pages.toArray.flatten)
+  }
 }
 
-/** Read-only TableIO over a real `.mdb` file — the forward-conversion
-  * SOURCE the reference reads through ODBC, here parsed natively.
-  * Values coerce to the HogiaSchema column types (money stays exact:
-  * CURRENCY's scaled int64 → DECIMAL(19,4) directly). Writing requires
-  * the Windows COM surface (reference reverse mode) and throws. */
+/** TableIO over a real `.mdb` file — the forward-conversion SOURCE the
+  * reference reads through ODBC (parsed natively) and, since the writer
+  * landed, the reverse-mode SINK it creates through ADOX/COM
+  * (`hhek2sqlite.go:1177-1202`, here emitted as the page format
+  * directly). Values coerce to the HogiaSchema column types (money
+  * stays exact: CURRENCY's scaled int64 → DECIMAL(19,4) directly).
+  * Truncate-load is read-modify-write of the whole file — the correct
+  * semantics for a single-file export format, same as [[SqliteTableIO]];
+  * the file is re-opened per read so a write is never served stale. */
 final class JetTableIO(path: String) extends TableIO {
 
-  private lazy val db = JetFile.open(path)
+  private var loaded: Map[String, (HogiaTable, Seq[Row])] = Map.empty
 
   override def read(spark: SparkSession, table: HogiaTable): DataFrame = {
-    val rows = db.readTable(table.name).map { m =>
+    val rows = JetFile.open(path).readTable(table.name).map { m =>
       Row.fromSeq(table.cols.map { c =>
         coerce(m.getOrElse(c.name, null), c.spark)
       })
@@ -220,11 +441,15 @@ final class JetTableIO(path: String) extends TableIO {
     case (other, t) => throw new IllegalArgumentException(s"cannot coerce $other to $t")
   }
 
-  override def truncateLoad(df: DataFrame, table: HogiaTable): Unit =
-    throw new UnsupportedOperationException(
-      "Jet .mdb creation requires the ADOX/COM surface (reference reverse mode, " +
-        "hhek2sqlite.go:1177-1202) — no JVM analog exists; JetTableIO is read-only")
+  override def truncateLoad(df: DataFrame, table: HogiaTable): Unit = {
+    if (loaded.isEmpty && Files.exists(Paths.get(path)))
+      Files.delete(Paths.get(path))
+    val ordered = df.select(table.cols.map(c =>
+      org.apache.spark.sql.functions.col(s"`${c.name}`")): _*)
+    loaded += table.name -> ((table, ordered.collect().toSeq))
+    JetFile.write(path, loaded.values.toSeq)
+  }
 
   override def exists(spark: SparkSession, table: HogiaTable): Boolean =
-    Files.exists(Paths.get(path)) && db.catalog.contains(table.name)
+    Files.exists(Paths.get(path)) && JetFile.open(path).catalog.contains(table.name)
 }

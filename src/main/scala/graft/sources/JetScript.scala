@@ -10,13 +10,16 @@ import graft.ops.Transforms
 import graft.schema.HogiaTable
 
 /** Write-only TableIO that emits the reverse conversion as an EXECUTABLE
-  * Jet SQL script — the honest maximum for reverse mode in a JVM: the
+  * Jet SQL script — the statement-level view of reverse mode: the
   * reference creates the physical `.mdb` through the Windows-only
-  * ADOX/COM surface (`hhek2sqlite.go:1177-1202`, no JVM analog), then
-  * issues Jet-dialect DDL + literal INSERTs over ODBC. Everything AFTER
-  * the COM call is plain SQL text, reproduced here statement for
-  * statement so a driver-equipped Windows deployment (or UCanAccess
-  * session) can replay it into a real Access file:
+  * ADOX/COM surface (`hhek2sqlite.go:1177-1202`), then issues
+  * Jet-dialect DDL + literal INSERTs over ODBC. Everything AFTER the
+  * COM call is plain SQL text, reproduced here statement for statement
+  * so a driver-equipped Windows deployment (or UCanAccess session) can
+  * replay it into a real Access file. (The binary artifact itself is
+  * also produced natively now — `JetFile.write` via a `.mdb` target —
+  * so the script is the auditable/portable form, including the 15
+  * CREATE INDEX statements the page writer does not materialize.)
   *
   *  - `CREATE TABLE` in the Jet dialect (`HogiaTable.jetDdl`, verified
   *    against the reference literals by SchemaSpec);

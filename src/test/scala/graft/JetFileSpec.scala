@@ -108,15 +108,113 @@ class JetFileSpec extends SparkSpecBase {
     val trunc = s"$dir/trunc.mdb"
     Files.write(java.nio.file.Paths.get(trunc), Array.fill[Byte](1000)(1))
     intercept[IllegalArgumentException](JetFile.open(trunc))
-    // and the Jet reader is read-only by contract
-    assume(available)
-    intercept[UnsupportedOperationException] {
-      io.truncateLoad(
-        io.read(spark, HogiaSchema.byName("Personer")), HogiaSchema.byName("Personer"))
-    }
     // a Jet file is not a SQLite database either
+    assume(available)
     intercept[IllegalArgumentException](
       graft.sources.SqliteFile.readTable(MdbPath, HogiaSchema.byName("Personer")))
+  }
+
+  test("writer round-trips the golden fixture through a real .mdb file") {
+    val dir = Files.createTempDirectory("graft_jet_write").toString
+    val mdbPath = s"$dir/fresh.mdb"
+    val io2 = new JetTableIO(mdbPath)
+    val fixture = Convert.goldenFixture(spark)
+    HogiaSchema.copyOrder.foreach(t => io2.truncateLoad(fixture(t.name), t))
+    // the file IS a Jet database by the reader's own gate
+    val db = JetFile.open(mdbPath)
+    HogiaSchema.copyOrder.foreach(t =>
+      assert(db.catalog.contains(t.name), s"missing ${t.name} in catalog"))
+    // golden values survive the binary round trip, exact decimals included
+    val p = io2.read(spark, HogiaSchema.byName("Personer"))
+      .orderBy("Löpnr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(p.toSeq == Seq(
+      (1L, "Gemensamt", "0", "Gemensamt"),
+      (2L, "Person Ett", "1999", "Man"),
+      (3L, "Person Två", "2001", "Kvinna")))
+    val t = io2.read(spark, HogiaSchema.byName("Transaktioner"))
+      .orderBy("Löpnr").collect()
+    assert(t.length == 3)
+    assert(t(0).getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("1.10")) == 0)
+    assert(t(1).getAs[String]("Text") == "Tom € räksmörgås") // cp1252 € = 0x80
+    assert(t.forall(_.isNullAt(t(0).fieldIndex("Saldo")))) // NULL CURRENCY
+    assert(t.forall(!_.getAs[Boolean]("Fastöverföring"))) // BIT in the mask
+    // empty strings stay "" (never conflated with NULL: F6 is a convert
+    // rule, not a storage rule)
+    val pl = io2.read(spark, HogiaSchema.byName("Platser")).collect().head
+    assert(pl.getAs[String]("Gironummer") == "")
+    // empty tables exist with zero rows
+    assert(io2.read(spark, HogiaSchema.byName("LÅN")).count() == 0)
+  }
+
+  test("writer failure modes are loud: oversized rows, memo payloads") {
+    val dir = Files.createTempDirectory("graft_jet_neg2").toString
+    val pers = HogiaSchema.byName("Personer")
+    val big = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "x" * 300, "0", "M")), pers.schema)
+    val e = intercept[IllegalArgumentException](
+      new JetTableIO(s"$dir/big.mdb").truncateLoad(big, pers))
+    assert(e.getMessage.contains("255"))
+    val lan = HogiaSchema.byName("LÅN")
+    val withMemo = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        Seq(1L, "L", "E", "N", null, null, null, null, null, null, null, null,
+          null, null, null, null, null, null, null, null, null, null, null,
+          "some notes", null, null, null): _*)), lan.schema)
+    val e2 = intercept[IllegalArgumentException](
+      new JetTableIO(s"$dir/memo.mdb").truncateLoad(withMemo, lan))
+    assert(e2.getMessage.contains("MEMO"))
+    // unmappable text (cp1252 has no ∑) is rejected, not silently '?'-ed
+    val bad = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "∑", "0", "M")), pers.schema)
+    val e3 = intercept[IllegalArgumentException](
+      new JetTableIO(s"$dir/bad.mdb").truncateLoad(bad, pers))
+    assert(e3.getMessage.contains("Windows-1252"))
+  }
+
+  test("FULL ROUND TRIP (db_test.go:83-140): GOTEST1.MDB → .db → .mdb, checkDB1 replayed") {
+    assume(available)
+    val dir = Files.createTempDirectory("graft_jet_rt").toString
+    val dbPath = s"$dir/mellan.db"
+    val backPath = s"$dir/back.mdb"
+    // forward pass (reference Test1 first pass)
+    Convert.konvertera(spark, io, new SqliteTableIO(dbPath))
+    // reverse pass (second pass, -backa): real binary .mdb out
+    val backIo = new JetTableIO(backPath)
+    Convert.konvertera(spark, new SqliteTableIO(dbPath), backIo, reverse = true)
+    // third pass: checkDB1's golden assertions against the ROUND-TRIPPED
+    // binary (db_test.go:120-136) — counts, persons, transactions, saldo
+    val counts = HogiaSchema.copyOrder.map(t =>
+      t.name -> backIo.read(spark, t).count()).toMap
+    assert(counts == Map(
+      "DtbVer" -> 1L, "Platser" -> 1L, "Personer" -> 3L, "Konton" -> 1L,
+      "BetalKonton" -> 0L, "Överföringar" -> 0L, "Betalningar" -> 0L,
+      "LÅN" -> 0L, "Budget" -> 34L, "Transaktioner" -> 3L))
+    val p = backIo.read(spark, HogiaSchema.byName("Personer"))
+      .orderBy("Löpnr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(p.toSeq == Seq(
+      (1L, "Gemensamt", "0", "Gemensamt"),
+      (2L, "Person Ett", "1999", "Man"),
+      (3L, "Person Två", "2001", "Kvinna")))
+    val t = backIo.read(spark, HogiaSchema.byName("Transaktioner"))
+      .orderBy("Löpnr").collect()
+    assert(t.length == 3)
+    assert(t(0).getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("1.10")) == 0)
+    assert(t(1).getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("0.10")) == 0)
+    assert(t(2).getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("0.10")) == 0)
+    assert(t.forall(_.isNullAt(t(0).fieldIndex("Saldo")))) // F7 held through
+    assert(t(1).getAs[String]("Text") == "Tom € räksmörgås")
+    assert(t(2).getAs[String]("Text") == "Tom € RÄKSMÖRGÅS")
+    assert(t.forall(_.getAs[String]("Datum") == "2020-12-24"))
+    val k = backIo.read(spark, HogiaSchema.byName("Konton"))
+      .filter(col("Benämning") === "Plånboken").collect().head
+    assert(k.getAs[BigDecimal]("Saldo").compareTo(new BigDecimal("0.9")) == 0)
+    // Budget's 34 seed rows survive both hops (MONEY×12, SMALLINT, text)
+    val b = backIo.read(spark, HogiaSchema.byName("Budget"))
+    assert(b.filter(col("Typ") === lit("Livsmedel")).count() >= 1)
+    // and the reference fixture itself was never touched
+    assert(Files.size(java.nio.file.Paths.get(MdbPath)) == 163840L)
   }
 
   test("END-TO-END with real artifacts: GOTEST1.MDB → real SQLite .db") {
