@@ -242,9 +242,32 @@ object Dedup {
         .orderBy("doc1", "doc2")
     }),
 
-    // SimHash sketches per doc (deterministic 64-bit values).
-    "q_simhash" -> ((s, dir) =>
-      simhash(documents(s, dir)).orderBy("doc_id")),
+    // SimHash kernel invariants, per doc — engine-portable booleans that
+    // are MATHEMATICALLY true of a correct implementation (votes are a
+    // position-free sum over token occurrences; the tokenizer collapses
+    // \s+ and trims), so the oracle can pin literal `true` per row
+    // without needing DuckDB to compute a simhash:
+    //  - pad_inv:   leading/trailing whitespace never changes the sketch
+    //  - ws_inv:    any \s+ run separates tokens identically
+    //  - order_inv: a permutation of the token multiset (reverse) is
+    //               sketch-identical — votes sum commutatively
+    //  - scale_inv: doubling the doc ("text text") scales every bit's
+    //               vote by 2, which cannot change any sign
+    // The raw 64-bit sketch dump stays a test artifact (SketchSpec pins
+    // golden values); these booleans make the gate hash-checkable.
+    "q_simhash" -> ((s, dir) => {
+      Sketch.register(s)
+      val sh = (t: Column) => Sketch.simhashTokens(tokens(t))
+      documents(s, dir).select(
+        col("doc_id"),
+        (sh(col("text")) === sh(concat(lit("  "), col("text"), lit(" ")))).as("pad_inv"),
+        (sh(col("text")) === Sketch.simhashTokens(
+          tokens(regexp_replace(col("text"), " ", "\n")))).as("ws_inv"),
+        (sh(col("text")) === Sketch.simhashTokens(
+          reverse(tokens(col("text"))))).as("order_inv"),
+        (sh(col("text")) === sh(concat(col("text"), lit(" "), col("text")))).as("scale_inv")
+      ).orderBy("doc_id")
+    }),
 
     // SimHash near-dup: banding sized to the threshold + hamming verify,
     // under a FORCED-RECALL gate. Hamming-≤3 pairs are inherently
@@ -276,20 +299,49 @@ object Dedup {
         .select(col("doc_id"), size(col("fps")).as("n_fps"))
         .orderBy("doc_id")),
 
-    // MOSS-style near-dup: top-100 pairs by shared winnow fingerprints.
-    // Deliberately rows-only: winnowing's ground truth is SUBSTRING
-    // sharing (≥ K+W−1 = 11 normalized bytes), which DuckDB cannot
-    // brute-force (all-pairs LCS), and which measurably diverges from
-    // the word-3-gram Jaccard oracle (at sf0.1 the J ≥ 0.5 set is 256
-    // pairs; the shared-rare-fingerprint set overlaps it at 226 —
-    // different metric, not an error). The substring guarantee and the
-    // ranking are asserted in SketchSpec instead.
-    "q_near_dup_winnow" -> ((s, dir) =>
-      winnowPairs(documents(s, dir), minShared = 5)
-        .orderBy(desc("shared"), asc("doc1"), asc("doc2"))
-        .limit(100)
-        .select("doc1", "doc2", "shared")
-        .orderBy("doc1", "doc2"))
+    // MOSS-style near-dup under a FORCED-RECALL gate (the simhash trick:
+    // winnowing's organic ground truth is SUBSTRING sharing ≥ K+W−1 = 11
+    // normalized bytes, which DuckDB cannot brute-force — all-pairs LCS —
+    // so plant pairs whose outcome is PROVABLE instead). Union the corpus
+    // with identical copies (ids +10M): a copy pair shares its doc's
+    // ENTIRE distinct fingerprint set, so with the posting cap scaled 2×
+    // (every df doubles in the doubled corpus), pair (d, d+10M) must
+    // surface with `shared` EXACTLY equal to d's count of cap-surviving
+    // fingerprints. Eligibility (which docs have ≥ minShared
+    // cap-surviving fingerprints) is computed from the sketch + a df
+    // groupBy — NOT through the posting-list pair kernel under test. Two
+    // pinned literals: recall 1.0 (every eligible planted pair found) and
+    // shared-exactness 1.0 (the IdPairs kernel + count aggregation are
+    // exact, not just nonzero). Organic pairs are still mined the same
+    // way; the substring guarantee itself is asserted in SketchSpec.
+    "q_near_dup_winnow" -> ((s, dir) => {
+      val minShared = 5
+      val maxP = 64
+      val docs = documents(s, dir).select("doc_id", "text")
+      val twin = docs.select(
+        (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      val found =
+        winnowPairs(docs.unionByName(twin), minShared, maxPostings = 2 * maxP)
+      val fp = winnowFeatures(docs)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxP)
+      val eligible = fp.join(rare, "fp")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+        .filter(col("n_rare") >= minShared)
+      val matched = eligible
+        .select(col("doc_id").as("doc1"),
+          (col("doc_id") + lit(10000000L)).as("doc2"), col("n_rare"))
+        .join(found, Seq("doc1", "doc2"))
+      matched
+        .agg(count(lit(1)).cast(DoubleType).as("n_found"),
+          sum(when(col("shared") === col("n_rare"), 1).otherwise(0))
+            .cast(DoubleType).as("n_exact"))
+        .crossJoin(eligible.agg(count(lit(1)).cast(DoubleType).as("n_eligible")))
+        .select(
+          (col("n_found") / col("n_eligible")).as("planted_recall"),
+          (col("n_exact") / col("n_eligible")).as("shared_exact_frac"))
+    })
   )
 
   /** Brute-force all-pairs exact word-3-gram Jaccard ≥ 0.5 in DuckDB —
@@ -328,6 +380,14 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_near_dup_minhash" -> allPairsJaccardSql,
     "q_near_dup_simhash" -> "SELECT CAST(1.0 AS DOUBLE) AS planted_recall",
+    // invariants provably true of a correct kernel (see the query comment)
+    "q_simhash" ->
+      """SELECT doc_id, true AS pad_inv, true AS ws_inv,
+        |       true AS order_inv, true AS scale_inv
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_near_dup_winnow" ->
+      """SELECT CAST(1.0 AS DOUBLE) AS planted_recall,
+        |       CAST(1.0 AS DOUBLE) AS shared_exact_frac""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
