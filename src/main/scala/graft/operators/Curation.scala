@@ -20,14 +20,13 @@ import graft.queries.Tables.documents
   *    functions partition by stratum for sampling) — they pipeline inside
   *    the scan stage or one bounded shuffle per stratum.
   *  - Connected components materializes the (tiny) near-dup edge list
-  *    once, then iterates min-label propagation over it: per iteration
-  *    one join + one groupBy on the EDGE list (≪ corpus), O(diameter)
-  *    iterations with an early-exit convergence check. Duplicate
-  *    clusters are shallow (near-dup similarity is near-transitive), so
-  *    diameter is small in practice; for adversarial diameters the
-  *    large-star/small-star variant (Kiveris et al., "Connected
-  *    Components in MapReduce and Beyond", SoCC'14) drops iterations to
-  *    O(log² n) — same join shape, worth it only past ~10⁹ edges.
+  *    once, then runs alternating large-star/small-star contraction
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    SoCC'14) over it: per round two groupBy+join passes on the EDGE
+  *    list (≪ corpus), rounds growing with log(diameter) — so an
+  *    adversarially long near-dup chain (crawl boilerplate drift)
+  *    cannot blow the iteration cap the way O(diameter) min-label
+  *    propagation would.
   *  - Lineage is truncated every iteration (localCheckpoint; at cluster
   *    scale, checkpoint to the shared FS) so plan depth stays O(1).
   */
@@ -55,38 +54,74 @@ object Curation {
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
-  /** Min-label propagation connected components over an undirected edge
-    * list (doc1, doc2). Returns (doc_id, cluster_id = min id reachable);
-    * only nodes that appear in an edge are returned. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col("doc1").as("src"), col("doc2").as("dst"))
-      .unionByName(edges.select(col("doc2").as("src"), col("doc1").as("dst")))
-      .localCheckpoint() // materialize once: iterations must not re-run
-                         // the (expensive) edge-producing lineage
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+  /** Connected components over an undirected edge list (doc1, doc2) via
+    * ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Returns (doc_id,
+    * cluster_id = min id reachable); only nodes that appear in an edge
+    * are returned.
+    *
+    * Why not min-label propagation: that converges in O(graph diameter)
+    * rounds, and crawl-data near-dup graphs contain long chains — a
+    * 1000-hop chain would blow any practical iteration cap. Star
+    * contraction halves long paths every round (each round rewires every
+    * node toward its neighborhood minimum), so rounds grow with
+    * log(diameter) — CurationSpec pins a planted 1000-node chain to
+    * ≤ 2·log₂(n) rounds.
+    *
+    * Per round, each step is one groupBy + one join over the EDGE list
+    * (≪ corpus), and the edge set only shrinks toward the star forest.
+    * Convergence is a VERIFIED fixpoint (next round's edge set equals
+    * the current one): at a fixpoint the edges form min-centered stars —
+    * a leaf with two centers or a center chain is provably rewired by
+    * the next small-star, so it cannot survive the equality check. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsImpl(edges, maxIter)._1
+
+  /** Implementation that also reports rounds used (spec hook for the
+    * logarithmic-convergence bound). */
+  private[graft] def connectedComponentsImpl(
+      edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    // canonical strict (u > v) edge set, materialized once: iterations
+    // must not re-run the (expensive) edge-producing lineage
+    var e = edges.select(
+        greatest(col("doc1"), col("doc2")).as("u"),
+        least(col("doc1"), col("doc2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // each node adopts the min label among itself and its neighbors;
-      // the convergence flag rides the same checkpointed frame, so
-      // detecting it is a narrow filter over materialized rows instead
-      // of a per-iteration re-join
-      val neighborMin = e.join(labels, e("dst") === labels("node"))
-        .groupBy(col("src")).agg(min("label").as("nl"))
-      val next = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).as("chg"))
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR: every strictly-larger neighbor of n re-links to
+      // m = min(N(n) ∪ {n}) — preserves connectivity, shortcuts paths
+      val adj = e.select(col("u").as("n"), col("v").as("nb"))
+        .unionByName(e.select(col("v").as("n"), col("u").as("nb")))
+      val lsm = adj.groupBy("n").agg(min("nb").as("mn"))
+        .select(col("n"), least(col("n"), col("mn")).as("m"))
+      val ls = adj.join(lsm, "n")
+        .filter(col("nb") > col("n"))
+        .select(col("nb").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: key = the larger endpoint u of each (u > v) edge;
+      // its smaller neighbors and u itself re-link to m = min(N_≤(u))
+      val ssm = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls.join(ssm, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssm.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint()
-      val changed = next.filter(col("chg")).limit(1).count()
-      labels = next.select("node", "label")
-      converged = changed == 0
-      iter += 1
+      // verified fixpoint: both frames are distinct and materialized, so
+      // equal counts + empty one-way difference ⟺ identical edge sets
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      rounds += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter iterations")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Distinct word-n-gram array per doc (whole-doc fallback below n

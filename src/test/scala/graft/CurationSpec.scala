@@ -32,6 +32,19 @@ class CurationSpec extends SparkSpecBase {
     assert(Curation.connectedComponents(edges).count() == 0)
   }
 
+  test("connectedComponents: 1000-node chain converges in O(log n) rounds") {
+    // the adversarial case VERDICT r3 flagged: a path graph of diameter
+    // 999 would need 999 rounds of min-label propagation (and abort at
+    // any practical cap); star contraction must close it in ≤ 2·log₂(n)
+    val edges = (1L until 1000L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val (labels, rounds) = Curation.connectedComponentsImpl(edges, maxIter = 25)
+    val cc = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 1000, s"expected all 1000 chain nodes, got ${cc.length}")
+    assert(cc.forall(_._2 == 1L), "every node must label to the chain minimum")
+    val bound = 2 * (math.log(1000.0) / math.log(2.0)).ceil.toInt // 20
+    assert(rounds <= bound, s"rounds=$rounds exceeds logarithmic bound $bound")
+  }
+
   test("splitColumn is deterministic and roughly proportioned") {
     val df = (0L until 1000L).toDF("doc_id")
       .select(col("doc_id"), Curation.splitColumn(col("doc_id")).as("split"))
