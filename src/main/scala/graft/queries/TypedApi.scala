@@ -56,7 +56,7 @@ object TypedApi {
       .filter(col("Löpnr") === löpnr)
       .select(col("Löpnr").as("löpnr"), col("Namn").as("namn"),
         col("Född").cast(IntegerType).as("birth"), col("Kön").as("sex"))
-      .as[Person].collect().headOption
+      .as[Person].limit(1).collect().headOption
   }
 
   /** db_test.go:439-440. */
@@ -67,7 +67,7 @@ object TypedApi {
       .select(col("Löpnr").as("löpnr"), col("Namn").as("namn"),
         col("Gironummer").as("gironummer"),
         (col("Typ") === "true").as("typ"), col("RefKonto").as("refKonto"))
-      .as[Plats].collect().headOption
+      .as[Plats].limit(1).collect().headOption
   }
 
   /** db_test.go:476-478. */
@@ -81,7 +81,7 @@ object TypedApi {
         col("Vad").as("what"), col("Vem").as("who"),
         col("Belopp").as("amount"), col("Saldo").as("saldo"),
         col("Fastöverföring").as("fixed"), col("Text").as("comment"))
-      .as[Transaktion].collect().headOption
+      .as[Transaktion].limit(1).collect().headOption
   }
 
   /** db_test.go:519-520. */
@@ -94,6 +94,6 @@ object TypedApi {
         col("StartSaldo").as("startSaldo"), col("StartManad").as("startManad"),
         col("SaldoArsskifte").as("saldoArsskifte"),
         col("ArsskifteManad").as("arsskifteManad"))
-      .as[Konto].collect().headOption
+      .as[Konto].limit(1).collect().headOption
   }
 }

@@ -295,6 +295,15 @@ object SqliteFile {
       // are records of (key columns..., rowid) in BINARY collation order
       if (pkIdx < 0 && t.pk.nonEmpty) {
         val keyIdxs = t.pk.map(p => t.cols.indexWhere(_.name == p))
+        // The sort below compares raw serialized key bodies (memcmp),
+        // which matches SQLite's record comparison ONLY for a single
+        // TEXT key: an INTEGER key's big-endian body sorts by length
+        // first (255 = 0x00FF before 2 = 0x02 is wrong), and
+        // concatenating multi-column bodies erases column boundaries.
+        // Every current Hogia case is single-TEXT (DtbVer.VerNum);
+        // anything else must fail loudly, not corrupt the index.
+        require(keyIdxs.size == 1 && t.cols(keyIdxs.head).spark == StringType,
+          s"${t.name}: autoindex ordering supports a single TEXT PK column only")
         val cellsWithKeys = withIds.zip(rows).map { case ((rowid, _), r) =>
           val keyVals = keyIdxs.map(ki => toSVal(r, ki, t.cols(ki).spark))
           val rec = record(keyVals :+ sInt(rowid))
@@ -495,8 +504,13 @@ object SqliteFile {
       new java.math.BigDecimal(l).setScale(d.scale)
     case (x: Double, d: DecimalType) =>
       // REAL back to exact decimal via the shortest repr (how the
-      // reference's shopspring parse sees SQLite's rendering)
-      new java.math.BigDecimal(java.lang.Double.toString(x)).setScale(d.scale)
+      // reference's shopspring parse sees SQLite's rendering). HALF_UP:
+      // beyond double's ~15 significant digits the shortest repr can
+      // carry more decimals than the declared scale — a legal stored
+      // value must round on read, not throw (the write-side double
+      // boundary is documented as inherited from the reference).
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(d.scale, java.math.RoundingMode.HALF_UP)
     case (x: Double, FloatType) => x.toFloat
     case (x: Double, DoubleType) => x
     case (s: String, StringType) => s

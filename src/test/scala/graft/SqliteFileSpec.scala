@@ -184,8 +184,8 @@ class SqliteFileSpec extends SparkSpecBase {
     if (havePython) {
       val expected = rows.map { r =>
         val scaled = r.get(7).asInstanceOf[BigDecimal].movePointRight(4).longValueExact
-        s"${r.get(0)}$scaled${r.get(10)}"
-      }.mkString("")
+        s"${r.get(0)}\u001f$scaled\u001f${r.get(10)}"
+      }.mkString("\u001e")
       val expMd5 = java.security.MessageDigest.getInstance("MD5")
         .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val out = python(
