@@ -133,10 +133,14 @@ object Dedup {
     * (maxHamming+1) contiguous bit-bands is equal — so the band count is
     * derived from the threshold (the round-1 version fixed 4 bands,
     * which only guarantees recall for hamming ≤ 3). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSketches(simhash(docs), maxHamming)
+
+  /** [[simhashPairs]] from a PRECOMPUTED (doc_id, simhash) frame — the
+    * stored-sketch / planted-twin path: no re-sketching. */
+  def simhashPairsFromSketches(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
     val numBands = maxHamming + 1
     require(numBands <= 64, s"maxHamming=$maxHamming needs $numBands bands > 64 bits")
-    val sh = simhash(docs)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array(Sketch.bandStructs(col("simhash"), numBands): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
@@ -176,8 +180,14 @@ object Dedup {
     * blow-up (sf0.1: one fingerprint in 3779/5000 docs ⇒ 10⁸ candidate
     * pairs, ~2 min; capped: seconds). Ubiquitous fingerprints carry no
     * discriminative signal — the same reason MOSS drops them. */
-  def winnowPairs(docs: DataFrame, minShared: Int, maxPostings: Int = 64): DataFrame = {
-    val f = winnowFeatures(docs)
+  def winnowPairs(docs: DataFrame, minShared: Int, maxPostings: Int = 64): DataFrame =
+    winnowPairsFromFeatures(winnowFeatures(docs), minShared, maxPostings)
+
+  /** [[winnowPairs]] from a PRECOMPUTED (doc_id, fps) frame — the
+    * stored-sketch / planted-twin path: no re-sketching. */
+  def winnowPairsFromFeatures(features: DataFrame, minShared: Int,
+      maxPostings: Int): DataFrame = {
+    val f = features
       .select(col("doc_id"), explode(col("fps")).as("fp"))
     // ONE shuffle builds the posting list per fingerprint (bounded by the
     // stop-fingerprint cap), then a narrow kernel emits its C(df,2)
@@ -282,14 +292,20 @@ object Dedup {
     // of the checkable output. SketchSpec covers hamming separation.)
     "q_near_dup_simhash" -> ((s, dir) => {
       val docs = documents(s, dir).select("doc_id", "text")
-      val corpus = docs.unionByName(
-        docs.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
-      val planted = docs.select(col("doc_id").as("doc1"),
+      // sketch ONCE, then twin the sketch frame (ids +10M): a copy's
+      // sketch is the same value by construction, so the corpus is not
+      // re-sketched for the twin side (kernel determinism/semantics are
+      // q_simhash's invariant gate; THIS gate exercises banding,
+      // self-join and dedup — which see the same inputs either way)
+      val sh = simhash(docs).localCheckpoint()
+      val corpus = sh.unionByName(
+        sh.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("simhash")))
+      val planted = sh.select(col("doc_id").as("doc1"),
         (col("doc_id") + lit(10000000L)).as("doc2"))
-      val found = simhashPairs(corpus, maxHamming = 3)
+      val found = simhashPairsFromSketches(corpus, maxHamming = 3)
       planted.join(found, Seq("doc1", "doc2"), "left_semi")
         .agg(count(lit(1)).cast(DoubleType).as("n_found"))
-        .crossJoin(docs.agg(count(lit(1)).cast(DoubleType).as("n_total")))
+        .crossJoin(sh.agg(count(lit(1)).cast(DoubleType).as("n_total")))
         .select((col("n_found") / col("n_total")).as("planted_recall"))
     }),
 
@@ -318,11 +334,16 @@ object Dedup {
       val minShared = 5
       val maxP = 64
       val docs = documents(s, dir).select("doc_id", "text")
-      val twin = docs.select(
-        (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
-      val found =
-        winnowPairs(docs.unionByName(twin), minShared, maxPostings = 2 * maxP)
-      val fp = winnowFeatures(docs)
+      // sketch ONCE (the eligibility side needs the same features), then
+      // twin the feature frame — identical fps by construction, so the
+      // pair-mining machinery under test sees the same postings while the
+      // corpus is fingerprinted a single time
+      val feats = winnowFeatures(docs).localCheckpoint()
+      val twin = feats.select(
+        (col("doc_id") + lit(10000000L)).as("doc_id"), col("fps"))
+      val found = winnowPairsFromFeatures(
+        feats.unionByName(twin), minShared, maxPostings = 2 * maxP)
+      val fp = feats
         .select(col("doc_id"), explode(col("fps")).as("fp"))
       val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxP)
