@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Amplify sf0.1 to a 10x "sf1" rehearsal dataset (builder tooling).
+
+The driver generates sf0.001/0.01/0.1 only; the scale rehearsal
+(VERDICT r3 item 7) needs one decade more. Amplification = 10
+key-shifted copies of every fact table (dims region/nation stay as-is),
+with foreign keys shifted consistently so every join still resolves.
+
+Copies must NOT be textual/vector duplicates of the originals — that
+would manufacture quadratic near-dup output (10-way dup cliques) and
+measure output explosion instead of operator scaling. So:
+ - documents copy k: tokens deterministically shuffled AND ~9% salted
+   with a per-copy suffix. Shuffling alone is NOT enough: simhash is
+   order-invariant by design, so pure permutations are sketch-identical
+   and would manufacture 10-way simhash cliques (quadratic buckets).
+   Salting changes the token multiset; near-dup pair counts stay
+   ~linear in sf for every sketch family.
+ - embeddings copy k: dimensions rotated by 7k (norms and value
+   distribution preserved; cosine to any other copy ~uncorrelated)
+ - events copy k: timestamps shifted by k * 100 days. Keeping the
+   original timespan would multiply temporal DENSITY 10x and grow every
+   time-window pair count ~100x — measuring data shape, not operators.
+
+Usage: python3 scripts/make_sf1.py [outdir]   (default target/sf1)
+"""
+import os
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
+COPIES = 10
+
+# table -> {column: per-copy key offset}
+KEY_SHIFTS = {
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
+    "part": {"p_partkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000,
+                 "l_suppkey": 100_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    # documents/embeddings ids stay far below the +10M planted-twin
+    # offset the dedup gates add on top
+    "documents": {"doc_id": 100_000},
+    "embeddings": {"vec_id": 100_000},
+}
+AS_IS = ["region", "nation"]
+
+
+def shifted(table: pa.Table, name: str, k: int) -> pa.Table:
+    cols = []
+    for field in table.schema:
+        col = table[field.name]
+        off = KEY_SHIFTS.get(name, {}).get(field.name)
+        if off:
+            col = pc.add(col, pa.scalar(k * off, type=field.type))
+        cols.append(col)
+    t = pa.table(cols, schema=table.schema)
+    if name == "documents" and k > 0:
+        rng = random.Random(k)
+        texts = []
+        for s in t["text"].to_pylist():
+            toks = s.split()
+            rng.shuffle(toks)
+            toks = [w + f"x{k}" if i % 11 == 0 else w
+                    for i, w in enumerate(toks)]
+            texts.append(" ".join(toks))
+        t = t.set_column(t.schema.get_field_index("text"), "text",
+                         pa.array(texts, type=pa.string()))
+    if name == "events" and k > 0:
+        shift_ns = k * 100 * 24 * 3600 * 1_000_000_000
+        ts = pc.add(t["ts"].cast(pa.int64()), pa.scalar(shift_ns))
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         ts.cast(t.schema.field("ts").type))
+    if name == "embeddings" and k > 0:
+        r = (7 * k)
+        vecs = [v[r % len(v):] + v[:r % len(v)] if v else v
+                for v in t["embedding"].to_pylist()]
+        t = t.set_column(t.schema.get_field_index("embedding"), "embedding",
+                         pa.array(vecs, type=t.schema.field("embedding").type))
+    return t
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for name in AS_IS:
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(src, f"{OUT}/{name}.parquet")
+        print(f"{name}: {src.num_rows} rows (as-is)")
+    for name in KEY_SHIFTS:
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        out = pa.concat_tables([shifted(src, name, k) for k in range(COPIES)])
+        pq.write_table(out, f"{OUT}/{name}.parquet")
+        print(f"{name}: {src.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

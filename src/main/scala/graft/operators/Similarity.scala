@@ -232,11 +232,21 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id"))
   }
 
-  /** Embedding near-dup candidate pairs: SRP band self-join (8×8-bit
-    * bands — full recall for hamming ≤ 7, probabilistic beyond) + exact
+  /** Embedding near-dup candidate pairs: SRP band self-join + exact
     * cosine verification. The banding bounds the quadratic rescore step;
-    * the caller applies a threshold or takes the top pairs. */
-  def nearDupPairs(emb: DataFrame, numBands: Int = 8): DataFrame = {
+    * the caller applies a threshold or takes the top pairs.
+    *
+    * Band width is the SCALE control: a band's bucket space is
+    * 2^(64/numBands), and expected bucket load is N / bucket-space — so
+    * 8 bands (8-bit values, 256 buckets) saturate around N ≈ 10⁴ and
+    * every bucket goes quadratic (the sf1 rehearsal measured 18× on a
+    * 10× corpus). The default is now 4×16-bit bands: 65 536 buckets per
+    * band, pigeonhole-guaranteed recall for hamming ≤ 3 (the 0.99-cosine
+    * operating point sits at expected hamming ≈ 64·acos(.99)/π ≈ 3), and
+    * planted identical twins (hamming 0) are always found. Corpora
+    * beyond ~10⁶ vectors should widen the sketch (two seeded 64-bit
+    * words → 8×16-bit bands) rather than narrow the bands. */
+  def nearDupPairs(emb: DataFrame, numBands: Int = 4): DataFrame = {
     // band self-join ships only (vec_id, band_idx, band_val) triples —
     // never the embedding payload (which would be duplicated 2×numBands
     // through the exchange); payloads join back per candidate id for the
@@ -318,7 +328,7 @@ object Similarity {
     // with a ×2-scaled copy of itself (ids offset by 10M). Scaling by a
     // power of two commutes with float rounding, so each copy's SRP
     // sketch is BIT-IDENTICAL to its original's — every (orig, copy)
-    // pair collides in all 8 bands and recall of the band prefilter is
+    // pair collides in every band and recall of the band prefilter is
     // provably 1.0, while cosine is scale-invariant (≈1 for the planted
     // pairs vs ≤ 0.61 for everything else on this corpus — no float
     // boundary anywhere near the 0.99 cut). DuckDB brute-forces all

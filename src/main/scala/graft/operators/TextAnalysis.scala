@@ -74,6 +74,76 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  // --- n-gram language-model scoring (perplexity quality filter) -------
+
+  /** Vocab / bigram-table caps. Capping is the 100 TB design point: the
+    * trained tables stay SMALL (top-V by frequency, deterministic
+    * count-then-token tiebreak) so scoring broadcasts them and the token
+    * stream is never shuffled against a huge model. */
+  val LmVocab = 1000
+  val LmBigramTable = 5000
+
+  private def lmToks(text: Column): Column =
+    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+
+  /** CCNet-style bigram-LM negative-log-likelihood per document — the
+    * classic perplexity quality filter for pretraining corpora, here
+    * self-trained on the scored corpus (a production pipeline trains the
+    * same two count tables ONCE on a clean reference corpus and ships
+    * them as broadcast variables to every scoring job).
+    *
+    * Shape at scale: training = two uniform-key shuffles (unigram and
+    * bigram counts) capped by TakeOrdered; scoring = explode + two
+    * BROADCAST joins + one partial-aggregated shuffle keyed by doc_id
+    * (ships one row per doc). No UDFs, no driver-side model object.
+    *
+    * Determinism across engines (the oracle gate): each bigram's
+    * Laplace probability is a ratio of exact integers — identical
+    * doubles everywhere — and its -ln() is QUANTIZED to integer
+    * micro-nats before summing, so the per-doc sum is an integer sum
+    * (order-independent, bit-exact) rather than a float sum whose last
+    * ULPs depend on partial-aggregation order. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), lmToks(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .orderBy(desc("c1"), asc("w")).limit(LmVocab)
+    val pairs = toks
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .orderBy(desc("c12"), asc("w1"), asc("w2")).limit(LmBigramTable)
+    // Laplace over (vocab + OOV bucket): P = (c12 + 1) / (c1 + V + 1)
+    val scored = pairs
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        ((coalesce(col("c12"), lit(0L)) + lit(1L)).cast(DoubleType) /
+          (coalesce(col("c1"), lit(0L)) + lit(LmVocab + 1L)).cast(DoubleType)).as("p"))
+      .select(col("doc_id"),
+        round(-log(col("p")) * lit(1e6)).cast(LongType).as("nll"))
+    docs.select("doc_id")
+      .join(scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_micro_sum")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro_sum"), lit(0L)).as("nll_micro_sum"),
+        // mean stays in integer micro-nats: a fractional rounding grid
+        // (round(x, 6)) diverges across engines when the true mean lands
+        // exactly on a half step — Spark rounds the decimal shortest
+        // repr, DuckDB the binary double. At integer scale the half step
+        // IS exactly representable, so both engines see the same value.
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          round(col("nll_micro_sum").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).cast(LongType))
+          .otherwise(lit(0L)).as("mean_nll_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-language corpus stats: counts + whitespace tokenization.
     "q_text_stats" -> ((s, dir) =>
@@ -116,6 +186,11 @@ object TextAnalysis {
       documents(s, dir)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // bigram-LM perplexity scores per doc (micro-nat integer sums — see
+    // lmScore for the cross-engine determinism argument).
+    "q_lm_perplexity" -> ((s, dir) =>
+      lmScore(documents(s, dir)).orderBy("doc_id")),
 
     // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     // per-doc top-word count, duplicate-word and duplicate-2-gram counts,
@@ -264,6 +339,41 @@ object TextAnalysis {
         |  GROUP BY 1
         |  ORDER BY df DESC, tf DESC, term LIMIT 20)
         |ORDER BY term""".stripMargin,
+    // mirrors lmScore exactly: same tokenization, same deterministic
+    // top-V/top-B caps (count desc, token asc — binary string order in
+    // both engines), same integer Laplace ratio, same micro-nat
+    // quantization before the (integer, order-independent) sum
+    "q_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |alltoks AS (SELECT unnest(t) AS w FROM toks),
+        |uni AS (SELECT w, count(*) AS c1 FROM alltoks
+        |        GROUP BY 1 ORDER BY c1 DESC, w LIMIT 1000),
+        |pairs AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs
+        |       GROUP BY 1, 2 ORDER BY c12 DESC, w1, w2 LIMIT 5000),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |         CAST(round(-ln(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE) /
+        |                        CAST(COALESCE(u.c1, 0) + 1001 AS DOUBLE))
+        |                    * 1000000.0) AS BIGINT) AS nll
+        |  FROM pairs p
+        |  LEFT JOIN uni u ON p.w1 = u.w
+        |  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
+        |        FROM terms GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(a.s, 0) AS BIGINT) AS nll_micro_sum,
+        |       CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+        |            THEN round(CAST(a.s AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE))
+        |            ELSE 0 END AS BIGINT) AS mean_nll_micro
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_tfidf_terms" ->
       """WITH toks AS (
         |  SELECT doc_id,
