@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** lmScore edge cases the corpus gate can't isolate: degenerate docs,
+  * OOV behavior, partitioning-independence of the integer sums, and the
+  * semantic point of a perplexity filter (fluent text scores better
+  * than gibberish under a model trained on the fluent corpus). */
+class TextAnalysisSpec extends SparkSpecBase {
+
+  import testImplicits._
+
+  private def score(rows: Seq[(Long, String)]) =
+    TextAnalysis.lmScore(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("docs below two tokens get zero bigrams and zero score") {
+    val s = score(Seq((1L, "hello"), (2L, ""), (3L, "a b")))
+    assert(s(1L) == ((0L, 0L, 0L)))
+    assert(s(2L) == ((0L, 0L, 0L)))
+    assert(s(3L)._1 == 1L) // one bigram
+    assert(s(3L)._2 > 0L) // nonzero nll
+  }
+
+  test("repeated in-vocab bigrams score strictly better than pure OOV") {
+    // train+score on the same tiny corpus: "the cat" dominates counts,
+    // so the common-bigram doc must have lower mean nll than the doc of
+    // hapax tokens (whose bigrams all back off to the OOV floor)
+    val corpus = (1L to 20L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((100L, "zq1 zq2 zq3 zq4 zq5 zq6"))
+    val s = score(corpus)
+    val common = s(1L)._3 // mean_nll_micro
+    val gibberish = s(100L)._3
+    assert(common < gibberish,
+      s"fluent=$common must beat gibberish=$gibberish")
+  }
+
+  test("integer micro-nat sums are partitioning-independent") {
+    val rows = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 2}"))
+    val df = rows.toDF("doc_id", "text")
+    val a = TextAnalysis.lmScore(df.repartition(1))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.lmScore(df.repartition(13))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
