@@ -147,6 +147,52 @@ class JetFileSpec extends SparkSpecBase {
     assert(io2.read(spark, HogiaSchema.byName("LÅN")).count() == 0)
   }
 
+  test("writer packs multi-page tables; signed money, true BITs, floats survive") {
+    val dir = Files.createTempDirectory("graft_jet_pages").toString
+    val mdbPath = s"$dir/pages.mdb"
+    val t = HogiaSchema.byName("Transaktioner")
+    val rows = (1L to 500L).map { i =>
+      org.apache.spark.sql.Row(i, s"Konto ${i % 7}", s"Konto ${(i + 1) % 7}",
+        "Uttag", "2021-01-02", s"Vad räksmörgås $i", s"Vem ${i % 3}",
+        new BigDecimal(s"-$i.2500"), null, i % 2 == 0, s"€-rad $i")
+    }
+    val io2 = new JetTableIO(mdbPath)
+    io2.truncateLoad(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+      t.schema), t)
+    // ~70 B rows × 500 cannot fit one 2048-byte page — the allocator
+    // must have spilled across many data pages
+    assert(Files.size(java.nio.file.Paths.get(mdbPath)) > 20 * 2048L)
+    val back = io2.read(spark, t).orderBy("Löpnr").collect()
+    assert(back.length == 500)
+    assert(back(0).getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("-1.25")) == 0)
+    assert(back(499).getAs[BigDecimal]("Belopp").compareTo(new BigDecimal("-500.25")) == 0)
+    assert(back(499).getAs[Boolean]("Fastöverföring")) // true BIT: mask bit set
+    assert(!back(0).getAs[Boolean]("Fastöverföring"))
+    assert(back.forall(_.isNullAt(back(0).fieldIndex("Saldo"))))
+    assert(back(41).getAs[String]("Text") == "€-rad 42") // cp1252 high byte
+    // Jet Single (REAL4) columns round-trip bit-exactly
+    val lan = HogiaSchema.byName("LÅN")
+    val lanRow = org.apache.spark.sql.Row(Seq[Any](
+      7L, "Banken", "Bolån", "L-1", new BigDecimal("250000.0000"),
+      "2020-01-01", "2020-01-02", "2025-01-01", "2050-01-01",
+      new BigDecimal("199999.5000"), new BigDecimal("0.0000"),
+      new BigDecimal("199999.5000"), 1.625f, 3.875f, "12",
+      new BigDecimal("645.8300"), new BigDecimal("1000.0000"),
+      new BigDecimal("0.0000"), new BigDecimal("25.0000"), "J", "Vem",
+      "Konto 1", "G", null, "r", "a", "o"): _*)
+    io2.truncateLoad(spark.createDataFrame(
+      java.util.List.of(lanRow), lan.schema), lan)
+    val l = io2.read(spark, lan).collect().head
+    assert(l.getAs[Float]("FastRanta") == 1.625f)
+    assert(l.getAs[Float]("RorligRanta") == 3.875f)
+    assert(l.getAs[BigDecimal]("AktLaneskuld")
+      .compareTo(new BigDecimal("199999.5")) == 0)
+    // and the earlier multi-page table is still intact after the rewrite
+    assert(io2.read(spark, t).count() == 500)
+  }
+
   test("writer failure modes are loud: oversized rows, memo payloads") {
     val dir = Files.createTempDirectory("graft_jet_neg2").toString
     val pers = HogiaSchema.byName("Personer")
