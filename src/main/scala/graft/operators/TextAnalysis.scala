@@ -144,6 +144,65 @@ object TextAnalysis {
           .otherwise(lit(0L)).as("mean_nll_micro"))
   }
 
+  /** Train the capped LM count tables and collect them — the MODEL
+    * artifact a production pipeline materializes once per refresh. The
+    * bigram key is w1 ++ NUL ++ w2: NUL cannot appear inside a token
+    * (tokens come whitespace-split from NUL-free text), and because NUL
+    * sorts below every token character, ordering the concatenated keys
+    * is EXACTLY the (w1, w2) pair order — so the top-B cap cuts the
+    * same tie boundary as [[lmScore]]'s (c12 desc, w1, w2) and the
+    * DuckDB oracle. A space separator would break that whenever one
+    * token is a prefix of another alongside sub-space characters. */
+  def lmTables(docs: DataFrame): (Map[String, Long], Map[String, Long]) = {
+    val toks = docs.select(lmToks(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .orderBy(desc("c1"), asc("w")).limit(LmVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit("\u0000"),
+          element_at(col("t"), i + 1)))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c12"))
+      .orderBy(desc("c12"), asc("b")).limit(LmBigramTable)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (uni, bi)
+  }
+
+  /** Stateless LM scoring against a PRE-TRAINED model: the capped count
+    * tables ship as two map LITERALS (typedlit — one broadcast object in
+    * the task binary, ~100 KB) and the whole per-doc score is a narrow
+    * higher-order expression — no join, no explode, no shuffle, no
+    * state. This is the STREAMING-compatible form (LmStream scores a
+    * document stream with it, stateless, so `Trigger.AvailableNow` ≡
+    * batch), and the zero-shuffle scoring shape for a 100 TB corpus
+    * when the model is already trained. Same arithmetic as [[lmScore]]
+    * term for term; TextAnalysisSpec pins batch ≡ stateless row-for-row
+    * and EventStreamSpec pins streaming ≡ batch. */
+  def lmScoreStateless(docs: DataFrame,
+      uniMap: Map[String, Long], biMap: Map[String, Long]): DataFrame = {
+    val uniLit = typedlit(uniMap)
+    val biLit = typedlit(biMap)
+    val t = lmToks(col("text"))
+    val terms = transform(sequence(lit(1), size(t) - 1), i => {
+      val c12 = coalesce(element_at(biLit,
+        concat(element_at(t, i), lit("\u0000"), element_at(t, i + 1))), lit(0L))
+      val c1 = coalesce(element_at(uniLit, element_at(t, i)), lit(0L))
+      round(-log((c12 + lit(1L)).cast(DoubleType) /
+        (c1 + lit(LmVocab + 1L)).cast(DoubleType)) * lit(1e6)).cast(LongType)
+    })
+    docs.select(col("doc_id"),
+      when(size(t) >= 2, (size(t) - 1).cast(LongType))
+        .otherwise(lit(0L)).as("n_bigrams"),
+      when(size(t) >= 2, aggregate(terms, lit(0L), (acc, x) => acc + x))
+        .otherwise(lit(0L)).as("nll_micro_sum"))
+      .withColumn("mean_nll_micro",
+        when(col("n_bigrams") > 0,
+          round(col("nll_micro_sum").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).cast(LongType))
+          .otherwise(lit(0L)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-language corpus stats: counts + whitespace tokenization.
     "q_text_stats" -> ((s, dir) =>
@@ -191,6 +250,17 @@ object TextAnalysis {
     // lmScore for the cross-engine determinism argument).
     "q_lm_perplexity" -> ((s, dir) =>
       lmScore(documents(s, dir)).orderBy("doc_id")),
+
+    // the SERVING shape of the same filter: train once (lmTables), then
+    // score statelessly against the shipped model — zero joins, zero
+    // shuffles in the scoring pass. Must be row-identical to
+    // q_lm_perplexity (same oracle SQL), which certifies the
+    // train-once/score-anywhere split loses nothing.
+    "q_lm_stateless" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val (uni, bi) = lmTables(docs)
+      lmScoreStateless(docs, uni, bi).orderBy("doc_id")
+    }),
 
     // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     // per-doc top-word count, duplicate-word and duplicate-2-gram counts,
@@ -260,6 +330,41 @@ object TextAnalysis {
         .orderBy("doc_id", "term")
     })
   )
+
+  /** Shared DuckDB oracle for q_lm_perplexity AND q_lm_stateless:
+    * re-derives the whole train+score pipeline in SQL (same caps, same
+    * tie order, same micro-nat quantization — see lmScore). */
+  private val LmOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |alltoks AS (SELECT unnest(t) AS w FROM toks),
+      |uni AS (SELECT w, count(*) AS c1 FROM alltoks
+      |        GROUP BY 1 ORDER BY c1 DESC, w LIMIT 1000),
+      |pairs AS (
+      |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM toks WHERE len(t) >= 2),
+      |bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs
+      |       GROUP BY 1, 2 ORDER BY c12 DESC, w1, w2 LIMIT 5000),
+      |terms AS (
+      |  SELECT p.doc_id,
+      |         CAST(round(-ln(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE) /
+      |                        CAST(COALESCE(u.c1, 0) + 1001 AS DOUBLE))
+      |                    * 1000000.0) AS BIGINT) AS nll
+      |  FROM pairs p
+      |  LEFT JOIN uni u ON p.w1 = u.w
+      |  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
+      |        FROM terms GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(COALESCE(a.s, 0) AS BIGINT) AS nll_micro_sum,
+      |       CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+      |            THEN round(CAST(a.s AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE))
+      |            ELSE 0 END AS BIGINT) AS mean_nll_micro
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // CAST(sum(...) AS BIGINT): DuckDB's sum over integers is HUGEINT,
@@ -342,38 +447,11 @@ object TextAnalysis {
     // mirrors lmScore exactly: same tokenization, same deterministic
     // top-V/top-B caps (count desc, token asc — binary string order in
     // both engines), same integer Laplace ratio, same micro-nat
-    // quantization before the (integer, order-independent) sum
-    "q_lm_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
-        |alltoks AS (SELECT unnest(t) AS w FROM toks),
-        |uni AS (SELECT w, count(*) AS c1 FROM alltoks
-        |        GROUP BY 1 ORDER BY c1 DESC, w LIMIT 1000),
-        |pairs AS (
-        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-        |  FROM toks WHERE len(t) >= 2),
-        |bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs
-        |       GROUP BY 1, 2 ORDER BY c12 DESC, w1, w2 LIMIT 5000),
-        |terms AS (
-        |  SELECT p.doc_id,
-        |         CAST(round(-ln(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE) /
-        |                        CAST(COALESCE(u.c1, 0) + 1001 AS DOUBLE))
-        |                    * 1000000.0) AS BIGINT) AS nll
-        |  FROM pairs p
-        |  LEFT JOIN uni u ON p.w1 = u.w
-        |  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2),
-        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
-        |        FROM terms GROUP BY 1)
-        |SELECT d.doc_id,
-        |       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |       CAST(COALESCE(a.s, 0) AS BIGINT) AS nll_micro_sum,
-        |       CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
-        |            THEN round(CAST(a.s AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE))
-        |            ELSE 0 END AS BIGINT) AS mean_nll_micro
-        |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    // quantization before the (integer, order-independent) sum.
+    // q_lm_stateless shares the oracle verbatim: the stateless scorer is
+    // DEFINED to reproduce lmScore bit-for-bit from the trained tables.
+    "q_lm_perplexity" -> LmOracleSql,
+    "q_lm_stateless" -> LmOracleSql,
     "q_tfidf_terms" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -57,6 +57,17 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming LM scoring (LmStream) == batch stateless scorer") {
+    val stream = graft.streaming.LmStream.lmScoreStream(spark, TestSpark.Sf0001)
+    val q = EventStream.runToMemory(stream, "lm_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    val streamed = spark.table("lm_stream_test")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("q_lm_stateless")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("sessionCounts (flatMapGroupsWithState) == q_sessionize (batch)") {
     val stream = EventStream.sessionCounts(
       EventStream.readEvents(spark, TestSpark.Sf0001))

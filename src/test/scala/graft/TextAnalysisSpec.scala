@@ -37,6 +37,38 @@ class TextAnalysisSpec extends SparkSpecBase {
       s"fluent=$common must beat gibberish=$gibberish")
   }
 
+  test("stateless scoring against trained tables == self-trained lmScore") {
+    // real corpus: same docs scored both ways must match row-for-row —
+    // this certifies the train-once/score-anywhere split (and the
+    // NUL-keyed map lookups reproducing the join+cap tie semantics).
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val (uni, bi) = TextAnalysis.lmTables(docs)
+    assert(uni.nonEmpty && bi.nonEmpty)
+    val joined = TextAnalysis.lmScore(docs)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val stateless = TextAnalysis.lmScoreStateless(docs, uni, bi)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(joined.nonEmpty && joined == stateless)
+  }
+
+  test("stateless scorer matches lmScore on degenerate and pure-OOV docs") {
+    val corpus = Seq((1L, "the cat sat on the mat"), (2L, ""), (3L, "one"),
+      (4L, "zq1 zq2 zq3"), (5L, "the cat"))
+    val df = corpus.toDF("doc_id", "text")
+    val (uni, bi) = TextAnalysis.lmTables(df)
+    val joined = TextAnalysis.lmScore(df)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val stateless = TextAnalysis.lmScoreStateless(df, uni, bi)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(joined == stateless)
+    // scoring NEW docs against the shipped model (the serving case —
+    // lmScore can't express this at all): known bigram beats pure OOV
+    val fresh = Seq((10L, "the cat"), (11L, "zz9 zz8")).toDF("doc_id", "text")
+    val s = TextAnalysis.lmScoreStateless(fresh, uni, bi)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(s(10L) < s(11L))
+  }
+
   test("integer micro-nat sums are partitioning-independent") {
     val rows = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 2}"))
     val df = rows.toDF("doc_id", "text")
