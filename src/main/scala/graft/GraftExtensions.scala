@@ -52,5 +52,7 @@ object GraftExtensions {
       (es: Seq[Expression]) => RepetitionStats(es.head)),
     (FunctionIdentifier("graft_word_gram_hashes"),
       info("graft_word_gram_hashes", classOf[WordGramHashes]),
-      (es: Seq[Expression]) => WordGramHashes(es(0), es(1))))
+      (es: Seq[Expression]) => WordGramHashes(es(0), es(1))),
+    (FunctionIdentifier("graft_lm_nll"), info("graft_lm_nll", classOf[LmNll]),
+      (es: Seq[Expression]) => LmNll(es(0), es(1), es(2), es(3), es(4))))
 }

@@ -16,10 +16,24 @@ object Profile {
         .config("spark.ui.enabled", "false"), "profile")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
+    def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"$n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$cnt")
+      val r = f
+      println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    names.foreach {
+      // phase breakdown of the stateless LM pipeline (train/plan/score)
+      case "lm_phases" =>
+        val docs = graft.queries.Tables.documents(spark, sfDir)
+        val (u, b) = time("lm:train")(graft.operators.TextAnalysis.lmTables(docs))
+        val df = time("lm:plan")(
+          graft.operators.TextAnalysis.lmScoreStateless(docs, u, b))
+        time("lm:score")(df.count())
+      case n =>
+        val t0 = System.nanoTime()
+        val cnt = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"$n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$cnt")
     }
     spark.stop()
   }

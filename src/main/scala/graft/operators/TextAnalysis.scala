@@ -154,48 +154,56 @@ object TextAnalysis {
     * DuckDB oracle. A space separator would break that whenever one
     * token is a prefix of another alongside sub-space characters. */
   def lmTables(docs: DataFrame): (Map[String, Long], Map[String, Long]) = {
-    val toks = docs.select(lmToks(col("text")).as("t"))
-    val uni = toks.select(explode(col("t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-      .orderBy(desc("c1"), asc("w")).limit(LmVocab)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bi = toks.filter(size(col("t")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
-        i => concat(element_at(col("t"), i), lit("\u0000"),
-          element_at(col("t"), i + 1)))).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("c12"))
-      .orderBy(desc("c12"), asc("b")).limit(LmBigramTable)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (uni, bi)
+    // One scan: tokenization is cached across the two aggregations and
+    // both capped tables come back in a single union job / one collect.
+    // (At 100 TB the input here is the sampled training corpus, so the
+    // persist is bounded by the sample, not the corpus.)
+    val toks = docs.select(lmToks(col("text")).as("t")).persist()
+    try {
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("w")).limit(LmVocab)
+        .select(lit("u").as("kind"), col("w").as("key"), col("c"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat(element_at(col("t"), i), lit("\u0000"),
+            element_at(col("t"), i + 1)))).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("b")).limit(LmBigramTable)
+        .select(lit("b").as("kind"), col("b").as("key"), col("c"))
+      val rows = uni.unionAll(bi).collect()
+      def table(kind: String) = rows.iterator
+        .filter(_.getString(0) == kind)
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      (table("u"), table("b"))
+    } finally { toks.unpersist(); () }
   }
 
   /** Stateless LM scoring against a PRE-TRAINED model: the capped count
-    * tables ship as two map LITERALS (typedlit — one broadcast object in
-    * the task binary, ~100 KB) and the whole per-doc score is a narrow
-    * higher-order expression — no join, no explode, no shuffle, no
-    * state. This is the STREAMING-compatible form (LmStream scores a
-    * document stream with it, stateless, so `Trigger.AvailableNow` ≡
-    * batch), and the zero-shuffle scoring shape for a 100 TB corpus
-    * when the model is already trained. Same arithmetic as [[lmScore]]
-    * term for term; TextAnalysisSpec pins batch ≡ stateless row-for-row
-    * and EventStreamSpec pins streaming ≡ batch. */
+    * tables compile into [[graft.functions.LmModel]] — one shared hash
+    * table per task, shipped through the codegen reference array — and
+    * the whole per-doc score is a single narrow kernel call: no join, no
+    * explode, no shuffle, no state, O(1) exact lookups per bigram. (The
+    * pure-builtin alternative, `element_at` over `typedlit` map
+    * literals, plans as GetMapValue — a LINEAR scan per lookup, O(V)
+    * string compares per token; measured 3× the joined scorer at sf0.1
+    * before this kernel replaced it.) This is the STREAMING-compatible
+    * form (LmStream scores a document stream with it, stateless, so
+    * `Trigger.AvailableNow` ≡ batch), and the zero-shuffle scoring
+    * shape for a 100 TB corpus when the model is already trained. Same
+    * arithmetic as [[lmScore]] term for term; TextAnalysisSpec pins
+    * batch ≡ stateless row-for-row and EventStreamSpec pins
+    * streaming ≡ batch. */
   def lmScoreStateless(docs: DataFrame,
       uniMap: Map[String, Long], biMap: Map[String, Long]): DataFrame = {
-    val uniLit = typedlit(uniMap)
-    val biLit = typedlit(biMap)
-    val t = lmToks(col("text"))
-    val terms = transform(sequence(lit(1), size(t) - 1), i => {
-      val c12 = coalesce(element_at(biLit,
-        concat(element_at(t, i), lit("\u0000"), element_at(t, i + 1))), lit(0L))
-      val c1 = coalesce(element_at(uniLit, element_at(t, i)), lit(0L))
-      round(-log((c12 + lit(1L)).cast(DoubleType) /
-        (c1 + lit(LmVocab + 1L)).cast(DoubleType)) * lit(1e6)).cast(LongType)
-    })
-    docs.select(col("doc_id"),
-      when(size(t) >= 2, (size(t) - 1).cast(LongType))
-        .otherwise(lit(0L)).as("n_bigrams"),
-      when(size(t) >= 2, aggregate(terms, lit(0L), (acc, x) => acc + x))
-        .otherwise(lit(0L)).as("nll_micro_sum"))
+    require(graft.functions.LmModel.Denom == LmVocab + 1L,
+      "kernel Laplace denominator must track LmVocab")
+    graft.functions.LmModel.register(docs.sparkSession)
+    val r = graft.functions.LmModel.lmNll(lmToks(col("text")), uniMap, biMap)
+    docs.select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.nll_micro_sum").as("nll_micro_sum"))
       .withColumn("mean_nll_micro",
         when(col("n_bigrams") > 0,
           round(col("nll_micro_sum").cast(DoubleType) /

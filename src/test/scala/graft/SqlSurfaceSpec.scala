@@ -31,7 +31,10 @@ class SqlSurfaceSpec extends SparkSpecBase {
         |       graft_cp1252_decode(graft_cp1252_encode('€ räksmörgås')) AS rt,
         |       graft_repetition(array('a','b','a')).top_count AS top,
         |       size(graft_word_gram_hashes(array('a','b','c','d'), 3)) AS ng,
-        |       size(graft_id_pairs(array(3L, 1L, 2L))) AS np
+        |       size(graft_id_pairs(array(3L, 1L, 2L))) AS np,
+        |       graft_lm_nll(array('the','cat'), array('the'), array(10L),
+        |                    array(concat('the', chr(0), 'cat')),
+        |                    array(5L)).n_bigrams AS lm
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("cos") == 1.0)
     assert(r.getAs[String]("rt") == "€ räksmörgås")
@@ -39,6 +42,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getAs[Int]("top") == 2)
     assert(r.getAs[Int]("ng") == 2)
     assert(r.getAs[Int]("np") == 3)
+    assert(r.getAs[Long]("lm") == 1L)
   }
 
   test("SQL route ≡ Column-API route (same kernels, same results)") {
