@@ -54,5 +54,12 @@ object GraftExtensions {
       info("graft_word_gram_hashes", classOf[WordGramHashes]),
       (es: Seq[Expression]) => WordGramHashes(es(0), es(1))),
     (FunctionIdentifier("graft_lm_nll"), info("graft_lm_nll", classOf[LmNll]),
-      (es: Seq[Expression]) => LmNll(es(0), es(1), es(2), es(3), es(4))))
+      (es: Seq[Expression]) => LmNll(es(0), es(1), es(2), es(3), es(4))),
+    (FunctionIdentifier("graft_l2sq"), info("graft_l2sq", classOf[L2Sq]),
+      (es: Seq[Expression]) => L2Sq(es(0), es(1))),
+    (FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode", classOf[PqEncode]),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))),
+    (FunctionIdentifier("graft_pq_adc"), info("graft_pq_adc", classOf[PqAdc]),
+      (es: Seq[Expression]) => PqAdc(es(0), es(1), es(2), es(3), es(4))))
 }

@@ -34,6 +34,8 @@ object VectorOps {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_srp64", exprs => Srp64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_l2sq", exprs => L2Sq(exprs(0), exprs(1)), "built-in")
   }
 
   /** Exact cosine similarity of two `array<float>` vectors, accumulated
@@ -42,10 +44,28 @@ object VectorOps {
 
   /** 64-bit SRP sketch of an `array<float>` vector. Call [[register]] first. */
   def srp64(x: Column): Column = call_function("graft_srp64", x)
+
+  /** Squared L2 distance of two `array<float>` vectors (PQ training
+    * metric). Call [[register]] first. */
+  def l2sq(x: Column, y: Column): Column = call_function("graft_l2sq", x, y)
 }
 
 /** Kernels shared by interpreted eval and generated code. */
 object VectorSketchOps {
+
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"l2sq: dimension mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -147,4 +167,23 @@ case class Srp64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Srp64 =
     copy(child = newChild)
+}
+
+/** `graft_l2sq(array<float>, array<float>) -> double`. */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorSketchOps.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.VectorSketchOps.l2sq($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
 }

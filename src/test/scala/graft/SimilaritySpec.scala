@@ -158,4 +158,54 @@ class SimilaritySpec extends SparkSpecBase {
       assert(got == bf, s"query $qid: knn $got vs brute force $bf")
     }
   }
+
+  test("PQ encode: argmin codes, lowest-index tie-break, packed layout") {
+    graft.functions.PqOps.register(spark)
+    // m=2 sub-spaces of 1 dim, k=2 centroids each; codebook layout
+    // (mi*k + ki)*sub + d. Sub 0: {0.0, 10.0}; sub 1: {5.0, 5.0} (a
+    // deliberate tie: must pick index 0).
+    val cb = Array(0.0f, 10.0f, 5.0f, 5.0f)
+    val code = Seq(Tuple1(Array(9.0f, 7.0f))).toDF("e")
+      .select(graft.functions.PqOps.encode(col("e"), cb, 2, 2).as("c"))
+      .collect().head.getLong(0)
+    // sub 0: 9.0 is nearer 10.0 -> code 1; sub 1: tie -> code 0
+    assert(code == ((0L << 8) | 1L))
+  }
+
+  test("PQ ADC: table-lookup score matches the manual computation") {
+    val dot = Array(0.25, 0.75, -0.5, 1.5)
+    val nrm = Array(1.0, 4.0, 9.0, 16.0)
+    val code = (1L << 8) | 1L // sub 0 -> ki 1, sub 1 -> ki 1
+    val got = graft.functions.PqKernels.adc(code, dot, nrm, 2, 2)
+    assert(math.abs(got - (0.75 + 1.5) / math.sqrt(4.0 + 16.0)) < 1e-12)
+  }
+
+  test("PQ codes are identical for identical vectors and partitioning-independent") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val (cb, _, _) = Similarity.pqTrain(emb, 8, 16, iters = 1)
+    graft.functions.PqOps.register(spark)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        graft.functions.PqOps.encode(col("embedding"), cb, 8, 16).as("code"))
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = codes(emb.repartition(1))
+    val b = codes(emb.repartition(7))
+    assert(a == b && a.nonEmpty)
+    // a bit-identical copy of a vector must encode to the same code
+    val one = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding"))
+    val copied = one.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val cc = codes(one.unionByName(copied))
+    assert(cc.map(_._2).distinct.size == 1)
+  }
+
+  test("pqTopK achieves recall 1.0 vs brute force at sf0.001") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val pq = Similarity.pqTopK(emb, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.cosineTopK(emb, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pq == exact)
+  }
 }

@@ -112,8 +112,10 @@ class SketchSpec extends SparkSpecBase {
     // in-suite is not possible).
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(names == Set("graft_simhash", "graft_minhash_shingles", "graft_winnow",
-      "graft_cosine", "graft_srp64", "graft_cp1252_decode", "graft_cp1252_encode",
-      "graft_id_pairs", "graft_repetition", "graft_word_gram_hashes"))
+      "graft_cosine", "graft_srp64", "graft_l2sq", "graft_cp1252_decode",
+      "graft_cp1252_encode", "graft_id_pairs", "graft_repetition",
+      "graft_word_gram_hashes", "graft_lm_nll", "graft_pq_encode",
+      "graft_pq_adc"))
     // and the builders produce working expressions
     val e = GraftExtensions.functions.head._3(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(

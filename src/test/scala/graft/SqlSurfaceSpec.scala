@@ -34,7 +34,19 @@ class SqlSurfaceSpec extends SparkSpecBase {
         |       size(graft_id_pairs(array(3L, 1L, 2L))) AS np,
         |       graft_lm_nll(array('the','cat'), array('the'), array(10L),
         |                    array(concat('the', chr(0), 'cat')),
-        |                    array(5L)).n_bigrams AS lm
+        |                    array(5L)).n_bigrams AS lm,
+        |       graft_pq_adc(graft_pq_encode(
+        |           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT),
+        |                 CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |           2, 2),
+        |         array(CAST(0.9 AS DOUBLE), CAST(0.1 AS DOUBLE),
+        |               CAST(0.2 AS DOUBLE), CAST(0.8 AS DOUBLE)),
+        |         array(CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |               CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+        |         2, 2) AS pq,
+        |       graft_l2sq(array(CAST(3.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT))) AS l2
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("cos") == 1.0)
     assert(r.getAs[String]("rt") == "€ räksmörgås")
@@ -43,6 +55,11 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getAs[Int]("ng") == 2)
     assert(r.getAs[Int]("np") == 3)
     assert(r.getAs[Long]("lm") == 1L)
+    assert(r.getAs[Double]("l2") == 4.0)
+    // dim-2 vector (1,0) split into 2 sub-spaces of 1 dim; codebook per
+    // sub-space is {1.0, 0.0} / {0.0, 1.0} -> codes (0, 0); ADC =
+    // (0.9 + 0.2) / sqrt(1 + 1)
+    assert(math.abs(r.getAs[Double]("pq") - 1.1 / math.sqrt(2.0)) < 1e-12)
   }
 
   test("SQL route ≡ Column-API route (same kernels, same results)") {
