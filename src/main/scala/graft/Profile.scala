@@ -30,6 +30,13 @@ object Profile {
         val df = time("lm:plan")(
           graft.operators.TextAnalysis.lmScoreStateless(docs, u, b))
         time("lm:score")(df.count())
+      // phase breakdown of the PQ pipeline (train/encode+rank)
+      case "pq_phases" =>
+        val emb = graft.queries.Tables.embeddings(spark, sfDir)
+        val t = time("pq:train")(
+          graft.operators.Similarity.pqTrain(emb, 8, 256, iters = 1))
+        time("pq:topk")(graft.operators.Similarity.pqTopK(emb, 10,
+          expand = 60).count())
       case n =>
         val t0 = System.nanoTime()
         val cnt = SparkEntry.queries(n)(spark, sfDir).count()

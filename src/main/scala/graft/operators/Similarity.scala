@@ -282,21 +282,28 @@ object Similarity {
     * production pipeline trains once on a sample and ships the codebook
     * to every encode/probe job. */
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
-      iters: Int = 2): (Array[Float], Int, Int) = {
+      iters: Int = 2, sampleCap: Int = 1024): (Array[Float], Int, Int) = {
     VectorOps.register(emb.sparkSession)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val sub = dim / m
     require(m * sub == dim, s"pq: dim=$dim not divisible by m=$m")
+    // Standard PQ practice (and the 100 TB posture): the quantizer is
+    // trained on a bounded sample — assignment quality, not training-set
+    // size, drives recall — so the Lloyd join is sampleCap×K rows per
+    // sub-space regardless of corpus size. Deterministic lowest-id
+    // sample; at production scale the codebook is trained once at
+    // ingest and STORED, like the IVF centroids and the LM tables.
+    val train = emb.orderBy("vec_id").limit(sampleCap)
     // (vec_id, mi, sv): one row per vector per sub-space — narrow slice,
     // no shuffle until the assignment groupBy.
-    val subvecs = emb.select(col("vec_id"),
+    val subvecs = train.select(col("vec_id"),
         explode(array((0 until m).map(mi =>
           struct(lit(mi).as("mi"),
             slice(col("embedding"), mi * sub + 1, sub).as("sv"))): _*)).as("e"))
       .select(col("vec_id"), col("e.mi").as("mi"), col("e.sv").as("sv"))
     // seeds: the K lowest vec_ids' sub-vectors (the window runs over the
     // 16-row limited frame, not the corpus)
-    val seeds = broadcast(emb.orderBy("vec_id").limit(k)
+    val seeds = broadcast(train.orderBy("vec_id").limit(k)
       .select(col("vec_id"))
       .withColumn("ki", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1))
@@ -323,7 +330,9 @@ object Similarity {
         .join(means.select(col("mi"), col("ki"), col("cvec").as("new")),
           Seq("mi", "ki"), "left")
         .select(col("mi"), col("ki"), coalesce(col("new"), col("old")).as("cvec"))
-        .localCheckpoint() // truncate the per-iteration lineage
+      // truncate lineage only when another iteration will build on it —
+      // the final iteration flows straight into the collect (one job)
+      if (it < iters - 1) codebook = codebook.localCheckpoint()
       it += 1
     }
     val flat = new Array[Float](m * k * sub)
@@ -346,7 +355,7 @@ object Similarity {
     * narrow codegen kernel in the scan stage (functions/PqOps.scala);
     * at scale it runs once at ingest and the codes are stored. */
   def pqTopK(emb: DataFrame, k: Int, expand: Int = 20,
-      m: Int = 8, kCent: Int = 256, iters: Int = 2): DataFrame = {
+      m: Int = 8, kCent: Int = 256, iters: Int = 1): DataFrame = {
     val s = emb.sparkSession
     graft.functions.PqOps.register(s)
     val (cb, dim, sub) = pqTrain(emb, m, kCent, iters)
