@@ -129,6 +129,51 @@ object Ingest {
       .limit(k)
   }
 
+  /** PQ code table (vec_id, code) + persisted codebook, written once
+    * per (app, sf): encode runs inside the ingest scan (the narrow
+    * graft_pq_encode kernel) and the trained codebook is stored WITH
+    * the codes, so warm probes build their ADC tables from the exact
+    * model the codes were encoded against — retraining would silently
+    * desynchronize codes and tables (the forced-recall gate would
+    * catch it). The cold path pays train+encode once; every later
+    * probe scans 16 B/row. */
+  def ensurePqIndex(s: SparkSession, dir: String, m: Int = 8,
+      kCent: Int = 256): (Array[Float], Int, DataFrame) = {
+    val cbPath = scratch(s, dir, "pq_codebook")
+    val codePath = scratch(s, dir, "pq_codes")
+    graft.functions.PqOps.register(s)
+    val emb = embeddings(s, dir)
+    val (cb, dim) =
+      try {
+        val r = s.read.parquet(cbPath).head()
+        (r.getSeq[Float](0).toArray, r.getInt(1))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val (cbT, dimT, _) = Similarity.pqTrain(emb, m, kCent)
+          import s.implicits._
+          Seq((cbT.toSeq, dimT)).toDF("cb", "dim")
+            .write.mode("ignore").parquet(cbPath)
+          (cbT, dimT)
+      }
+    emb.select(col("vec_id"),
+        graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
+      .write.mode("ignore").parquet(codePath)
+    (cb, dim, s.read.parquet(codePath))
+  }
+
+  /** Warm-path PQ top-k: ADC ranking over the STORED 16 B/row code
+    * table (no embedding scan, no encode work — PlanSpec asserts the
+    * rank subtree's ReadSchema carries only vec_id+code), then the
+    * bounded exact rescore against the payload. */
+  def pqTopKStored(s: SparkSession, dir: String, k: Int,
+      expand: Int = 60, m: Int = 8, kCent: Int = 256): DataFrame = {
+    val (cb, dim, codes) = ensurePqIndex(s, dir, m, kCent)
+    val emb = embeddings(s, dir)
+    val (qid, dot, nrm) = Similarity.adcTables(emb, cb, dim, m, kCent)
+    Similarity.pqRescore(emb,
+      Similarity.pqRank(codes, qid, dot, nrm, m, kCent, expand * k), k)
+  }
+
   /** Batched kNN through the STORED IVF index — the production retrieval
     * shape end to end: the (q_id, cell) probe plan is a tiny frame
     * (|Q|×nCells cosines, top-nProbe per query) that joins BROADCAST
@@ -213,6 +258,16 @@ object Ingest {
 
     // IVF from the STORED index, forced-recall gate (same as q_ivf_topk:
     // oracle pins recall@10 = 1.0, a probe miss turns the gate red).
+    // warm-path PQ: stored codes + stored codebook, same forced-recall
+    // gate; a stale or retrained codebook desynchronizing the codes
+    // turns the 1.0 red.
+    "q_pq_topk_stored" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      pqTopKStored(s, dir, 10).select("vec_id")
+        .join(Similarity.cosineTopK(emb, 10).select("vec_id"), "vec_id")
+        .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
+    }),
+
     "q_ivf_topk_stored" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       ivfTopKStored(s, dir, 10).select("vec_id")
@@ -229,6 +284,7 @@ object Ingest {
         |ORDER BY stored_table""".stripMargin,
     "q_near_dup_minhash_stored" -> Dedup.oracles("q_near_dup_minhash"),
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10"
   )
 }

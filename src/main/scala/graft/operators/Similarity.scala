@@ -356,10 +356,20 @@ object Similarity {
     * at scale it runs once at ingest and the codes are stored. */
   def pqTopK(emb: DataFrame, k: Int, expand: Int = 20,
       m: Int = 8, kCent: Int = 256, iters: Int = 1): DataFrame = {
-    val s = emb.sparkSession
-    graft.functions.PqOps.register(s)
-    val (cb, dim, sub) = pqTrain(emb, m, kCent, iters)
-    // probe vector (1 row, bounded): drives the driver-built ADC tables
+    graft.functions.PqOps.register(emb.sparkSession)
+    val (cb, dim, _) = pqTrain(emb, m, kCent, iters)
+    val (qid, dot, nrm) = adcTables(emb, cb, dim, m, kCent)
+    val coded = emb.select(col("vec_id"),
+      graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
+    pqRescore(emb, pqRank(coded, qid, dot, nrm, m, kCent, expand * k), k)
+  }
+
+  /** Driver-built ADC lookup tables for the (single, bounded) probe
+    * vector: dot[mi][ki] = q_sub·c and nrm[mi][ki] = |c|². Returns the
+    * probe id alongside so rankers can exclude it. */
+  private[graft] def adcTables(emb: DataFrame, cb: Array[Float],
+      dim: Int, m: Int, kCent: Int): (Long, Array[Double], Array[Double]) = {
+    val sub = dim / m
     val qr = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id"), col("embedding")).head()
     val qid = qr.getLong(0)
@@ -386,13 +396,25 @@ object Similarity {
       }
       mi += 1
     }
-    val cand = emb.filter(col("vec_id") =!= lit(qid))
+    (qid, dot, nrm)
+  }
+
+  /** ADC candidate ranking over a (vec_id, code) frame — the pass that
+    * reads ONLY 16 B/row (stored codes on the warm path), planned as
+    * TakeOrderedAndProject. */
+  private[graft] def pqRank(coded: DataFrame, qid: Long,
+      dot: Array[Double], nrm: Array[Double], m: Int, kCent: Int,
+      limit: Int): DataFrame =
+    coded.filter(col("vec_id") =!= lit(qid))
       .select(col("vec_id"),
-        graft.functions.PqOps.adc(
-          graft.functions.PqOps.encode(col("embedding"), cb, m, kCent),
-          dot, nrm, m, kCent).as("adc"))
+        graft.functions.PqOps.adc(col("code"), dot, nrm, m, kCent).as("adc"))
       .orderBy(desc("adc"), asc("vec_id"))
-      .limit(expand * k)
+      .limit(limit)
+
+  /** Exact-cosine rescore of a bounded candidate id set: the embedding
+    * payload is touched only here. */
+  private[graft] def pqRescore(emb: DataFrame, cand: DataFrame,
+      k: Int): DataFrame =
     cand
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .crossJoin(broadcast(queryRow(emb)))
@@ -400,7 +422,6 @@ object Similarity {
         VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
-  }
 
   // --- query surface ---------------------------------------------------
 

@@ -96,6 +96,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("stored-PQ ADC ranking scans only the 16 B/row code table") {
+    val s = spark
+    val (cb, dim, codes) = graft.operators.Ingest.ensurePqIndex(s, TestSpark.Sf0001)
+    val emb = graft.queries.Tables.embeddings(s, TestSpark.Sf0001)
+    val (qid, dot, nrm) = graft.operators.Similarity.adcTables(emb, cb, dim, 8, 256)
+    val p = plan(graft.operators.Similarity.pqRank(codes, qid, dot, nrm, 8, 256, 600))
+    // the serving pass reads stored codes, never the embedding payload,
+    // and never re-encodes
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,code:bigint>"),
+      s"ADC rank must scan only (vec_id, code):\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"ADC rank must not touch the embedding payload:\n$p")
+    assert(!p.toLowerCase.contains("pq_encode"),
+      s"warm path must not re-encode:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("batched IVF kNN prunes cell partitions via DPP; the window keys the scan pid") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
