@@ -111,9 +111,14 @@ object Curation {
         .unionByName(ssm.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
-      // verified fixpoint: both frames are distinct and materialized, so
-      // equal counts + empty one-way difference ⟺ identical edge sets
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // verified fixpoint in ONE job: both frames are distinct sets, so
+      // an edge of the symmetric difference appears exactly once in the
+      // union — count==1 groups ⟺ the sets differ (replaces the former
+      // count() + exceptAll() pair, two jobs and an extra shuffle)
+      converged = next.unionByName(e)
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1)
+        .isEmpty
       e = next
       rounds += 1
     }
