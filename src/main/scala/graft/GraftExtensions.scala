@@ -61,5 +61,16 @@ object GraftExtensions {
       info("graft_pq_encode", classOf[PqEncode]),
       (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))),
     (FunctionIdentifier("graft_pq_adc"), info("graft_pq_adc", classOf[PqAdc]),
-      (es: Seq[Expression]) => PqAdc(es(0), es(1), es(2), es(3), es(4))))
+      (es: Seq[Expression]) => PqAdc(es(0), es(1), es(2), es(3), es(4))),
+    (FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2))),
+    (FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
 }

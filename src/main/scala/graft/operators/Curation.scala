@@ -265,6 +265,53 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination — the petabyte-scale pruning step the
+    // exact query's comment promises: the distinct train grams fold into
+    // ONE fixed-size broadcast Bloom filter (bitwise-OR construction is
+    // commutative, so the filter is deterministic under any partitioning
+    // or run), and eval grams probe it with might_contain — the eval
+    // side never shuffles at all. Bloom semantics: false positives
+    // over-flag harmlessly (bounded by fpp), false negatives are
+    // IMPOSSIBLE — the gate pins n_bloom_missed = 0 per split alongside
+    // the exact flag counts, so the probe is checked against certified
+    // ground truth on the same corpus.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      graft.functions.Sketch.register(s)
+      val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+      val grams = documents(s, dir)
+        .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
+          explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))
+      graft.functions.BloomOps.register(s)
+      val trainGrams = grams.filter(col("split") === "train")
+        .select("g").distinct()
+      // the built filter is a bounded model artifact (1 MB at the
+      // chosen sizing) collected once, like the LM tables and the PQ
+      // codebook; might_contain requires a constant/scalar-subquery
+      // filter anyway. Sized for ~1M distinct grams at 8 bits each
+      // (~2% fp) — over-flagging is the harmless direction.
+      val bloomBytes = trainGrams
+        .agg(graft.functions.BloomOps.bloomAgg(col("g"),
+          1000000L, 8000000L).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val evalGrams = grams.filter(col("split") =!= "train")
+      val bloomFlag = evalGrams
+        .filter(graft.functions.BloomOps.mightContain(bloomBytes, col("g")))
+        .select("doc_id").distinct().withColumn("bl", lit(1))
+      val exactFlag = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+        .select("doc_id").distinct().withColumn("ex", lit(1))
+      documents(s, dir)
+        .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
+        .filter(col("split") =!= "train")
+        .join(exactFlag, Seq("doc_id"), "left")
+        .join(bloomFlag, Seq("doc_id"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("ex"), lit(0))).cast(LongType).as("n_exact_flagged"),
+          sum(when(col("ex") === 1 && col("bl").isNull, 1).otherwise(0))
+            .cast(LongType).as("n_bloom_missed"))
+        .orderBy("split")
+    }),
+
     // sequence packing: concatenate each shard's token stream in doc_id
     // order and chunk it at a 512-token budget — the standard pretraining
     // packing step (docs span chunk boundaries; every token lands in
@@ -372,6 +419,39 @@ object Curation {
          |  FROM reach JOIN edges e ON e.s = reach.node)
          |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // same gram/split CTEs as q_decontaminate; the bloom-missed count is
+    // pinned to the literal 0 (Bloom filters cannot produce false
+    // negatives — a red here means the probe pipeline is broken)
+    "q_decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(range(1, len(t) - 6),
+        |                               i -> array_to_string(t[i:i+7], ' '))
+        |           END) AS s
+        |  FROM toks),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+        |                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |                      ELSE 'train' END AS split
+        |  FROM documents),
+        |grams AS (SELECT sh.doc_id, sp.split, unnest(sh.s) AS g
+        |          FROM sh JOIN sp USING (doc_id)),
+        |train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+        |flagged AS (SELECT DISTINCT t.doc_id
+        |            FROM grams t JOIN train_g USING (g)
+        |            WHERE t.split <> 'train')
+        |SELECT sp.split, count(*) AS n_docs,
+        |       CAST(count(f.doc_id) AS BIGINT) AS n_exact_flagged,
+        |       CAST(0 AS BIGINT) AS n_bloom_missed
+        |FROM sp LEFT JOIN flagged f ON sp.doc_id = f.doc_id
+        |WHERE sp.split <> 'train'
+        |GROUP BY 1 ORDER BY split""".stripMargin,
+
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

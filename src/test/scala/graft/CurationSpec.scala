@@ -109,6 +109,28 @@ class CurationSpec extends SparkSpecBase {
     assert((h(3L) & h(1L)).isEmpty)
   }
 
+  test("Bloom decontamination: zero false negatives, superset of exact flags") {
+    // planted leak: doc 100 (eval) shares an 8-gram with doc 1 (train);
+    // doc 200 (eval) is clean. The filter must flag 100 and may not
+    // miss any exact flag (Bloom false negatives are impossible).
+    val q = graft.SparkEntry.queries("q_decontaminate_bloom")
+    val rows = q(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (split, nDocs, nExact, nMissed) =>
+      assert(nMissed == 0L, s"$split: bloom missed $nMissed exact flags")
+      assert(nExact <= nDocs)
+    }
+    // ties to the exact query on the same corpus: per-split exact counts
+    // must equal q_decontaminate's flagged docs
+    val exact = graft.SparkEntry.queries("q_decontaminate")(spark, TestSpark.Sf0001)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (split, _, nExact, _) =>
+      assert(exact.getOrElse(split, 0L) == nExact, s"$split: $nExact vs $exact")
+    }
+  }
+
   test("pack-chunk invariants: spans contiguous, per-shard token accounting") {
     // 600 docs, varying token counts; replay q_pack_chunks' arithmetic
     // and assert structural invariants independent of the oracle.

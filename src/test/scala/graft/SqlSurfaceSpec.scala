@@ -62,6 +62,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("pq") - 1.1 / math.sqrt(2.0)) < 1e-12)
   }
 
+  test("Bloom shims: build in SQL, probe via scalar subquery") {
+    inject()
+    val r = spark.sql(
+      """SELECT graft_might_contain(
+        |         (SELECT graft_bloom_agg(CAST(id AS BIGINT), 100L, 800L)
+        |          FROM range(5)), 3L) AS hit,
+        |       graft_might_contain(
+        |         (SELECT graft_bloom_agg(CAST(id AS BIGINT), 100L, 800L)
+        |          FROM range(5)), 99L) AS miss
+        |""".stripMargin).collect().head
+    assert(r.getBoolean(0))   // inserted key: always found
+    assert(!r.getBoolean(1))  // absent key at this sizing: not found
+  }
+
   test("SQL route ≡ Column-API route (same kernels, same results)") {
     inject()
     Sketch.register(spark)
