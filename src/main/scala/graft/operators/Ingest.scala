@@ -143,17 +143,21 @@ object Ingest {
     val codePath = scratch(s, dir, "pq_codes")
     graft.functions.PqOps.register(s)
     val emb = embeddings(s, dir)
+    // explicit existence check (not exception-sniffing: a missing leaf
+    // under an existing scratch parent surfaces as FileNotFoundException,
+    // under a missing parent as AnalysisException — seen both)
+    val cbHadoopPath = new org.apache.hadoop.fs.Path(cbPath)
+    val fs = cbHadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val (cb, dim) =
-      try {
+      if (fs.exists(cbHadoopPath)) {
         val r = s.read.parquet(cbPath).head()
         (r.getSeq[Float](0).toArray, r.getInt(1))
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          val (cbT, dimT, _) = Similarity.pqTrain(emb, m, kCent)
-          import s.implicits._
-          Seq((cbT.toSeq, dimT)).toDF("cb", "dim")
-            .write.mode("ignore").parquet(cbPath)
-          (cbT, dimT)
+      } else {
+        val (cbT, dimT, _) = Similarity.pqTrain(emb, m, kCent)
+        import s.implicits._
+        Seq((cbT.toSeq, dimT)).toDF("cb", "dim")
+          .write.mode("ignore").parquet(cbPath)
+        (cbT, dimT)
       }
     emb.select(col("vec_id"),
         graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))

@@ -281,8 +281,8 @@ object Similarity {
     * dim=64): like the LM tables and the stored IVF centroids, a
     * production pipeline trains once on a sample and ships the codebook
     * to every encode/probe job. */
-  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
-      iters: Int = 2, sampleCap: Int = 1024): (Array[Float], Int, Int) = {
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 256,
+      iters: Int = 1, sampleCap: Int = 1024): (Array[Float], Int, Int) = {
     VectorOps.register(emb.sparkSession)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val sub = dim / m

@@ -68,6 +68,21 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming PQ code ingest (PqStream) == batch encode, same codebook") {
+    val emb = spark.read.parquet(TestSpark.Sf0001 + "/embeddings.parquet")
+    val (cb, _, _) = graft.operators.Similarity.pqTrain(emb, 8, 256)
+    val stream = graft.streaming.PqStream.codeStream(spark, TestSpark.Sf0001, cb)
+    val q = EventStream.runToMemory(stream, "pq_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    val streamed = spark.table("pq_stream_test")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    graft.functions.PqOps.register(spark)
+    val batch = emb.select(col("vec_id"),
+        graft.functions.PqOps.encode(col("embedding"), cb, 8, 256).as("code"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("sessionCounts (flatMapGroupsWithState) == q_sessionize (batch)") {
     val stream = EventStream.sessionCounts(
       EventStream.readEvents(spark, TestSpark.Sf0001))
