@@ -33,10 +33,21 @@ object Profile {
       // phase breakdown of the PQ pipeline (train/encode+rank)
       case "pq_phases" =>
         val emb = graft.queries.Tables.embeddings(spark, sfDir)
-        val t = time("pq:train")(
+        val (cb, dim, _) = time("pq:train")(
           graft.operators.Similarity.pqTrain(emb, 8, 256, iters = 1))
-        time("pq:topk")(graft.operators.Similarity.pqTopK(emb, 10,
-          expand = 60).count())
+        graft.functions.PqOps.register(spark)
+        // serve phase reuses the trained model (pqTopK would retrain)
+        time("pq:serve") {
+          val (qid, dot, nrm) =
+            graft.operators.Similarity.adcTables(emb, cb, dim, 8, 256)
+          val coded = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+            graft.functions.PqOps.encode(
+              org.apache.spark.sql.functions.col("embedding"), cb, 8, 256)
+              .as("code"))
+          graft.operators.Similarity.pqRescore(emb,
+            graft.operators.Similarity.pqRank(coded, qid, dot, nrm, 8, 256, 600),
+            10).count()
+        }
       case n =>
         val t0 = System.nanoTime()
         val cnt = SparkEntry.queries(n)(spark, sfDir).count()

@@ -282,7 +282,12 @@ object Curation {
         .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
           explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))
       graft.functions.BloomOps.register(s)
-      val trainGrams = grams.filter(col("split") === "train")
+      // the gram stream feeds four consumers (bloom build, bloom probe,
+      // and both sides of the exact join) — persist it so tokenization
+      // and gram hashing run once (same multi-consumer shape as
+      // TextAnalysis.lmTables; the cache is fixed-width hashes only)
+      val sharedGrams = grams.persist()
+      val trainGrams = sharedGrams.filter(col("split") === "train")
         .select("g").distinct()
       // the built filter is a bounded model artifact (1 MB at the
       // chosen sizing) collected once, like the LM tables and the PQ
@@ -293,7 +298,7 @@ object Curation {
         .agg(graft.functions.BloomOps.bloomAgg(col("g"),
           1000000L, 8000000L).as("bf"))
         .head().getAs[Array[Byte]](0)
-      val evalGrams = grams.filter(col("split") =!= "train")
+      val evalGrams = sharedGrams.filter(col("split") =!= "train")
       val bloomFlag = evalGrams
         .filter(graft.functions.BloomOps.mightContain(bloomBytes, col("g")))
         .select("doc_id").distinct().withColumn("bl", lit(1))

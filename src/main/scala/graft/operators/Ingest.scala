@@ -139,8 +139,12 @@ object Ingest {
     * probe scans 16 B/row. */
   def ensurePqIndex(s: SparkSession, dir: String, m: Int = 8,
       kCent: Int = 256): (Array[Float], Int, DataFrame) = {
-    val cbPath = scratch(s, dir, "pq_codebook")
-    val codePath = scratch(s, dir, "pq_codes")
+    // (m, kCent) are part of the index identity: the flat-codebook
+    // length check alone is m-invariant (m*k*(dim/m) == k*dim), so a
+    // stored m=8 codebook would silently decode as m=4 garbage if the
+    // layout parameters weren't bound into the path and verified.
+    val cbPath = scratch(s, dir, s"pq_codebook_m${m}_k$kCent")
+    val codePath = scratch(s, dir, s"pq_codes_m${m}_k$kCent")
     graft.functions.PqOps.register(s)
     val emb = embeddings(s, dir)
     // explicit existence check (not exception-sniffing: a missing leaf
@@ -151,11 +155,14 @@ object Ingest {
     val (cb, dim) =
       if (fs.exists(cbHadoopPath)) {
         val r = s.read.parquet(cbPath).head()
+        require(r.getInt(2) == m && r.getInt(3) == kCent,
+          s"stored PQ codebook was trained with m=${r.getInt(2)}, " +
+            s"k=${r.getInt(3)}; requested m=$m, k=$kCent")
         (r.getSeq[Float](0).toArray, r.getInt(1))
       } else {
         val (cbT, dimT, _) = Similarity.pqTrain(emb, m, kCent)
         import s.implicits._
-        Seq((cbT.toSeq, dimT)).toDF("cb", "dim")
+        Seq((cbT.toSeq, dimT, m, kCent)).toDF("cb", "dim", "m", "k")
           .write.mode("ignore").parquet(cbPath)
         (cbT, dimT)
       }

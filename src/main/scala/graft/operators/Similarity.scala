@@ -302,7 +302,7 @@ object Similarity {
             slice(col("embedding"), mi * sub + 1, sub).as("sv"))): _*)).as("e"))
       .select(col("vec_id"), col("e.mi").as("mi"), col("e.sv").as("sv"))
     // seeds: the K lowest vec_ids' sub-vectors (the window runs over the
-    // 16-row limited frame, not the corpus)
+    // K-row limited frame, not the corpus)
     val seeds = broadcast(train.orderBy("vec_id").limit(k)
       .select(col("vec_id"))
       .withColumn("ki", row_number().over(
@@ -336,11 +336,31 @@ object Similarity {
       it += 1
     }
     val flat = new Array[Float](m * k * sub)
-    codebook.collect().foreach { r =>
+    val rows = codebook.collect()
+    rows.foreach { r =>
       val base = (r.getAs[Int]("mi") * k + r.getAs[Int]("ki")) * sub
       val cv = r.getSeq[Float](2)
       var d = 0
       while (d < sub) { flat(base + d) = cv(d); d += 1 }
+    }
+    // a sample smaller than k seeds only the first n entries; replicate
+    // them into the unseeded tail instead of leaving phantom ZERO
+    // centroids (a sub-vector near the origin would otherwise encode to
+    // a phantom whose ADC dot/norm are 0, silently sinking its vector
+    // to the bottom of the ranking). Duplicated centroids are harmless:
+    // encode's strict-< tie-break never selects the copy.
+    val nSeeded = if (rows.isEmpty) 0 else rows.map(_.getAs[Int]("ki")).max + 1
+    require(nSeeded > 0, "pq: empty training sample")
+    var mi = 0
+    while (mi < m) {
+      var ki = nSeeded
+      while (ki < k) {
+        val src = (mi * k + (ki % nSeeded)) * sub
+        val dst = (mi * k + ki) * sub
+        System.arraycopy(flat, src, flat, dst, sub)
+        ki += 1
+      }
+      mi += 1
     }
     (flat, dim, sub)
   }
@@ -370,8 +390,10 @@ object Similarity {
   private[graft] def adcTables(emb: DataFrame, cb: Array[Float],
       dim: Int, m: Int, kCent: Int): (Long, Array[Double], Array[Double]) = {
     val sub = dim / m
-    val qr = emb.orderBy("vec_id").limit(1)
-      .select(col("vec_id"), col("embedding")).head()
+    // the same probe row every other top-k path uses — reusing queryRow
+    // keeps the id pqRank excludes and the vector pqRescore scores
+    // against from ever diverging
+    val qr = queryRow(emb).select(col("q_id"), col("q_emb")).head()
     val qid = qr.getLong(0)
     val q = qr.getSeq[Float](1).toArray
     require(q.length == dim, s"probe dim ${q.length} != corpus dim $dim")
