@@ -185,6 +185,57 @@ object Ingest {
       Similarity.pqRank(codes, qid, dot, nrm, m, kCent, expand * k), k)
   }
 
+  /** IVF-PQ combined index: the billion-scale layout (FAISS's IVFPQ,
+    * Jégou et al. 2011) — every vector's 8-byte PQ code stored
+    * PARTITIONED BY its IVF cell, so a probe composes the two prunings:
+    * DPP drops unprobed cell directories at the scan, and within the
+    * probed cells the ranking pass reads ONLY (vec_id, code). At 10⁹
+    * vectors × dim 768 that is ~16 B touched per vector in ~nProbe/nCells
+    * of the corpus, vs 3 KB per vector over everything for brute force.
+    * Returns (codebook, dim, centroids, cell-partitioned codes). */
+  def ensureIvfPqIndex(s: SparkSession, dir: String, m: Int = 8,
+      kCent: Int = 256,
+      nCells: Int = 16): (Array[Float], Int, DataFrame, DataFrame) = {
+    val (cb, dim, _) = ensurePqIndex(s, dir, m, kCent)
+    val (centroids, _) = ensureIvfIndex(s, dir, nCells)
+    val path = scratch(s, dir, s"ivfpq_codes_m${m}_k${kCent}_c$nCells")
+    graft.functions.PqOps.register(s)
+    val emb = embeddings(s, dir)
+    Similarity.ivfAssign(emb, centroids)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
+      .repartition(col("cell")) // whole cells per write task (small files)
+      .write.mode("ignore").partitionBy("cell").parquet(path)
+    (cb, dim, centroids, s.read.parquet(path))
+  }
+
+  /** Warm-path IVF-PQ top-k: probe-cell selection over the tiny
+    * centroid table → DPP-pruned scan of the probed cells' CODE
+    * directories → ADC ranking (16 B/row) → bounded exact rescore.
+    * Both prunings and the rescore reuse the machinery their standalone
+    * paths gate (ivfTopKStored's DPP shape, pqTopKStored's code-only
+    * ReadSchema, the shared pqRescore). */
+  def ivfPqTopKStored(s: SparkSession, dir: String, k: Int,
+      expand: Int = 60, nProbe: Int = 8, m: Int = 8,
+      kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
+    val emb = embeddings(s, dir)
+    val (qid, dot, nrm) = Similarity.adcTables(emb, cb, dim, m, kCent)
+    val q = Similarity.queryRow(emb)
+    val probePlan = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), VectorOps.cosine(col("cvec"), col("q_emb")).as("qsim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("qsim"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("cid").as("cell"))
+    val cand = codes
+      .join(broadcast(probeCells(probePlan, codes)), "cell")
+      .select(col("vec_id"), col("code"))
+    Similarity.pqRescore(emb,
+      Similarity.pqRank(cand, qid, dot, nrm, m, kCent, expand * k), k)
+  }
+
   /** Batched kNN through the STORED IVF index — the production retrieval
     * shape end to end: the (q_id, cell) probe plan is a tiny frame
     * (|Q|×nCells cosines, top-nProbe per query) that joins BROADCAST
@@ -269,6 +320,19 @@ object Ingest {
 
     // IVF from the STORED index, forced-recall gate (same as q_ivf_topk:
     // oracle pins recall@10 = 1.0, a probe miss turns the gate red).
+    // warm-path IVF-PQ: both prunings composed (DPP cell pruning + ADC
+    // over stored codes), same forced-recall gate. nProbe=8 of 16 cells
+    // with the 600-candidate window holds 1.0 at every verify SF for the
+    // same reason q_ivf_topk does: the true top-10's cells are all
+    // probed, and within them ADC ranks the true neighbors inside the
+    // window.
+    "q_ivfpq_topk_stored" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      ivfPqTopKStored(s, dir, 10).select("vec_id")
+        .join(Similarity.cosineTopK(emb, 10).select("vec_id"), "vec_id")
+        .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
+    }),
+
     // warm-path PQ: stored codes + stored codebook, same forced-recall
     // gate; a stale or retrained codebook desynchronizing the codes
     // turns the 1.0 red.
@@ -296,6 +360,7 @@ object Ingest {
     "q_near_dup_minhash_stored" -> Dedup.oracles("q_near_dup_minhash"),
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10"
   )
 }

@@ -113,6 +113,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("IVF-PQ: DPP cell pruning AND code-only ReadSchema compose in one scan") {
+    val s = spark
+    val (cb, dim, centroids, codes) =
+      graft.operators.Ingest.ensureIvfPqIndex(s, TestSpark.Sf0001)
+    val emb = graft.queries.Tables.embeddings(s, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.ivfPqTopKStored(s, TestSpark.Sf0001, 10))
+    assert(p.contains("dynamicpruning"),
+      s"probe must prune cell directories dynamically:\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,code:bigint>"),
+      s"the ranking scan must read only (vec_id, code):\n$p")
+    assert(!p.contains("cell IN ("), s"no driver-collected cell literal:\n$p")
+  }
+
   test("batched IVF kNN prunes cell partitions via DPP; the window keys the scan pid") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
