@@ -208,4 +208,31 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(pq == exact)
   }
+
+  test("PQ kernels fail loudly on layout mismatches") {
+    // dim not divisible by m
+    val e1 = intercept[Exception] {
+      graft.functions.PqKernels.encode(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(1.0f, 2.0f, 3.0f)), new Array[Float](8), 2, 2)
+    }
+    assert(e1.getMessage.contains("incompatible"))
+    // ADC table length disagreeing with m*k
+    val e2 = intercept[Exception] {
+      graft.functions.PqKernels.adc(0L, new Array[Double](3),
+        new Array[Double](3), 2, 2)
+    }
+    assert(e2.getMessage.contains("table length"))
+  }
+
+  test("stored PQ indexes with different layouts coexist (paths carry m,k)") {
+    val (cb8, dim8, _) = graft.operators.Ingest.ensurePqIndex(spark, TestSpark.Sf0001)
+    val (cb4, dim4, _) = graft.operators.Ingest.ensurePqIndex(spark,
+      TestSpark.Sf0001, m = 4, kCent = 16)
+    // each layout trains and stores independently; lengths prove neither
+    // read the other's artifact (8*256*8 vs 4*16*16 floats at dim 64)
+    assert(dim8 == 64 && dim4 == 64)
+    assert(cb8.length == 8 * 256 * 8)
+    assert(cb4.length == 4 * 16 * 16)
+  }
 }
