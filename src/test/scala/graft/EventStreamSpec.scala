@@ -83,6 +83,32 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming Bloom decontamination (BloomStream) == batch filter") {
+    import graft.functions.{BloomOps, Sketch}
+    Sketch.register(spark); BloomOps.register(spark)
+    val docs = spark.read.parquet(TestSpark.Sf0001 + "/documents.parquet")
+    // freeze a filter over the benchmark (valid/test) grams
+    val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+    val bloom = docs
+      .filter(graft.operators.Curation.splitColumn(col("doc_id")) =!= "train")
+      .select(explode(Sketch.wordGramHashes(toks, 8)).as("g")).distinct()
+      .agg(BloomOps.bloomAgg(col("g"), 1000000L, 8000000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val stream = graft.streaming.BloomStream.cleanStream(
+      spark, TestSpark.Sf0001, bloom)
+    val q = EventStream.runToMemory(stream, "bloom_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    val streamed = spark.table("bloom_stream_test")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = docs
+      .filter(!graft.streaming.BloomStream.contaminated(bloom))
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the filter must actually drop something: every eval doc self-hits
+    assert(streamed.size < docs.count())
+  }
+
   test("sessionCounts (flatMapGroupsWithState) == q_sessionize (batch)") {
     val stream = EventStream.sessionCounts(
       EventStream.readEvents(spark, TestSpark.Sf0001))
