@@ -96,6 +96,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("stateless LM scoring is a single shuffle-free codegen pass") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val (u, b) = graft.operators.TextAnalysis.lmTables(docs)
+    val p = plan(graft.operators.TextAnalysis.lmScoreStateless(docs, u, b))
+    // the serving-shape claim: no joins, no exchanges, the kernel call
+    // sits in a Project directly over the scan
+    assert(!p.contains("Exchange"), s"stateless scoring must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"stateless scoring must not join:\n$p")
+    assert(p.contains("graft_lm_nll"), p)
+  }
+
   test("stored-PQ ADC ranking scans only the 16 B/row code table") {
     val s = spark
     val (cb, dim, codes) = graft.operators.Ingest.ensurePqIndex(s, TestSpark.Sf0001)
