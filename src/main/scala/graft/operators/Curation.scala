@@ -339,6 +339,32 @@ object Curation {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // sliding-window chunking with overlap — the retrieval/context-prep
+    // twin of q_pack_chunks: each doc independently yields windows of
+    // 128 tokens at stride 64 (chunk i covers tokens
+    // [i*64, min(i*64+128, n))), so long docs produce overlapping
+    // chunks and every doc yields at least one. Purely narrow — a
+    // per-row explode with no shuffle at all (the ORDER BY here is the
+    // gate's total order, not part of the operator) — so it scales as a
+    // map over the corpus.
+    "q_chunk_overlap" -> ((s, dir) => {
+      val size = 128
+      val stride = 64
+      val n = TextAnalysis.wsTokens(col("text"))
+      val nChunks = greatest(lit(1),
+        ceil((n - lit(size)).cast(DoubleType) / lit(stride)).cast(IntegerType)
+          + lit(1))
+      documents(s, dir)
+        .select(col("doc_id"), n.as("n_toks"), nChunks.as("nc"))
+        .select(col("doc_id"), col("n_toks"),
+          explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride + 1).as("start_tok"),
+          (least(col("chunk_idx") * stride + lit(size), col("n_toks"))
+            - col("chunk_idx") * stride).as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // source mixing: per-source epoch weights (src0×3.0, src1×2.5,
     // src2×0.5, src3×0.25, rest ×1.0) — the Pile/LLaMA-style data-mixing
     // step. Integer epochs replicate via sequence+explode (a NARROW
@@ -481,6 +507,22 @@ object Curation {
         |FROM grams t JOIN train_g USING (g)
         |WHERE t.split <> 'train'
         |ORDER BY t.doc_id""".stripMargin,
+    "q_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |         greatest(1, CAST(ceil((n_toks - 128) / 64.0) AS INT) + 1) AS nc
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(i AS INT) AS chunk_idx,
+        |       CAST(i * 64 + 1 AS INT) AS start_tok,
+        |       CAST(least(i * 64 + 128, n_toks) - i * 64 AS INT) AS chunk_len
+        |FROM c, unnest(range(0, nc)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_pack_chunks" ->
       """WITH d AS (
         |  SELECT doc_id,
