@@ -134,8 +134,16 @@ object Curation {
     * benchmark-decontamination window: long enough that shared grams mean
     * copied text, not shared phrasing (3-grams flag 100% of this corpus;
     * 8-grams flag exactly the planted cross-split duplicates). */
+  /** The ONE gram tokenization (lowered, whitespace-collapsed, split):
+    * shared by the exact decontamination, the Bloom build, and the
+    * streaming Bloom probe — the filter builder and every prober MUST
+    * hash identical grams or Bloom's no-false-negative guarantee breaks
+    * silently. */
+  def gramToks(text: Column): Column =
+    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+
   def wordGrams(text: Column, n: Int): Column = {
-    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    val toks = gramToks(text)
     array_distinct(
       when(size(toks) < n, array(array_join(toks, " ")))
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -253,7 +261,7 @@ object Curation {
       // on this query at sf0.1, 3.7 s → 1.05 s warm); wordGrams stays the
       // reference formulation and CurationSpec pins kernel ≡ string-gram
       // decisions.
-      val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+      val toks = gramToks(col("text"))
       val grams = documents(s, dir)
         .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
           explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))
@@ -277,7 +285,7 @@ object Curation {
     // ground truth on the same corpus.
     "q_decontaminate_bloom" -> ((s, dir) => {
       graft.functions.Sketch.register(s)
-      val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+      val toks = gramToks(col("text"))
       val grams = documents(s, dir)
         .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
           explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))

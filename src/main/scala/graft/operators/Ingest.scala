@@ -77,8 +77,11 @@ object Ingest {
     * once per (app, sf). Returns (centroids, assignments-reader). */
   def ensureIvfIndex(s: SparkSession, dir: String,
       nCells: Int = 16): (DataFrame, DataFrame) = {
-    val cPath = scratch(s, dir, "ivf_centroids")
-    val aPath = scratch(s, dir, "ivf_assign")
+    // nCells is part of the index identity (same rule as the PQ paths):
+    // an unkeyed path would let a non-default nCells silently reuse the
+    // previously stored cell geometry via SaveMode.Ignore.
+    val cPath = scratch(s, dir, s"ivf_centroids_c$nCells")
+    val aPath = scratch(s, dir, s"ivf_assign_c$nCells")
     VectorOps.register(s)
     val emb = embeddings(s, dir)
     val centroids = Similarity.ivfCentroids(emb, nCells)
@@ -101,6 +104,19 @@ object Ingest {
     probePlan.withColumn("cell",
       col("cell").cast(assign.schema("cell").dataType))
 
+  /** Single-probe cell selection: the nProbe best-cosine cells for the
+    * broadcast query row, as the selective predicate shape that
+    * triggers DPP. Shared by the stored IVF and IVF-PQ paths. */
+  private def singleQueryProbePlan(centroids: DataFrame, q: DataFrame,
+      nProbe: Int): DataFrame =
+    centroids.crossJoin(broadcast(q))
+      .select(col("cid"), VectorOps.cosine(col("cvec"), col("q_emb")).as("qsim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("qsim"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("cid").as("cell"))
+
   /** Warm-path IVF top-k from the STORED index: probe-cell selection is
     * a plan over the (tiny, nCells-row) centroid table, joined broadcast
     * against the cell-partitioned assignments so DYNAMIC PARTITION
@@ -113,13 +129,7 @@ object Ingest {
       nProbe: Int = 8): DataFrame = {
     val (centroids, assign) = ensureIvfIndex(s, dir)
     val q = Similarity.queryRow(embeddings(s, dir))
-    val probePlan = centroids.crossJoin(broadcast(q))
-      .select(col("cid"), VectorOps.cosine(col("cvec"), col("q_emb")).as("qsim"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("qsim"), asc("cid"))))
-      .filter(col("rn") <= nProbe) // selective predicate: DPP's trigger shape
-      .select(col("cid").as("cell"))
+    val probePlan = singleQueryProbePlan(centroids, q, nProbe)
     assign
       .join(broadcast(probeCells(probePlan, assign)), "cell")
       .crossJoin(broadcast(q))
@@ -137,35 +147,44 @@ object Ingest {
     * desynchronize codes and tables (the forced-recall gate would
     * catch it). The cold path pays train+encode once; every later
     * probe scans 16 B/row. */
+  /** Codebook-only half of [[ensurePqIndex]] — train-or-load without
+    * materializing any code table (IVF-PQ stores its OWN cell-partitioned
+    * codes; encoding the corpus a second time into a flat table it never
+    * reads would double the cold ingest cost). */
+  def ensurePqCodebook(s: SparkSession, dir: String, m: Int = 8,
+      kCent: Int = 256): (Array[Float], Int) = {
+    val cbPath = scratch(s, dir, s"pq_codebook_m${m}_k$kCent")
+    graft.functions.PqOps.register(s)
+    val cbHadoopPath = new org.apache.hadoop.fs.Path(cbPath)
+    val fs = cbHadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(cbHadoopPath)) {
+      val r = s.read.parquet(cbPath).head()
+      require(r.getInt(2) == m && r.getInt(3) == kCent,
+        s"stored PQ codebook was trained with m=${r.getInt(2)}, " +
+          s"k=${r.getInt(3)}; requested m=$m, k=$kCent")
+      (r.getSeq[Float](0).toArray, r.getInt(1))
+    } else {
+      val (cbT, dimT, _) = Similarity.pqTrain(embeddings(s, dir), m, kCent)
+      import s.implicits._
+      Seq((cbT.toSeq, dimT, m, kCent)).toDF("cb", "dim", "m", "k")
+        .write.mode("ignore").parquet(cbPath)
+      (cbT, dimT)
+    }
+  }
+
   def ensurePqIndex(s: SparkSession, dir: String, m: Int = 8,
       kCent: Int = 256): (Array[Float], Int, DataFrame) = {
     // (m, kCent) are part of the index identity: the flat-codebook
     // length check alone is m-invariant (m*k*(dim/m) == k*dim), so a
     // stored m=8 codebook would silently decode as m=4 garbage if the
     // layout parameters weren't bound into the path and verified.
-    val cbPath = scratch(s, dir, s"pq_codebook_m${m}_k$kCent")
+    // (Existence is checked via the Hadoop FS, not exception-sniffing: a
+    // missing leaf under an existing scratch parent surfaces as
+    // FileNotFoundException, under a missing parent as AnalysisException
+    // — seen both.)
     val codePath = scratch(s, dir, s"pq_codes_m${m}_k$kCent")
-    graft.functions.PqOps.register(s)
+    val (cb, dim) = ensurePqCodebook(s, dir, m, kCent)
     val emb = embeddings(s, dir)
-    // explicit existence check (not exception-sniffing: a missing leaf
-    // under an existing scratch parent surfaces as FileNotFoundException,
-    // under a missing parent as AnalysisException — seen both)
-    val cbHadoopPath = new org.apache.hadoop.fs.Path(cbPath)
-    val fs = cbHadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val (cb, dim) =
-      if (fs.exists(cbHadoopPath)) {
-        val r = s.read.parquet(cbPath).head()
-        require(r.getInt(2) == m && r.getInt(3) == kCent,
-          s"stored PQ codebook was trained with m=${r.getInt(2)}, " +
-            s"k=${r.getInt(3)}; requested m=$m, k=$kCent")
-        (r.getSeq[Float](0).toArray, r.getInt(1))
-      } else {
-        val (cbT, dimT, _) = Similarity.pqTrain(emb, m, kCent)
-        import s.implicits._
-        Seq((cbT.toSeq, dimT, m, kCent)).toDF("cb", "dim", "m", "k")
-          .write.mode("ignore").parquet(cbPath)
-        (cbT, dimT)
-      }
     emb.select(col("vec_id"),
         graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
       .write.mode("ignore").parquet(codePath)
@@ -196,7 +215,7 @@ object Ingest {
   def ensureIvfPqIndex(s: SparkSession, dir: String, m: Int = 8,
       kCent: Int = 256,
       nCells: Int = 16): (Array[Float], Int, DataFrame, DataFrame) = {
-    val (cb, dim, _) = ensurePqIndex(s, dir, m, kCent)
+    val (cb, dim) = ensurePqCodebook(s, dir, m, kCent)
     val (centroids, _) = ensureIvfIndex(s, dir, nCells)
     val path = scratch(s, dir, s"ivfpq_codes_m${m}_k${kCent}_c$nCells")
     graft.functions.PqOps.register(s)
@@ -221,14 +240,8 @@ object Ingest {
     val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
     val emb = embeddings(s, dir)
     val (qid, dot, nrm) = Similarity.adcTables(emb, cb, dim, m, kCent)
-    val q = Similarity.queryRow(emb)
-    val probePlan = centroids.crossJoin(broadcast(q))
-      .select(col("cid"), VectorOps.cosine(col("cvec"), col("q_emb")).as("qsim"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("qsim"), asc("cid"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("cid").as("cell"))
+    val probePlan =
+      singleQueryProbePlan(centroids, Similarity.queryRow(emb), nProbe)
     val cand = codes
       .join(broadcast(probeCells(probePlan, codes)), "cell")
       .select(col("vec_id"), col("code"))
@@ -318,8 +331,6 @@ object Ingest {
         .agg((count(lit(1)).cast(DoubleType) / 80.0).as("recall_at_10"))
     }),
 
-    // IVF from the STORED index, forced-recall gate (same as q_ivf_topk:
-    // oracle pins recall@10 = 1.0, a probe miss turns the gate red).
     // warm-path IVF-PQ: both prunings composed (DPP cell pruning + ADC
     // over stored codes), same forced-recall gate. nProbe=8 of 16 cells
     // with the 600-candidate window holds 1.0 at every verify SF for the
@@ -343,6 +354,8 @@ object Ingest {
         .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
     }),
 
+    // IVF from the STORED index, forced-recall gate (same as q_ivf_topk:
+    // oracle pins recall@10 = 1.0, a probe miss turns the gate red).
     "q_ivf_topk_stored" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       ivfTopKStored(s, dir, 10).select("vec_id")

@@ -22,11 +22,10 @@ object BloomStream {
   /** Per-doc contamination predicate: ANY word-8-gram hash hits the
     * filter. Shared by the stream and its batch twin so the two cannot
     * drift. */
-  def contaminated(bloom: Array[Byte]): org.apache.spark.sql.Column = {
-    val toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
-    exists(Sketch.wordGramHashes(toks, 8),
+  def contaminated(bloom: Array[Byte]): org.apache.spark.sql.Column =
+    exists(
+      Sketch.wordGramHashes(graft.operators.Curation.gramToks(col("text")), 8),
       g => BloomOps.mightContain(bloom, g))
-  }
 
   def cleanStream(s: SparkSession, dir: String,
       bloom: Array[Byte]): DataFrame = {

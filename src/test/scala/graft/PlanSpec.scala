@@ -125,11 +125,7 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("IVF-PQ: DPP cell pruning AND code-only ReadSchema compose in one scan") {
-    val s = spark
-    val (cb, dim, centroids, codes) =
-      graft.operators.Ingest.ensureIvfPqIndex(s, TestSpark.Sf0001)
-    val emb = graft.queries.Tables.embeddings(s, TestSpark.Sf0001)
-    val p = plan(graft.operators.Ingest.ivfPqTopKStored(s, TestSpark.Sf0001, 10))
+    val p = plan(graft.operators.Ingest.ivfPqTopKStored(spark, TestSpark.Sf0001, 10))
     assert(p.contains("dynamicpruning"),
       s"probe must prune cell directories dynamically:\n$p")
     assert(p.contains("ReadSchema: struct<vec_id:bigint,code:bigint>"),
