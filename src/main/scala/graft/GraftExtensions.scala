@@ -47,6 +47,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => Cp1252Encode(es.head)),
     (FunctionIdentifier("graft_id_pairs"), info("graft_id_pairs", classOf[IdPairs]),
       (es: Seq[Expression]) => IdPairs(es.head)),
+    (FunctionIdentifier("graft_hamming_pairs"),
+      info("graft_hamming_pairs", classOf[HammingPairs]),
+      (es: Seq[Expression]) => HammingPairs(es(0), es(1))),
     (FunctionIdentifier("graft_repetition"),
       info("graft_repetition", classOf[RepetitionStats]),
       (es: Seq[Expression]) => RepetitionStats(es.head)),

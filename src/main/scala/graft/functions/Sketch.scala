@@ -62,6 +62,9 @@ object Sketch {
     reg.createOrReplaceTempFunction(
       "graft_id_pairs", exprs => IdPairs(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_hamming_pairs",
+      exprs => HammingPairs(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_repetition", exprs => RepetitionStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_word_gram_hashes",
@@ -111,6 +114,14 @@ object Sketch {
     * Call [[register]] on the session first. */
   def idPairs(ids: Column): Column =
     call_function("graft_id_pairs", ids)
+
+  /** Hamming-filtered canonical pairs from a bucket's
+    * `array<struct<doc_id, simhash>>` entries —
+    * `array<struct<doc1, doc2, hamming>>`. The bucket-local pair kernel
+    * of the SimHash near-dup join (see [[HammingPairs]]).
+    * Call [[register]] on the session first. */
+  def hammingPairs(entries: Column, maxHamming: Int): Column =
+    call_function("graft_hamming_pairs", entries, lit(maxHamming))
 
   /** LSH banding: `(band_idx, band_val)` structs covering ALL 64 bits of
     * a sketch in `numBands` contiguous ranges (widths differ by ≤1 when
@@ -292,6 +303,41 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Hamming-filtered (doc1 < doc2, hamming) pairs from a bucket's
+    * (id, sketch) entries — the [[HammingPairs]] kernel. The C(n,2)
+    * ENUMERATION runs in-memory at a few ns/pair (vs ~150 ns/pair for
+    * the same enumeration through a sort-merge self-join's row
+    * machinery); only PASSING pairs materialize, so output (and memory)
+    * is bounded by the bucket's true near-dup count, not its size. */
+  def hammingPairs(entries: ArrayData, maxHamming: Int): GenericArrayData = {
+    val n = entries.numElements()
+    val ids = new Array[Long](n)
+    val shs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = entries.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      shs(i) = r.getLong(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val h = java.lang.Long.bitCount(shs(i) ^ shs(j))
+        if (h <= maxHamming && ids(i) != ids(j)) {
+          val a = math.min(ids(i), ids(j))
+          val b = math.max(ids(i), ids(j))
+          out += new GenericInternalRow(Array[Any](a, b, h))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct sorted word-n-gram chain hashes (XXH64 over the gram's
     * tokens, same per-token chaining as [[gramHashes]]) — the
     * decontamination key kernel. Hash-equivalent to
@@ -433,6 +479,31 @@ case class IdPairs(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): IdPairs =
     copy(child = newChild)
+}
+
+/** `graft_hamming_pairs(array<struct<doc_id, simhash>>, int) ->
+  * array<struct<doc1, doc2, hamming>>`. */
+case class HammingPairs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc1", LongType, nullable = false),
+    StructField("doc2", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_hamming_pairs"
+
+  override protected def nullSafeEval(entries: Any, maxH: Any): Any =
+    SketchOps.hammingPairs(entries.asInstanceOf[ArrayData],
+      maxH.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, h) =>
+      s"${ev.value} = graft.functions.SketchOps.hammingPairs($e, $h);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingPairs =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_repetition(array<string>) -> struct<total_tokens, distinct_tokens,

@@ -144,15 +144,24 @@ object Dedup {
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array(Sketch.bandStructs(col("simhash"), numBands): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
-    val x = banded.as("x"); val y = banded.as("y")
-    x.join(y,
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    // Bucket-local pair KERNEL instead of a band self-join: simhash bits
+    // on clustered text correlate, so band buckets saturate — at sf1 the
+    // candidate volume is 67× sf0.1's (measured: 67 M pairs, max bucket
+    // 3084) while true pairs stay linear. A sort-merge self-join pays
+    // ~150 ns of row machinery per CANDIDATE (11.5 s at sf1); collecting
+    // each bucket once and enumerating its pairs in-memory pays a few ns
+    // per candidate and materializes only PASSING pairs — the same
+    // posting-list design the winnowing operator uses (IdPairs). Memory
+    // per bucket is its (id, sketch) entries (16 B each) plus passing
+    // pairs; mass-duplicate corpora are expected to run exact dedup
+    // first, like every other near-dup path here.
+    banded.groupBy("band_idx", "band_val")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("entries"))
+      .filter(size(col("entries")) >= 2)
+      .select(explode(Sketch.hammingPairs(col("entries"), maxHamming)).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"),
+        col("p.hamming").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   // --- Winnowing (rolling-hash fingerprints) --------------------------

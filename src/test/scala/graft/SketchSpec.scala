@@ -115,7 +115,8 @@ class SketchSpec extends SparkSpecBase {
       "graft_cosine", "graft_srp64", "graft_l2sq", "graft_cp1252_decode",
       "graft_cp1252_encode", "graft_id_pairs", "graft_repetition",
       "graft_word_gram_hashes", "graft_lm_nll", "graft_pq_encode",
-      "graft_pq_adc", "graft_bloom_agg", "graft_might_contain"))
+      "graft_pq_adc", "graft_bloom_agg", "graft_might_contain",
+      "graft_hamming_pairs"))
     // and the builders produce working expressions
     val e = GraftExtensions.functions.head._3(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(

@@ -46,7 +46,11 @@ class SqlSurfaceSpec extends SparkSpecBase {
         |               CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
         |         2, 2) AS pq,
         |       graft_l2sq(array(CAST(3.0 AS FLOAT)),
-        |                  array(CAST(1.0 AS FLOAT))) AS l2
+        |                  array(CAST(1.0 AS FLOAT))) AS l2,
+        |       size(graft_hamming_pairs(
+        |         array(named_struct('doc_id', 1L, 'simhash', 5L),
+        |               named_struct('doc_id', 2L, 'simhash', 4L),
+        |               named_struct('doc_id', 3L, 'simhash', -1L)), 1)) AS hp
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("cos") == 1.0)
     assert(r.getAs[String]("rt") == "€ räksmörgås")
@@ -56,6 +60,9 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getAs[Int]("np") == 3)
     assert(r.getAs[Long]("lm") == 1L)
     assert(r.getAs[Double]("l2") == 4.0)
+    // only (1,2) is within hamming 1 (5^4=1); pairs with the -1 sketch
+    // are 62-63 bits apart
+    assert(r.getAs[Int]("hp") == 1)
     // dim-2 vector (1,0) split into 2 sub-spaces of 1 dim; codebook per
     // sub-space is {1.0, 0.0} / {0.0, 1.0} -> codes (0, 0); ADC =
     // (0.9 + 0.2) / sqrt(1 + 1)
