@@ -125,6 +125,34 @@ class SketchSpec extends SparkSpecBase {
     assert(e.eval(null).isInstanceOf[Long])
   }
 
+  test("hammingPairs kernel == brute-force enumeration (property)") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val entryGen = for {
+      n <- Gen.chooseNum(0, 30)
+      ids <- Gen.listOfN(n, Gen.chooseNum(1L, 12L)) // collisions likely
+      shs <- Gen.listOfN(n, Gen.oneOf(0L, 1L, 3L, -1L, Long.MinValue, 42L))
+    } yield ids.zip(shs)
+    samples(entryGen, 80).foreach { entries =>
+      val arr = new GenericArrayData(entries.map { case (id, sh) =>
+        new GenericInternalRow(Array[Any](id, sh))
+      }.toArray[Any])
+      val got = graft.functions.SketchOps.hammingPairs(arr, 2)
+      val gotSet = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 3)
+        (r.getLong(0), r.getLong(1), r.getInt(2))
+      }.toSet
+      val expect = (for {
+        i <- entries.indices; j <- (i + 1) until entries.size
+        (id1, sh1) = entries(i); (id2, sh2) = entries(j)
+        h = java.lang.Long.bitCount(sh1 ^ sh2)
+        if h <= 2 && id1 != id2
+      } yield (math.min(id1, id2), math.max(id1, id2), h)).toSet
+      assert(gotSet == expect, s"entries=$entries")
+    }
+  }
+
   test("exact dedup groups case/whitespace variants (canonical fingerprint)") {
     val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other")
     val fp = d.groupBy(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
