@@ -56,13 +56,12 @@ object Profile {
         val twins = base.select((col("doc_id") + 50000000L).as("doc_id"),
           col("text"))
         val sh = graft.operators.Dedup.simhash(base.unionByName(twins))
-        graft.functions.Sketch.register(spark)
         val banded = sh.select(col("doc_id"),
           explode(array(graft.functions.Sketch.bandStructs(col("simhash"), 4): _*)).as("b"))
           .select(col("b.band_idx").as("bi"), col("b.band_val").as("bv"))
         val prof = banded.groupBy("bi", "bv").count()
           .agg(count(lit(1)).as("n_buckets"), max("count").as("max_load"),
-            sum(col("count") * (col("count") - 1) / 2).as("total_pairs"))
+            sum(expr("count * (count - 1) DIV 2")).as("total_pairs"))
           .collect().head
         println(s"buckets=${prof.get(0)} maxLoad=${prof.get(1)} pairs=${prof.get(2)}")
       case n =>

@@ -309,6 +309,14 @@ object SketchOps {
     * the same enumeration through a sort-merge self-join's row
     * machinery); only PASSING pairs materialize, so output (and memory)
     * is bounded by the bucket's true near-dup count, not its size. */
+  /** Hard ceiling on PASSING pairs buffered for one bucket (~70 MB of
+    * rows) — a near-dup-saturated bucket (mass templated text, which
+    * exact dedup does NOT remove) would otherwise grow the buffer
+    * toward C(n,2) and OOM the executor where the old streaming join
+    * merely slowed down. Failing loudly with the remediation beats
+    * both. */
+  val MaxPairsPerBucket: Int = 1 << 20
+
   def hammingPairs(entries: ArrayData, maxHamming: Int): GenericArrayData = {
     val n = entries.numElements()
     val ids = new Array[Long](n)
@@ -327,6 +335,11 @@ object SketchOps {
       while (j < n) {
         val h = java.lang.Long.bitCount(shs(i) ^ shs(j))
         if (h <= maxHamming && ids(i) != ids(j)) {
+          if (out.length >= MaxPairsPerBucket)
+            throw new IllegalStateException(
+              s"simhash bucket yields > $MaxPairsPerBucket passing pairs " +
+                "(mass near-duplicate corpus): run exact dedup first and/or " +
+                "widen the sketch so buckets discriminate")
           val a = math.min(ids(i), ids(j))
           val b = math.max(ids(i), ids(j))
           out += new GenericInternalRow(Array[Any](a, b, h))
@@ -485,6 +498,19 @@ case class IdPairs(child: Expression) extends UnaryExpression {
   * array<struct<doc1, doc2, hamming>>`. */
 case class HammingPairs(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(s: StructType, _), IntegerType)
+          if s.length == 2 && s.forall(_.dataType == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "graft_hamming_pairs expects (array<struct<bigint, bigint>>, int), " +
+          s"got ($l, $r)")
+    }
+  }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("doc1", LongType, nullable = false),

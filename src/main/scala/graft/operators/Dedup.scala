@@ -141,8 +141,14 @@ object Dedup {
   def simhashPairsFromSketches(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
     val numBands = maxHamming + 1
     require(numBands <= 64, s"maxHamming=$maxHamming needs $numBands bands > 64 bits")
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array(Sketch.bandStructs(col("simhash"), numBands): _*)).as("b"))
+    // null sketches (e.g. stored rows from null text) must not band: the
+    // old self-join dropped them implicitly (null never equi-joins, null
+    // hamming never passed the filter); the groupBy path would instead
+    // bucket them together and the kernel would read the null field as
+    // 0L — keep the exclusion explicit
+    val banded = sh.filter(col("simhash").isNotNull)
+      .select(col("doc_id"), col("simhash"),
+        explode(array(Sketch.bandStructs(col("simhash"), numBands): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
     // Bucket-local pair KERNEL instead of a band self-join: simhash bits
     // on clustered text correlate, so band buckets saturate — at sf1 the
