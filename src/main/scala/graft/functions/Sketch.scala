@@ -304,20 +304,44 @@ object SketchOps {
   }
 
   /** Hamming-filtered (doc1 < doc2, hamming) pairs from a bucket's
-    * (id, sketch) entries — the [[HammingPairs]] kernel. The C(n,2)
+    * (id, sketch) entries — the [[HammingPairs]] kernel. The pair
     * ENUMERATION runs in-memory at a few ns/pair (vs ~150 ns/pair for
     * the same enumeration through a sort-merge self-join's row
     * machinery); only PASSING pairs materialize, so output (and memory)
-    * is bounded by the bucket's true near-dup count, not its size. */
+    * is bounded by the bucket's true near-dup count, not its size.
+    *
+    * Buckets larger than [[MaxBucketEntries]] are NOT enumerated
+    * directly: they are recursively re-bucketed on (maxHamming+1)
+    * sub-bands of the sketch bits (pigeonhole: a pair with ≤ maxHamming
+    * differing bits shares at least one of maxHamming+1 disjoint bit
+    * slices, so recall stays exact), which cuts a saturated bucket's
+    * C(n,2) enumeration — ~5·10¹³ ops for a 10⁷-entry bucket of
+    * correlated sketches — down to the sum of small leaf enumerations.
+    * Recursion consumes fresh bit slices each level, so it terminates
+    * even on identical sketches (at which point every pair genuinely
+    * passes and [[MaxPairsPerBucket]] governs). */
   /** Hard ceiling on PASSING pairs buffered for one bucket (~70 MB of
     * rows) — a near-dup-saturated bucket (mass templated text, which
     * exact dedup does NOT remove) would otherwise grow the buffer
     * toward C(n,2) and OOM the executor where the old streaming join
-    * merely slowed down. Failing loudly with the remediation beats
-    * both. */
+    * merely slowed down. With sub-band splitting this fires only when
+    * the bucket's true pair VOLUME is quadratic (output no correct
+    * algorithm could avoid emitting) — failing loudly with the
+    * remediation beats both silent truncation and an OOM. */
   val MaxPairsPerBucket: Int = 1 << 20
 
-  def hammingPairs(entries: ArrayData, maxHamming: Int): GenericArrayData = {
+  /** Buckets above this size take the sub-band split path; below it, the
+    * direct C(n,2) loop (≤ ~8.4 M bitCount ops, sub-ms). */
+  val MaxBucketEntries: Int = 4096
+
+  def hammingPairs(entries: ArrayData, maxHamming: Int): GenericArrayData =
+    hammingPairs(entries, maxHamming, MaxBucketEntries)
+
+  /** [[hammingPairs]] with an explicit split threshold (test seam — the
+    * recursion property is checked at tiny thresholds against brute
+    * force). */
+  def hammingPairs(entries: ArrayData, maxHamming: Int,
+      maxBucket: Int): GenericArrayData = {
     val n = entries.numElements()
     val ids = new Array[Long](n)
     val shs = new Array[Long](n)
@@ -329,24 +353,86 @@ object SketchOps {
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val h = java.lang.Long.bitCount(shs(i) ^ shs(j))
-        if (h <= maxHamming && ids(i) != ids(j)) {
-          if (out.length >= MaxPairsPerBucket)
-            throw new IllegalStateException(
-              s"simhash bucket yields > $MaxPairsPerBucket passing pairs " +
-                "(mass near-duplicate corpus): run exact dedup first and/or " +
-                "widen the sketch so buckets discriminate")
-          val a = math.min(ids(i), ids(j))
-          val b = math.max(ids(i), ids(j))
-          out += new GenericInternalRow(Array[Any](a, b, h))
+    // Entry-index pair dedup across overlapping sub-buckets (a pair can
+    // share several sub-bands); only allocated on the split path, and
+    // only PASSING pairs enter it, so size ≤ MaxPairsPerBucket.
+    var seen: java.util.HashSet[java.lang.Long] = null
+
+    def enumerate(members: Array[Int]): Unit = {
+      val m = members.length
+      var i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          val a = members(i)
+          val b = members(j)
+          val h = java.lang.Long.bitCount(shs(a) ^ shs(b))
+          if (h <= maxHamming && ids(a) != ids(b)) {
+            val lo = math.min(a, b).toLong
+            val hi = math.max(a, b).toLong
+            if (seen == null || seen.add((lo << 32) | hi)) {
+              if (out.length >= MaxPairsPerBucket)
+                throw new IllegalStateException(
+                  s"simhash bucket yields > $MaxPairsPerBucket passing pairs " +
+                    "(mass near-duplicate corpus): run exact dedup first and/or " +
+                    "widen the sketch so buckets discriminate")
+              out += new GenericInternalRow(Array[Any](
+                math.min(ids(a), ids(b)), math.max(ids(a), ids(b)), h))
+            }
+          }
+          j += 1
         }
-        j += 1
+        i += 1
       }
-      i += 1
+    }
+
+    // Recursively split `members` on (maxHamming+1) slices of the still-
+    // available bit positions. Every level consumes its slice, so avail
+    // strictly shrinks → termination; when avail can no longer feed one
+    // bit per sub-band, members differ in ≤ avail.length ≤ maxHamming
+    // bits and the leaf enumeration is the genuine output.
+    def split(members: Array[Int], avail: Array[Int]): Unit = {
+      val g = maxHamming + 1
+      if (members.length <= maxBucket || members.length < 2 || avail.length < g) {
+        if (members.length >= 2) enumerate(members)
+        return
+      }
+      val base = avail.length / g
+      val rem = avail.length % g
+      var s = 0
+      var start = 0
+      while (s < g) {
+        val len = base + (if (s < rem) 1 else 0)
+        var mask = 0L
+        var b = start
+        while (b < start + len) { mask |= 1L << avail(b); b += 1 }
+        val nextAvail = new Array[Int](avail.length - len)
+        System.arraycopy(avail, 0, nextAvail, 0, start)
+        System.arraycopy(avail, start + len, nextAvail, start,
+          avail.length - start - len)
+        val groups = new java.util.HashMap[java.lang.Long,
+          scala.collection.mutable.ArrayBuffer[Int]]()
+        var k = 0
+        while (k < members.length) {
+          val m = members(k)
+          groups.computeIfAbsent(shs(m) & mask,
+            _ => new scala.collection.mutable.ArrayBuffer[Int]()) += m
+          k += 1
+        }
+        groups.values.forEach { grp =>
+          if (grp.length >= 2) split(grp.toArray, nextAvail)
+        }
+        start += len
+        s += 1
+      }
+    }
+
+    if (n <= maxBucket) {
+      // Common case: direct loop, no dedup-set overhead.
+      enumerate(Array.range(0, n))
+    } else {
+      seen = new java.util.HashSet[java.lang.Long]()
+      split(Array.range(0, n), Array.range(0, 64))
     }
     new GenericArrayData(out.toArray)
   }

@@ -159,8 +159,10 @@ object Dedup {
     // per candidate and materializes only PASSING pairs — the same
     // posting-list design the winnowing operator uses (IdPairs). Memory
     // per bucket is its (id, sketch) entries (16 B each) plus passing
-    // pairs; mass-duplicate corpora are expected to run exact dedup
-    // first, like every other near-dup path here.
+    // pairs; buckets above Sketch.MaxBucketEntries are recursively
+    // re-bucketed on sub-bands of the remaining sketch bits inside the
+    // kernel (pigeonhole keeps recall exact), so a mass-NEAR-identical
+    // corpus cannot turn one hot bucket into a C(n,2) straggler task.
     banded.groupBy("band_idx", "band_val")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("entries"))
       .filter(size(col("entries")) >= 2)

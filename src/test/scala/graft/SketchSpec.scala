@@ -153,6 +153,84 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("hammingPairs sub-band split == brute force at tiny thresholds (property)") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // maxBucket=2 forces maximum recursion depth on every input; sketches
+    // drawn from a small clustered pool so buckets genuinely saturate.
+    val entryGen = for {
+      n <- Gen.chooseNum(0, 40)
+      ids <- Gen.listOfN(n, Gen.chooseNum(1L, 15L))
+      base <- Gen.oneOf(0L, -1L, 0x5a5a5a5a5a5a5a5aL)
+      flips <- Gen.listOfN(n, Gen.chooseNum(0, 63))
+      extra <- Gen.listOfN(n, Gen.chooseNum(0, 63))
+    } yield ids.lazyZip(flips).lazyZip(extra).map((id, f, e) =>
+      (id, base ^ (1L << f) ^ (1L << e)))
+    for (maxH <- Seq(0, 2, 3); entries <- samples(entryGen, 40)) {
+      val arr = new GenericArrayData(entries.map { case (id, sh) =>
+        new GenericInternalRow(Array[Any](id, sh))
+      }.toArray[Any])
+      val got = graft.functions.SketchOps.hammingPairs(arr, maxH, 2)
+      val gotSet = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 3)
+        (r.getLong(0), r.getLong(1), r.getInt(2))
+      }.toSet
+      val expect = (for {
+        i <- entries.indices; j <- (i + 1) until entries.size
+        (id1, sh1) = entries(i); (id2, sh2) = entries(j)
+        h = java.lang.Long.bitCount(sh1 ^ sh2)
+        if h <= maxH && id1 != id2
+      } yield (math.min(id1, id2), math.max(id1, id2), h)).toSet
+      assert(gotSet == expect, s"maxH=$maxH entries=$entries")
+    }
+  }
+
+  test("hammingPairs: saturated bucket above MaxBucketEntries splits, stays exact") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // A planted band bucket WELL above the split threshold: 6000 entries
+    // whose low 16 bits agree (they'd all land in one level-0 band
+    // bucket) but whose high bits are spread, plus planted near-dup
+    // twins. The old direct loop would enumerate C(6000,2) ≈ 1.8e7 pairs
+    // here (fine at this n — the fixture proves CORRECTNESS of the split
+    // path, the complexity win is the scaling argument in the scaladoc);
+    // with the default threshold of 4096 this input takes the recursive
+    // path, must not trip the pair cap, and must find exactly the
+    // planted pairs.
+    val n = 6000
+    val rnd = new scala.util.Random(7)
+    val sharedBand = 0xBEEFL // low 16 bits shared by every entry
+    val entries = (0 until n).map { i =>
+      // spread high 48 bits far apart (hamming >> 3 between non-twins)
+      val high = rnd.nextLong() & ~0xFFFFL
+      (i.toLong, high | sharedBand)
+    }.toArray
+    // plant 5 twins: doc n+k is doc k's sketch with one high bit flipped
+    val planted = (0 until 5).map { k =>
+      val (id, sh) = entries(k)
+      ((n + k).toLong, sh ^ (1L << (20 + k)))
+    }
+    val all = entries ++ planted
+    assert(all.length > graft.functions.SketchOps.MaxBucketEntries)
+    val arr = new GenericArrayData(all.map { case (id, sh) =>
+      new GenericInternalRow(Array[Any](id, sh))
+    }.toArray[Any])
+    val got = graft.functions.SketchOps.hammingPairs(arr, 3)
+    val gotSet = (0 until got.numElements()).map { i =>
+      val r = got.getStruct(i, 3)
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    }.toSet
+    val expect = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      h = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2)
+      if h <= 3
+    } yield (math.min(all(i)._1, all(j)._1),
+      math.max(all(i)._1, all(j)._1), h)).toSet
+    assert(expect.size >= 5) // the 5 planted twins (plus any chance pairs)
+    assert(gotSet == expect)
+  }
+
   test("exact dedup groups case/whitespace variants (canonical fingerprint)") {
     val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other")
     val fp = d.groupBy(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
