@@ -326,11 +326,59 @@ object Dedup {
         .select((col("n_found") / col("n_total")).as("planted_recall"))
     }),
 
-    // rolling-hash document fingerprints (winnowing): per-doc count.
-    "q_winnow_fingerprint" -> ((s, dir) =>
-      winnowFeatures(documents(s, dir))
-        .select(col("doc_id"), size(col("fps")).as("n_fps"))
-        .orderBy("doc_id")),
+    // Winnowing kernel invariants, per doc — engine-portable booleans
+    // MATHEMATICALLY true of a correct implementation (the q_simhash
+    // move), so the oracle pins literal `true` without needing DuckDB to
+    // winnow. With K = 8, W = 4 (guarantee threshold K+W−1 = 11 bytes):
+    //  - count_inv:  1 ≤ |fps| ≤ max(1, L−K+1) (can't pick more than one
+    //                fingerprint per k-gram) and the output is a sorted
+    //                distinct array — the declared contract
+    //  - canon_inv:  outer padding / inner \s+ runs normalize away, so
+    //                the fingerprint set is unchanged
+    //  - append_inv / prepend_inv (window locality): every window of the
+    //                original text exists unchanged in the extended text,
+    //                so its rightmost-min pick survives — fps(t) ⊆
+    //                fps(t ⧺ suffix) and fps(prefix ⧺ t), for L ≥ 11
+    //  - substr_collide: the SIGMOD'03 guarantee itself — two texts
+    //                sharing the doc as a ≥ 11-byte substring (here: the
+    //                doc embedded in two DIFFERENT contexts) share ≥ 1
+    //                fingerprint
+    // The raw 64-bit fingerprint dump stays a test artifact (SketchSpec
+    // pins golden values and the substring property directly).
+    "q_winnow_fingerprint" -> ((s, dir) => {
+      Sketch.register(s)
+      documents(s, dir)
+        .select(col("doc_id"), normText(col("text")).as("norm"),
+          col("text"))
+        .select(col("doc_id"),
+          octet_length(col("norm")).as("len"),
+          Sketch.winnow(col("norm")).as("fps"),
+          // spaces-only padding (Spark trim strips spaces, not \t/\n) and
+          // the space→\n rewrite on the TRIMMED text, so edge whitespace
+          // normalizes identically to the original
+          Sketch.winnow(normText(concat(lit("  "),
+            regexp_replace(trim(col("text")), " ", "\n"), lit("  ")))).as("fps_pad"),
+          Sketch.winnow(concat(col("norm"),
+            lit(" zzz unrelated suffix"))).as("fps_app"),
+          Sketch.winnow(concat(lit("zzz unrelated prefix "),
+            col("norm"))).as("fps_pre"))
+        .select(col("doc_id"),
+          (size(col("fps")) >= 1 &&
+            size(col("fps")) <= greatest(lit(1), col("len") - lit(7)) &&
+            col("fps") === array_sort(array_distinct(col("fps"))))
+            .as("count_inv"),
+          (col("fps") === col("fps_pad")).as("canon_inv"),
+          (col("len") < 11 ||
+            size(array_except(col("fps"), col("fps_app"))) === 0)
+            .as("append_inv"),
+          (col("len") < 11 ||
+            size(array_except(col("fps"), col("fps_pre"))) === 0)
+            .as("prepend_inv"),
+          (col("len") < 11 ||
+            size(array_intersect(col("fps_app"), col("fps_pre"))) > 0)
+            .as("substr_collide"))
+        .orderBy("doc_id")
+    }),
 
     // MOSS-style near-dup under a FORCED-RECALL gate (the simhash trick:
     // winnowing's organic ground truth is SUBSTRING sharing ≥ K+W−1 = 11
@@ -426,6 +474,12 @@ object Dedup {
     "q_near_dup_winnow" ->
       """SELECT CAST(1.0 AS DOUBLE) AS planted_recall,
         |       CAST(1.0 AS DOUBLE) AS shared_exact_frac""".stripMargin,
+    // invariants provably true of a correct kernel (see the query comment)
+    "q_winnow_fingerprint" ->
+      """SELECT doc_id, true AS count_inv, true AS canon_inv,
+        |       true AS append_inv, true AS prepend_inv,
+        |       true AS substr_collide
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
