@@ -48,6 +48,28 @@ object Profile {
             graft.operators.Similarity.pqRank(coded, qid, dot, nrm, 8, 256, 600),
             10).count()
         }
+      // phase breakdown of the winnow planted-twin gate (sketch/pairs/
+      // eligibility) — where do q_near_dup_winnow's seconds go?
+      case "winnow_phases" =>
+        import org.apache.spark.sql.functions._
+        val docs = graft.queries.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val feats = time("w:sketch")(
+          graft.operators.Dedup.winnowFeatures(docs).localCheckpoint())
+        val sample = feats.orderBy("doc_id").limit(500)
+        val corpus = feats.unionByName(sample.select(
+          (col("doc_id") + lit(10000000L)).as("doc_id"), col("fps")))
+        time("w:pairs")(graft.operators.Dedup.winnowPairsFromFeatures(
+          corpus, 5, maxPostings = 64).count())
+        time("w:eligible") {
+          val rare = corpus.select(explode(col("fps")).as("fp"))
+            .groupBy("fp").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 64)
+          sample.select(col("doc_id"), explode(col("fps")).as("fp"))
+            .join(rare, "fp").groupBy("doc_id")
+            .agg(count(lit(1)).as("n_rare"))
+            .filter(col("n_rare") >= 5).count()
+        }
       // bucket-profile probe for the simhash banding at this SF
       case "simhash_probe" =>
         import org.apache.spark.sql.functions._
