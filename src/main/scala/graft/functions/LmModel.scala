@@ -58,6 +58,14 @@ final class LmModel(uniKeys: Array[String], uniVals: Array[Long],
     while (i < biKeys.length) {
       val k = biKeys(i)
       val cut = k.indexOf('\u0000')
+      // the separator must be unambiguous: exactly one NUL per key. A
+      // token carrying an embedded NUL would mis-split silently and make
+      // stateless scoring diverge from the fresh scorer (ADVICE r4);
+      // lmToks treats NUL as whitespace so this cannot happen through
+      // lmTables -- fail loudly if a caller compiles raw keys.
+      require(cut >= 0 && k.indexOf('\u0000', cut + 1) < 0,
+        s"bigram key must be w1+NUL+w2 with NUL-free tokens: " +
+          k.replace('\u0000', '|'))
       val w1 = UTF8String.fromString(k.substring(0, cut))
       val w2 = UTF8String.fromString(k.substring(cut + 1))
       var inner = m.get(w1)

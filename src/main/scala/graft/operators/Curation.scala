@@ -293,8 +293,12 @@ object Curation {
       // the gram stream feeds four consumers (bloom build, bloom probe,
       // and both sides of the exact join) — persist it so tokenization
       // and gram hashing run once (same multi-consumer shape as
-      // TextAnalysis.lmTables; the cache is fixed-width hashes only)
+      // TextAnalysis.lmTables; the cache is fixed-width hashes only),
+      // and unpersist it in the finally below once the tiny final frame
+      // is materialized (ADVICE r4: the r4 version leaked the cached
+      // blocks for the session lifetime)
       val sharedGrams = grams.persist()
+      try {
       val trainGrams = sharedGrams.filter(col("split") === "train")
         .select("g").distinct()
       // the built filter is a bounded model artifact (1 MB at the
@@ -312,6 +316,9 @@ object Curation {
         .select("doc_id").distinct().withColumn("bl", lit(1))
       val exactFlag = evalGrams.join(trainGrams, Seq("g"), "left_semi")
         .select("doc_id").distinct().withColumn("ex", lit(1))
+      // localCheckpoint materializes the ≤2-row result HERE, so the
+      // gram cache can be dropped before the frame is handed back (the
+      // caller's count/write then reads the checkpointed rows)
       documents(s, dir)
         .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
         .filter(col("split") =!= "train")
@@ -323,6 +330,8 @@ object Curation {
           sum(when(col("ex") === 1 && col("bl").isNull, 1).otherwise(0))
             .cast(LongType).as("n_bloom_missed"))
         .orderBy("split")
+        .localCheckpoint()
+      } finally { sharedGrams.unpersist(); () }
     }),
 
     // sequence packing: concatenate each shard's token stream in doc_id

@@ -83,8 +83,14 @@ object TextAnalysis {
   val LmVocab = 1000
   val LmBigramTable = 5000
 
+  /** NUL counts as whitespace: the stateless model's bigram key is
+    * w1 ++ NUL ++ w2 (see [[lmTables]]), so tokens must be NUL-free BY
+    * CONSTRUCTION for fresh and stateless scoring to agree on any
+    * corpus — not just corpora that happen to contain no NUL bytes
+    * (ADVICE r4). LmModel additionally rejects a NUL-carrying key
+    * loudly at model-compile time. */
   private def lmToks(text: Column): Column =
-    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    split(lower(regexp_replace(trim(text), "[\\s\\x00]+", " ")), " ")
 
   /** CCNet-style bigram-LM negative-log-likelihood per document — the
     * classic perplexity quality filter for pretraining corpora, here

@@ -261,8 +261,12 @@ object JetFile {
 
   /** One user row → on-page bytes, per the schema's slot assignment
     * (fixed slots ascend 0.. in declaration order; var slots descend
-    * from 0xFF in declaration order — matching [[Db.readTable]]). */
-  private def encodeUserRow(table: HogiaTable, row: Row): Array[Byte] = {
+    * from 0xFF in declaration order — matching [[Db.readTable]]).
+    * `interiorNulls` counts NULL TEXT values coerced to "" (the format
+    * can only mark TRAILING vars as NULL) so the lossy coercion is
+    * observable to callers (ADVICE r4). */
+  private def encodeUserRow(table: HogiaTable, row: Row,
+      interiorNulls: java.util.concurrent.atomic.AtomicLong): Array[Byte] = {
     val fixedCols = table.cols.filter(isFixedType)
     val varCols = table.cols.filter(!isFixedType(_))
     val mask = new Array[Byte]((fixedCols.size + 7) / 8)
@@ -308,6 +312,7 @@ object JetFile {
       }
     }
     val lastLive = varValsFull.lastIndexWhere(_ != null)
+    interiorNulls.addAndGet(varValsFull.take(lastLive + 1).count(_ == null))
     val vars = varValsFull.take(lastLive + 1).map(v =>
       if (v == null) Array.emptyByteArray else v)
     encodeRow(fixedCols.size, fixed.toByteArray, mask, vars)
@@ -316,8 +321,12 @@ object JetFile {
   /** Create a complete `.mdb` holding `tables` — the reference's
     * reverse-mode output artifact (replacing ADOX/COM + ODBC DDL,
     * `hhek2sqlite.go:1177-1202`), readable by [[open]] and by the same
-    * decode path verified against the real fixture. */
-  def write(path: String, tables: Seq[(HogiaTable, Seq[Row])]): Unit = {
+    * decode path verified against the real fixture. Returns the
+    * per-table count of interior-NULL TEXT values lossily coerced to ""
+    * (logged too — the format marks only TRAILING vars as NULL; the
+    * coercion matches the reference's F6 NULL→"" rule but must be
+    * observable, ADVICE r4). */
+  def write(path: String, tables: Seq[(HogiaTable, Seq[Row])]): Map[String, Long] = {
     val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     def newPage(tpe: Int): Int = {
       val a = new Array[Byte](PageSize)
@@ -368,9 +377,14 @@ object JetFile {
     }
 
     val tdefOf = tables.map { case (t, _) => t.name -> tdefPage() }.toMap
-    tables.foreach { case (t, rows) =>
-      dataPages(tdefOf(t.name), rows.map(encodeUserRow(t, _)))
-    }
+    val coerced = tables.map { case (t, rows) =>
+      val nulls = new java.util.concurrent.atomic.AtomicLong()
+      dataPages(tdefOf(t.name), rows.map(encodeUserRow(t, _, nulls)))
+      if (nulls.get() > 0)
+        System.err.println(s"[jet] ${t.name}: ${nulls.get()} interior NULL " +
+          "TEXT value(s) stored as '' (Jet row format marks only trailing NULLs)")
+      t.name -> nulls.get()
+    }.toMap
 
     // MSysObjects: one row per table — [id LONG] + [name TEXT];
     // the object id IS the table's TDEF page (what the reader resolves).
@@ -399,6 +413,7 @@ object JetFile {
     })
 
     Files.write(Paths.get(path), pages.toArray.flatten)
+    coerced
   }
 }
 

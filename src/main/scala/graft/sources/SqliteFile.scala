@@ -514,7 +514,11 @@ object SqliteFile {
     case (x: Double, FloatType) => x.toFloat
     case (x: Double, DoubleType) => x
     case (s: String, StringType) => s
-    case (s: String, d: DecimalType) => new java.math.BigDecimal(s).setScale(d.scale)
+    case (s: String, d: DecimalType) =>
+      // uniform read-path failure mode (ADVICE r4): over-precise stored
+      // TEXT rounds like the REAL path instead of throwing ArithmeticException
+      new java.math.BigDecimal(s)
+        .setScale(d.scale, java.math.RoundingMode.HALF_UP)
     case (other, t) => throw new IllegalArgumentException(s"cannot coerce $other to $t")
   }
 }

@@ -193,6 +193,28 @@ class JetFileSpec extends SparkSpecBase {
     assert(io2.read(spark, t).count() == 500)
   }
 
+  test("write reports interior-NULL TEXT coercions; trailing NULLs are free (ADVICE r4)") {
+    val dir = Files.createTempDirectory("graft_jet_nulls").toString
+    val t = HogiaSchema.byName("Transaktioner")
+    // var-slot order is TEXT-column declaration order: ..., Vad, Vem,
+    // Text(last) — a NULL "Vad" before a live "Text" is INTERIOR; a
+    // NULL trailing "Text" is marked natively by truncation
+    def row(vad: String, textCol: String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](1L, "Konto A", "Konto B", "Uttag", "2021-01-02", vad,
+          "Vem", new BigDecimal("1.0000"), null, false, textCol), t.schema)
+    val interior = JetFile.write(s"$dir/a.mdb",
+      Seq(t -> Seq(row(null, "sista"))))
+    assert(interior("Transaktioner") == 1L)
+    val trailing = JetFile.write(s"$dir/b.mdb",
+      Seq(t -> Seq(row("vad kvar", null))))
+    assert(trailing("Transaktioner") == 0L)
+    // and the coerced file still reads back (NULL→"", the F6 rule)
+    val back = new JetTableIO(s"$dir/a.mdb").read(spark, t).collect().head
+    assert(back.getAs[String]("Vad") == "")
+    assert(back.getAs[String]("Text") == "sista")
+  }
+
   test("writer failure modes are loud: oversized rows, memo payloads") {
     val dir = Files.createTempDirectory("graft_jet_neg2").toString
     val pers = HogiaSchema.byName("Personer")

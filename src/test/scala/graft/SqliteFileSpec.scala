@@ -61,6 +61,36 @@ class SqliteFileSpec extends SparkSpecBase {
     assert(konto.getAs[BigDecimal]("Saldo").compareTo(new BigDecimal("0.9")) == 0)
   }
 
+  test("over-precise stored TEXT decimal rounds HALF_UP on read (ADVICE r4)") {
+    assume(havePython, "python3 unavailable")
+    // SQLite is dynamically typed: a foreign tool whose schema declares
+    // the money column with TEXT affinity can legally store MORE
+    // decimals than DECIMAL(19,4) — the read must round like the REAL
+    // path does, not throw ArithmeticException. (NUMERIC affinity
+    // converts every numeric-looking string to REAL on store, so the
+    // TEXT storage class only arises from TEXT-affinity columns.)
+    val dir = Files.createTempDirectory("graft_sqlite_prec").toString
+    val p = s"$dir/prec.db"
+    val t = python(
+      s"""import sqlite3
+         |c = sqlite3.connect('$p')
+         |c.execute('''CREATE TABLE Transaktioner ("Löpnr" INTEGER,
+         |  "FrånKonto" TEXT, "TillKonto" TEXT, "Typ" TEXT, "Datum" TEXT,
+         |  "Vad" TEXT, "Vem" TEXT, "Belopp" TEXT, "Saldo" TEXT,
+         |  "Fastöverföring" INTEGER, "Text" TEXT)''')
+         |c.execute("INSERT INTO Transaktioner VALUES (2,'A','B','Uttag',"
+         |    "'2021-01-02','Vad','Vem','0.123456789',NULL,0,'txt')")
+         |c.commit()
+         |print(c.execute(
+         |    "SELECT typeof(Belopp) FROM Transaktioner").fetchone()[0])""".stripMargin)
+    assert(t == "text") // the string→decimal path is the one exercised
+    val row = new SqliteTableIO(p)
+      .read(spark, HogiaSchema.byName("Transaktioner"))
+      .collect().head
+    assert(row.getAs[BigDecimal]("Belopp")
+      .compareTo(new BigDecimal("0.1235")) == 0)
+  }
+
   test("real SQLite engine: PRAGMA integrity_check passes") {
     assume(havePython, "python3 unavailable")
     val out = python(

@@ -69,6 +69,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(s(10L) < s(11L))
   }
 
+  test("NUL bytes in text cannot mis-split stateless bigram keys (ADVICE r4)") {
+    // NUL is the stateless model's key separator; lmToks treats it as
+    // whitespace, so a NUL-carrying corpus tokenizes identically for the
+    // fresh and stateless scorers instead of silently diverging
+    val nul = 0.toChar.toString
+    val corpus = Seq((1L, "the cat sat"), (2L, s"the${nul}cat sat the cat"),
+      (3L, s"a${nul} b${nul}${nul}c a b"))
+    val df = corpus.toDF("doc_id", "text")
+    val (uni, bi) = TextAnalysis.lmTables(df)
+    assert(uni.keys.forall(!_.contains(nul)))
+    assert(bi.keys.forall(k => k.count(_ == 0.toChar) == 1))
+    val joined = TextAnalysis.lmScore(df)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val stateless = TextAnalysis.lmScoreStateless(df, uni, bi)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(joined == stateless)
+    // a hand-built model with a NUL inside a token fails LOUDLY at
+    // model-compile time (first score), not by silent mis-split
+    val bad = intercept[IllegalArgumentException] {
+      new graft.functions.LmModel(Array.empty, Array.empty,
+        Array(s"x${nul}y${nul}z"), Array(1L))
+        .score(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+            org.apache.spark.unsafe.types.UTF8String.fromString("b"))))
+    }
+    assert(bad.getMessage.contains("NUL"))
+  }
+
   test("integer micro-nat sums are partitioning-independent") {
     val rows = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 2}"))
     val df = rows.toDF("doc_id", "text")
