@@ -50,9 +50,17 @@ import graft.schema.{Col, HogiaTable}
   * choices mirror the fixture byte-for-byte where observable: all-zero
   * header page except the 0x01 magic, self-owned TDEF pages, data pages
   * with owner/rowcount/free-offset header and rows packed downward from
-  * the page end. Divergences (documented, loud where lossy): no index
-  * pages are emitted (the reader ignores them; `JetScript` carries the
-  * 15 CREATE INDEX statements), a NULL TEXT value between two non-NULL
+  * the page end. The 15 schema indexes are MATERIALIZED as real B-tree
+  * pages (0x04 leaves / 0x03 interiors, same slot machinery as data
+  * pages; `MSysIndexes` catalogs name/columns/uniqueness/root, resolved
+  * by name through MSysObjects so real fixtures without the object are
+  * unaffected), and [[Db.indexLookup]] serves point lookups through
+  * them touching only the descent path — `JetScript` stays the portable
+  * DDL carrier. The key form is this codec's own byte-comparable
+  * canonicalization (Jet 2.0's real collation transform is
+  * undocumented): presence prefix, sign-flipped big-endian numerics,
+  * case-folded NUL-terminated cp1252 text. Divergences (documented,
+  * loud where lossy): a NULL TEXT value between two non-NULL
   * var columns reads back as "" (the 1-byte-boundary row form cannot
   * mark interior var NULLs; trailing NULL vars are truncated and do
   * round-trip), and a non-empty MEMO payload throws rather than write
@@ -144,49 +152,142 @@ object JetFile {
     private def i64le(b: Array[Byte], off: Int): Long =
       u32le(b, off) | (u32le(b, off + 4) << 32)
 
+    private def decodeOne(cols: Seq[JetCol],
+        raw: (Array[Byte], Seq[Array[Byte]], Seq[Boolean])): Map[String, Any] = {
+      // fixed slots ascend from 0; var slots descend from 0xFF in
+      // definition order
+      val fixedCols = cols.filter(_.slot < 128).sortBy(_.slot)
+      val varCols = cols.filter(_.slot >= 128).sortBy(-_.slot)
+      val (fixed, vars, present) = raw
+      val out = Map.newBuilder[String, Any]
+      var off = 0
+      fixedCols.zipWithIndex.foreach { case (c, i) =>
+        val p = i < present.size && present(i)
+        val v: Any = c.jetType match {
+          case 1 => p // BOOL: mask bit is the value
+          case _ if !p => null
+          case 2 => (fixed(off) & 0xFF).toShort // BYTE
+          case 3 => ((fixed(off) & 0xFF) | (fixed(off + 1) << 8)).toShort // INT16
+          case 4 => u32le(fixed, off).toInt.toLong // LONG (sign via toInt)
+          case 5 => new java.math.BigDecimal( // CURRENCY: exact 10⁻⁴
+            java.math.BigInteger.valueOf(i64le(fixed, off)), 4)
+          case 6 => java.lang.Float.intBitsToFloat(u32le(fixed, off).toInt)
+          case 7 => java.lang.Double.longBitsToDouble(i64le(fixed, off))
+          case t => throw new IllegalArgumentException(
+            s"unsupported fixed Jet type $t for ${c.name}")
+        }
+        if (c.jetType != 1) off += c.size
+        out += c.name -> v
+      }
+      varCols.zipWithIndex.foreach { case (c, j) =>
+        val v: Any =
+          if (j >= vars.size) null
+          else c.jetType match {
+            case 10 => cp1252(vars(j)) // TEXT
+            case 12 => null // MEMO payload decode unsupported (documented)
+            case t => throw new IllegalArgumentException(
+              s"unsupported var Jet type $t for ${c.name}")
+          }
+        out += c.name -> v
+      }
+      out.result()
+    }
+
     /** Decode one table into (columnName → value) maps. */
     def readTable(name: String): Seq[Map[String, Any]] = {
       val tdef = catalog.getOrElse(name,
         throw new IllegalArgumentException(s"table $name not in MDB catalog"))
       val cols = columnsByObject.getOrElse(tdef, Seq.empty)
-      // fixed slots ascend from 0; var slots descend from 0xFF in
-      // definition order
-      val fixedCols = cols.filter(_.slot < 128).sortBy(_.slot)
-      val varCols = cols.filter(_.slot >= 128).sortBy(-_.slot)
-      rawRows(tdef).map { case (fixed, vars, present) =>
-        val out = Map.newBuilder[String, Any]
-        var off = 0
-        fixedCols.zipWithIndex.foreach { case (c, i) =>
-          val p = i < present.size && present(i)
-          val v: Any = c.jetType match {
-            case 1 => p // BOOL: mask bit is the value
-            case _ if !p => null
-            case 2 => (fixed(off) & 0xFF).toShort // BYTE
-            case 3 => ((fixed(off) & 0xFF) | (fixed(off + 1) << 8)).toShort // INT16
-            case 4 => u32le(fixed, off).toInt.toLong // LONG (sign via toInt)
-            case 5 => new java.math.BigDecimal( // CURRENCY: exact 10⁻⁴
-              java.math.BigInteger.valueOf(i64le(fixed, off)), 4)
-            case 6 => java.lang.Float.intBitsToFloat(u32le(fixed, off).toInt)
-            case 7 => java.lang.Double.longBitsToDouble(i64le(fixed, off))
-            case t => throw new IllegalArgumentException(
-              s"unsupported fixed Jet type $t for ${c.name}")
-          }
-          if (c.jetType != 1) off += c.size
-          out += c.name -> v
+      rawRows(tdef).map(decodeOne(cols, _))
+    }
+
+    // ---- secondary indexes ----------------------------------------------
+
+    final case class JetIndex(table: String, name: String,
+        columns: Seq[String], unique: Boolean, root: Int)
+
+    /** Index metadata from MSysIndexes (resolved by NAME through
+      * MSysObjects, so real fixtures without the object simply have no
+      * readable indexes). */
+    lazy val indexCatalog: Seq[JetIndex] =
+      catalog.get("MSysIndexes").map { tdef =>
+        val nameById = catalog.map(_.swap)
+        rawRows(tdef).map { case (fixed, vars, _) =>
+          JetIndex(nameById(u32le(fixed, 0)), cp1252(vars(0)),
+            cp1252(vars(1)).split(';').toSeq, fixed(8) != 0,
+            u32le(fixed, 4).toInt)
         }
-        varCols.zipWithIndex.foreach { case (c, j) =>
-          val v: Any =
-            if (j >= vars.size) null
-            else c.jetType match {
-              case 10 => cp1252(vars(j)) // TEXT
-              case 12 => null // MEMO payload decode unsupported (documented)
-              case t => throw new IllegalArgumentException(
-                s"unsupported var Jet type $t for ${c.name}")
-            }
-          out += c.name -> v
+      }.getOrElse(Seq.empty)
+
+    /** Point lookup THROUGH an index B-tree: descend interior (0x03)
+      * pages by max-key separators, match leaf (0x04) entries exactly,
+      * decode only the data pages the leaves point at. Returns the
+      * matching rows and the TOTAL number of pages touched (tree levels
+      * + matching leaves + target data pages) — the observable proof
+      * the lookup is sub-scan. Duplicate keys spanning a page boundary
+      * are followed via the adjacent-child rule. */
+    def indexLookup(table: String, indexName: String,
+        key: Seq[Any]): (Seq[Map[String, Any]], Int) = {
+      val idx = indexCatalog.find(i => i.table == table && i.name == indexName)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no index $indexName on $table"))
+      require(key.size == idx.columns.size,
+        s"$indexName keys on ${idx.columns.size} column(s), got ${key.size}")
+      val tdef = catalog(table)
+      val cols = columnsByObject.getOrElse(tdef, Seq.empty)
+      val colByName = cols.map(c => c.name -> c).toMap
+      val target = idx.columns.zip(key).map { case (cn, v) =>
+        keyPart(colByName(cn).jetType, v, s"$table.$cn")
+      }.reduce(_ ++ _)
+      var pagesTouched = 0
+      val hits = Seq.newBuilder[(Int, Int)]
+      def entryBytes(pg: Int): Seq[Array[Byte]] = {
+        val base = pg * PageSize
+        rowExtents(pg).map { case (s, e) =>
+          java.util.Arrays.copyOfRange(bytes, base + s, base + e)
         }
-        out.result()
       }
+      def visit(pg: Int): Unit = {
+        pagesTouched += 1
+        val es = entryBytes(pg)
+        pageType(pg) match {
+          case 4 => // leaf: [dataPage u32][slot u16][key]
+            es.foreach { e =>
+              val k = java.util.Arrays.copyOfRange(e, 6, e.length)
+              if (java.util.Arrays.equals(k, target))
+                hits += ((u32le(e, 0).toInt, (e(4) & 0xFF) | ((e(5) & 0xFF) << 8)))
+            }
+          case 3 => // interior: [childPage u32][maxKey]
+            // children are in key order; the target can live in the
+            // first child whose maxKey >= target, and — for duplicates
+            // crossing a boundary — in each following child whose
+            // PREDECESSOR's maxKey == target.
+            var found = false
+            var prevMax: Array[Byte] = null
+            es.foreach { e =>
+              val child = u32le(e, 0).toInt
+              val maxK = java.util.Arrays.copyOfRange(e, 4, e.length)
+              val take =
+                (!found && java.util.Arrays.compareUnsigned(maxK, target) >= 0) ||
+                  (found && prevMax != null &&
+                    java.util.Arrays.compareUnsigned(prevMax, target) == 0)
+              if (take) { visit(child); found = true }
+              prevMax = maxK
+            }
+          case t => throw new IllegalStateException(
+            s"page $pg is not an index page (type $t)")
+        }
+      }
+      if (idx.root != 0) visit(idx.root)
+      val hitList = hits.result()
+      pagesTouched += hitList.map(_._1).distinct.size
+      val rows = hitList.map { case (pg, slot) =>
+        val base = pg * PageSize
+        val (s, e) = rowExtents(pg)(slot)
+        decodeOne(cols, parseRow(
+          java.util.Arrays.copyOfRange(bytes, base + s, base + e)))
+      }
+      (rows, pagesTouched)
     }
   }
 
@@ -227,6 +328,54 @@ object JetFile {
       case e: java.nio.charset.CharacterCodingException =>
         throw new IllegalArgumentException(
           s"$col value not representable in Windows-1252: '$s'", e)
+    }
+
+  // ---- index key encoding ------------------------------------------------
+
+  /** One indexed value → byte-comparable key segment: unsigned
+    * byte-lexicographic order over the encoding IS the index order.
+    * Presence prefix 0x00/0x01 makes NULLs sort first; LONG/INT16/
+    * CURRENCY flip the sign bit and serialize big-endian (two's-
+    * complement order becomes unsigned order); TEXT case-folds (Jet
+    * indexes are case-insensitive) to Windows-1252 with a 0x00
+    * terminator so prefixes sort first. Jet 2.0's real collation
+    * transform is undocumented — this canonical form is this codec's
+    * own, shared by writer and reader, which is what the lookup
+    * contract needs. */
+  private def keyPart(jetType: Int, v: Any, col: String): Array[Byte] = {
+    if (v == null) return Array(0x00.toByte)
+    val body: Array[Byte] = jetType match {
+      case 4 =>
+        val l = v match { case l: Long => l; case i: Int => i.toLong }
+        val x = l.toInt ^ 0x80000000
+        Array((x >>> 24).toByte, (x >>> 16).toByte, (x >>> 8).toByte, x.toByte)
+      case 3 =>
+        val x = (v.asInstanceOf[Short] ^ 0x8000) & 0xFFFF
+        Array((x >>> 8).toByte, x.toByte)
+      case 5 =>
+        val l = v.asInstanceOf[java.math.BigDecimal]
+          .setScale(4, java.math.RoundingMode.UNNECESSARY)
+          .unscaledValue().longValueExact()
+        val x = l ^ Long.MinValue
+        (7 to 0 by -1).map(i => ((x >>> (8 * i)) & 0xFF).toByte).toArray
+      case 1 => Array(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case 10 =>
+        toCp1252(v.asInstanceOf[String]
+          .toUpperCase(java.util.Locale.ROOT), col) :+ 0x00.toByte
+      case t => throw new IllegalArgumentException(
+        s"Jet type $t is not indexable ($col)")
+    }
+    0x01.toByte +: body
+  }
+
+  /** Index entries order: key bytes unsigned-lexicographic, then row
+    * placement for a total, deterministic order. */
+  private val entryOrdering: Ordering[(Array[Byte], (Int, Int))] =
+    (a, b) => {
+      val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+      if (c != 0) c
+      else if (a._2._1 != b._2._1) a._2._1 - b._2._1
+      else a._2._2 - b._2._2
     }
 
   /** Inverse of [[Db.parseRow]]: [len u16][nFixed u8][nVar u8][fixed]
@@ -354,11 +503,15 @@ object JetFile {
     val colTdef = tdefPage() // page 4: MSysColumns
     require(objTdef == 3 && colTdef == 4, "catalog TDEFs must land on pages 3/4")
 
-    /** Pack encoded rows into 0x06 data pages owned by `owner`. */
-    def dataPages(owner: Int, rows: Seq[Array[Byte]]): Unit = {
+    /** Pack encoded rows into `tpe` pages owned by `owner` (0x06 data
+      * pages; the index builder reuses the identical slot machinery for
+      * 0x04 leaf / 0x03 interior pages). Returns each row's (page, slot)
+      * placement — what the index leaves point at. */
+    def slottedPages(tpe: Int, owner: Int, rows: Seq[Array[Byte]]): Seq[(Int, Int)] = {
       var pg = -1
       var floor = 0
       var count = 0
+      val placed = Seq.newBuilder[(Int, Int)]
       def flush(): Unit = if (pg >= 0) {
         putU32(pg, 4, owner.toLong)
         putU16(pg, 8, count)
@@ -366,32 +519,103 @@ object JetFile {
       }
       rows.foreach { r =>
         if (pg < 0 || 20 + 2 * (count + 1) > floor - r.length) {
-          flush(); pg = newPage(0x06); floor = PageSize; count = 0
+          flush(); pg = newPage(tpe); floor = PageSize; count = 0
         }
         floor -= r.length
         System.arraycopy(r, 0, pages(pg), floor, r.length)
         putU16(pg, 20 + 2 * count, floor)
+        placed += ((pg, count))
         count += 1
       }
       flush()
+      placed.result()
+    }
+
+    def dataPages(owner: Int, rows: Seq[Array[Byte]]): Seq[(Int, Int)] =
+      slottedPages(0x06, owner, rows)
+
+    /** Leaf entry [dataPage u32][slot u16][key]; interior entry
+      * [childPage u32][maxKey]. Levels pack bottom-up until one page
+      * remains — the root. Empty index → root 0 (no such page). */
+    def buildIndexTree(owner: Int,
+        sorted: Seq[(Array[Byte], (Int, Int))]): Int = {
+      if (sorted.isEmpty) return 0
+      def le(v: Long, n: Int): Array[Byte] =
+        (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+      var level: Seq[(Int, Array[Byte])] = {
+        val leaves = sorted.map { case (k, (pg, slot)) =>
+          (le(pg.toLong, 4) ++ le(slot.toLong, 2) ++ k, k)
+        }
+        val placed = slottedPages(0x04, owner, leaves.map(_._1))
+        // one (page, maxKey) per distinct leaf page, in write order
+        placed.zip(leaves).groupBy(_._1._1).toSeq.sortBy(_._1)
+          .map { case (pg, es) => (pg, es.last._2._2) }
+      }
+      while (level.size > 1) {
+        val entries = level.map { case (pg, maxK) => (le(pg.toLong, 4) ++ maxK, maxK) }
+        val placed = slottedPages(0x03, owner, entries.map(_._1))
+        level = placed.zip(entries).groupBy(_._1._1).toSeq.sortBy(_._1)
+          .map { case (pg, es) => (pg, es.last._2._2) }
+      }
+      level.head._1
     }
 
     val tdefOf = tables.map { case (t, _) => t.name -> tdefPage() }.toMap
+    val indexRows = Seq.newBuilder[(String, graft.schema.Index, Int)]
     val coerced = tables.map { case (t, rows) =>
       val nulls = new java.util.concurrent.atomic.AtomicLong()
-      dataPages(tdefOf(t.name), rows.map(encodeUserRow(t, _, nulls)))
+      val placements = dataPages(tdefOf(t.name), rows.map(encodeUserRow(t, _, nulls)))
       if (nulls.get() > 0)
         System.err.println(s"[jet] ${t.name}: ${nulls.get()} interior NULL " +
           "TEXT value(s) stored as '' (Jet row format marks only trailing NULLs)")
+      // the table's index B-trees (the reference creates these via ODBC
+      // DDL after ADOX table creation, hhek2sqlite.go:91-93,1002-1033;
+      // JetScript stays the portable DDL carrier)
+      val colByName = t.cols.map(c => c.name -> c).toMap
+      t.indexes.foreach { ix =>
+        val entries = rows.zip(placements).map { case (r, place) =>
+          val parts = ix.columns.map { cn =>
+            val c = colByName.getOrElse(cn, throw new IllegalArgumentException(
+              s"index ${ix.name}: no column $cn in ${t.name}"))
+            keyPart(jetCode(c)._1, r.get(r.fieldIndex(cn)), s"${t.name}.$cn")
+          }
+          (parts.reduce(_ ++ _), parts.forall(_.length > 1), place)
+        }.sortBy(e => (e._1, e._3))(entryOrdering)
+        // Jet unique indexes reject duplicate keys; NULL-carrying keys
+        // are exempt (Access's "ignore nulls" behavior)
+        if (ix.unique) entries.sliding(2).foreach {
+          case Seq((k1, nn1, _), (k2, _, _)) =>
+            require(!nn1 || java.util.Arrays.compareUnsigned(k1, k2) != 0,
+              s"unique index ${t.name}.${ix.name}: duplicate key")
+          case _ =>
+        }
+        indexRows += ((t.name, ix, buildIndexTree(tdefOf(t.name), entries.map(e => (e._1, e._3)))))
+      }
       t.name -> nulls.get()
     }.toMap
 
-    // MSysObjects: one row per table — [id LONG] + [name TEXT];
-    // the object id IS the table's TDEF page (what the reader resolves).
-    dataPages(objTdef, tables.map { case (t, _) =>
+    // MSysIndexes: one row per index — fixed [objid LONG][rootPage LONG]
+    // [unique BYTE] + [name TEXT][';'-joined column list TEXT]. Looked up
+    // through MSysObjects BY NAME (the real fixture has no such object,
+    // so reading it stays fixture-compatible).
+    val idxTdef = tdefPage()
+    dataPages(idxTdef, indexRows.result().map { case (tName, ix, root) =>
+      val fixed = new Array[Byte](9)
+      (0 until 4).foreach(i => fixed(i) = ((tdefOf(tName) >> (8 * i)) & 0xFF).toByte)
+      (0 until 4).foreach(i => fixed(4 + i) = ((root >> (8 * i)) & 0xFF).toByte)
+      fixed(8) = if (ix.unique) 1.toByte else 0.toByte
+      encodeRow(3, fixed, Array(0x07.toByte),
+        Seq(toCp1252(ix.name, "MSysIndexes.Name"),
+          toCp1252(ix.columns.mkString(";"), "MSysIndexes.Columns")))
+    })
+
+    // MSysObjects: one row per object — [id LONG] + [name TEXT];
+    // the object id IS the object's TDEF page (what the reader resolves).
+    dataPages(objTdef, (tables.map { case (t, _) => t.name -> tdefOf(t.name) }
+      :+ ("MSysIndexes" -> idxTdef)).map { case (name, tdef) =>
       val id = new Array[Byte](4)
-      (0 until 4).foreach(i => id(i) = ((tdefOf(t.name) >> (8 * i)) & 0xFF).toByte)
-      encodeRow(1, id, Array(0x01.toByte), Seq(toCp1252(t.name, "MSysObjects.Name")))
+      (0 until 4).foreach(i => id(i) = ((tdef >> (8 * i)) & 0xFF).toByte)
+      encodeRow(1, id, Array(0x01.toByte), Seq(toCp1252(name, "MSysObjects.Name")))
     })
 
     // MSysColumns: one row per column — fixed [objid LONG][ordinal INT16]

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.Convert
 import graft.schema.HogiaSchema
-import graft.sources.{JetFile, JetTableIO, SqliteTableIO}
+import graft.sources.{JetFile, JetTableIO, ParquetTableIO, SqliteTableIO}
 
 /** The native Jet 2.0 reader against the reference's REAL binary fixture
   * (`/root/reference/GOTEST1.MDB`, read-only) — the same checkDB1
@@ -213,6 +213,90 @@ class JetFileSpec extends SparkSpecBase {
     val back = new JetTableIO(s"$dir/a.mdb").read(spark, t).collect().head
     assert(back.getAs[String]("Vad") == "")
     assert(back.getAs[String]("Text") == "sista")
+  }
+
+  test("indexes materialize as B-tree pages; point lookup touches only the descent path") {
+    val dir = Files.createTempDirectory("graft_jet_idx").toString
+    val mdbPath = s"$dir/idx.mdb"
+    val t = HogiaSchema.byName("Transaktioner")
+    // 2000 rows → multi-page data AND a multi-level index tree
+    val rows = (1L to 2000L).map { i =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](i, s"Konto ${i % 50}", s"Konto ${(i + 1) % 50}", "Uttag",
+          "2021-01-02", s"Vad $i", "Vem", new BigDecimal(s"$i.2500"), null,
+          false, s"rad $i"), t.schema)
+    } :+ new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](2001L, "Unikt konto", "Konto 0", "Uttag", "2021-01-02",
+        "Vad", "Vem", new BigDecimal("1.0000"), null, false, "rad"), t.schema)
+    JetFile.write(mdbPath, Seq(t -> rows))
+    val db = JetFile.open(mdbPath)
+    // catalog carries the index: name, columns, uniqueness, live root
+    val ix = db.indexCatalog.find(i =>
+      i.table == "Transaktioner" && i.name == "idxFrånTillKonto").get
+    assert(ix.columns == Seq("FrånKonto", "TillKonto") && !ix.unique)
+    assert(ix.root > 0)
+    // point lookup: every i ≡ 7 (mod 50) has (Konto 7, Konto 8) — 40 rows
+    val (hits, touched) =
+      db.indexLookup("Transaktioner", "idxFrånTillKonto", Seq("Konto 7", "Konto 8"))
+    assert(hits.size == 40)
+    assert(hits.forall(m => m("FrånKonto") == "Konto 7" && m("TillKonto") == "Konto 8"))
+    assert(hits.map(_("Löpnr").asInstanceOf[Long]).sorted ==
+      (7L to 1957L by 50L).toSeq)
+    // the 40 hits scatter over ~40 distinct data pages (one per 50-row
+    // stride), so the honest bound is descent overhead: tree pages
+    // beyond the per-hit data pages stay constant-ish
+    assert(touched <= hits.size + 4, s"descent overhead: $touched for ${hits.size} hits")
+    // TRUE point lookup (single match) touches a handful of the file's
+    // pages: root → leaf → one data page
+    val totalPages = Files.size(java.nio.file.Paths.get(mdbPath)) / 2048
+    assert(totalPages > 100, s"fixture too small for the claim: $totalPages")
+    val (single, singleTouched) =
+      db.indexLookup("Transaktioner", "idxFrånTillKonto", Seq("Unikt konto", "Konto 0"))
+    assert(single.size == 1 && single.head("Löpnr") == 2001L)
+    assert(singleTouched <= 4, s"point lookup touched $singleTouched of $totalPages pages")
+    // Jet index collation is case-insensitive: folded key matches too
+    assert(db.indexLookup("Transaktioner", "idxFrånTillKonto",
+      Seq("KONTO 7", "konto 8"))._1.size == 40)
+    // clean miss
+    assert(db.indexLookup("Transaktioner", "idxFrånTillKonto",
+      Seq("Konto 999", "x"))._1.isEmpty)
+  }
+
+  test("unique index rejects duplicate keys loudly; NULL keys are exempt") {
+    val dir = Files.createTempDirectory("graft_jet_uniq").toString
+    val p = HogiaSchema.byName("Personer")
+    def person(id: Long, namn: String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](id, namn, "1990", "Man"), p.schema)
+    val dup = intercept[IllegalArgumentException] {
+      JetFile.write(s"$dir/dup.mdb",
+        Seq(p -> Seq(person(1, "Samma"), person(2, "samma")))) // case-folded dup
+    }
+    assert(dup.getMessage.contains("idxNamn"))
+    // Access's unique indexes ignore NULL keys — two NULL names are fine
+    JetFile.write(s"$dir/nulls.mdb",
+      Seq(p -> Seq(person(1, null), person(2, null))))
+    val (one, _) = JetFile.open(s"$dir/nulls.mdb")
+      .indexLookup("Personer", "idxNamn", Seq(null))
+    assert(one.size == 2)
+  }
+
+  test("golden-fixture write carries all 15 schema indexes, readable point lookups") {
+    val dir = Files.createTempDirectory("graft_jet_allidx").toString
+    val mdbPath = s"$dir/all.mdb"
+    val src = new ParquetTableIO(s"$dir/src")
+    Convert.goldenFixture(spark).foreach { case (name, df) =>
+      src.truncateLoad(df, HogiaSchema.byName(name))
+    }
+    val out = new JetTableIO(mdbPath)
+    Convert.konvertera(spark, src, out, reverse = true)
+    val db = JetFile.open(mdbPath)
+    assert(db.indexCatalog.size == HogiaSchema.copyOrder.map(_.indexes.size).sum)
+    assert(db.indexCatalog.map(_.name).distinct.nonEmpty)
+    // unique TEXT index point lookup on golden data
+    val (person, touched) = db.indexLookup("Personer", "idxNamn", Seq("Person Ett"))
+    assert(person.size == 1 && person.head("Löpnr") == 2L)
+    assert(touched <= 3, s"point lookup touched $touched pages")
   }
 
   test("writer failure modes are loud: oversized rows, memo payloads") {
