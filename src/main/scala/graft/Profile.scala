@@ -70,6 +70,14 @@ object Profile {
             .agg(count(lit(1)).as("n_rare"))
             .filter(col("n_rare") >= 5).count()
         }
+      // phase breakdown of the warm IVF-PQ stored path
+      case "ivfpq_phases" =>
+        time("ivfpq:ensure")(graft.operators.Ingest.ensureIvfPqIndex(spark, sfDir))
+        val df = time("ivfpq:plan")(
+          graft.operators.Ingest.ivfPqTopKStored(spark, sfDir, 10))
+        time("ivfpq:exec")(df.count())
+        val df2 = graft.operators.Ingest.ivfPqTopKStored(spark, sfDir, 10)
+        time("ivfpq:exec2")(df2.count())
       // bucket-profile probe for the simhash banding at this SF
       case "simhash_probe" =>
         import org.apache.spark.sql.functions._

@@ -130,21 +130,28 @@ object Ingest {
     val cPath = scratch(s, dir, s"ivf_centroids_c$cells")
     val aPath = scratch(s, dir, s"ivf_assign_c$cells")
     VectorOps.register(s)
-    val emb = indexedCorpus(s, dir)
     // TRAINED centroids (3 Lloyd passes), not raw seed vectors: seed
     // "centroids" are arbitrary corpus rows, so at the derived √N
     // geometry they scatter near-neighbors across cells; trained cells
     // keep them co-located — training is a one-time ingest cost,
-    // exactly where production IVF pays it.
-    val centroids = Similarity.kmeansCentroids(emb, cells)
-    centroids.write.mode("ignore").parquet(cPath)
-    // repartition on the partition column first: each write task then owns
-    // whole cells, so the layout is nCells files instead of
-    // nCells × shuffle.partitions fragments (the small-files problem that
-    // kills object-store listings at scale)
-    Similarity.ivfAssign(emb, centroids)
-      .repartition(col("cell"))
-      .write.mode("ignore").partitionBy("cell").parquet(aPath)
+    // exactly where production IVF pays it. Training is EAGER (each
+    // Lloyd pass localCheckpoints), so unlike the lazy writes below a
+    // SaveMode.Ignore cannot skip it — check the stored path FIRST
+    // (the ensurePqCodebook pattern) or every warm probe would retrain.
+    val cPathH = new org.apache.hadoop.fs.Path(cPath)
+    val fs = cPathH.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cPathH)) {
+      val emb = indexedCorpus(s, dir)
+      val centroids = Similarity.kmeansCentroids(emb, cells)
+      centroids.write.mode("ignore").parquet(cPath)
+      // repartition on the partition column first: each write task then
+      // owns whole cells, so the layout is nCells files instead of
+      // nCells × shuffle.partitions fragments (the small-files problem
+      // that kills object-store listings at scale)
+      Similarity.ivfAssign(emb, centroids)
+        .repartition(col("cell"))
+        .write.mode("ignore").partitionBy("cell").parquet(aPath)
+    }
     (s.read.parquet(cPath), s.read.parquet(aPath))
   }
 
@@ -207,25 +214,33 @@ object Ingest {
     * materializing any code table (IVF-PQ stores its OWN cell-partitioned
     * codes; encoding the corpus a second time into a flat table it never
     * reads would double the cold ingest cost). */
+  /** Loaded codebooks, memoized per (app, path): the codebook is a
+    * bounded model artifact (~8 KB) — re-reading it through a Spark job
+    * on EVERY warm probe is pure per-query overhead. */
+  private val cbCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Array[Float], Int)]
+
   def ensurePqCodebook(s: SparkSession, dir: String, m: Int = 8,
       kCent: Int = 256): (Array[Float], Int) = {
     val cbPath = scratch(s, dir, s"pq_codebook_m${m}_k$kCent")
-    graft.functions.PqOps.register(s)
-    val cbHadoopPath = new org.apache.hadoop.fs.Path(cbPath)
-    val fs = cbHadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(cbHadoopPath)) {
-      val r = s.read.parquet(cbPath).head()
-      require(r.getInt(2) == m && r.getInt(3) == kCent,
-        s"stored PQ codebook was trained with m=${r.getInt(2)}, " +
-          s"k=${r.getInt(3)}; requested m=$m, k=$kCent")
-      (r.getSeq[Float](0).toArray, r.getInt(1))
-    } else {
-      val (cbT, dimT, _) = Similarity.pqTrain(embeddings(s, dir), m, kCent)
-      import s.implicits._
-      Seq((cbT.toSeq, dimT, m, kCent)).toDF("cb", "dim", "m", "k")
-        .write.mode("ignore").parquet(cbPath)
-      (cbT, dimT)
-    }
+    cbCache.getOrElseUpdate((s.sparkContext.applicationId, cbPath), {
+      graft.functions.PqOps.register(s)
+      val cbHadoopPath = new org.apache.hadoop.fs.Path(cbPath)
+      val fs = cbHadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(cbHadoopPath)) {
+        val r = s.read.parquet(cbPath).head()
+        require(r.getInt(2) == m && r.getInt(3) == kCent,
+          s"stored PQ codebook was trained with m=${r.getInt(2)}, " +
+            s"k=${r.getInt(3)}; requested m=$m, k=$kCent")
+        (r.getSeq[Float](0).toArray, r.getInt(1))
+      } else {
+        val (cbT, dimT, _) = Similarity.pqTrain(embeddings(s, dir), m, kCent)
+        import s.implicits._
+        Seq((cbT.toSeq, dimT, m, kCent)).toDF("cb", "dim", "m", "k")
+          .write.mode("ignore").parquet(cbPath)
+        (cbT, dimT)
+      }
+    })
   }
 
   def ensurePqIndex(s: SparkSession, dir: String, m: Int = 8,
@@ -240,10 +255,11 @@ object Ingest {
     // — seen both.)
     val codePath = scratch(s, dir, s"pq_codes_m${m}_k$kCent")
     val (cb, dim) = ensurePqCodebook(s, dir, m, kCent)
-    val emb = embeddings(s, dir)
-    emb.select(col("vec_id"),
-        graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
-      .write.mode("ignore").parquet(codePath)
+    val codeH = new org.apache.hadoop.fs.Path(codePath)
+    if (!codeH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(codeH))
+      embeddings(s, dir).select(col("vec_id"),
+          graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
+        .write.mode("ignore").parquet(codePath)
     (cb, dim, s.read.parquet(codePath))
   }
 
@@ -278,14 +294,17 @@ object Ingest {
     val (centroids, _) = ensureIvfIndex(s, dir, cells)
     val path = scratch(s, dir, s"ivfpq_codes_m${m}_k${kCent}_c$cells")
     graft.functions.PqOps.register(s)
-    // canaries ride the cell-partitioned code table too, so the IVF-PQ
-    // gate certifies DPP + ADC + rescore under real pruning
-    val emb = indexedCorpus(s, dir)
-    Similarity.ivfAssign(emb, centroids)
-      .select(col("vec_id"), col("cell"),
-        graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
-      .repartition(col("cell")) // whole cells per write task (small files)
-      .write.mode("ignore").partitionBy("cell").parquet(path)
+    val pathH = new org.apache.hadoop.fs.Path(path)
+    if (!pathH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(pathH)) {
+      // canaries ride the cell-partitioned code table too, so the IVF-PQ
+      // gate certifies DPP + ADC + rescore under real pruning
+      val emb = indexedCorpus(s, dir)
+      Similarity.ivfAssign(emb, centroids)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
+        .repartition(col("cell")) // whole cells per write task (small files)
+        .write.mode("ignore").partitionBy("cell").parquet(path)
+    }
     (cb, dim, centroids, s.read.parquet(path))
   }
 
@@ -303,18 +322,20 @@ object Ingest {
     val probe =
       if (nProbe > 0) nProbe
       else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
-    // rescore joins candidates back to the INDEXED corpus (canaries
-    // included — a code the scan surfaced must be rescorable); the
-    // query row is the same either way (canary ids are offset above
-    // every real id, so min(vec_id) is unchanged)
-    val emb = indexedCorpus(s, dir)
+    // the query row comes from the PLAIN corpus (canary ids are offset
+    // above every real id, so min(vec_id) is identical — and the plain
+    // scan skips the canary-union TakeOrdered subplan in every job that
+    // evaluates the broadcast q); the RESCORE side joins back to the
+    // indexed corpus, since a code the scan surfaced (canaries
+    // included) must be rescorable
+    val emb = embeddings(s, dir)
     val (qid, dot, nrm) = Similarity.adcTables(emb, cb, dim, m, kCent)
     val probePlan =
       singleQueryProbePlan(centroids, Similarity.queryRow(emb), probe)
     val cand = codes
       .join(broadcast(probeCells(probePlan, codes)), "cell")
       .select(col("vec_id"), col("code"))
-    Similarity.pqRescore(emb,
+    Similarity.pqRescore(indexedCorpus(s, dir),
       Similarity.pqRank(cand, qid, dot, nrm, m, kCent, expand * k), k)
   }
 
