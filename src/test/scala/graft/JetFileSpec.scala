@@ -262,6 +262,42 @@ class JetFileSpec extends SparkSpecBase {
       Seq("Konto 999", "x"))._1.isEmpty)
   }
 
+  test("index descent: duplicate runs span leaf pages, depth-3 trees resolve") {
+    val dir = Files.createTempDirectory("graft_jet_deep").toString
+    val mdbPath = s"$dir/deep.mdb"
+    val t = HogiaSchema.byName("Transaktioner")
+    // 300 duplicates of ONE key force the run across several leaf pages
+    // (the adjacent-child rule must follow it); 20k rows with LONG text
+    // keys force TWO interior levels (fanout ~35 at ~60 B/entry)
+    val longKonto = (i: Long) => f"Konto med ett riktigt långt namn $i%07d"
+    val rows = (1L to 20000L).map { i =>
+      val (fr, till) =
+        if (i <= 300) ("Samma källa", "Samma mål")
+        else (longKonto(i), longKonto(i + 1))
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](i, fr, till, "Uttag", "2021-01-02", "Vad", "Vem",
+          new BigDecimal("1.0000"), null, false, null), t.schema)
+    }
+    JetFile.write(mdbPath, Seq(t -> rows))
+    val db = JetFile.open(mdbPath)
+    // the duplicate run comes back complete across its leaf boundary
+    val (dups, _) = db.indexLookup("Transaktioner", "idxFrånTillKonto",
+      Seq("Samma källa", "Samma mål"))
+    assert(dups.size == 300)
+    assert(dups.map(_("Löpnr").asInstanceOf[Long]).sorted == (1L to 300L))
+    // point lookups resolve through the multi-level tree at both ends
+    // and the middle of the key space
+    Seq(301L, 9999L, 20000L).foreach { i =>
+      val (hit, touched) = db.indexLookup("Transaktioner", "idxFrånTillKonto",
+        Seq(longKonto(i), longKonto(i + 1)))
+      assert(hit.size == 1 && hit.head("Löpnr") == i, s"row $i")
+      assert(touched <= 5, s"row $i touched $touched pages") // depth 3 + data
+    }
+    // the tree really is deep: the file is large enough that a depth-2
+    // tree could not have fanout for 20k entries at this key width
+    assert(Files.size(java.nio.file.Paths.get(mdbPath)) / 2048 > 1500)
+  }
+
   test("unique index rejects duplicate keys loudly; NULL keys are exempt") {
     val dir = Files.createTempDirectory("graft_jet_uniq").toString
     val p = HogiaSchema.byName("Personer")
