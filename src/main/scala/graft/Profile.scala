@@ -78,6 +78,11 @@ object Profile {
         time("ivfpq:exec")(df.count())
         val df2 = graft.operators.Ingest.ivfPqTopKStored(spark, sfDir, 10)
         time("ivfpq:exec2")(df2.count())
+      // plan audit for the substring-dedup operator
+      case "substr_plan" =>
+        graft.operators.Dedup.substringDupCoverage(
+          graft.queries.Tables.documents(spark, sfDir),
+          graft.operators.Dedup.SubstrDedupK).explain("formatted")
       // bucket-profile probe for the simhash banding at this SF
       case "simhash_probe" =>
         import org.apache.spark.sql.functions._

@@ -222,6 +222,63 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Window width (tokens) for exact-substring dedup. Lee et al. use 50
+    * BPE tokens; 15 whitespace words is the comparable span on word
+    * tokenization, and long enough that a shared window means copied
+    * text (the 8-gram decontamination threshold reasoning, with margin). */
+  val SubstrDedupK = 15
+
+  /** Span-level exact-substring duplicate coverage: for every doc,
+    * `n_dup_tokens` = the number of token positions covered by at least
+    * one k-token window whose text also occurs verbatim in a DIFFERENT
+    * doc. Returns (doc_id, n_toks, n_dup_tokens) for every doc; docs
+    * shorter than k tokens have no windows and score 0.
+    *
+    * Shape at 100 TB — three bounded shuffles, nothing quadratic:
+    *  1. windows are a NARROW explode inside the scan stage (one row per
+    *     token position, keyed by a 64-bit hex window digest — fixed
+    *     width through every exchange, the same rule as the LSH band
+    *     joins; digest collisions only ever OVER-flag, the same harmless
+    *     direction as Bloom decontamination);
+    *  2. "occurs in another doc" is ONE window aggregation over the
+    *     digest (min(doc_id) ≠ max(doc_id)) — not a groupBy + self-join,
+    *     which would shuffle the window stream twice and recompute the
+    *     explode lineage on both sides;
+    *  3. covered-position counting is an interval union done as one
+    *     per-doc sort: equal-length windows make union length
+    *     Σ min(k, pos − prev_pos) — no k× position explode, and the
+    *     final groupBy(doc_id) reuses the lag window's partitioning.
+    * A corpus-global suffix array (the paper's single-node form) has no
+    * such decomposition — this is the Spark-native equivalent. */
+  def substringDupCoverage(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.operators.Curation.gramToks(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast(LongType).as("n_toks"))
+    val wins = base.filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => struct(i.cast(LongType).as("pos"),
+            substring(md5(array_join(slice(col("t"), i, lit(k)), " ")), 1, 16)
+              .as("w")))).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.w").as("w"))
+    val byW = Window.partitionBy("w")
+    val flagged = wins
+      .withColumn("multi",
+        min("doc_id").over(byW) =!= max("doc_id").over(byW))
+      .filter(col("multi"))
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = flagged
+      .select(col("doc_id"),
+        coalesce(least(lit(k.toLong), col("pos") - lag("pos", 1).over(byDocPos)),
+          lit(k.toLong)).as("cov"))
+      .groupBy("doc_id").agg(sum("cov").as("n_dup_tokens"))
+    base.select("doc_id", "n_toks")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -252,6 +309,21 @@ object Dedup {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+
+    // exact-SUBSTRING dedup (span level, not doc level — the remaining
+    // dedup granularity after q_dedup_exact/q_near_dup_*): per doc, the
+    // count of token positions covered by a 15-token window that occurs
+    // verbatim in ANOTHER document (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — ExactSubstr,
+    // re-expressed over hashed word windows instead of a corpus-global
+    // suffix array, which has no bounded-shuffle distributed form).
+    // Exact-dup docs score n_dup_tokens = n_toks; a near-dup with one
+    // edited token scores n_toks−1; cross-doc boilerplate scores its
+    // span length. Within-doc repetition is deliberately NOT flagged
+    // (min≠max doc id below) — that axis is q_repetition's.
+    "q_dedup_substring" -> ((s, dir) =>
+      substringDupCoverage(documents(s, dir), SubstrDedupK)
+        .orderBy("doc_id")),
 
     // MinHash LSH near-dup: ALL pairs with exact word-3-gram Jaccard
     // ≥ 0.5, found via LSH candidates + exact verification. Oracle-checked
@@ -500,6 +572,31 @@ object Dedup {
         |  SELECT doc_id, lang, source,
         |         row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |                            ORDER BY doc_id) AS rn
-        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // brute-force twin of substringDupCoverage: same tokenization, same
+    // 64-bit hex window digest, same interval-union arithmetic — the
+    // zipped unnest pairs each window position with its digest
+    "q_dedup_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+         |  FROM documents),
+         |base AS (SELECT doc_id, len(t) AS n_toks, t FROM toks),
+         |wins AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, n_toks - ${SubstrDedupK - 2})) AS pos,
+         |         unnest(list_transform(range(1, n_toks - ${SubstrDedupK - 2}),
+         |                i -> substr(md5(array_to_string(t[i:i+${SubstrDedupK - 1}], ' ')), 1, 16))) AS w
+         |  FROM base WHERE n_toks >= $SubstrDedupK),
+         |dupw AS (SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)),
+         |fl AS (SELECT wins.doc_id, wins.pos FROM wins JOIN dupw USING (w)),
+         |cov AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_dup_tokens FROM (
+         |    SELECT doc_id,
+         |           COALESCE(LEAST($SubstrDedupK, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)),
+         |                    $SubstrDedupK) AS c
+         |    FROM fl) GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.n_toks AS BIGINT) AS n_toks,
+         |       CAST(COALESCE(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+         |FROM base b LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -309,4 +309,42 @@ class SketchSpec extends SparkSpecBase {
     assert(r(2L) == ((1, 1, 1, 0, 0)))
     assert(r(3L) == ((1, 1, 1, 0, 0)))
   }
+
+  test("substringDupCoverage: hand-computed interval unions, cross-doc only") {
+    // k = 4; hand-laid shared runs:
+    //   1 ↔ 2 share "c d e f g" → windows at pos 3,4 → union [3,7] = 5
+    //   1 ↔ 6 share "a b c d"   → window at pos 1 → 1's union [1,7] = 7
+    //   5 repeats "p q r s" WITHIN one doc only → not flagged (0)
+    //   4 is shorter than k → no windows (0)
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "x y c d e f g z",
+      3L -> "q w e r t y u i",
+      4L -> "a b c",
+      5L -> "p q r s p q r s",
+      6L -> "a b c d m n o p")
+    val r = Dedup.substringDupCoverage(d, 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((8L, 7L)))
+    assert(r(2L) == ((8L, 5L)))
+    assert(r(3L) == ((8L, 0L)))
+    assert(r(4L) == ((3L, 0L)))
+    assert(r(5L) == ((8L, 0L)))
+    assert(r(6L) == ((8L, 4L)))
+  }
+
+  test("substringDupCoverage: disjoint shared runs sum, exact copy covers all") {
+    // 10 ↔ 11 are exact copies → full coverage (n_toks);
+    // 12 shares two DISJOINT 4-runs with 10 ("a b c d" at 1, "w x y z"
+    // at 7 vs 10's 5) → coverage 4 + 4 = 8 with a gap between
+    val d = docs(
+      10L -> "a b c d g h w x y z",
+      11L -> "a b c d g h w x y z",
+      12L -> "a b c d k m w x y z")
+    val r = Dedup.substringDupCoverage(d, 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(10L) == ((10L, 10L)))
+    assert(r(11L) == ((10L, 10L)))
+    assert(r(12L) == ((10L, 8L)))
+  }
 }
