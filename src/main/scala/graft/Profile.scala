@@ -78,6 +78,34 @@ object Profile {
         time("ivfpq:exec")(df.count())
         val df2 = graft.operators.Ingest.ivfPqTopKStored(spark, sfDir, 10)
         time("ivfpq:exec2")(df2.count())
+      // phase breakdown of the Bloom decontamination query (gram prep /
+      // bloom build / final certify action)
+      case "bloom_phases" =>
+        import org.apache.spark.sql.functions._
+        graft.functions.Sketch.register(spark)
+        graft.functions.BloomOps.register(spark)
+        val docs = graft.queries.Tables.documents(spark, sfDir)
+        val toks = graft.operators.Curation.gramToks(col("text"))
+        val grams = docs.select(col("doc_id"),
+          graft.operators.Curation.splitColumn(col("doc_id")).as("split"),
+          explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))
+          .persist()
+        val trainGrams = grams.filter(col("split") === "train")
+          .select("g").distinct()
+        time("bloom:gram+distinct")(trainGrams.count())
+        val bloomBytes = time("bloom:build")(grams
+          .filter(col("split") === "train")
+          .agg(graft.functions.BloomOps.bloomAgg(col("g"),
+            1000000L, 8000000L).as("bf"))
+          .head().getAs[Array[Byte]](0))
+        val evalGrams = grams.filter(col("split") =!= "train")
+        time("bloom:probe")(evalGrams
+          .filter(graft.functions.BloomOps.mightContain(bloomBytes, col("g")))
+          .select("doc_id").distinct().count())
+        time("bloom:exact-join")(evalGrams
+          .join(trainGrams, Seq("g"), "left_semi")
+          .select("doc_id").distinct().count())
+        grams.unpersist()
       // plan audit for the substring-dedup operator
       case "substr_plan" =>
         graft.operators.Dedup.substringDupCoverage(

@@ -90,7 +90,8 @@ object Curation {
       .distinct()
       .localCheckpoint()
     var rounds = 0
-    var converged = e.isEmpty
+    var eCount = e.count()
+    var converged = eCount == 0L
     while (!converged && rounds < maxIter) {
       // LARGE-STAR: every strictly-larger neighbor of n re-links to
       // m = min(N(n) ∪ {n}) — preserves connectivity, shortcuts paths
@@ -111,15 +112,21 @@ object Curation {
         .unionByName(ssm.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
-      // verified fixpoint in ONE job: both frames are distinct sets, so
-      // an edge of the symmetric difference appears exactly once in the
-      // union — count==1 groups ⟺ the sets differ (replaces the former
-      // count() + exceptAll() pair, two jobs and an extra shuffle)
-      converged = next.unionByName(e)
-        .groupBy("u", "v").agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1)
-        .isEmpty
+      // verified fixpoint, count-gated: both frames are distinct sets,
+      // so unequal cardinality alone proves they differ — and counting
+      // the just-checkpointed edges is a narrow one-stage job. Only when
+      // counts MATCH run the real set-equality proof (union → count==1
+      // groups ⟺ symmetric difference non-empty); mid-convergence rounds
+      // thus pay a count instead of a shuffle, and the proof itself
+      // still gates termination.
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.unionByName(e)
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 1)
+          .isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
@@ -306,7 +313,13 @@ object Curation {
       // codebook; might_contain requires a constant/scalar-subquery
       // filter anyway. Sized for ~1M distinct grams at 8 bits each
       // (~2% fp) — over-flagging is the harmless direction.
-      val bloomBytes = trainGrams
+      // Build from the RAW train grams, not the distinct set: Bloom
+      // insertion is idempotent, so deduplication buys nothing, and
+      // skipping it makes the build pass SHUFFLE-FREE — partial 1 MB
+      // bitmaps per partition, OR-merged at the driver (at 100 TB the
+      // filter build is then a single map-side scan; the distinct
+      // shuffle below runs only once, for the exact certification join).
+      val bloomBytes = sharedGrams.filter(col("split") === "train")
         .agg(graft.functions.BloomOps.bloomAgg(col("g"),
           1000000L, 8000000L).as("bf"))
         .head().getAs[Array[Byte]](0)
