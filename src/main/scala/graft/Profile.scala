@@ -90,21 +90,62 @@ object Profile {
           graft.operators.Curation.splitColumn(col("doc_id")).as("split"),
           explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))
           .persist()
-        val trainGrams = grams.filter(col("split") === "train")
-          .select("g").distinct()
-        time("bloom:gram+distinct")(trainGrams.count())
+        time("bloom:gram-cache")(grams.count())
         val bloomBytes = time("bloom:build")(grams
           .filter(col("split") === "train")
           .agg(graft.functions.BloomOps.bloomAgg(col("g"),
             1000000L, 8000000L).as("bf"))
           .head().getAs[Array[Byte]](0))
-        val evalGrams = grams.filter(col("split") =!= "train")
-        time("bloom:probe")(evalGrams
+        val evalHits = grams.filter(col("split") =!= "train")
           .filter(graft.functions.BloomOps.mightContain(bloomBytes, col("g")))
-          .select("doc_id").distinct().count())
-        time("bloom:exact-join")(evalGrams
-          .join(trainGrams, Seq("g"), "left_semi")
-          .select("doc_id").distinct().count())
+          .persist()
+        time("bloom:probe")(evalHits.select("doc_id").distinct().count())
+        time("bloom:pruned-join") {
+          val matchedKeys = grams.filter(col("split") === "train")
+            .select("g")
+            .join(org.apache.spark.sql.functions.broadcast(
+              evalHits.select("g").distinct()), Seq("g"), "left_semi")
+          evalHits
+            .join(org.apache.spark.sql.functions.broadcast(matchedKeys),
+              Seq("g"), "left_semi")
+            .select("doc_id").distinct().count()
+        }
+        evalHits.unpersist()
+        grams.unpersist()
+      // micro-breakdown of bloom build/probe costs on cached grams
+      case "bloom_micro" =>
+        import org.apache.spark.sql.functions._
+        graft.functions.Sketch.register(spark)
+        graft.functions.BloomOps.register(spark)
+        val docs = graft.queries.Tables.documents(spark, sfDir)
+        val toks = graft.operators.Curation.gramToks(col("text"))
+        val grams = docs.select(col("doc_id"),
+          graft.operators.Curation.splitColumn(col("doc_id")).as("split"),
+          explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))
+          .persist()
+        time("warmup-count")(grams.count())
+        println("n_grams = " + time("gram-count-warm")(grams.count()))
+        time("eval-count-plain")(grams.filter(col("split") =!= "train").count())
+        val bloomBytes = time("bloom-build-1")(grams
+          .filter(col("split") === "train")
+          .agg(graft.functions.BloomOps.bloomAgg(col("g"),
+            1000000L, 8000000L).as("bf")).head().getAs[Array[Byte]](0))
+        time("bloom-build-2")(grams.filter(col("split") === "train")
+          .agg(graft.functions.BloomOps.bloomAgg(col("g"),
+            1000000L, 8000000L).as("bf")).head().getAs[Array[Byte]](0))
+        time("probe-count-1")(grams.filter(col("split") =!= "train")
+          .filter(graft.functions.BloomOps.mightContain(bloomBytes, col("g")))
+          .count())
+        time("probe-count-2")(grams.filter(col("split") =!= "train")
+          .filter(graft.functions.BloomOps.mightContain(bloomBytes, col("g")))
+          .count())
+        val small = time("small-bloom-build")(grams
+          .filter(col("split") === "train")
+          .agg(graft.functions.BloomOps.bloomAgg(col("g"),
+            1000000L, 800000L).as("bf")).head().getAs[Array[Byte]](0))
+        time("small-probe-count")(grams.filter(col("split") =!= "train")
+          .filter(graft.functions.BloomOps.mightContain(small, col("g")))
+          .count())
         grams.unpersist()
       // plan audit for the substring-dedup operator
       case "substr_plan" =>

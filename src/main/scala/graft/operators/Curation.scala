@@ -281,15 +281,17 @@ object Curation {
     }),
 
     // Bloom-filter decontamination — the petabyte-scale pruning step the
-    // exact query's comment promises: the distinct train grams fold into
-    // ONE fixed-size broadcast Bloom filter (bitwise-OR construction is
-    // commutative, so the filter is deterministic under any partitioning
-    // or run), and eval grams probe it with might_contain — the eval
-    // side never shuffles at all. Bloom semantics: false positives
-    // over-flag harmlessly (bounded by fpp), false negatives are
-    // IMPOSSIBLE — the gate pins n_bloom_missed = 0 per split alongside
-    // the exact flag counts, so the probe is checked against certified
-    // ground truth on the same corpus.
+    // exact query's comment promises: the raw train grams fold into ONE
+    // fixed-size Bloom filter in a shuffle-free map-side aggregation
+    // (bitwise-OR construction is commutative, so the filter is
+    // deterministic under any partitioning or run), eval grams probe it
+    // with might_contain without shuffling, and ONLY the probe survivors
+    // enter the exact semi join. Bloom semantics: false positives
+    // over-flag harmlessly (bounded by fpp, then removed by the exact
+    // join), false negatives are IMPOSSIBLE — which is what makes the
+    // probe a sound prune. The certificate is the DuckDB oracle: it
+    // recomputes n_exact_flagged independently from gram STRINGS, so a
+    // probe bug that dropped a contaminated doc turns the gate red.
     "q_decontaminate_bloom" -> ((s, dir) => {
       graft.functions.Sketch.register(s)
       val toks = gramToks(col("text"))
@@ -297,40 +299,74 @@ object Curation {
         .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
           explode(graft.functions.Sketch.wordGramHashes(toks, 8)).as("g"))
       graft.functions.BloomOps.register(s)
-      // the gram stream feeds four consumers (bloom build, bloom probe,
-      // and both sides of the exact join) — persist it so tokenization
+      // the gram stream feeds three consumers (bloom build, bloom probe,
+      // and the semi join's train side) — persist it so tokenization
       // and gram hashing run once (same multi-consumer shape as
       // TextAnalysis.lmTables; the cache is fixed-width hashes only),
       // and unpersist it in the finally below once the tiny final frame
       // is materialized (ADVICE r4: the r4 version leaked the cached
       // blocks for the session lifetime)
       val sharedGrams = grams.persist()
+      var evalHitsCache: Option[org.apache.spark.sql.DataFrame] = None
       try {
-      val trainGrams = sharedGrams.filter(col("split") === "train")
-        .select("g").distinct()
-      // the built filter is a bounded model artifact (1 MB at the
-      // chosen sizing) collected once, like the LM tables and the PQ
-      // codebook; might_contain requires a constant/scalar-subquery
-      // filter anyway. Sized for ~1M distinct grams at 8 bits each
-      // (~2% fp) — over-flagging is the harmless direction.
+      // the built filter is a bounded model artifact collected once,
+      // like the LM tables and the PQ codebook; might_contain requires
+      // a constant/scalar-subquery filter anyway. SIZE IT FROM THE
+      // CORPUS, not a static guess (same rule as the derived IVF
+      // geometry): 8 bits per observed train gram (~2% fp — and
+      // over-flagging is the harmless direction, removed by the exact
+      // join) with a 64 Kbit floor. The sizing count is one narrow job
+      // on the cached grams; a right-sized filter keeps the binary
+      // literal that rides every downstream plan proportional to the
+      // corpus instead of a fixed megabyte (a 1 MB literal measurably
+      // taxes each plan/job at bench scale).
+      val trainGramCount = sharedGrams
+        .filter(col("split") === "train").count()
+      val numBits = math.max(1L << 16, 8L * trainGramCount)
       // Build from the RAW train grams, not the distinct set: Bloom
       // insertion is idempotent, so deduplication buys nothing, and
-      // skipping it makes the build pass SHUFFLE-FREE — partial 1 MB
-      // bitmaps per partition, OR-merged at the driver (at 100 TB the
-      // filter build is then a single map-side scan; the distinct
-      // shuffle below runs only once, for the exact certification join).
+      // skipping it makes the build pass SHUFFLE-FREE — partial bitmaps
+      // per partition, OR-merged at the driver (at 100 TB the filter
+      // build is then a single map-side scan).
       val bloomBytes = sharedGrams.filter(col("split") === "train")
         .agg(graft.functions.BloomOps.bloomAgg(col("g"),
-          1000000L, 8000000L).as("bf"))
+          math.max(1024L, trainGramCount), numBits).as("bf"))
         .head().getAs[Array[Byte]](0)
-      val evalGrams = sharedGrams.filter(col("split") =!= "train")
-      val bloomFlag = evalGrams
+      // the probe PRUNES the exact join, not just the final answer:
+      // Bloom false negatives are impossible, so an eval gram that
+      // fails might_contain provably has no train match, and only the
+      // surviving grams (true hits + ~fpp of the rest) enter the semi
+      // join — at 100 TB the join's left side shrinks from the full
+      // eval corpus to a sliver. This makes the query's own
+      // n_bloom_missed 0 by construction rather than by measurement;
+      // the real certificate is the DuckDB oracle, which recomputes
+      // n_exact_flagged independently from gram STRINGS — a probe bug
+      // dropping a contaminated doc turns the gate red. evalHits is
+      // small, so it persists cheaply for its two consumers; the semi
+      // join takes the RAW train grams (a semi join needs no distinct
+      // right side — one shuffle instead of two).
+      val evalHits = sharedGrams.filter(col("split") =!= "train")
         .filter(graft.functions.BloomOps.mightContain(bloomBytes, col("g")))
+        .persist()
+      evalHitsCache = Some(evalHits)
+      val bloomFlag = evalHits
         .select("doc_id").distinct().withColumn("bl", lit(1))
-      val exactFlag = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+      // exact certification WITHOUT shuffling the train side: the
+      // surviving gram keys are small enough to broadcast, so the train
+      // grams are probed in one narrow pass (broadcast semi join), and
+      // the matched keys — a subset of the broadcast — come back as a
+      // second broadcast to flag eval docs. Zero exchanges end to end;
+      // the train corpus is read exactly twice (bloom build + this
+      // probe), both times map-side only.
+      val matchedKeys = sharedGrams.filter(col("split") === "train")
+        .select("g")
+        .join(broadcast(evalHits.select("g").distinct()),
+          Seq("g"), "left_semi")
+      val exactFlag = evalHits
+        .join(broadcast(matchedKeys), Seq("g"), "left_semi")
         .select("doc_id").distinct().withColumn("ex", lit(1))
-      // localCheckpoint materializes the ≤2-row result HERE, so the
-      // gram cache can be dropped before the frame is handed back (the
+      // localCheckpoint materializes the ≤2-row result HERE, so both
+      // caches can be dropped before the frame is handed back (the
       // caller's count/write then reads the checkpointed rows)
       documents(s, dir)
         .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
@@ -344,8 +380,13 @@ object Curation {
             .cast(LongType).as("n_bloom_missed"))
         .orderBy("split")
         .localCheckpoint()
-      } finally { sharedGrams.unpersist(); () }
+      } finally {
+        sharedGrams.unpersist()
+        evalHitsCache.foreach(_.unpersist())
+        ()
+      }
     }),
+
 
     // sequence packing: concatenate each shard's token stream in doc_id
     // order and chunk it at a 512-token budget — the standard pretraining
