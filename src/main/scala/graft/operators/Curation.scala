@@ -89,9 +89,23 @@ object Curation {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // cheap per-round fixpoint SIGNATURE: row count + order-independent
+    // XOR of per-edge hashes, both computed in ONE narrow job over the
+    // just-checkpointed partitions (no shuffle). The signature only
+    // decides when to ATTEMPT the full set-equality proof — converged
+    // still requires the proof itself to pass, so a (≈2⁻⁶⁴) signature
+    // collision costs one wasted proof job, never a wrong answer. This
+    // matters for chain-shaped graphs, where the edge COUNT stabilizes
+    // rounds before the edge SET does: a count-only gate would run the
+    // shuffle proof every round.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var rounds = 0
-    var eCount = e.count()
-    var converged = eCount == 0L
+    var eSig = sig(e)
+    var converged = eSig._1 == 0L
     while (!converged && rounds < maxIter) {
       // LARGE-STAR: every strictly-larger neighbor of n re-links to
       // m = min(N(n) ∪ {n}) — preserves connectivity, shortcuts paths
@@ -112,21 +126,19 @@ object Curation {
         .unionByName(ssm.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
-      // verified fixpoint, count-gated: both frames are distinct sets,
-      // so unequal cardinality alone proves they differ — and counting
-      // the just-checkpointed edges is a narrow one-stage job. Only when
-      // counts MATCH run the real set-equality proof (union → count==1
-      // groups ⟺ symmetric difference non-empty); mid-convergence rounds
-      // thus pay a count instead of a shuffle, and the proof itself
-      // still gates termination.
-      val nextCount = next.count()
-      converged = nextCount == eCount &&
+      // verified fixpoint, signature-gated: mid-convergence rounds pay
+      // one narrow signature job; the real set-equality proof (union →
+      // count==1 groups ⟺ symmetric difference non-empty) runs only
+      // when the signature matches — in practice exactly once, at the
+      // true fixpoint — and remains the sole termination authority.
+      val nextSig = sig(next)
+      converged = nextSig == eSig &&
         next.unionByName(e)
           .groupBy("u", "v").agg(count(lit(1)).as("c"))
           .filter(col("c") === 1)
           .isEmpty
       e = next
-      eCount = nextCount
+      eSig = nextSig
       rounds += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
