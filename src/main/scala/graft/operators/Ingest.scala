@@ -202,6 +202,79 @@ object Ingest {
       .limit(k)
   }
 
+  /** INDEX APPEND (base + delta): the maintenance path a stored index
+    * needs in production. New vectors land AFTER the index was built;
+    * retraining centroids or rewriting the cell directories for every
+    * landing batch would be a full-index job, so the delta batch is
+    * assigned against the FROZEN stored centroids and written as its own
+    * cell-partitioned table NEXT TO the base — the LSM posture every
+    * serving index uses (append deltas, compact on a schedule). The base
+    * index files are never touched, so concurrent readers of the base
+    * keep their snapshot. Assignment against frozen centroids preserves
+    * the canary argument end to end: an appended exact copy of a query
+    * vector lands, by construction, in the cell the probe plan ranks
+    * first for that query. */
+  val AppendOffset: Long = 20000000L
+
+  /** The append batch: exact copies of the NEXT [[NumCanaries]] lowest
+    * vec_ids (disjoint from the base canaries' sources), re-identified at
+    * +[[AppendOffset]]. They exist ONLY in the delta, so retrieving one
+    * proves the frozen-centroid assignment, the delta write layout, and
+    * the unioned probe path. */
+  private def appendBatch(emb: DataFrame): DataFrame =
+    emb.orderBy("vec_id").offset(NumCanaries).limit(NumCanaries)
+      .withColumn("vec_id", col("vec_id") + lit(AppendOffset))
+
+  /** Deterministic probe row for the append gate: the first append
+    * source (the (NumCanaries+1)-th lowest vec_id) — its exact copy is
+    * in the DELTA only. */
+  private[graft] def appendQueryRow(emb: DataFrame): DataFrame =
+    emb.orderBy("vec_id").offset(NumCanaries).limit(1)
+      .select(col("embedding").as("q_emb"), col("vec_id").as("q_id"))
+
+  /** Materialize the delta once per (app, sf): assign against the STORED
+    * centroids (loaded, never retrained) and write partitioned by cell.
+    * Returns (centroids, base assignments, delta assignments). */
+  def ensureIvfDelta(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (centroids, assign) = ensureIvfIndex(s, dir)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val dPath = scratch(s, dir, s"ivf_delta_c$cells")
+    val dH = new org.apache.hadoop.fs.Path(dPath)
+    if (!dH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dH)) {
+      Similarity.ivfAssign(appendBatch(embeddings(s, dir)), centroids)
+        .repartition(col("cell"))
+        .write.mode("ignore").partitionBy("cell").parquet(dPath)
+    }
+    (centroids, assign, s.read.parquet(dPath))
+  }
+
+  /** Warm-path IVF top-k over base ∪ delta: ONE probe plan, but each
+    * scan joins it SEPARATELY so both sides get their own
+    * dynamic-partition-pruning filter (a union UNDER the join would
+    * block DPP insertion), and the union runs over already-pruned
+    * scans — neither side ever reads an unprobed cell directory. */
+  def ivfTopKAppended(s: SparkSession, dir: String, k: Int,
+      nProbe: Int = 0): DataFrame = {
+    val (centroids, assign, delta) = ensureIvfDelta(s, dir)
+    val n = embeddingCount(s, dir)
+    val probe =
+      if (nProbe > 0) nProbe
+      else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
+    val q = appendQueryRow(embeddings(s, dir))
+    val probePlan = singleQueryProbePlan(centroids, q, probe)
+    def pruned(a: DataFrame): DataFrame =
+      a.join(broadcast(probeCells(probePlan, a)), "cell")
+        .select("vec_id", "embedding")
+    pruned(assign).unionByName(pruned(delta))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"),
+        VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** PQ code table (vec_id, code) + persisted codebook, written once
     * per (app, sf): encode runs inside the ingest scan (the narrow
     * graft_pq_encode kernel) and the trained codebook is stored WITH
@@ -446,6 +519,21 @@ object Ingest {
         .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
     }),
 
+    // INDEX APPEND: a delta batch assigned against the FROZEN stored
+    // centroids and served from base ∪ delta (each side DPP-pruned by
+    // the same probe plan). The appended exact copy of the query vector
+    // exists ONLY in the delta, so the pinned 1.0 proves the
+    // frozen-centroid assignment, the delta's cell layout, and the
+    // unioned pruned-scan path — without rebuilding or touching the
+    // base index files.
+    "q_ivf_append" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      ivfTopKAppended(s, dir, 10)
+        .join(broadcast(appendQueryRow(emb)),
+          col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg(count(lit(1)).cast(DoubleType).as("recall_at_10"))
+    }),
+
     // IVF from the STORED index, single-query canary gate: the probe
     // runs at the derived geometry with real pruning, and the planted
     // exact copy of the query must surface in the top-10 (oracle pins
@@ -467,6 +555,7 @@ object Ingest {
         |SELECT 'ivf_assign', count(*) + 8 FROM embeddings
         |ORDER BY stored_table""".stripMargin,
     "q_near_dup_minhash_stored" -> Dedup.oracles("q_near_dup_minhash"),
+    "q_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",

@@ -96,6 +96,20 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("appended IVF probe prunes base AND delta scans via their own DPP") {
+    val df = graft.operators.Ingest.ivfTopKAppended(spark, TestSpark.Sf0001, 10)
+    val p = plan(df)
+    // the union must sit ABOVE two independently-pruned scans: one
+    // dynamic-pruning partition filter per side (a union under the
+    // join would block DPP insertion and read every cell directory)
+    assert("dynamicpruning".r.findAllIn(p).size >= 2,
+      s"both base and delta scans must carry a DPP filter:\n$p")
+    assert(!p.contains("cell IN ("), s"no driver-collected cell literal:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"appended probe must not shuffle the data path:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("stateless LM scoring is a single shuffle-free codegen pass") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
     val (u, b) = graft.operators.TextAnalysis.lmTables(docs)

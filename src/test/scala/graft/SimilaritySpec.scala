@@ -235,4 +235,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cb8.length == 8 * 256 * 8)
     assert(cb4.length == 4 * 16 * 16)
   }
+
+  test("IVF append: delta is additive, base untouched, canary served") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = TestSpark.Sf0001
+    val (_, baseBefore) = graft.operators.Ingest.ensureIvfIndex(s, dir)
+    val nBaseBefore = baseBefore.count()
+    val (_, baseAfter, delta) = graft.operators.Ingest.ensureIvfDelta(s, dir)
+    // the delta lands NEXT TO the base: exactly the append batch, and
+    // the base assignment table is byte-for-byte the same row set
+    assert(delta.count() == graft.operators.Ingest.NumCanaries.toLong)
+    assert(baseAfter.count() == nBaseBefore)
+    assert(delta.select("vec_id").collect().map(_.getLong(0)).forall(
+      _ >= graft.operators.Ingest.AppendOffset))
+    // the served top-10 for the first append source contains its delta
+    // canary at cosine 1.0 (the q_ivf_append gate shape)
+    val emb = graft.queries.Tables.embeddings(s, dir)
+    val q = graft.operators.Ingest.appendQueryRow(emb)
+    val top = graft.operators.Ingest.ivfTopKAppended(s, dir, 10)
+    val hit = top.join(q,
+        col("vec_id") === col("q_id") + lit(graft.operators.Ingest.AppendOffset))
+      .collect()
+    assert(hit.length == 1, s"append canary missing from top-10")
+    assert(math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
+  }
 }
