@@ -275,6 +275,49 @@ object Ingest {
       .limit(k)
   }
 
+  /** COMPACTION — the scheduled half of the LSM posture: merge base ∪
+    * delta into the next index GENERATION under a new path, cell-
+    * partitioned like the base. The old generation's files are never
+    * touched (in-flight readers keep their snapshot); serving switches
+    * to the new generation once it exists. One wide job per compaction,
+    * amortized across every probe until the next one — at production
+    * scale this is the nightly job that keeps per-probe file counts
+    * bounded as deltas accumulate. */
+  def compactIvfIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (centroids, assign, delta) = ensureIvfDelta(s, dir)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val gPath = scratch(s, dir, s"ivf_assign_gen2_c$cells")
+    val gH = new org.apache.hadoop.fs.Path(gPath)
+    if (!gH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(gH)) {
+      assign.unionByName(delta)
+        .repartition(col("cell"))
+        .write.mode("ignore").partitionBy("cell").parquet(gPath)
+    }
+    (centroids, s.read.parquet(gPath))
+  }
+
+  /** Warm-path IVF top-k from the COMPACTED generation — the
+    * single-scan serving shape of [[ivfTopKStored]], over gen2. */
+  def ivfTopKCompacted(s: SparkSession, dir: String, k: Int,
+      nProbe: Int = 0): DataFrame = {
+    val (centroids, gen2) = compactIvfIndex(s, dir)
+    val n = embeddingCount(s, dir)
+    val probe =
+      if (nProbe > 0) nProbe
+      else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
+    val q = appendQueryRow(embeddings(s, dir))
+    val probePlan = singleQueryProbePlan(centroids, q, probe)
+    gen2
+      .join(broadcast(probeCells(probePlan, gen2)), "cell")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"),
+        VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** PQ code table (vec_id, code) + persisted codebook, written once
     * per (app, sf): encode runs inside the ingest scan (the narrow
     * graft_pq_encode kernel) and the trained codebook is stored WITH
@@ -534,6 +577,24 @@ object Ingest {
         .agg(count(lit(1)).cast(DoubleType).as("recall_at_10"))
     }),
 
+    // COMPACTION: the merged generation must serve EXACTLY what the
+    // base∪delta path serves — a cross-path differential gate (the two
+    // top-10 sets are compared row-for-row, n_diverging pinned to 0)
+    // plus the append canary's pinned 1.0 through the compacted scan.
+    "q_ivf_compact" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val appended = ivfTopKAppended(s, dir, 10)
+      val compacted = ivfTopKCompacted(s, dir, 10)
+      val diverging = appended.exceptAll(compacted)
+        .unionByName(compacted.exceptAll(appended))
+      compacted
+        .join(broadcast(appendQueryRow(emb)),
+          col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg(count(lit(1)).cast(DoubleType).as("recall_at_10"))
+        .crossJoin(diverging.agg(count(lit(1)).cast(LongType)
+          .as("n_diverging")))
+    }),
+
     // IVF from the STORED index, single-query canary gate: the probe
     // runs at the derived geometry with real pruning, and the planted
     // exact copy of the query must surface in the top-10 (oracle pins
@@ -556,6 +617,8 @@ object Ingest {
         |ORDER BY stored_table""".stripMargin,
     "q_near_dup_minhash_stored" -> Dedup.oracles("q_near_dup_minhash"),
     "q_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_ivf_compact" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
