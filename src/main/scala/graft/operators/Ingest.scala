@@ -147,8 +147,10 @@ object Ingest {
       // repartition on the partition column first: each write task then
       // owns whole cells, so the layout is nCells files instead of
       // nCells × shuffle.partitions fragments (the small-files problem
-      // that kills object-store listings at scale)
-      Similarity.ivfAssign(emb, centroids)
+      // that kills object-store listings at scale). Assignment itself
+      // is the narrow graft_ivf_cell kernel — the repartition is the
+      // ONLY exchange in the index build.
+      Similarity.ivfAssignKernel(emb, centroids)
         .repartition(col("cell"))
         .write.mode("ignore").partitionBy("cell").parquet(aPath)
     }
@@ -242,7 +244,7 @@ object Ingest {
     val dPath = scratch(s, dir, s"ivf_delta_c$cells")
     val dH = new org.apache.hadoop.fs.Path(dPath)
     if (!dH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dH)) {
-      Similarity.ivfAssign(appendBatch(embeddings(s, dir)), centroids)
+      Similarity.ivfAssignKernel(appendBatch(embeddings(s, dir)), centroids)
         .repartition(col("cell"))
         .write.mode("ignore").partitionBy("cell").parquet(dPath)
     }

@@ -144,7 +144,11 @@ object Similarity {
     var centroids = ivfCentroids(emb, nCells)
     var it = 0
     while (it < iters) {
-      val members = ivfAssign(emb, centroids)
+      // kernel assignment: each Lloyd pass is a narrow map over the
+      // corpus + one (cell, pos) mean shuffle — the declarative
+      // crossJoin+groupBy assignment would add an N×nCells expansion
+      // and a full-corpus exchange PER ITERATION
+      val members = ivfAssignKernel(emb, centroids)
       val means = members
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
@@ -208,6 +212,45 @@ object Similarity {
       .agg(max_by(struct(col("cid"), col("embedding")),
         struct(col("csim"), -col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("best.embedding").as("embedding"))
+
+  /** The centroid table as driver-held kernel artifacts: (flat matrix in
+    * ascending-cid row order, matching cids, dim). Bounded — nCells ≈ √N
+    * rows — the same class of model artifact as the PQ codebook. */
+  def centroidArtifact(centroids: DataFrame): (Array[Float], Array[Long], Int) = {
+    val rows = centroids.orderBy("cid").collect()
+    require(rows.nonEmpty, "centroidArtifact: empty centroid table")
+    val cids = rows.map(_.getAs[Long]("cid"))
+    val first = rows.head.getAs[scala.collection.Seq[Float]]("cvec")
+    val dim = first.length
+    val flat = new Array[Float](rows.length * dim)
+    var i = 0
+    while (i < rows.length) {
+      val v = rows(i).getAs[scala.collection.Seq[Float]]("cvec")
+      require(v.length == dim, s"centroidArtifact: ragged cvec at row $i")
+      var d = 0
+      while (d < dim) { flat(i * dim + d) = v(d); d += 1 }
+      i += 1
+    }
+    (flat, cids, dim)
+  }
+
+  /** Narrow kernel twin of [[ivfAssign]]: same (vec_id, cell, embedding)
+    * output, but assignment is a SHUFFLE-FREE codegen map — the centroid
+    * table collapses to a driver-held artifact riding the codegen
+    * reference array (graft_ivf_cell), so the N×nCells crossJoin row
+    * expansion and the full-corpus groupBy exchange disappear. Identical
+    * arithmetic and tie-break (see [[graft.functions.IvfOps]];
+    * SimilaritySpec pins kernel ≡ declarative on the corpus). This is
+    * the ingest-path form — at 100 TB the only exchange left in index
+    * build is the partitionBy(cell) write — and the one the streaming
+    * delta ingest (IvfStream) shares. */
+  def ivfAssignKernel(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.IvfOps.register(emb.sparkSession)
+    val (flat, cids, dim) = centroidArtifact(centroids)
+    emb.select(col("vec_id"),
+      graft.functions.IvfOps.cell(col("embedding"), flat, cids, dim).as("cell"),
+      col("embedding"))
+  }
 
   /** Batched kNN join: exact top-k neighbors for EVERY query vector in a
     * (small, broadcast) query set — the production retrieval shape, where

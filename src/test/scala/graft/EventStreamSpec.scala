@@ -83,6 +83,22 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming IVF delta ingest (IvfStream) == batch kernel assignment") {
+    val emb = spark.read.parquet(TestSpark.Sf0001 + "/embeddings.parquet")
+    val centroids = graft.operators.Similarity.kmeansCentroids(emb, 16, iters = 1)
+      .localCheckpoint()
+    val (cents, cids, dim) = graft.operators.Similarity.centroidArtifact(centroids)
+    val stream = graft.streaming.IvfStream.assignStream(
+      spark, TestSpark.Sf0001, cents, cids, dim)
+    val q = EventStream.runToMemory(stream, "ivf_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    val streamed = spark.table("ivf_stream_test")
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Similarity.ivfAssignKernel(emb, centroids)
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming Bloom decontamination (BloomStream) == batch filter") {
     import graft.functions.{BloomOps, Sketch}
     Sketch.register(spark); BloomOps.register(spark)

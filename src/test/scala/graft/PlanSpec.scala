@@ -96,6 +96,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("kernel IVF assignment is a narrow shuffle-free map over the scan") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val centroids = graft.operators.Similarity
+      .kmeansCentroids(emb, 16, iters = 1).localCheckpoint()
+    val p = plan(graft.operators.Similarity.ivfAssignKernel(emb, centroids))
+    assert(p.contains("graft_ivf_cell"), p)
+    // the whole assignment is Project-over-scan: no join against a
+    // centroid table, no exchange anywhere (the declarative form pays
+    // an N×nCells expansion + a full-corpus groupBy shuffle)
+    assert(!p.contains("Exchange"), s"kernel assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"kernel assignment must not join:\n$p")
+  }
+
   test("appended IVF probe prunes base AND delta scans via their own DPP") {
     val df = graft.operators.Ingest.ivfTopKAppended(spark, TestSpark.Sf0001, 10)
     val p = plan(df)

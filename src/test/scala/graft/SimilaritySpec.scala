@@ -236,6 +236,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cb4.length == 4 * 16 * 16)
   }
 
+  test("kernel cell assignment == declarative crossJoin+groupBy assignment") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.Sf0001)
+    val centroids = graft.operators.Similarity
+      .kmeansCentroids(emb, 16, iters = 1).localCheckpoint()
+    val kernel = graft.operators.Similarity.ivfAssignKernel(emb, centroids)
+      .select("vec_id", "cell")
+    val declarative = graft.operators.Similarity.ivfAssign(emb, centroids)
+      .select("vec_id", "cell")
+    // full differential: same (vec_id, cell) set both directions —
+    // arithmetic OR tie-break divergence shows up as a non-empty diff
+    assert(kernel.exceptAll(declarative).isEmpty &&
+      declarative.exceptAll(kernel).isEmpty)
+    assert(kernel.count() == emb.count())
+  }
+
   test("IVF append: delta is additive, base untouched, canary served") {
     import org.apache.spark.sql.functions._
     val s = spark
