@@ -417,13 +417,83 @@ object Ingest {
       // canaries ride the cell-partitioned code table too, so the IVF-PQ
       // gate certifies DPP + ADC + rescore under real pruning
       val emb = indexedCorpus(s, dir)
-      Similarity.ivfAssign(emb, centroids)
+      Similarity.ivfAssignKernel(emb, centroids)
         .select(col("vec_id"), col("cell"),
           graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
         .repartition(col("cell")) // whole cells per write task (small files)
         .write.mode("ignore").partitionBy("cell").parquet(path)
     }
     (cb, dim, centroids, s.read.parquet(path))
+  }
+
+  /** IVF-PQ delta append — the combined index's maintenance path: the
+    * append batch is encoded with the FROZEN stored codebook and
+    * assigned with the FROZEN stored centroids (retraining either would
+    * desynchronize the running index), landing as its own
+    * cell-partitioned code table next to the base. Assignment AND
+    * encoding are both narrow kernels, so delta ingest is a map over
+    * the landing batch plus the partitionBy(cell) write. */
+  def ensureIvfPqDelta(s: SparkSession, dir: String, m: Int = 8,
+      kCent: Int = 256)
+      : (Array[Float], Int, DataFrame, DataFrame, DataFrame) = {
+    val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val dPath = scratch(s, dir, s"ivfpq_delta_m${m}_k${kCent}_c$cells")
+    graft.functions.PqOps.register(s)
+    val dH = new org.apache.hadoop.fs.Path(dPath)
+    if (!dH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dH)) {
+      Similarity.ivfAssignKernel(appendBatch(embeddings(s, dir)), centroids)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
+        .repartition(col("cell"))
+        .write.mode("ignore").partitionBy("cell").parquet(dPath)
+    }
+    (cb, dim, centroids, codes, s.read.parquet(dPath))
+  }
+
+  /** Warm-path IVF-PQ top-k over base ∪ delta codes: the [[ivfPqTopKStored]]
+    * composition (DPP cell pruning + 16 B/row ADC + bounded rescore),
+    * with each code scan pruned by its OWN dynamic filter before the
+    * union (same rule as [[ivfTopKAppended]]). */
+  def ivfPqTopKAppended(s: SparkSession, dir: String, k: Int,
+      expand: Int = 60, nProbe: Int = 0, m: Int = 8,
+      kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, codes, delta) = ensureIvfPqDelta(s, dir, m, kCent)
+    val n = embeddingCount(s, dir)
+    val probe =
+      if (nProbe > 0) nProbe
+      else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
+    val emb = embeddings(s, dir)
+    val q = appendQueryRow(emb)
+    val (qid, dot, nrm) = Similarity.adcTablesFor(q, cb, dim, m, kCent)
+    val probePlan = singleQueryProbePlan(centroids, q, probe)
+    def cand(c: DataFrame): DataFrame = c
+      .join(broadcast(probeCells(probePlan, c)), "cell")
+      .select(col("vec_id"), col("code"))
+    Similarity.pqRescoreFor(
+      indexedCorpus(s, dir).unionByName(appendBatch(emb)),
+      Similarity.pqRank(cand(codes).unionByName(cand(delta)),
+        qid, dot, nrm, m, kCent, expand * k),
+      k, q)
+  }
+
+  /** Retrain/compact signal: per-cell occupancy of the served index
+    * (base ∪ delta) summarized to a bounded report — cell count, row
+    * count, the hottest cell, and the max/mean skew ratio. Rising skew
+    * as deltas accumulate against drifting data is the trigger for the
+    * next [[compactIvfIndex]]-then-retrain cycle; the report reads only
+    * the `cell` partition column (no payload I/O). */
+  def ivfOccupancy(s: SparkSession, dir: String): DataFrame = {
+    val (_, assign, delta) = ensureIvfDelta(s, dir)
+    assign.select("cell").unionByName(delta.select("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("n").cast(LongType).as("n_vectors"),
+        max("n").cast(LongType).as("max_cell"))
+      .withColumn("skew",
+        col("max_cell").cast(DoubleType) *
+          col("n_cells").cast(DoubleType) /
+          col("n_vectors").cast(DoubleType))
   }
 
   /** Warm-path IVF-PQ top-k: probe-cell selection over the tiny
@@ -579,6 +649,19 @@ object Ingest {
         .agg(count(lit(1)).cast(DoubleType).as("recall_at_10"))
     }),
 
+    // IVF-PQ APPEND: the combined index's delta path — frozen codebook
+    // AND frozen centroids encode/assign the landing batch, both scans
+    // DPP-pruned before the union, ADC + bounded rescore unchanged. The
+    // appended canary's code exists only in the delta; the pinned 1.0
+    // proves the whole composed warm path over base ∪ delta.
+    "q_ivfpq_append" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      ivfPqTopKAppended(s, dir, 10)
+        .join(broadcast(appendQueryRow(emb)),
+          col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg(count(lit(1)).cast(DoubleType).as("recall_at_10"))
+    }),
+
     // COMPACTION: the merged generation must serve EXACTLY what the
     // base∪delta path serves — a cross-path differential gate (the two
     // top-10 sets are compared row-for-row, n_diverging pinned to 0)
@@ -621,6 +704,7 @@ object Ingest {
     "q_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivf_compact" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",
+    "q_ivfpq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",

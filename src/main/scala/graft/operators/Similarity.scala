@@ -453,16 +453,23 @@ object Similarity {
   /** Driver-built ADC lookup tables for the (single, bounded) probe
     * vector: dot[mi][ki] = q_sub·c and nrm[mi][ki] = |c|². Returns the
     * probe id alongside so rankers can exclude it. */
+  /** ADC tables for the default probe row ([[queryRow]]). */
   private[graft] def adcTables(emb: DataFrame, cb: Array[Float],
-      dim: Int, m: Int, kCent: Int): (Long, Array[Double], Array[Double]) = {
-    val sub = dim / m
+      dim: Int, m: Int, kCent: Int): (Long, Array[Double], Array[Double]) =
     // the same probe row every other top-k path uses — reusing queryRow
     // keeps the id pqRank excludes and the vector pqRescore scores
     // against from ever diverging
-    val qr = queryRow(emb).select(col("q_id"), col("q_emb")).head()
+    adcTablesFor(queryRow(emb), cb, dim, m, kCent)
+
+  /** ADC tables for an EXPLICIT (q_id, q_emb) probe frame — the append
+    * paths probe with a non-minimum query row. */
+  private[graft] def adcTablesFor(q: DataFrame, cb: Array[Float],
+      dim: Int, m: Int, kCent: Int): (Long, Array[Double], Array[Double]) = {
+    val sub = dim / m
+    val qr = q.select(col("q_id"), col("q_emb")).head()
     val qid = qr.getLong(0)
-    val q = qr.getSeq[Float](1).toArray
-    require(q.length == dim, s"probe dim ${q.length} != corpus dim $dim")
+    val qv = qr.getSeq[Float](1).toArray
+    require(qv.length == dim, s"probe dim ${qv.length} != corpus dim $dim")
     val dot = new Array[Double](m * kCent)
     val nrm = new Array[Double](m * kCent)
     var mi = 0
@@ -474,7 +481,7 @@ object Similarity {
         var d = 0
         while (d < sub) {
           val c = cb(base + d).toDouble
-          sDot += q(mi * sub + d).toDouble * c
+          sDot += qv(mi * sub + d).toDouble * c
           sNrm += c * c
           d += 1
         }
@@ -503,9 +510,14 @@ object Similarity {
     * payload is touched only here. */
   private[graft] def pqRescore(emb: DataFrame, cand: DataFrame,
       k: Int): DataFrame =
+    pqRescoreFor(emb, cand, k, queryRow(emb))
+
+  /** Rescore against an EXPLICIT probe frame (see [[adcTablesFor]]). */
+  private[graft] def pqRescoreFor(emb: DataFrame, cand: DataFrame,
+      k: Int, q: DataFrame): DataFrame =
     cand
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .crossJoin(broadcast(queryRow(emb)))
+      .crossJoin(broadcast(q))
       .select(col("vec_id"),
         VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))

@@ -252,6 +252,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(kernel.count() == emb.count())
   }
 
+  test("IVF occupancy report accounts for every base+delta row") {
+    val s = spark
+    val dir = TestSpark.Sf0001
+    val (_, assign, delta) = graft.operators.Ingest.ensureIvfDelta(s, dir)
+    val r = graft.operators.Ingest.ivfOccupancy(s, dir).head()
+    assert(r.getAs[Long]("n_vectors") == assign.count() + delta.count())
+    assert(r.getAs[Long]("n_cells") >= 1)
+    // max ≥ mean by definition; equality only under perfect balance
+    assert(r.getAs[Double]("skew") >= 1.0 - 1e-9)
+    assert(r.getAs[Long]("max_cell") * r.getAs[Long]("n_cells")
+      >= r.getAs[Long]("n_vectors"))
+  }
+
   test("IVF append: delta is additive, base untouched, canary served") {
     import org.apache.spark.sql.functions._
     val s = spark
