@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types._
 
 /** Native Catalyst vector expressions for the similarity-search operators
   * (SURVEY.md §2.11): exact cosine similarity and a 64-bit
@@ -36,6 +36,8 @@ object VectorOps {
       "graft_srp64", exprs => Srp64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_l2sq", exprs => L2Sq(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine_pairs", exprs => CosinePairs(exprs(0), exprs(1)), "built-in")
   }
 
   /** Exact cosine similarity of two `array<float>` vectors, accumulated
@@ -48,6 +50,11 @@ object VectorOps {
   /** Squared L2 distance of two `array<float>` vectors (PQ training
     * metric). Call [[register]] first. */
   def l2sq(x: Column, y: Column): Column = call_function("graft_l2sq", x, y)
+
+  /** Cluster-local semantic-duplicate pairs (SemDeDup kernel). Call
+    * [[register]] first. */
+  def cosinePairs(entries: Column, tau: Column): Column =
+    call_function("graft_cosine_pairs", entries, tau)
 }
 
 /** Kernels shared by interpreted eval and generated code. */
@@ -107,6 +114,146 @@ object VectorSketchOps {
       }
       out
     })
+
+  /** Clusters above this size take the recursive sub-cluster path; below
+    * it, the direct C(n,2) cosine loop (≤ ~8.4 M dot products, ~ms at
+    * dim 64). */
+  val MaxClusterEntries: Int = 4096
+
+  /** Hard ceiling on PASSING pairs buffered for one cluster — the same
+    * loud-failure posture as [[SketchOps.MaxPairsPerBucket]]: with
+    * sub-clustering, hitting it means the cluster's true semantic-dup
+    * volume is quadratic (output no correct algorithm could avoid), and
+    * failing with remediation beats an executor OOM. */
+  val MaxPairsPerCluster: Int = 1 << 20
+
+  /** Sub-seed fan-out of the recursive split (√MaxClusterEntries-ish —
+    * two levels re-bucket a 10⁷-entry skew cluster to ~10⁵ leaves). */
+  private val SubSeeds = 8
+
+  /** Depth cap: SubSeeds^24 ≫ any real cluster; reaching it means the
+    * split is not discriminating (mass same-direction corpus) and the
+    * leaf enumerates under the pair cap. */
+  private val MaxSplitDepth = 24
+
+  /** All (v1 < v2, cosine ≥ tau) pairs from ONE cluster's
+    * (vec_id, embedding) entries — the [[CosinePairs]] kernel behind
+    * `Similarity.semDedupPairs`. Same design as
+    * [[SketchOps.hammingPairs]]: the pair enumeration runs in-memory at
+    * ~dim ns/pair instead of paying a sort-merge self-join's ~150 ns/pair
+    * row machinery, and only PASSING pairs materialize, so output size is
+    * bounded by the cluster's true dup count, not C(n,2).
+    *
+    * Clusters above [[MaxClusterEntries]] are recursively SUB-CLUSTERED
+    * on deterministic seeds (the `SubSeeds` lowest-id members,
+    * argmax-cosine assignment, first-seed tie-break) — the operator's own
+    * coarse clustering applied one level down, so the split inherits
+    * SemDeDup's cluster-local semantics: identical-DIRECTION duplicates
+    * have bit-identical cosines to every seed and co-assign at every
+    * depth (their recall is exact — the planted oracle gate relies on
+    * this), while a merely-near pair can straddle a sub-cluster boundary
+    * exactly as it can straddle the top-level clustering (a boundary miss
+    * SemDeDup accepts by construction). A level whose largest sub-cluster
+    * fails to shrink (mass same-direction membership) enumerates directly
+    * under [[MaxPairsPerCluster]].
+    *
+    * Members are sorted by vec_id up front, so seeds, tie-breaks, and
+    * the output SET are independent of `collect_list` arrival order. */
+  def cosinePairs(entries: ArrayData, tau: Double): GenericArrayData =
+    cosinePairs(entries, tau, MaxClusterEntries, MaxPairsPerCluster)
+
+  /** [[cosinePairs]] with explicit split/cap thresholds (test seam — the
+    * recursion property is checked at tiny thresholds against brute
+    * force). */
+  def cosinePairs(entries: ArrayData, tau: Double, maxCluster: Int,
+      maxPairs: Int): GenericArrayData = {
+    val n = entries.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val nsq = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = entries.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      val v = r.getArray(1).toFloatArray()
+      vecs(i) = v
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { val x = v(d).toDouble; s += x * x; d += 1 }
+      nsq(i) = s
+      i += 1
+    }
+    // pairwise cosine with the exact accumulation order and zero-norm
+    // convention of [[cosine]] (dot left-to-right, dot / sqrt(na*nb))
+    def cos(a: Int, b: Int): Double = {
+      val va = vecs(a); val vb = vecs(b)
+      require(va.length == vb.length,
+        s"cosinePairs: dimension mismatch (${va.length} vs ${vb.length})")
+      var dot = 0.0
+      var d = 0
+      while (d < va.length) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+      if (nsq(a) == 0.0 || nsq(b) == 0.0) 0.0 else dot / math.sqrt(nsq(a) * nsq(b))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+
+    def enumerate(members: Array[Int]): Unit = {
+      val m = members.length
+      var i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          val a = members(i); val b = members(j)
+          if (ids(a) != ids(b)) {
+            val c = cos(a, b)
+            if (c >= tau) {
+              if (out.length >= maxPairs)
+                throw new IllegalStateException(
+                  s"semantic-dup cluster yields > $maxPairs passing pairs " +
+                    "(mass same-direction corpus): run exact dedup first " +
+                    "and/or raise tau / the cluster count")
+              out += new GenericInternalRow(Array[Any](
+                math.min(ids(a), ids(b)), math.max(ids(a), ids(b)), c))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+
+    // members arrive sorted by vec_id; each level seeds on its first
+    // SubSeeds members and partitions by argmax cosine (strict >, so a
+    // tie keeps the LOWEST seed — identical-direction twins share every
+    // cosine bit-for-bit and therefore every assignment).
+    def split(members: Array[Int], depth: Int): Unit = {
+      if (members.length < 2) return
+      if (members.length <= maxCluster || depth >= MaxSplitDepth) {
+        enumerate(members); return
+      }
+      val g = math.min(SubSeeds, members.length)
+      val groups = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int]())
+      var k = 0
+      while (k < members.length) {
+        val m = members(k)
+        var best = 0; var bestC = Double.NegativeInfinity
+        var s = 0
+        while (s < g) {
+          val c = cos(m, members(s))
+          if (c > bestC) { bestC = c; best = s }
+          s += 1
+        }
+        groups(best) += m
+        k += 1
+      }
+      if (groups.exists(_.length == members.length)) { enumerate(members); return }
+      groups.foreach(grp => split(grp.toArray, depth + 1))
+    }
+
+    // member indices sorted by vec_id (order-independence of the output)
+    val byId = Array.range(0, n).sortBy(ids(_))
+    split(byId, 0)
+    new GenericArrayData(out.toArray)
+  }
 
   def srp64(a: ArrayData): Long = {
     val dim = a.numElements()
@@ -185,5 +332,48 @@ case class L2Sq(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_cosine_pairs(array<struct<vec_id, embedding array<float>>>,
+  * double) -> array<struct<v1, v2, cosine>>` — see
+  * [[VectorSketchOps.cosinePairs]]. */
+case class CosinePairs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(s: StructType, _), DoubleType)
+          if s.length == 2 && s(0).dataType == LongType &&
+            (s(1).dataType match {
+              case ArrayType(FloatType, _) => true
+              case _ => false
+            }) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "graft_cosine_pairs expects (array<struct<bigint, array<float>>>, " +
+          s"double), got ($l, $r)")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v1", LongType, nullable = false),
+    StructField("v2", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_cosine_pairs"
+
+  override protected def nullSafeEval(entries: Any, tau: Any): Any =
+    VectorSketchOps.cosinePairs(entries.asInstanceOf[ArrayData],
+      tau.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, t) =>
+      s"${ev.value} = graft.functions.VectorSketchOps.cosinePairs($e, $t);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosinePairs =
     copy(left = newLeft, right = newRight)
 }

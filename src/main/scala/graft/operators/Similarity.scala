@@ -334,6 +334,51 @@ object Similarity {
       .select(col("v1"), col("v2"), VectorOps.cosine(col("e1"), col("e2")).as("cosine"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus with the IVF coarse quantizer, then emit every WITHIN-cluster
+    * pair with exact cosine ≥ `tau`. Returns (v1 < v2, cosine).
+    *
+    * Plan shape (the 100 TB path): centroid table → driver artifact →
+    * shuffle-free argmax-cosine assignment in the scan stage
+    * ([[ivfAssignKernel]]), then ONE exchange — the groupBy(cell) that
+    * co-locates each cluster — and the bucket-local [[graft.functions
+    * .VectorSketchOps.cosinePairs]] kernel enumerates pairs in-memory
+    * (only passing pairs materialize; oversized/skewed clusters
+    * recursively sub-cluster inside the kernel, so no C(n,2) straggler
+    * task — the lesson the simhash operator learned at sf1). A
+    * declarative self-join on cell would ship the corpus twice and pay
+    * ~150 ns of row machinery per CANDIDATE pair; the kernel pays ~dim ns
+    * per pair and nothing per non-candidate.
+    *
+    * Semantics note: like SemDeDup itself, pair recall is cluster-local —
+    * a near-dup pair split across clusters is missed by design (the
+    * paper's trade for tractability at web scale). Identical-DIRECTION
+    * duplicates are provably co-clustered (cosine is scale-invariant and
+    * assignment ties break deterministically), which is what the planted
+    * oracle gate certifies end-to-end. Production pipelines train the
+    * quantizer on a sample at ingest (kmeansCentroids / Ingest.scala);
+    * the seed-centroid form here keeps the verify corpus parameter-free. */
+  def semDedupPairs(emb: DataFrame, tau: Double, nCells: Int): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    ivfAssignKernel(emb, ivfCentroids(emb, nCells))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("entries"))
+      .select(explode(VectorOps.cosinePairs(col("entries"), lit(tau))).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"), col("p.cosine").as("cosine"))
+  }
+
+  /** SemDeDup survivor set under the keep-first policy: drop every vector
+    * that has a semantic duplicate with a SMALLER vec_id (v2 of some
+    * pair), keep everything else — one representative per duplicate
+    * group, deterministic, and expressible as a brute-force oracle.
+    * The anti-join's build side is the dup list (small by construction —
+    * bounded by the true dup count), so at scale this broadcasts. */
+  def semDedupSurvivors(emb: DataFrame, tau: Double, nCells: Int): DataFrame = {
+    val dropped = semDedupPairs(emb, tau, nCells)
+      .select(col("v2").as("vec_id")).distinct()
+    emb.select("vec_id").join(broadcast(dropped), Seq("vec_id"), "left_anti")
+  }
+
   // --- product quantization (PQ) ---------------------------------------
 
   /** Train PQ codebooks: per-sub-space L2 k-means (classic PQ, Jégou et
@@ -600,6 +645,25 @@ object Similarity {
         .orderBy("v1", "v2")
     }),
 
+    // SemDeDup semantic dedup, oracle-checked end-to-end with the same
+    // doubled-corpus construction as q_near_dup_embedding: each ×2-scaled
+    // copy (ids +10M) has BIT-IDENTICAL cosines to every centroid and
+    // seed (power-of-two scaling commutes with IEEE rounding), so every
+    // planted twin provably lands in its original's cluster at every
+    // split depth — recall 1.0 by construction, while exact in-kernel
+    // verification keeps non-twin pairs (cosine ≤ 0.61 on this corpus)
+    // out. Survivors under keep-first are then exactly the vectors with
+    // no ≥0.99 partner at a smaller id — brute-force expressible in
+    // DuckDB, certifying clustering, kernel, threshold, and policy.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select("vec_id", "embedding")
+      val scaled = emb.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = emb.unionByName(scaled)
+      semDedupSurvivors(corpus, 0.99, ivfNumCells(corpus.count()))
+        .orderBy("vec_id")
+    }),
+
     // batched kNN join: exact top-10 per query over the 8 lowest-id
     // query vectors (deterministic, sf-stable probe set). Oracle is the
     // same cross-score + per-query rank in DuckDB; both engines rank
@@ -651,6 +715,19 @@ object Similarity {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         |ORDER BY v1, v2""".stripMargin,
+    "q_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, list_transform(embedding, x -> x * 2)
+        |  FROM embeddings),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
+        |SELECT vec_id FROM corpus
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings
         |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

@@ -289,4 +289,115 @@ class SimilaritySpec extends SparkSpecBase {
     assert(hit.length == 1, s"append canary missing from top-10")
     assert(math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
   }
+
+  // --- SemDeDup (cosinePairs kernel + operator) -------------------------
+
+  private def pairEntries(rows: Seq[(Long, Array[Float])]) = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    new GenericArrayData(rows.map { case (id, v) =>
+      new GenericInternalRow(Array[Any](id, new GenericArrayData(v)))
+    }.toArray)
+  }
+
+  private def bruteCosPairs(rows: Seq[(Long, Array[Float])], tau: Double) = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if rows(i)._1 != rows(j)._1 && cos(rows(i)._2, rows(j)._2) >= tau
+    } yield (math.min(rows(i)._1, rows(j)._1),
+      math.max(rows(i)._1, rows(j)._1))).toSet
+  }
+
+  private def kernelPairs(got: org.apache.spark.sql.catalyst.util.GenericArrayData) =
+    (0 until got.numElements()).map { k =>
+      val r = got.getStruct(k, 3); (r.getLong(0), r.getLong(1))
+    }.toSet
+
+  test("cosinePairs kernel == brute-force enumeration (property)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 0 until 30) {
+      val n = 2 + rnd.nextInt(40)
+      val dim = 1 + rnd.nextInt(8)
+      val tau = Seq(0.3, 0.7, 0.9)(rnd.nextInt(3))
+      val rows = (0 until n).map(i =>
+        (i.toLong * 3, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val got = graft.functions.VectorSketchOps.cosinePairs(
+        pairEntries(rows), tau)
+      assert(kernelPairs(got) == bruteCosPairs(rows, tau))
+    }
+  }
+
+  test("cosinePairs recursive split: planted twins exact, no false positives") {
+    val rnd = new scala.util.Random(7L)
+    val dim = 16
+    val base = (0 until 120).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    // identical-DIRECTION twins (power-of-two scale) for every 4th vector
+    val twins = base.collect { case (id, v) if id % 4 == 0 =>
+      (id + 1000L, v.map(_ * 2.0f)) }
+    val all = base ++ twins
+    val truth = bruteCosPairs(all, 0.99)
+    assert(twins.forall { case (tid, _) => truth.contains((tid - 1000L, tid)) })
+    // maxCluster=2 forces the split path to maximum depth; the split may
+    // only LOSE boundary pairs (subset of brute force) and must KEEP
+    // every identical-direction twin (bit-identical seed cosines →
+    // co-assignment at every level)
+    val got = kernelPairs(graft.functions.VectorSketchOps.cosinePairs(
+      pairEntries(all), 0.99, 2, 1 << 20))
+    assert(got.subsetOf(truth))
+    assert(twins.forall { case (tid, _) => got.contains((tid - 1000L, tid)) })
+  }
+
+  test("cosinePairs: mass same-direction cluster enumerates under the pair cap") {
+    val v = Array(0.6f, 0.8f, 0.0f)
+    val rows = (0 until 10).map(i => (i.toLong, v.clone()))
+    // no-shrink guard: all members assign to the first seed, so the
+    // kernel enumerates directly — C(10,2) pairs when the cap allows
+    val ok = kernelPairs(graft.functions.VectorSketchOps.cosinePairs(
+      pairEntries(rows), 0.5, 2, 1 << 20))
+    assert(ok.size == 45)
+    val e = intercept[IllegalStateException] {
+      graft.functions.VectorSketchOps.cosinePairs(pairEntries(rows), 0.5, 2, 10)
+    }
+    assert(e.getMessage.contains("passing pairs"))
+  }
+
+  test("semDedupSurvivors: keep-first representative per planted group") {
+    import testImplicits._
+    val rnd = new scala.util.Random(99L)
+    val dim = 8
+    // 3 groups sharing a direction (sizes 3/2/1) + 20 random singletons
+    val dirs = (0 until 3).map(_ => Array.fill(dim)(rnd.nextFloat() + 0.1f))
+    val groups = Seq(
+      Seq(10L, 20L, 30L).map(id => (id, dirs(0))),
+      Seq(40L, 50L).map(id => (id, dirs(1))),
+      Seq(60L).map(id => (id, dirs(2))))
+    val singles = (100 until 120).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val rows = groups.flatten.map { case (id, v) =>
+      // per-member power-of-two scale keeps directions identical
+      (id, v.map(x => x * (1 << (id % 3).toInt).toFloat))
+    } ++ singles
+    val emb = rows.toDF("vec_id", "embedding")
+    val truth = bruteCosPairs(rows, 0.99)
+    val expect = rows.map(_._1).filter(id =>
+      !truth.exists { case (_, hi) => hi == id }).sorted
+    val got = Similarity.semDedupSurvivors(emb, 0.99, nCells = 4)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+    // the planted group minima survive, the rest of each group does not
+    assert(Seq(10L, 40L, 60L).forall(got.contains))
+    assert(Seq(20L, 30L, 50L).forall(id => !got.contains(id)))
+  }
 }
