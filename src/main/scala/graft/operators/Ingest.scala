@@ -204,6 +204,41 @@ object Ingest {
       .limit(k)
   }
 
+  /** SemDeDup over the STORED index: the cell-partitioned assignment
+    * table IS the clustering, so semantic dedup of an already-ingested
+    * corpus skips centroid training and kernel assignment entirely —
+    * the warm path reads (vec_id, cell, embedding) straight from the
+    * index and goes directly to the bucket-local
+    * [[graft.functions.VectorSketchOps.cosinePairs]] kernel. The one
+    * exchange left is the groupBy(cell) that co-locates each cluster
+    * (cell-partitioned files make it a near-no-op rendezvous; PlanSpec
+    * pins that neither graft_ivf_cell nor a Lloyd pass appears in the
+    * plan). Output and policy semantics are identical to the fresh
+    * [[Similarity.semDedupPairs]]; the planted canary twins (exact
+    * copies, bit-identical cosines → provably co-assigned cells) give
+    * the stored path the same guaranteed-recall gate. */
+  def semDedupPairsStored(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    val (_, assign) = ensureIvfIndex(s, dir)
+    VectorOps.register(s)
+    assign
+      .groupBy("cell")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("entries"))
+      .select(explode(VectorOps.cosinePairs(col("entries"), lit(tau))).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"),
+        col("p.cosine").as("cosine"))
+  }
+
+  /** Keep-first survivors of [[semDedupPairsStored]] over the indexed
+    * corpus (embeddings ∪ canaries) — the stored-path twin of
+    * [[Similarity.semDedupSurvivors]]. */
+  def semDedupSurvivorsStored(s: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    val dropped = semDedupPairsStored(s, dir, tau)
+      .select(col("v2").as("vec_id")).distinct()
+    indexedCorpus(s, dir).select("vec_id")
+      .join(broadcast(dropped), Seq("vec_id"), "left_anti")
+  }
+
   /** INDEX APPEND (base + delta): the maintenance path a stored index
     * needs in production. New vectors land AFTER the index was built;
     * retraining centroids or rewriting the cell directories for every
@@ -680,6 +715,19 @@ object Ingest {
           .as("n_diverging")))
     }),
 
+    // SemDeDup from the STORED index: survivors of the keep-first
+    // policy over the indexed corpus (embeddings ∪ the 8 exact-copy
+    // canaries). The canaries are bit-identical to their sources, so
+    // their cosines to every centroid match bit-for-bit and the stored
+    // cell assignment provably co-locates each (source, canary) pair —
+    // recall 1.0 by construction — while the kernel's exact in-cluster
+    // verification admits nothing else (non-twin pairs ≤ 0.61 on this
+    // corpus). The DuckDB oracle brute-forces the same keep-first
+    // survivor set from scratch, certifying that dedup riding a stored
+    // index ≡ dedup computed fresh.
+    "q_semdedup_stored" -> ((s, dir) =>
+      semDedupSurvivorsStored(s, dir, 0.99).orderBy("vec_id")),
+
     // IVF from the STORED index, single-query canary gate: the probe
     // runs at the derived geometry with real pruning, and the planted
     // exact copy of the query must surface in the top-10 (oracle pins
@@ -706,6 +754,20 @@ object Ingest {
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",
     "q_ivfpq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_semdedup_stored" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM (
+        |    SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY vec_id LIMIT 8)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99)
+        |SELECT vec_id FROM corpus
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
     "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10"

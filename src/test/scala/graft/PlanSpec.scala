@@ -96,6 +96,20 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("stored-index SemDeDup re-clusters nothing: no assignment kernel, no Lloyd pass") {
+    val df = graft.operators.Ingest.semDedupPairsStored(spark, TestSpark.Sf0001, 0.99)
+    val p = plan(df)
+    // warm path = the stored (vec_id, cell, embedding) table only: the
+    // clustering was paid at ingest, so neither the assignment kernel
+    // nor any centroid machinery may appear — just the groupBy(cell)
+    // rendezvous and the pair kernel
+    assert(!p.contains("graft_ivf_cell"),
+      s"stored semdedup must not re-assign cells:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"stored semdedup must scan the index, not the corpus:\n$p")
+    assert(p.contains("graft_cosine_pairs"), p)
+  }
+
   test("kernel IVF assignment is a narrow shuffle-free map over the scan") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val centroids = graft.operators.Similarity

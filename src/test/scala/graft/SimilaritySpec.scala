@@ -373,6 +373,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(e.getMessage.contains("passing pairs"))
   }
 
+  test("stored-index SemDeDup: exactly the canary pairs, at cosine 1") {
+    val s = spark
+    val dir = TestSpark.Sf0001
+    val pairs = graft.operators.Ingest.semDedupPairsStored(s, dir, 0.99)
+      .orderBy("v1").collect()
+    // the indexed corpus plants 8 bit-identical canaries (+TwinOffset);
+    // this synthetic corpus has no organic ≥0.99 pair (the
+    // q_near_dup_embedding oracle pins that), so the stored-path dup
+    // set is EXACTLY the canary twins, each provably co-assigned
+    val off = graft.operators.Ingest.TwinOffset
+    val emb = Tables.embeddings(s, dir)
+    val expect = emb.orderBy("vec_id").limit(8)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + off)).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    assert(pairs.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
+    // survivors = the original corpus ids (every canary dropped)
+    val surv = graft.operators.Ingest.semDedupSurvivorsStored(s, dir, 0.99)
+    assert(surv.count() == emb.count())
+    assert(surv.filter(col("vec_id") >= off).count() == 0)
+  }
+
   test("semDedupSurvivors: keep-first representative per planted group") {
     import testImplicits._
     val rnd = new scala.util.Random(99L)
