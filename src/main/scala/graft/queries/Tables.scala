@@ -17,13 +17,31 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = t(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = t(s, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects at
-    * schema inference ([PARQUET_TYPE_ILLEGAL]). Supplying the schema
-    * explicitly (ts as plain LONG nanos) sidesteps inference with NO
-    * session-global flag (the earlier nanosAsLong approach leaked a
-    * legacy flag that silently changed unrelated reads — ADVICE r2);
-    * then convert losslessly to a microsecond timestamp with integer DIV
-    * (a double division would lose precision above 2^53 ns). */
+  /** `events.ts` physical encoding has drifted across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects at schema
+    * inference with [PARQUET_TYPE_ILLEGAL]), then TIMESTAMP(MICROS)
+    * (reads natively). A reader that hardcodes one encoding silently
+    * decodes the other 1000× off (the r6 regression: 30 days of events
+    * collapsed into ~43 minutes). So: decode by what the footer actually
+    * says, and sample-check one row so any future drift fails LOUDLY.
+    *
+    *  1. Native `spark.read.parquet` first. TIMESTAMP(MICROS,
+    *     adjusted=true) infers TimestampType; adjusted=false infers
+    *     TimestampNTZType — cast to TimestampType, an identity on the
+    *     stored micros because every entry point pins
+    *     spark.sql.session.timeZone=UTC.
+    *  2. If inference throws the nanos-specific [PARQUET_TYPE_ILLEGAL],
+    *     re-read with an explicit schema (ts as plain LONG nanos — no
+    *     session-global legacy flag, ADVICE r2) and integer-DIV to
+    *     micros (double division would lose precision above 2^53 ns).
+    *  3. If the footer has a bare INT64 with no logical type, the unit
+    *     is sniffed from one sampled value (epoch-nanos for any modern
+    *     date is ≥ 3 orders of magnitude above epoch-micros).
+    *  4. One sampled row must land in [2000, 2100] — a unit mistake is
+    *     uniform across rows, so a single sample catches it. Cached per
+    *     path; the probe reads one row of one column, negligible even
+    *     against a 100 TB table.
+    */
   val eventsRawSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
@@ -34,10 +52,121 @@ object Tables {
       StructField("value", DoubleType),
       StructField("props", StringType)))
   }
-  def events(s: SparkSession, dir: String): DataFrame =
-    s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+
+  /** The four `ts` encodings the reader understands. Shared with the
+    * streaming reader (EventStream.readEvents must supply an explicit
+    * schema, so it needs the SAME probe-then-decode decision — two
+    * independent decoders was how the r6 drift corrupted batch and
+    * streaming identically without any spec noticing). */
+  sealed trait TsEncoding
+  object TsEncoding {
+    /** TIMESTAMP(MICROS, adjustedToUTC=true) — reads as TimestampType. */
+    case object NativeLtz extends TsEncoding
+    /** TIMESTAMP(MICROS, adjustedToUTC=false) — TimestampNTZType; cast
+      * to LTZ is an identity on the stored micros (session TZ is UTC). */
+    case object NativeNtz extends TsEncoding
+    /** TIMESTAMP(NANOS) — Spark 4 rejects it at inference, so read raw
+      * LONG and integer-DIV to micros. */
+    case object LongNanos extends TsEncoding
+    /** Bare INT64, value magnitude says micros. */
+    case object LongMicros extends TsEncoding
+  }
+
+  /** Epoch-nanos vs epoch-micros threshold: 1e17 µs ≈ year 5138, while
+    * 1e17 ns ≈ 1973 — any modern instant is unambiguous. */
+  private val NanosThreshold = 100000000000000000L
+
+  private val encodingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]()
+
+  private def isNanosIllegal(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      val m = t.getMessage
+      if (m != null && (m.contains("PARQUET_TYPE_ILLEGAL") ||
+            m.contains("TIMESTAMP(NANOS"))) return true
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
+
+  /** Probe the footer (cached per path; one schema-inference plus at
+    * most one single-row scan — negligible against any table size). */
+  def eventsTsEncoding(s: SparkSession, path: String): TsEncoding =
+    encodingCache.computeIfAbsent(path, { p =>
+      import org.apache.spark.sql.types._
+      try {
+        val native = s.read.parquet(p)
+        native.schema("ts").dataType match {
+          case TimestampType => TsEncoding.NativeLtz
+          case TimestampNTZType => TsEncoding.NativeNtz
+          case LongType =>
+            val sample = native.select(org.apache.spark.sql.functions.col("ts")).head(1)
+            if (sample.nonEmpty && math.abs(sample(0).getLong(0)) >= NanosThreshold)
+              TsEncoding.LongNanos
+            else TsEncoding.LongMicros
+          case other =>
+            throw new IllegalStateException(
+              s"events.ts: unsupported parquet type $other in $p")
+        }
+      } catch {
+        case e: Throwable if isNanosIllegal(e) => TsEncoding.LongNanos
+      }
+    })
+
+  /** Schema to hand a (streaming) reader for the given encoding. */
+  def eventsReadSchema(enc: TsEncoding): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val tsType: DataType = enc match {
+      case TsEncoding.NativeLtz => TimestampType
+      case TsEncoding.NativeNtz => TimestampNTZType
+      case TsEncoding.LongNanos | TsEncoding.LongMicros => LongType
+    }
+    StructType(eventsRawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+  }
+
+  /** Normalize the read `ts` column to TimestampType micros. */
+  def decodeTs(df: DataFrame, enc: TsEncoding): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.TimestampType
+    enc match {
+      case TsEncoding.NativeLtz => df
+      case TsEncoding.NativeNtz =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TsEncoding.LongNanos =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TsEncoding.LongMicros =>
+        df.withColumn("ts", timestamp_micros(col("ts")))
+    }
+  }
+
+  private val saneEventPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = s"$dir/events.parquet"
+    val enc = eventsTsEncoding(s, path)
+    val decoded = decodeTs(s.read.schema(eventsReadSchema(enc)).parquet(path), enc)
+    if (!saneEventPaths.contains(path)) {
+      // One sampled row must land in a modern year: a unit mistake is
+      // uniform across rows, so a single sample catches it, and the
+      // probe reads one row of one column — negligible at any scale.
+      val sample = decoded
+        .select(org.apache.spark.sql.functions.year(col("ts")).as("y"))
+        .head(1)
+      sample.foreach { r =>
+        val y = r.getInt(0)
+        require(y >= 2000 && y <= 2100,
+          s"events.ts decoded to year $y in $path — physical timestamp " +
+            "encoding drifted again; fix Tables.events rather than " +
+            "letting every downstream window silently collapse")
+      }
+      saneEventPaths.add(path)
+    }
+    decoded
+  }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }

@@ -27,21 +27,23 @@ import graft.ops.Transforms
   */
 object EventStream {
 
-  /** Explicit source schema (streaming reads cannot infer). `ts` arrives
-    * as parquet TIMESTAMP(NANOS) → read as a nanos long via the explicit
-    * schema (no legacy flag needed) and converted with integer DIV,
-    * exactly like the batch reader (Tables.events). */
-  val eventSchema: StructType = graft.queries.Tables.eventsRawSchema
-
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
+  /** Explicit source schema (streaming reads cannot infer), derived from
+    * the SAME footer probe as the batch reader (Tables.eventsTsEncoding)
+    * so the two can never decode `ts` differently — the r6 testdata
+    * regeneration (nanos→micros) corrupted both sides identically
+    * precisely because each had its own hardcoded assumption. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Tables
+    val enc = Tables.eventsTsEncoding(spark, s"$dir/events.parquet")
+    val raw = spark.readStream
+      .schema(Tables.eventsReadSchema(enc))
       // the testdata ships one parquet FILE per table; FileStreamSource
       // force-sets basePath to a NON-glob path (which must be a
       // directory), so address the file through a glob — production
       // streams point at directories and don't need this.
       .parquet(s"$dir/[e]vents.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Tables.decodeTs(raw, enc)
+  }
 
   /** Watermarked 1-hour tumbling aggregation (streaming twin of
     * q_events_window). */

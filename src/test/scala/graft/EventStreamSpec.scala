@@ -14,6 +14,24 @@ import graft.streaming.EventStream
   * Trigger.AvailableNow (same windows, same session rule). */
 class EventStreamSpec extends SparkSpecBase {
 
+  test("events reader decodes ABSOLUTE time sanely (>= 25-day span, modern year)") {
+    // Deliberate environment-drift canary (VERDICT r6 #1): every other
+    // event spec compares streaming vs batch THROUGH THE SAME READER, so
+    // a physical-encoding change in the driver's parquet (nanos→micros
+    // between r5 and r6) silently corrupted both sides at once. This
+    // test pins the one fact no relative comparison can: the decoded
+    // corpus spans real calendar time.
+    val r = graft.queries.Tables.events(spark, TestSpark.Sf0001)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (r.getTimestamp(0), r.getTimestamp(1))
+    val year = lo.toInstant.atZone(java.time.ZoneOffset.UTC).getYear
+    assert(year >= 2020 && year <= 2100,
+      s"decoded min(ts)=$lo — timestamp unit drift (the r6 failure mode)")
+    val spanDays = (hi.getTime - lo.getTime) / 86400000.0
+    assert(spanDays >= 25.0,
+      s"events span $spanDays days ($lo .. $hi) — expected a ~30-day corpus")
+  }
+
   test("windowedAgg (streaming, AvailableNow) == q_events_window (batch)") {
     val stream = EventStream.windowedAgg(
       EventStream.readEvents(spark, TestSpark.Sf0001))
