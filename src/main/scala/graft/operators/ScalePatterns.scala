@@ -52,15 +52,73 @@ object ScalePatterns {
     * (bucket, bucket−1); since a qualifying pair's buckets differ by at
     * most one, every pair matches exactly once — no post-dedup. The
     * exact range filter then runs on the bucket-bounded candidates.
-    * PlanSpec asserts the plan contains no nested-loop join. */
-  def bucketedRangePairs(ev: DataFrame, windowUs: Long): DataFrame = {
-    val a = ev.select(unix_micros(col("ts")).as("a_us"), col("event_type").as("a_type"))
-      .withColumn("bkt", expr(s"a_us div $windowUs"))
-    val b = ev.select(unix_micros(col("ts")).as("b_us"), col("event_type").as("b_type"))
-      .withColumn("bkt", explode(array(
-        expr(s"b_us div $windowUs - 1"), expr(s"b_us div $windowUs"))))
-    a.join(b, "bkt")
+    * PlanSpec asserts the plan contains no nested-loop join.
+    *
+    * DEGENERATE-OCCUPANCY GUARD (the r6 lesson: a testdata bug squeezed
+    * 30 days into 5 buckets and this rewrite silently went quadratic,
+    * 0.9 s → 357 s). The equi-rewrite's cost is Σ_bkt n(bkt)·(n(bkt)+
+    * n(bkt+1)) — a hot bucket (thundering-herd burst) recreates the
+    * cartesian blowup locally in ONE reducer. So, before joining, one
+    * cheap partial-aggregated pass counts bucket occupancy, and:
+    *
+    *  - a bucket whose candidate-pair count exceeds `maxBucketPairs`
+    *    FAILS LOUDLY (the honest answer is genuinely quadratic — the
+    *    caller must widen buckets, pre-aggregate, or raise the cap
+    *    knowingly; silence is how r6 burned 357 s producing garbage);
+    *  - a bucket over `sliceRows` rows but under the cap is SUB-SPLIT
+    *    (the simhash band lesson, Sketch.scala): the probe side hashes
+    *    into ⌈n/sliceRows⌉ slices, the build side replicates to every
+    *    slice — same pairs, but the hot bucket's work spreads over
+    *    slices reducers and per-task state stays bounded instead of one
+    *    straggler holding the whole bucket.
+    *
+    * The hot list is bounded by totalRows/sliceRows entries, so the
+    * slice map broadcasts; cold buckets (slices = 1) pay nothing but the
+    * broadcast-join lookup. Rows with identical (us, type) hash to the
+    * same slice — a corpus of byte-identical events should be
+    * pre-aggregated with a count, not range-joined row-by-row. */
+  def bucketedRangePairs(
+      ev: DataFrame,
+      windowUs: Long,
+      sliceRows: Int = 65536,
+      maxBucketPairs: Long = 1000000000L): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val bkted = ev.select(unix_micros(col("ts")).as("us"), col("event_type").as("etype"))
+      .withColumn("bkt", expr(s"us div $windowUs"))
+    // occupancy: narrow columns, map-side partial agg, tiny result
+    val occ = bkted.groupBy("bkt").agg(count(lit(1)).as("n"))
+    val occNext = occ.select((col("bkt") - 1).as("bkt"), col("n").as("n_next"))
+    val hot = occ.join(occNext, Seq("bkt"), "left")
+      .select(col("bkt"), col("n"),
+        (col("n") * (col("n") + coalesce(col("n_next"), lit(0L)))).as("est_pairs"))
+      .filter(col("n") > sliceRows || col("est_pairs") > maxBucketPairs)
+      .collect()
+    hot.filter(_.getAs[Long]("est_pairs") > maxBucketPairs).sortBy(-_.getAs[Long]("est_pairs"))
+      .headOption.foreach { r =>
+        throw new IllegalStateException(
+          s"bucketedRangePairs: bucket ${r.getLong(0)} holds ${r.getLong(1)} rows " +
+            s"(~${r.getLong(2)} candidate pairs > cap $maxBucketPairs). The range " +
+            "join on this data is effectively cartesian — widen windowUs, " +
+            "pre-aggregate duplicate timestamps, or raise maxBucketPairs knowingly.")
+      }
+    val hotSlices = hot
+      .map(r => (r.getLong(0), ((r.getLong(1) + sliceRows - 1) / sliceRows).toInt))
+      .toSeq.toDF("bkt", "slices")
+    val a = bkted.join(broadcast(hotSlices), Seq("bkt"), "left")
+      .withColumn("slices", coalesce(col("slices"), lit(1)))
+      .withColumn("slice", pmod(xxhash64(col("us"), col("etype")), col("slices")).cast("int"))
+      .select(col("bkt"), col("slice"), col("us").as("a_us"), col("etype").as("a_type"))
+    val b = bkted
+      .select(col("us").as("b_us"), col("etype").as("b_type"),
+        explode(array(col("bkt") - 1, col("bkt"))).as("bkt"))
+      .join(broadcast(hotSlices), Seq("bkt"), "left")
+      .withColumn("slices", coalesce(col("slices"), lit(1)))
+      .withColumn("slice", explode(sequence(lit(0), col("slices") - 1)))
+      .select(col("bkt"), col("slice"), col("b_us"), col("b_type"))
+    a.join(b, Seq("bkt", "slice"))
       .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + windowUs)
+      .select(col("a_us"), col("a_type"), col("b_us"), col("b_type"))
   }
 
   /** CDC-style merge (upsert): rows of `target` whose key appears in

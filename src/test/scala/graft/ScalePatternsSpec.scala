@@ -34,4 +34,54 @@ class ScalePatternsSpec extends SparkSpecBase {
     val joined = ScalePatterns.saltedJoin(fact, dim, col("k"), col("dk"), 8)
     assert(joined.count() == 1000)
   }
+
+  /** Deterministic burst fixture: `n` events in one 10-minute bucket
+    * (plus a few spread-out events around it), as (ts, event_type). */
+  private def burstEvents(n: Int) = {
+    import testImplicits._
+    val burst = (0 until n).map(i =>
+      (new java.sql.Timestamp(1704067200000L + i % 571 * 997L), s"t${i % 5}"))
+    val spread = (0 until 20).map(i =>
+      (new java.sql.Timestamp(1704067200000L + 3600000L * (i + 1)), s"t${i % 5}"))
+    (burst ++ spread).toDF("ts", "event_type")
+  }
+
+  test("bucketedRangePairs sub-splits a hot bucket without changing the pairs") {
+    // 5000 rows in one bucket with sliceRows=512 forces ~10 slices; the
+    // result must still equal the brute-force range join exactly.
+    val ev = burstEvents(5000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("a_type", "b_type").agg(count(lit(1)).as("n"))
+        .orderBy("a_type", "b_type").collect().map(_.toSeq).toSeq
+    val guarded = canon(ScalePatterns.bucketedRangePairs(
+      ev, windowUs = 600000000L, sliceRows = 512, maxBucketPairs = 100000000L))
+    val a = ev.select(unix_micros(col("ts")).as("a_us"), col("event_type").as("a_type"))
+    val b = ev.select(unix_micros(col("ts")).as("b_us"), col("event_type").as("b_type"))
+    val brute = canon(a.crossJoin(b)
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + 600000000L))
+    assert(guarded == brute && guarded.nonEmpty)
+  }
+
+  test("bucketedRangePairs fails loudly past the per-bucket pair cap") {
+    val ev = burstEvents(2000) // ~4e6 candidate pairs in the hot bucket
+    val e = intercept[IllegalStateException] {
+      ScalePatterns.bucketedRangePairs(
+        ev, windowUs = 600000000L, sliceRows = 512, maxBucketPairs = 1000000L).count()
+    }
+    assert(e.getMessage.contains("cartesian"),
+      s"expected the degenerate-occupancy message, got: ${e.getMessage}")
+  }
+
+  test("bucketedRangePairs on sane data is unchanged by the guard (cold path)") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("a_type", "b_type").agg(count(lit(1)).as("n"))
+        .orderBy("a_type", "b_type").collect().map(_.toSeq).toSeq
+    val guarded = canon(ScalePatterns.bucketedRangePairs(ev, 600000000L))
+    val a = ev.select(unix_micros(col("ts")).as("a_us"), col("event_type").as("a_type"))
+    val b = ev.select(unix_micros(col("ts")).as("b_us"), col("event_type").as("b_type"))
+    val brute = canon(a.crossJoin(b)
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + 600000000L))
+    assert(guarded == brute && guarded.nonEmpty)
+  }
 }
