@@ -38,6 +38,9 @@ object VectorOps {
       "graft_l2sq", exprs => L2Sq(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cosine_pairs", exprs => CosinePairs(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine_pairs_cross",
+      exprs => CosinePairsCross(exprs(0), exprs(1)), "built-in")
   }
 
   /** Exact cosine similarity of two `array<float>` vectors, accumulated
@@ -55,6 +58,12 @@ object VectorOps {
     * [[register]] first. */
   def cosinePairs(entries: Column, tau: Column): Column =
     call_function("graft_cosine_pairs", entries, tau)
+
+  /** Side-aware pair kernel for the blocked decomposition of oversized
+    * cells (entries carry (vec_id, embedding, side)). Call [[register]]
+    * first. */
+  def cosinePairsCross(entries: Column, tau: Column): Column =
+    call_function("graft_cosine_pairs_cross", entries, tau)
 }
 
 /** Kernels shared by interpreted eval and generated code. */
@@ -170,18 +179,62 @@ object VectorSketchOps {
     val n = entries.numElements()
     val ids = new Array[Long](n)
     val vecs = new Array[Array[Float]](n)
-    val nsq = new Array[Double](n)
     var i = 0
     while (i < n) {
       val r = entries.getStruct(i, 2)
       ids(i) = r.getLong(0)
-      val v = r.getArray(1).toFloatArray()
-      vecs(i) = v
+      vecs(i) = r.getArray(1).toFloatArray()
+      i += 1
+    }
+    pairsCore(ids, vecs, sides = null, tau, maxCluster, maxPairs)
+  }
+
+  /** Side-aware variant behind `Similarity.cellPairs`'s BLOCKED
+    * decomposition of oversized cells: entries carry a third `side`
+    * field (0 = p-slice, 1 = q-slice of a triangle task). With any
+    * side-1 member present, only CROSS-side pairs are emitted — each
+    * within-slice pair belongs to that slice's diagonal task, so the
+    * union over a cell's tasks is exactly every within-cell pair, no
+    * dedup pass. All-side-0 input (diagonal tasks and un-split cells)
+    * takes the identical code path as [[cosinePairs]]. */
+  def cosinePairsCross(entries: ArrayData, tau: Double): GenericArrayData =
+    cosinePairsCross(entries, tau, MaxClusterEntries, MaxPairsPerCluster)
+
+  def cosinePairsCross(entries: ArrayData, tau: Double, maxCluster: Int,
+      maxPairs: Int): GenericArrayData = {
+    val n = entries.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val sides = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = entries.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      vecs(i) = r.getArray(1).toFloatArray()
+      sides(i) = r.getInt(2)
+      i += 1
+    }
+    pairsCore(ids, vecs, sides, tau, maxCluster, maxPairs)
+  }
+
+  /** Shared enumeration core. `sides == null` (or all-zero) = one
+    * cluster: recursive sub-cluster split + C(n,2) leaves, exactly the
+    * historical [[cosinePairs]] behavior. Mixed sides = a cross task:
+    * direct side0×side1 loop (membership is bounded by the DataFrame
+    * layer's slicing, so no recursion is needed). */
+  private def pairsCore(ids: Array[Long], vecs: Array[Array[Float]],
+      sides: Array[Int], tau: Double, maxCluster: Int,
+      maxPairs: Int): GenericArrayData = {
+    val n = ids.length
+    val nsq = new Array[Double](n)
+    var i0 = 0
+    while (i0 < n) {
+      val v = vecs(i0)
       var s = 0.0
       var d = 0
       while (d < v.length) { val x = v(d).toDouble; s += x * x; d += 1 }
-      nsq(i) = s
-      i += 1
+      nsq(i0) = s
+      i0 += 1
     }
     // pairwise cosine with the exact accumulation order and zero-norm
     // convention of [[cosine]] (dot left-to-right, dot / sqrt(na*nb))
@@ -196,27 +249,26 @@ object VectorSketchOps {
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
 
+    def emit(a: Int, b: Int): Unit =
+      if (ids(a) != ids(b)) {
+        val c = cos(a, b)
+        if (c >= tau) {
+          if (out.length >= maxPairs)
+            throw new IllegalStateException(
+              s"semantic-dup cluster yields > $maxPairs passing pairs " +
+                "(mass same-direction corpus): run exact dedup first " +
+                "and/or raise tau / the cluster count")
+          out += new GenericInternalRow(Array[Any](
+            math.min(ids(a), ids(b)), math.max(ids(a), ids(b)), c))
+        }
+      }
+
     def enumerate(members: Array[Int]): Unit = {
       val m = members.length
       var i = 0
       while (i < m) {
         var j = i + 1
-        while (j < m) {
-          val a = members(i); val b = members(j)
-          if (ids(a) != ids(b)) {
-            val c = cos(a, b)
-            if (c >= tau) {
-              if (out.length >= maxPairs)
-                throw new IllegalStateException(
-                  s"semantic-dup cluster yields > $maxPairs passing pairs " +
-                    "(mass same-direction corpus): run exact dedup first " +
-                    "and/or raise tau / the cluster count")
-              out += new GenericInternalRow(Array[Any](
-                math.min(ids(a), ids(b)), math.max(ids(a), ids(b)), c))
-            }
-          }
-          j += 1
-        }
+        while (j < m) { emit(members(i), members(j)); j += 1 }
         i += 1
       }
     }
@@ -249,9 +301,19 @@ object VectorSketchOps {
       groups.foreach(grp => split(grp.toArray, depth + 1))
     }
 
-    // member indices sorted by vec_id (order-independence of the output)
+    // index lists sorted by vec_id (order-independence of the output)
     val byId = Array.range(0, n).sortBy(ids(_))
-    split(byId, 0)
+    val hasCross = sides != null && sides.exists(_ == 1)
+    if (hasCross) {
+      val a = byId.filter(sides(_) == 0)
+      val b = byId.filter(sides(_) == 1)
+      var i = 0
+      while (i < a.length) {
+        var j = 0
+        while (j < b.length) { emit(a(i), b(j)); j += 1 }
+        i += 1
+      }
+    } else split(byId, 0)
     new GenericArrayData(out.toArray)
   }
 
@@ -375,5 +437,48 @@ case class CosinePairs(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosinePairs =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_cosine_pairs_cross(array<struct<vec_id, embedding array<float>,
+  * side int>>, double) -> array<struct<v1, v2, cosine>>` — see
+  * [[VectorSketchOps.cosinePairsCross]]. */
+case class CosinePairsCross(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(s: StructType, _), DoubleType)
+          if s.length == 3 && s(0).dataType == LongType &&
+            (s(1).dataType match {
+              case ArrayType(FloatType, _) => true
+              case _ => false
+            }) && s(2).dataType == IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "graft_cosine_pairs_cross expects (array<struct<bigint, " +
+          s"array<float>, int>>, double), got ($l, $r)")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v1", LongType, nullable = false),
+    StructField("v2", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_cosine_pairs_cross"
+
+  override protected def nullSafeEval(entries: Any, tau: Any): Any =
+    VectorSketchOps.cosinePairsCross(entries.asInstanceOf[ArrayData],
+      tau.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, t) =>
+      s"${ev.value} = graft.functions.VectorSketchOps.cosinePairsCross($e, $t);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosinePairsCross =
     copy(left = newLeft, right = newRight)
 }

@@ -208,9 +208,10 @@ object Ingest {
     * table IS the clustering, so semantic dedup of an already-ingested
     * corpus skips centroid training and kernel assignment entirely —
     * the warm path reads (vec_id, cell, embedding) straight from the
-    * index and goes directly to the bucket-local
-    * [[graft.functions.VectorSketchOps.cosinePairs]] kernel. The one
-    * exchange left is the groupBy(cell) that co-locates each cluster
+    * index and goes directly to the bucket-local pairs kernel via
+    * [[Similarity.cellPairs]] (bounded aggregation buffers — oversized
+    * cells take the triangle-blocked decomposition). The exchange left
+    * is the task groupBy that co-locates each cluster
     * (cell-partitioned files make it a near-no-op rendezvous; PlanSpec
     * pins that neither graft_ivf_cell nor a Lloyd pass appears in the
     * plan). Output and policy semantics are identical to the fresh
@@ -219,13 +220,9 @@ object Ingest {
     * the stored path the same guaranteed-recall gate. */
   def semDedupPairsStored(s: SparkSession, dir: String, tau: Double): DataFrame = {
     val (_, assign) = ensureIvfIndex(s, dir)
-    VectorOps.register(s)
-    assign
-      .groupBy("cell")
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("entries"))
-      .select(explode(VectorOps.cosinePairs(col("entries"), lit(tau))).as("p"))
-      .select(col("p.v1").as("v1"), col("p.v2").as("v2"),
-        col("p.cosine").as("cosine"))
+    // shared blocked engine: bounded aggregation buffers on oversized
+    // cells, historical single-task path on cold ones (Similarity.cellPairs)
+    Similarity.cellPairs(assign.select("vec_id", "embedding", "cell"), tau)
   }
 
   /** Keep-first survivors of [[semDedupPairsStored]] over the indexed

@@ -340,15 +340,15 @@ object Similarity {
     *
     * Plan shape (the 100 TB path): centroid table → driver artifact →
     * shuffle-free argmax-cosine assignment in the scan stage
-    * ([[ivfAssignKernel]]), then ONE exchange — the groupBy(cell) that
-    * co-locates each cluster — and the bucket-local [[graft.functions
-    * .VectorSketchOps.cosinePairs]] kernel enumerates pairs in-memory
-    * (only passing pairs materialize; oversized/skewed clusters
-    * recursively sub-cluster inside the kernel, so no C(n,2) straggler
-    * task — the lesson the simhash operator learned at sf1). A
-    * declarative self-join on cell would ship the corpus twice and pay
-    * ~150 ns of row machinery per CANDIDATE pair; the kernel pays ~dim ns
-    * per pair and nothing per non-candidate.
+    * ([[ivfAssignKernel]]), then ONE exchange — the [[cellPairs]] task
+    * groupBy that co-locates each cluster (sliced into bounded-buffer
+    * triangle tasks when a cell exceeds the kernel threshold) — and the
+    * bucket-local pairs kernel enumerates pairs in-memory (only passing
+    * pairs materialize, so no C(n,2) straggler task — the lesson the
+    * simhash operator learned at sf1). A declarative self-join on cell
+    * would ship the corpus twice and pay ~150 ns of row machinery per
+    * CANDIDATE pair; the kernel pays ~dim ns per pair and nothing per
+    * non-candidate.
     *
     * Semantics note: like SemDeDup itself, pair recall is cluster-local —
     * a near-dup pair split across clusters is missed by design (the
@@ -358,13 +358,69 @@ object Similarity {
     * oracle gate certifies end-to-end. Production pipelines train the
     * quantizer on a sample at ingest (kmeansCentroids / Ingest.scala);
     * the seed-centroid form here keeps the verify corpus parameter-free. */
-  def semDedupPairs(emb: DataFrame, tau: Double, nCells: Int): DataFrame = {
-    VectorOps.register(emb.sparkSession)
-    ivfAssignKernel(emb, ivfCentroids(emb, nCells))
-      .groupBy("cell")
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("entries"))
-      .select(explode(VectorOps.cosinePairs(col("entries"), lit(tau))).as("p"))
-      .select(col("p.v1").as("v1"), col("p.v2").as("v2"), col("p.cosine").as("cosine"))
+  def semDedupPairs(emb: DataFrame, tau: Double, nCells: Int): DataFrame =
+    cellPairs(ivfAssignKernel(emb, ivfCentroids(emb, nCells)), tau)
+
+  /** Within-cell pair enumeration with BOUNDED aggregation buffers — the
+    * shared engine of [[semDedupPairs]] and the stored-index twin
+    * (Ingest.semDedupPairsStored). Input: (vec_id, embedding, cell).
+    *
+    * The naive shape, `groupBy(cell).agg(collect_list(payload))`,
+    * buffers an entire cell in ONE aggregation row before any kernel
+    * runs — ~97 MB for an average √N cell at N=10⁹/dim=768, unbounded
+    * for the skewed mega-cluster SemDeDup exists to catch (VERDICT r5/r6).
+    * So cells above `maxCellRows` take a TRIANGLE-BLOCKED decomposition
+    * (the classic bounded-memory all-pairs grid):
+    *
+    *  - rows hash (by vec_id) into k = ⌈n/maxCellRows⌉ slices;
+    *  - each unordered slice pair (p ≤ q) is one task; a row in slice s
+    *    joins every task with p == s or q == s (k tasks per row);
+    *  - a task buffers ≤ 2·maxCellRows rows BY CONSTRUCTION, and the
+    *    side-aware kernel ([[graft.functions.VectorSketchOps
+    *    .cosinePairsCross]]) emits cross-side pairs only, so each
+    *    within-cell pair appears in exactly one task — the union is
+    *    EXACTLY the unsplit enumeration, bit-for-bit, no dedup pass.
+    *
+    * Cost honesty: within-cell all-pairs is inherently O(n²) compare
+    * work; blocking keeps the total at ~2× the unsplit count while
+    * spreading it over k(k+1)/2 reducers, and ships each row k times
+    * (the standard grid-join replication — raise `maxCellRows` to trade
+    * per-task memory for replication). Cold cells (k = 1) run the
+    * historical single-task path unchanged. A cell needing more than
+    * `maxSlices` slices fails loudly: at that occupancy the clustering
+    * is degenerate and the honest fix is upstream (exact-dedup first,
+    * more cells, retrained centroids), not a 10⁶-task quadratic grind. */
+  def cellPairs(assigned: DataFrame, tau: Double,
+      maxCellRows: Int = graft.functions.VectorSketchOps.MaxClusterEntries,
+      maxSlices: Int = 1024): DataFrame = {
+    val spark = assigned.sparkSession
+    VectorOps.register(spark)
+    val hot = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellRows)
+      .select(col("cell"),
+        ceil(col("n").cast(DoubleType) / maxCellRows).cast(IntegerType).as("k"))
+    hot.filter(col("k") > maxSlices).limit(1).collect().foreach { r =>
+      throw new IllegalStateException(
+        s"cellPairs: cell ${r.get(0)} needs ${r.getInt(1)} slices " +
+          s"(> $maxSlices) — degenerate clustering. Run exact dedup " +
+          "first, raise the cell count, or retrain centroids.")
+    }
+    val sliced = assigned.join(broadcast(hot), Seq("cell"), "left")
+      .withColumn("k", coalesce(col("k"), lit(1)))
+      .withColumn("slice", pmod(xxhash64(col("vec_id")), col("k")).cast(IntegerType))
+    val tasks = sliced
+      .withColumn("j", explode(sequence(lit(0), col("k") - 1)))
+      .select(col("cell"),
+        least(col("slice"), col("j")).as("p"),
+        greatest(col("slice"), col("j")).as("q"),
+        struct(col("vec_id"), col("embedding"),
+          when(col("slice") <= col("j"), lit(0)).otherwise(lit(1)).as("side"))
+          .as("entry"))
+    tasks.groupBy("cell", "p", "q")
+      .agg(collect_list(col("entry")).as("entries"))
+      .select(explode(VectorOps.cosinePairsCross(col("entries"), lit(tau))).as("pr"))
+      .select(col("pr.v1").as("v1"), col("pr.v2").as("v2"),
+        col("pr.cosine").as("cosine"))
   }
 
   /** SemDeDup survivor set under the keep-first policy: drop every vector

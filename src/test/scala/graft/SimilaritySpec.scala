@@ -373,6 +373,78 @@ class SimilaritySpec extends SparkSpecBase {
     assert(e.getMessage.contains("passing pairs"))
   }
 
+  private def pairEntriesSided(rows: Seq[(Long, Array[Float], Int)]) = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    new GenericArrayData(rows.map { case (id, v, side) =>
+      new GenericInternalRow(Array[Any](id, new GenericArrayData(v), side))
+    }.toArray)
+  }
+
+  test("cosinePairsCross: mixed sides emit cross-side pairs only; all-side-0 == cosinePairs") {
+    val rnd = new scala.util.Random(31L)
+    val rows = (0 until 30).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1), i % 2))
+    val got = kernelPairs(graft.functions.VectorSketchOps.cosinePairsCross(
+      pairEntriesSided(rows), -1.0))
+    // tau = -1 passes every evaluated pair → got is exactly the cross set
+    val expect = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._3 != b._3
+    } yield (a._1, b._1)).toSet
+    assert(got == expect)
+    val allZero = kernelPairs(graft.functions.VectorSketchOps.cosinePairsCross(
+      pairEntriesSided(rows.map(r => (r._1, r._2, 0))), -1.0))
+    val classic = kernelPairs(graft.functions.VectorSketchOps.cosinePairs(
+      pairEntries(rows.map(r => (r._1, r._2))), -1.0))
+    assert(allZero == classic)
+  }
+
+  test("cellPairs: blocked decomposition of a hot cell == single-task enumeration, exactly") {
+    import testImplicits._
+    val rnd = new scala.util.Random(42L)
+    val rows = (0 until 1500).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1), 0L))
+    val assigned = rows.toDF("vec_id", "embedding", "cell")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("v1", "v2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // maxCellRows 128 → 12 slices, 78 triangle tasks, ≤ 256-row buffers
+    val blocked = canon(Similarity.cellPairs(assigned, 0.9, maxCellRows = 128))
+    // cold path: one task, kernel enumerates the whole cell directly
+    val unsplit = canon(Similarity.cellPairs(assigned, 0.9, maxCellRows = 1 << 30))
+    assert(blocked == unsplit && blocked.nonEmpty,
+      s"blocked (${blocked.size}) must equal unsplit (${unsplit.size}) bit-for-bit")
+    assert(blocked.map(p => (p._1, p._2)).toSet ==
+      bruteCosPairs(rows.map(r => (r._1, r._2)), 0.9))
+  }
+
+  test("cellPairs: 1e5-row mega-cluster in ONE cell completes with bounded buffers") {
+    import testImplicits._
+    val rnd = new scala.util.Random(7L)
+    val dim = 8
+    val base = Array.fill(dim)(rnd.nextFloat() + 0.5f)
+    // one tight direction cluster (organic cosines ≈ 0.97‒0.999, below
+    // tau by a ≥100× angle margin — at 5·10⁹ candidate pairs a tighter
+    // spread would produce organic passes) + 5 planted exact-twin pairs
+    // (cosine 1.0 ≥ tau) — the corpus shape SemDeDup targets, and
+    // exactly what used to buffer 100k payloads in one aggregation row
+    // before the blocked decomposition
+    val mass = (0 until 100000).map { i =>
+      val v = Array.tabulate(dim)(d => base(d) + 0.5f * (rnd.nextFloat() - 0.5f))
+      (i.toLong, v, 0L)
+    }
+    val twins = (0 until 5).map(i => (200000L + i, mass(i * 1000)._2.clone(), 0L))
+    val assigned = (mass ++ twins).toDF("vec_id", "embedding", "cell")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val pairs = Similarity.cellPairs(assigned, 0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (0 until 5).map(i => (i * 1000L, 200000L + i)).toSet
+    assert(pairs == expect,
+      s"expected exactly the 5 planted twin pairs, got ${pairs.size}")
+  }
+
   test("stored-index SemDeDup: exactly the canary pairs, at cosine 1") {
     val s = spark
     val dir = TestSpark.Sf0001
