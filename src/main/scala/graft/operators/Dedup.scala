@@ -240,10 +240,17 @@ object Dedup {
     *     width through every exchange, the same rule as the LSH band
     *     joins; digest collisions only ever OVER-flag, the same harmless
     *     direction as Bloom decontamination);
-    *  2. "occurs in another doc" is ONE window aggregation over the
-    *     digest (min(doc_id) ≠ max(doc_id)) — not a groupBy + self-join,
-    *     which would shuffle the window stream twice and recompute the
-    *     explode lineage on both sides;
+    *  2. "occurs in another doc" is a PARTIAL-AGGREGATING
+    *     groupBy(digest).agg(min(doc_id) ≠ max(doc_id)) + join-back of
+    *     the multi-doc digest set. NOT a window over the digest: a
+    *     window partitioned by `w` ships every (doc_id, pos, w) row of
+    *     one digest to ONE reducer with no partial aggregation and no
+    *     way to split — a boilerplate 15-token span repeated across 10⁷
+    *     docs is a guaranteed straggler/OOM (VERDICT r5/r6). The
+    *     aggregate form map-side-combines the hot digest to one row per
+    *     map partition, and the join-back is an equi-join AQE's skew
+    *     handling can split mid-flight — the build side per digest is a
+    *     single 8-byte row;
     *  3. covered-position counting is an interval union done as one
     *     per-doc sort: equal-length windows make union length
     *     Σ min(k, pos − prev_pos) — no k× position explode, and the
@@ -262,11 +269,11 @@ object Dedup {
             substring(md5(array_join(slice(col("t"), i, lit(k)), " ")), 1, 16)
               .as("w")))).as("pw"))
       .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.w").as("w"))
-    val byW = Window.partitionBy("w")
-    val flagged = wins
-      .withColumn("multi",
-        min("doc_id").over(byW) =!= max("doc_id").over(byW))
-      .filter(col("multi"))
+    val multi = wins.groupBy("w")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select("w")
+    val flagged = wins.join(multi, Seq("w"))
     val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
     val covered = flagged
       .select(col("doc_id"),

@@ -347,4 +347,27 @@ class SketchSpec extends SparkSpecBase {
     assert(r(11L) == ((10L, 10L)))
     assert(r(12L) == ((10L, 8L)))
   }
+
+  test("substringDupCoverage: 1e5-doc hot digest (boilerplate span) — de-skewed flag path") {
+    import testImplicits._
+    // the skew nightmare: ONE 15-token boilerplate span stamped into
+    // 100 000 docs (plus a unique tail per doc). The digest-flag stage
+    // must partial-aggregate (a window over `w` would ship every
+    // (doc_id, pos, w) row of the hot digest to one reducer); the
+    // result is fully determined: the boilerplate k-window is cross-doc
+    // in every doc, the unique tail is not.
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ")
+    val d = (0 until 100000).map(i =>
+      (i.toLong, s"$boiler u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val r = Dedup.substringDupCoverage(d, 15)
+    // every doc: 18 tokens, the single flagged window at pos 1 covers 15
+    val bad = r.filter(col("n_toks") =!= 18L || col("n_dup_tokens") =!= 15L)
+    assert(bad.isEmpty, s"unexpected coverage rows: ${bad.take(3).mkString}")
+    assert(r.count() == 100000)
+    // the flag stage must be aggregate + join-back: the only Window in
+    // the plan is the per-doc interval-union lag (partitioned by doc_id)
+    val plan = r.queryExecution.optimizedPlan.toString
+    val windowOps = plan.linesIterator.count(_.contains("Window"))
+    assert(windowOps <= 1, s"expected only the doc_id lag window:\n$plan")
+  }
 }
