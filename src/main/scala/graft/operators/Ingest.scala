@@ -509,6 +509,52 @@ object Ingest {
       k, q)
   }
 
+  /** IVF-PQ COMPACTION — the combined index's generation merge,
+    * completing the lifecycle symmetry with [[compactIvfIndex]]: base ∪
+    * delta code tables rewrite into gen2 under a new cell-partitioned
+    * path. The codebook AND centroids are frozen, so the codes are
+    * reused VERBATIM — compaction is a pure LAYOUT job (no re-encode,
+    * no re-assign, no embedding I/O: the job reads 16 B/row of codes
+    * and writes them back merged), which is why the nightly compaction
+    * of a 10⁹-vector index is cheap enough to amortize. Old generation
+    * files are never touched; serving switches when gen2 exists. */
+  def compactIvfPqIndex(s: SparkSession, dir: String, m: Int = 8,
+      kCent: Int = 256): (Array[Float], Int, DataFrame, DataFrame) = {
+    val (cb, dim, centroids, codes, delta) = ensureIvfPqDelta(s, dir, m, kCent)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val gPath = scratch(s, dir, s"ivfpq_codes_gen2_m${m}_k${kCent}_c$cells")
+    val gH = new org.apache.hadoop.fs.Path(gPath)
+    if (!gH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(gH)) {
+      codes.unionByName(delta)
+        .repartition(col("cell"))
+        .write.mode("ignore").partitionBy("cell").parquet(gPath)
+    }
+    (cb, dim, centroids, s.read.parquet(gPath))
+  }
+
+  /** Warm-path IVF-PQ top-k from the COMPACTED generation — the
+    * single-scan serving shape of [[ivfPqTopKStored]] over gen2 (one
+    * DPP-pruned code scan instead of the base ∪ delta union). */
+  def ivfPqTopKCompacted(s: SparkSession, dir: String, k: Int,
+      expand: Int = 60, nProbe: Int = 0, m: Int = 8,
+      kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, gen2) = compactIvfPqIndex(s, dir, m, kCent)
+    val n = embeddingCount(s, dir)
+    val probe =
+      if (nProbe > 0) nProbe
+      else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
+    val emb = embeddings(s, dir)
+    val q = appendQueryRow(emb)
+    val (qid, dot, nrm) = Similarity.adcTablesFor(q, cb, dim, m, kCent)
+    val probePlan = singleQueryProbePlan(centroids, q, probe)
+    val cand = gen2
+      .join(broadcast(probeCells(probePlan, gen2)), "cell")
+      .select(col("vec_id"), col("code"))
+    Similarity.pqRescoreFor(
+      indexedCorpus(s, dir).unionByName(appendBatch(emb)),
+      Similarity.pqRank(cand, qid, dot, nrm, m, kCent, expand * k), k, q)
+  }
+
   /** Retrain/compact signal: per-cell occupancy of the served index
     * (base ∪ delta) summarized to a bounded report — cell count, row
     * count, the hottest cell, and the max/mean skew ratio. Rising skew
@@ -712,6 +758,26 @@ object Ingest {
           .as("n_diverging")))
     }),
 
+    // IVF-PQ COMPACTION: same differential posture as q_ivf_compact for
+    // the combined index — gen2 (codes merged verbatim, frozen codebook
+    // and centroids) must serve EXACTLY what base ∪ delta serves
+    // (n_diverging pinned to 0), and the append canary's code — now
+    // living only inside gen2 — must surface through the single
+    // DPP-pruned compacted scan (pinned 1.0).
+    "q_ivfpq_compact" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val appended = ivfPqTopKAppended(s, dir, 10)
+      val compacted = ivfPqTopKCompacted(s, dir, 10)
+      val diverging = appended.exceptAll(compacted)
+        .unionByName(compacted.exceptAll(appended))
+      compacted
+        .join(broadcast(appendQueryRow(emb)),
+          col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg(count(lit(1)).cast(DoubleType).as("recall_at_10"))
+        .crossJoin(diverging.agg(count(lit(1)).cast(LongType)
+          .as("n_diverging")))
+    }),
+
     // SemDeDup from the STORED index: survivors of the keep-first
     // policy over the indexed corpus (embeddings ∪ the 8 exact-copy
     // canaries). The canaries are bit-identical to their sources, so
@@ -750,6 +816,8 @@ object Ingest {
     "q_ivf_compact" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",
     "q_ivfpq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_ivfpq_compact" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_semdedup_stored" ->
       """WITH corpus AS (

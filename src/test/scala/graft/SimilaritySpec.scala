@@ -290,6 +290,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
   }
 
+  test("IVF-PQ compaction: gen2 == base∪delta row-for-row, canary served through gen2") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = TestSpark.Sf0001
+    val (_, _, _, codes, delta) = graft.operators.Ingest.ensureIvfPqDelta(s, dir)
+    val (_, _, _, gen2) = graft.operators.Ingest.compactIvfPqIndex(s, dir)
+    // the merge is a pure layout job: gen2 holds EXACTLY the base∪delta
+    // (vec_id, cell, code) rows — codes verbatim, nothing re-encoded
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "code").orderBy("vec_id").collect()
+        .map(_.toSeq).toSeq
+    assert(canon(gen2) == canon(codes.unionByName(delta)))
+    // serving differential: the compacted scan returns the appended
+    // path's top-10 bit-for-bit, including the delta-only canary at 1.0
+    val appended = graft.operators.Ingest.ivfPqTopKAppended(s, dir, 10)
+      .collect().map(_.toSeq).toSeq
+    val compacted = graft.operators.Ingest.ivfPqTopKCompacted(s, dir, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(compacted == appended && compacted.nonEmpty)
+    val emb = graft.queries.Tables.embeddings(s, dir)
+    val q = graft.operators.Ingest.appendQueryRow(emb)
+    val hit = graft.operators.Ingest.ivfPqTopKCompacted(s, dir, 10).join(q,
+        col("vec_id") === col("q_id") + lit(graft.operators.Ingest.AppendOffset))
+      .collect()
+    assert(hit.length == 1, "append canary missing from compacted top-10")
+    assert(math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
+  }
+
   // --- SemDeDup (cosinePairs kernel + operator) -------------------------
 
   private def pairEntries(rows: Seq[(Long, Array[Float])]) = {
