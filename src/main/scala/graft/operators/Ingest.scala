@@ -574,6 +574,73 @@ object Ingest {
           col("n_vectors").cast(DoubleType))
   }
 
+  /** RETRAIN-ON-DRIFT — the action [[ivfOccupancy]]'s skew signal
+    * triggers, closing the index lifecycle loop (ingest → append →
+    * compact → RETRAIN): when the served corpus has drifted away from
+    * the frozen centroids (occupancy skew above `skewThreshold`),
+    * k-means retrains on a bounded deterministic sample of the LIVE
+    * corpus and the next generation is assigned against the new
+    * centroids. Below the threshold nothing happens and the served
+    * generation is returned untouched — the cheap steady-state answer
+    * (the skew probe reads only the assignment's cell column).
+    *
+    * Returns (centroids, assignment, retrained?). The caller keeps
+    * serving the OLD generation until the returned assignment is
+    * materialized (the [[ensureRetrainedIvf]] wrapper does exactly
+    * that switch for the stored index) — retraining never blocks or
+    * mutates in-flight probes, the same snapshot posture as append and
+    * compact. */
+  def retrainOnDrift(corpus: DataFrame, servedCentroids: DataFrame,
+      skewThreshold: Double = 4.0, iters: Int = 3,
+      trainSample: Int = 4096): (DataFrame, DataFrame, Boolean) = {
+    val served = Similarity.ivfAssignKernel(corpus, servedCentroids)
+    val occ = served.select("cell")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast(DoubleType).as("n_cells"),
+        sum("n").cast(DoubleType).as("n_vectors"),
+        max("n").cast(DoubleType).as("max_cell"))
+      .head()
+    val skew = occ.getDouble(2) * occ.getDouble(0) / occ.getDouble(1)
+    if (skew <= skewThreshold) (servedCentroids, served, false)
+    else {
+      val nCells = Similarity.ivfNumCells(occ.getDouble(1).toLong)
+      // bounded lowest-id training sample (the pqTrain rule: assignment
+      // quality, not training-set size, drives recall; the Lloyd passes
+      // stay O(sample) regardless of corpus size)
+      val retrained = Similarity.kmeansCentroids(
+        corpus.orderBy("vec_id").limit(trainSample), nCells, iters)
+      (retrained, Similarity.ivfAssignKernel(corpus, retrained), true)
+    }
+  }
+
+  /** Stored-index wrapper for [[retrainOnDrift]] over the served
+    * base ∪ delta: if the skew trips, gen3 (retrained centroids + new
+    * cell-partitioned assignment) is written NEXT TO the old
+    * generations and returned; otherwise the old generation keeps
+    * serving. Old files are never touched either way. */
+  def ensureRetrainedIvf(s: SparkSession, dir: String,
+      skewThreshold: Double = 4.0): (DataFrame, DataFrame, Boolean) = {
+    val (centroids, assign, delta) = ensureIvfDelta(s, dir)
+    val live = assign.select("vec_id", "embedding")
+      .unionByName(delta.select("vec_id", "embedding"))
+    val (newCents, newAssign, retrained) =
+      retrainOnDrift(live, centroids, skewThreshold)
+    if (!retrained) (centroids, assign.unionByName(delta), false)
+    else {
+      val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+      val cPath = scratch(s, dir, s"ivf_centroids_gen3_c$cells")
+      val aPath = scratch(s, dir, s"ivf_assign_gen3_c$cells")
+      val cH = new org.apache.hadoop.fs.Path(cPath)
+      val fs = cH.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(cH)) {
+        newCents.write.mode("ignore").parquet(cPath)
+        newAssign.repartition(col("cell"))
+          .write.mode("ignore").partitionBy("cell").parquet(aPath)
+      }
+      (s.read.parquet(cPath), s.read.parquet(aPath), true)
+    }
+  }
+
   /** Warm-path IVF-PQ top-k: probe-cell selection over the tiny
     * centroid table → DPP-pruned scan of the probed cells' CODE
     * directories → ADC ranking (16 B/row) → bounded exact rescore.

@@ -318,6 +318,53 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
   }
 
+  test("retrain-on-drift: skew trips the trigger, canary 1.0 on the new generation") {
+    import testImplicits._
+    val rnd = new scala.util.Random(20260813L)
+    val dim = 8
+    def vec() = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    // served centroids trained on YESTERDAY's uniform corpus
+    val oldCorpus = (0 until 500).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val servedCents = Similarity.kmeansCentroids(oldCorpus, 16, iters = 2)
+      .localCheckpoint()
+    // TODAY's corpus drifted: 90% of vectors cluster around one new
+    // direction the old centroids never saw → one hot cell
+    val drift = Array.fill(dim)(rnd.nextFloat() + 1.0f)
+    val mass = (0 until 1800).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => drift(d) + 0.1f * (rnd.nextFloat() - 0.5f)))
+    }
+    val tail = (1800 until 2000).map(i => (i.toLong, vec()))
+    val twin = Seq((100000L, mass.head._2.clone())) // exact copy of min-id row
+    val live = (mass ++ tail ++ twin).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val (newCents, newAssign, retrained) =
+      graft.operators.Ingest.retrainOnDrift(live, servedCents, skewThreshold = 4.0)
+    assert(retrained, "drifted corpus must trip the skew trigger")
+    assert(newAssign.count() == 2001)
+    // the retrained geometry spreads the mass back out: skew under the
+    // new centroids must drop below the trigger
+    val occ = newAssign.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("double").as("c"), sum("n").cast("double").as("v"),
+        max("n").cast("double").as("m")).head()
+    assert(occ.getDouble(2) * occ.getDouble(0) / occ.getDouble(1) <= 4.0,
+      "retraining must dissolve the hot cell")
+    // canary: the exact twin of the min-id query surfaces at cosine 1.0
+    // through the NEW generation's probe
+    val n = 2001L
+    val probe = Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), 10)
+    val hit = Similarity.ivfTopKFrom(live, newCents, 10, probe)
+      .filter(col("vec_id") === 100000L).collect()
+    assert(hit.length == 1, "twin canary missing from retrained top-10")
+    assert(math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
+    // control: the un-drifted corpus under its own centroids stays put
+    val (sameCents, _, again) =
+      graft.operators.Ingest.retrainOnDrift(oldCorpus, servedCents, skewThreshold = 8.0)
+    assert(!again && (sameCents eq servedCents),
+      "no drift → no retrain, serve the old generation")
+  }
+
   // --- SemDeDup (cosinePairs kernel + operator) -------------------------
 
   private def pairEntries(rows: Seq[(Long, Array[Float])]) = {
