@@ -189,6 +189,21 @@ class PlanSpec extends SparkSpecBase {
       s"local top-k must spread over (q_id, pid):\n$p")
   }
 
+  test("batched kNN over base∪delta: every side's scan carries its own DPP filter") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val p = plan(graft.operators.Ingest.knnJoinIvfAppended(
+      spark, TestSpark.Sf0001, qs, 5, nProbe = 4))
+    assert("dynamicpruning".r.findAllIn(p).size >= 2,
+      s"base AND delta scans must each carry a DPP filter:\n$p")
+    assert(!p.contains("cell IN ("),
+      s"no driver-collected cell literal may remain:\n$p")
+    assert(p.contains("hashpartitioning(q_id#") && p.contains(", pid#"),
+      s"local top-k must spread over (q_id, pid):\n$p")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective join") {
     // The petabyte pruning step q_decontaminate's docstring names: when
     // one join side is small-after-filter, Catalyst's InjectRuntimeFilter
