@@ -60,6 +60,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => LmNll(es(0), es(1), es(2), es(3), es(4))),
     (FunctionIdentifier("graft_l2sq"), info("graft_l2sq", classOf[L2Sq]),
       (es: Seq[Expression]) => L2Sq(es(0), es(1))),
+    (FunctionIdentifier("graft_cosine_pairs"),
+      info("graft_cosine_pairs", classOf[CosinePairs]),
+      (es: Seq[Expression]) => CosinePairs(es(0), es(1))),
+    (FunctionIdentifier("graft_cosine_pairs_cross"),
+      info("graft_cosine_pairs_cross", classOf[CosinePairsCross]),
+      (es: Seq[Expression]) => CosinePairsCross(es(0), es(1))),
     (FunctionIdentifier("graft_pq_encode"),
       info("graft_pq_encode", classOf[PqEncode]),
       (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))),
