@@ -73,10 +73,15 @@ def shifted(table: pa.Table, name: str, k: int) -> pa.Table:
         t = t.set_column(t.schema.get_field_index("text"), "text",
                          pa.array(texts, type=pa.string()))
     if name == "events" and k > 0:
-        shift_ns = k * 100 * 24 * 3600 * 1_000_000_000
-        ts = pc.add(t["ts"].cast(pa.int64()), pa.scalar(shift_ns))
+        # shift in the column's OWN unit (the driver's physical encoding
+        # drifted nanos->micros between rounds; a hardcoded-nanos shift
+        # applied to micros values lands copies millennia out)
+        ts_type = t.schema.field("ts").type
+        unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_type.unit]
+        shift = k * 100 * 24 * 3600 * unit_per_s
+        ts = pc.add(t["ts"].cast(pa.int64()), pa.scalar(shift))
         t = t.set_column(t.schema.get_field_index("ts"), "ts",
-                         ts.cast(t.schema.field("ts").type))
+                         ts.cast(ts_type))
     if name == "embeddings" and k > 0:
         r = (7 * k)
         vecs = [v[r % len(v):] + v[:r % len(v)] if v else v
