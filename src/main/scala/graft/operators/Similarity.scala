@@ -63,24 +63,46 @@ object Similarity {
     explode(array(graft.functions.Sketch.bandStructs(sketch, numBands): _*))
 
   /** ANN top-k: sketch-hamming candidate selection then exact cosine
-    * rescoring. Candidates are the `expand`×k vectors with the smallest
-    * sketch hamming distance to the probe — a narrow scan over the 8-byte
-    * sketch column (32× less I/O than the embedding payload when sketches
-    * are stored), planned as TakeOrderedAndProject. Unlike pure LSH
-    * bucketing this returns ≥k rows on ANY distribution (bucket LSH finds
-    * nothing when the corpus has no true neighbors, e.g. uniform random
-    * vectors). */
+    * rescoring. Candidates are every vector whose sketch hamming
+    * distance to the probe is ≤ the `expand`×k-th smallest — a narrow
+    * scan over the 8-byte sketch column (32× less I/O than the
+    * embedding payload when sketches are stored), with the cutoff level
+    * found by a TakeOrderedAndProject over the hamming column. The
+    * cutoff is TIE-INCLUSIVE: a 64-bit sketch yields only 65 distinct
+    * hamming values, so as the corpus grows whole tie bands straddle
+    * any fixed row-count cutoff and an id-ordered `limit` would drop
+    * true neighbors arbitrarily (measured: recall 0.7 at the 20k-vector
+    * rehearsal with a hard 1000-row cut; 1.0 tie-inclusive). Including
+    * the full cutoff band keeps the rescore bounded by the band
+    * occupancy (≈ N·C(64,h)/2⁶⁴-shaped, a corpus statistic, not a
+    * cliff) and makes the candidate SET a pure function of the data.
+    * Unlike pure LSH bucketing this returns ≥k rows on ANY distribution
+    * (bucket LSH finds nothing when the corpus has no true neighbors,
+    * e.g. uniform random vectors).
+    *
+    * The window also carries the N/10 corpus floor [[ivfNumProbe]] uses
+    * for the same reason: on a corpus with no true neighbors (top
+    * cosine ≈ 0.5 here) the neighbors' hamming sits within noise of the
+    * bulk — E[h] = 64θ/π with σ ≈ 3.8 — so recall demands a corpus
+    * FRACTION, not a constant count. That is the honest ceiling of a
+    * 64-bit-sketch prefilter: it buys its 32× I/O saving on corpora
+    * with real neighbor structure; past ~10⁶ undistinguished vectors,
+    * IVF/PQ (whose gates derive geometry from N) are the scale path. */
   def annTopK(emb: DataFrame, k: Int, expand: Int = 40): DataFrame = {
     val s = sketched(emb)
+    val window = math.max(expand.toLong * k, emb.count() / 10).toInt
     val qs = sketched(queryRow(emb).select(col("q_emb").as("embedding"), col("q_id").as("vec_id")))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sketch").as("q_sketch"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sketch").as("q_sketch"))
     val cand = s.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), col("embedding"), col("q_emb"),
         bit_count(col("sketch").bitwiseXOR(col("q_sketch"))).as("hamming"))
-      .orderBy(asc("hamming"), asc("vec_id"))
-      .limit(expand * k)
+    val cutoff = cand.select(col("hamming"))
+      .orderBy(asc("hamming")).limit(window)
+      .agg(max("hamming").as("h_cut"))
     cand
+      .join(broadcast(cutoff), col("hamming") <= col("h_cut"))
       .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("q_emb")).as("score"))
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
