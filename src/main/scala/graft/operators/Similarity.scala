@@ -667,7 +667,9 @@ object Similarity {
     // expand=100: the 64-bit-sketch hamming ranking is a loose cosine
     // proxy on this near-continuum corpus, and the default ×40 window
     // drops to recall 0.8 at sf0.1 (×60 is the measured knee; ×100 adds
-    // margin). Rescoring 1000 candidates is still narrow and bounded.
+    // margin). The operator's tie-inclusive cutoff + N/10 floor carry
+    // the gate through the 10× rehearsal (a hard 1000-row cut measured
+    // 0.7 there); the rescore stays narrow and bounded.
     "q_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       annTopK(emb, 10, expand = 100).select("vec_id")
