@@ -416,17 +416,26 @@ object Similarity {
       maxCellRows: Int = graft.functions.VectorSketchOps.MaxClusterEntries,
       maxSlices: Int = 1024): DataFrame = {
     val spark = assigned.sparkSession
+    import spark.implicits._
     VectorOps.register(spark)
-    val hot = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+    // the hot list is bounded (≤ N/maxCellRows entries), so collect it
+    // ONCE and re-broadcast as a literal relation — leaving it lazy
+    // would recompute the occupancy aggregate (and the assignment
+    // lineage beneath it) a second time inside the join
+    val hotRows = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxCellRows)
-      .select(col("cell"),
+      .select(col("cell").cast(LongType),
         ceil(col("n").cast(DoubleType) / maxCellRows).cast(IntegerType).as("k"))
-    hot.filter(col("k") > maxSlices).limit(1).collect().foreach { r =>
+      .collect()
+    hotRows.find(_.getInt(1) > maxSlices).foreach { r =>
       throw new IllegalStateException(
         s"cellPairs: cell ${r.get(0)} needs ${r.getInt(1)} slices " +
           s"(> $maxSlices) — degenerate clustering. Run exact dedup " +
           "first, raise the cell count, or retrain centroids.")
     }
+    val hot = hotRows.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .toDF("cell", "k")
+      .withColumn("cell", col("cell").cast(assigned.schema("cell").dataType))
     val sliced = assigned.join(broadcast(hot), Seq("cell"), "left")
       .withColumn("k", coalesce(col("k"), lit(1)))
       .withColumn("slice", pmod(xxhash64(col("vec_id")), col("k")).cast(IntegerType))
