@@ -532,13 +532,13 @@ object Ingest {
     (cb, dim, centroids, s.read.parquet(gPath))
   }
 
-  /** Warm-path IVF-PQ top-k from the COMPACTED generation — the
-    * single-scan serving shape of [[ivfPqTopKStored]] over gen2 (one
-    * DPP-pruned code scan instead of the base ∪ delta union). */
-  def ivfPqTopKCompacted(s: SparkSession, dir: String, k: Int,
-      expand: Int = 60, nProbe: Int = 0, m: Int = 8,
-      kCent: Int = 256): DataFrame = {
-    val (cb, dim, centroids, gen2) = compactIvfPqIndex(s, dir, m, kCent)
+  /** Shared single-query IVF-PQ serving body over ANY (centroids,
+    * cell-partitioned codes) generation: ADC tables for the append
+    * query, DPP-pruned code scan, bounded exact rescore against the
+    * full served corpus. */
+  private def ivfPqServe(s: SparkSession, dir: String, centroids: DataFrame,
+      codes: DataFrame, cb: Array[Float], dim: Int, k: Int, expand: Int,
+      nProbe: Int, m: Int, kCent: Int): DataFrame = {
     val n = embeddingCount(s, dir)
     val probe =
       if (nProbe > 0) nProbe
@@ -547,12 +547,69 @@ object Ingest {
     val q = appendQueryRow(emb)
     val (qid, dot, nrm) = Similarity.adcTablesFor(q, cb, dim, m, kCent)
     val probePlan = singleQueryProbePlan(centroids, q, probe)
-    val cand = gen2
-      .join(broadcast(probeCells(probePlan, gen2)), "cell")
+    val cand = codes
+      .join(broadcast(probeCells(probePlan, codes)), "cell")
       .select(col("vec_id"), col("code"))
     Similarity.pqRescoreFor(
       indexedCorpus(s, dir).unionByName(appendBatch(emb)),
       Similarity.pqRank(cand, qid, dot, nrm, m, kCent, expand * k), k, q)
+  }
+
+  /** Warm-path IVF-PQ top-k from the COMPACTED generation — the
+    * single-scan serving shape of [[ivfPqTopKStored]] over gen2 (one
+    * DPP-pruned code scan instead of the base ∪ delta union). */
+  def ivfPqTopKCompacted(s: SparkSession, dir: String, k: Int,
+      expand: Int = 60, nProbe: Int = 0, m: Int = 8,
+      kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, gen2) = compactIvfPqIndex(s, dir, m, kCent)
+    ivfPqServe(s, dir, centroids, gen2, cb, dim, k, expand, nProbe, m, kCent)
+  }
+
+  /** IVF-PQ RETRAIN — the combined index's half of the drift response,
+    * completing the lifecycle matrix (build → append → compact →
+    * retrain for BOTH layouts): when [[retrainOnDrift]] trips on the
+    * served corpus, generation 3 re-partitions the SAME codes under the
+    * retrained centroids. The PQ codebook is CELL-INDEPENDENT (trained
+    * on sub-vector distributions, not on the coarse geometry), so the
+    * codes stay valid across any re-clustering — they are re-derived
+    * bit-identically inside the assignment scan (deterministic frozen-
+    * codebook encode; cheaper than shuffling the 16 B/row code table
+    * into the new cell layout through a join). Below the threshold the
+    * served generation returns untouched. */
+  def ensureRetrainedIvfPq(s: SparkSession, dir: String,
+      skewThreshold: Double = 4.0, m: Int = 8, kCent: Int = 256)
+      : (Array[Float], Int, DataFrame, DataFrame, Boolean) = {
+    val (cb, dim, centroids, codes, delta) = ensureIvfPqDelta(s, dir, m, kCent)
+    val live = indexedCorpus(s, dir)
+      .unionByName(appendBatch(embeddings(s, dir)))
+    val (newCents, _, retrained) = retrainOnDrift(live, centroids, skewThreshold)
+    if (!retrained) (cb, dim, centroids, codes.unionByName(delta), false)
+    else {
+      val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+      val cPath = scratch(s, dir, s"ivfpq_centroids_gen3_m${m}_k${kCent}_c$cells")
+      val gPath = scratch(s, dir, s"ivfpq_codes_gen3_m${m}_k${kCent}_c$cells")
+      graft.functions.PqOps.register(s)
+      val cH = new org.apache.hadoop.fs.Path(cPath)
+      val fs = cH.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(cH)) {
+        newCents.write.mode("ignore").parquet(cPath)
+        Similarity.ivfAssignKernel(live, newCents)
+          .select(col("vec_id"), col("cell"),
+            graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
+          .repartition(col("cell"))
+          .write.mode("ignore").partitionBy("cell").parquet(gPath)
+      }
+      (cb, dim, s.read.parquet(cPath), s.read.parquet(gPath), true)
+    }
+  }
+
+  /** Warm-path IVF-PQ top-k from the RETRAINED generation. */
+  def ivfPqTopKRetrained(s: SparkSession, dir: String, k: Int,
+      skewThreshold: Double = 4.0, expand: Int = 60, nProbe: Int = 0,
+      m: Int = 8, kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, codes, _) =
+      ensureRetrainedIvfPq(s, dir, skewThreshold, m, kCent)
+    ivfPqServe(s, dir, centroids, codes, cb, dim, k, expand, nProbe, m, kCent)
   }
 
   /** Retrain/compact signal: per-cell occupancy of the served index
@@ -918,6 +975,30 @@ object Ingest {
           .as("n_diverging")))
     }),
 
+    // IVF-PQ RETRAIN: skewThreshold = 0 forces the drift response
+    // deterministically (occupancy skew is ≥ 1 by construction), so the
+    // gate exercises the full retrain path every run: k-means on the
+    // live sample, gen3 assignment under the NEW centroids, codes
+    // re-derived with the FROZEN codebook. Pinned: the gen3 code SET is
+    // bit-identical per vec_id to the served base ∪ delta (codebook
+    // frozen ⇒ re-encode is deterministic; n_code_diverging 0) and the
+    // append canary surfaces through the retrained geometry (1.0).
+    "q_ivfpq_retrain" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val (_, _, _, gen3, _) = ensureRetrainedIvfPq(s, dir, skewThreshold = 0.0)
+      val (_, _, _, codes, delta) = ensureIvfPqDelta(s, dir)
+      val served = codes.select("vec_id", "code")
+        .unionByName(delta.select("vec_id", "code"))
+      val g3 = gen3.select("vec_id", "code")
+      val diverging = g3.exceptAll(served).unionByName(served.exceptAll(g3))
+      ivfPqTopKRetrained(s, dir, 10, skewThreshold = 0.0)
+        .join(broadcast(appendQueryRow(emb)),
+          col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg(count(lit(1)).cast(DoubleType).as("recall_at_10"))
+        .crossJoin(diverging.agg(count(lit(1)).cast(LongType)
+          .as("n_code_diverging")))
+    }),
+
     // SemDeDup from the STORED index: survivors of the keep-first
     // policy over the indexed corpus (embeddings ∪ the 8 exact-copy
     // canaries). The canaries are bit-identical to their sources, so
@@ -958,6 +1039,8 @@ object Ingest {
     "q_ivfpq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivfpq_compact" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",
+    "q_ivfpq_retrain" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_code_diverging",
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_semdedup_stored" ->
       """WITH corpus AS (

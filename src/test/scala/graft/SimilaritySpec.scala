@@ -318,6 +318,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
   }
 
+  test("IVF-PQ retrain: gen3 carries bit-identical codes under new centroids, canary served") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = TestSpark.Sf0001
+    val (_, _, cents3, gen3, retrained) =
+      graft.operators.Ingest.ensureRetrainedIvfPq(s, dir, skewThreshold = 0.0)
+    assert(retrained, "threshold 0 must force the drift response")
+    // the retrained generation re-partitions the SAME code set: per
+    // vec_id the frozen-codebook encode is deterministic, so codes are
+    // bit-identical to the served base∪delta even though cells moved
+    val (_, _, cents2, codes, delta) = graft.operators.Ingest.ensureIvfPqDelta(s, dir)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "code").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(codeSet(gen3) == codeSet(codes.unionByName(delta)))
+    // the retrained centroids are a genuinely new geometry
+    assert(cents3.count() > 0 &&
+      cents3.collect().map(_.toSeq).toSet != cents2.collect().map(_.toSeq).toSet)
+    // append canary at 1.0 through the retrained serve path
+    val q = graft.operators.Ingest.appendQueryRow(
+      graft.queries.Tables.embeddings(s, dir))
+    val hit = graft.operators.Ingest.ivfPqTopKRetrained(s, dir, 10, skewThreshold = 0.0)
+      .join(q, col("vec_id") === col("q_id") + lit(graft.operators.Ingest.AppendOffset))
+      .collect()
+    assert(hit.length == 1 && math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
+  }
+
   test("retrain-on-drift: skew trips the trigger, canary 1.0 on the new generation") {
     import testImplicits._
     val rnd = new scala.util.Random(20260813L)
