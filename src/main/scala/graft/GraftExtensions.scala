@@ -71,6 +71,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => PqEncode(es(0), es(1), es(2), es(3))),
     (FunctionIdentifier("graft_pq_adc"), info("graft_pq_adc", classOf[PqAdc]),
       (es: Seq[Expression]) => PqAdc(es(0), es(1), es(2), es(3), es(4))),
+    (FunctionIdentifier("graft_pq_adc_cols"),
+      info("graft_pq_adc_cols", classOf[PqAdcCols]),
+      (es: Seq[Expression]) => PqAdcCols(es(0), es(1), es(2), es(3), es(4))),
     (FunctionIdentifier("graft_bloom_agg"),
       info("graft_bloom_agg",
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]),

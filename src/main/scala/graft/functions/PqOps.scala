@@ -36,6 +36,9 @@ object PqOps {
     reg.createOrReplaceTempFunction("graft_pq_adc",
       exprs => PqAdc(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc_cols",
+      exprs => PqAdcCols(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
+      "built-in")
   }
 
   /** Encode an `array<float>` embedding to its packed PQ code. The flat
@@ -51,6 +54,14 @@ object PqOps {
       m: Int, k: Int): Column =
     call_function("graft_pq_adc", code,
       typedlit(dotTable.toSeq), typedlit(nrmTable.toSeq), lit(m), lit(k))
+
+  /** ADC score with the lookup tables taken from COLUMNS (the batched
+    * kNN path joins a per-query table frame to the candidates; each row
+    * reads its query's tables with M O(1) lookups — no per-row
+    * materialization). */
+  def adcCols(code: Column, dotTable: Column, nrmTable: Column,
+      m: Int, k: Int): Column =
+    call_function("graft_pq_adc_cols", code, dotTable, nrmTable, lit(m), lit(k))
 }
 
 /** Kernels shared by interpreted eval and generated code. */
@@ -87,6 +98,27 @@ object PqKernels {
       mi += 1
     }
     code
+  }
+
+  /** [[adc]] with the tables as ArrayData — per-call cost is M O(1)
+    * `getDouble` lookups (UnsafeArrayData random access), so joining a
+    * per-query table COLUMN to candidates costs the same per row as the
+    * literal-table form; only the table residency differs (broadcast
+    * row vs codegen reference). */
+  def adcData(code: Long, dot: ArrayData, nrm: ArrayData,
+      m: Int, k: Int): Double = {
+    require(dot.numElements() == m * k && nrm.numElements() == m * k,
+      s"pq_adc_cols: table length ${dot.numElements()} != m*k = ${m * k}")
+    var sumDot = 0.0
+    var sumNrm = 0.0
+    var mi = 0
+    while (mi < m) {
+      val ki = ((code >>> (8 * mi)) & 0xffL).toInt
+      sumDot += dot.getDouble(mi * k + ki)
+      sumNrm += nrm.getDouble(mi * k + ki)
+      mi += 1
+    }
+    if (sumNrm <= 0.0) 0.0 else sumDot / math.sqrt(sumNrm)
   }
 
   /** Σ_m dot[m][code_m] / sqrt(Σ_m nrm[m][code_m]) — the cosine
@@ -188,5 +220,52 @@ case class PqAdc(code: Expression, dotTable: Expression, nrmTable: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PqAdc =
     PqAdc(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4))
+}
+
+/** `graft_pq_adc_cols(bigint, array<double>, array<double>, int, int) ->
+  * double` — [[PqAdc]] with the lookup tables taken from ordinary
+  * (usually broadcast-joined per-query) COLUMNS; m/k stay foldable.
+  * Null code or table → null score. */
+case class PqAdcCols(code: Expression, dotTable: Expression,
+    nrmTable: Expression, m: Expression, k: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(code, dotTable, nrmTable, m, k)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    code.nullable || dotTable.nullable || nrmTable.nullable
+  override def prettyName: String = "graft_pq_adc_cols"
+
+  @transient private lazy val (mV, kV) = {
+    require(m.foldable && k.foldable, "graft_pq_adc_cols m/k must be literals")
+    (m.eval(null).asInstanceOf[Int], k.eval(null).asInstanceOf[Int])
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val c = code.eval(input)
+    val d = dotTable.eval(input)
+    val n = nrmTable.eval(input)
+    if (c == null || d == null || n == null) null
+    else PqKernels.adcData(c.asInstanceOf[Long],
+      d.asInstanceOf[ArrayData], n.asInstanceOf[ArrayData], mV, kV)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = code.genCode(ctx)
+    val d = dotTable.genCode(ctx)
+    val n = nrmTable.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      ${d.code}
+      ${n.code}
+      boolean ${ev.isNull} = ${c.isNull} || ${d.isNull} || ${n.isNull};
+      double ${ev.value} = ${ev.isNull}
+        ? 0.0 : graft.functions.PqKernels.adcData(
+            ${c.value}, ${d.value}, ${n.value}, $mV, $kV);""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqAdcCols =
+    PqAdcCols(newChildren(0), newChildren(1), newChildren(2),
       newChildren(3), newChildren(4))
 }

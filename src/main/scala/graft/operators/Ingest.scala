@@ -803,6 +803,57 @@ object Ingest {
     knnJoinSides(s, dir, Seq(gen2), centroids, queriesDf, k, nProbe)
   }
 
+  /** Batched kNN through the STORED IVF-PQ index — the full
+    * billion-scale retrieval shape for a QUERY BATCH: the batched
+    * probe plan DPP-prunes the cell-partitioned CODE scan to the union
+    * of probed cells, each candidate row ADC-scores against ITS query's
+    * lookup tables (a broadcast per-query table frame joined on q_id;
+    * the `graft_pq_adc_cols` kernel reads M O(1) lookups from the
+    * joined table columns — same per-row cost as the single-query
+    * literal-table form), the shared two-phase top-k cuts the ADC
+    * shortlist to expand×k per query, and only the shortlist touches
+    * the embedding payload for the exact rescore. Per query the scan
+    * I/O is 16 B/row over nProbe/nCells of the corpus — the same
+    * economics as [[ivfPqTopKStored]], amortized across the batch by
+    * one shared scan. The table frame is |Q|·2·M·K doubles (~32 KB per
+    * query at 8×256) — bounded by the same broadcast budget as the
+    * query batch itself. */
+  def knnJoinIvfPqStored(s: SparkSession, dir: String, queriesDf: DataFrame,
+      k: Int, expand: Int = 60, nProbe: Int = 0, m: Int = 8,
+      kCent: Int = 256): DataFrame = {
+    VectorOps.register(s)
+    graft.functions.PqOps.register(s)
+    import s.implicits._
+    val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
+    val n = embeddingCount(s, dir)
+    val probe =
+      if (nProbe > 0) nProbe
+      else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
+    // per-query ADC tables: a driver-built bounded model artifact, like
+    // the codebook itself (|Q| is broadcast-bounded by construction)
+    val tables = queriesDf.select(col("q_id"), col("q_emb")).collect().map { r =>
+      val (dot, nrm) = Similarity.adcTablesRaw(
+        r.getSeq[Float](1).toArray, cb, dim, m, kCent)
+      (r.getLong(0), dot.toSeq, nrm.toSeq)
+    }.toSeq.toDF("tq_id", "dot", "nrm")
+    val probePlan = batchProbePlan(centroids, queriesDf, probe)
+    val ranked = codes
+      .join(broadcast(probeCells(probePlan, codes)), "cell") // DPP prunes
+      .join(broadcast(tables), col("p_qid") === col("tq_id"))
+      .filter(col("vec_id") =!= col("tq_id"))
+      .select(col("tq_id").as("q_id"), col("vec_id"),
+        graft.functions.PqOps.adcCols(col("code"), col("dot"), col("nrm"),
+          m, kCent).as("score"))
+    val shortlist = Similarity.topKPerQuery(ranked, expand * k)
+      .select("q_id", "vec_id")
+    val scored = shortlist
+      .join(indexedCorpus(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queriesDf), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -863,6 +914,23 @@ object Ingest {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       knnJoinIvfAppended(s, dir, qs, 10)
         .filter(col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
+          .as("recall_at_10"))
+    }),
+
+    // batched kNN through the STORED IVF-PQ index: 8 queries share one
+    // DPP-pruned 16 B/row code scan; each query ADC-ranks against its
+    // own broadcast tables and its planted exact-copy canary (riding
+    // the code table at +TwinOffset) must survive the ADC shortlist and
+    // top the exact rescore — recall pinned 1.0 proves the batched
+    // probe plan, the per-query table join, the column-table ADC
+    // kernel, and the two-phase top-k composed under real pruning.
+    "q_knn_ivfpq_stored" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      knnJoinIvfPqStored(s, dir, qs, 10)
+        .filter(col("vec_id") === col("q_id") + lit(TwinOffset))
         .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
           .as("recall_at_10"))
     }),
@@ -1060,6 +1128,7 @@ object Ingest {
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_knn_ivfpq_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_compact" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging"
   )

@@ -597,10 +597,18 @@ object Similarity {
     * paths probe with a non-minimum query row. */
   private[graft] def adcTablesFor(q: DataFrame, cb: Array[Float],
       dim: Int, m: Int, kCent: Int): (Long, Array[Double], Array[Double]) = {
-    val sub = dim / m
     val qr = q.select(col("q_id"), col("q_emb")).head()
-    val qid = qr.getLong(0)
-    val qv = qr.getSeq[Float](1).toArray
+    val (dot, nrm) =
+      adcTablesRaw(qr.getSeq[Float](1).toArray, cb, dim, m, kCent)
+    (qr.getLong(0), dot, nrm)
+  }
+
+  /** ADC tables from a raw probe vector — the per-query building block
+    * of the batched IVF-PQ kNN (one table pair per query in the
+    * broadcast batch). */
+  private[graft] def adcTablesRaw(qv: Array[Float], cb: Array[Float],
+      dim: Int, m: Int, kCent: Int): (Array[Double], Array[Double]) = {
+    val sub = dim / m
     require(qv.length == dim, s"probe dim ${qv.length} != corpus dim $dim")
     val dot = new Array[Double](m * kCent)
     val nrm = new Array[Double](m * kCent)
@@ -623,7 +631,7 @@ object Similarity {
       }
       mi += 1
     }
-    (qid, dot, nrm)
+    (dot, nrm)
   }
 
   /** ADC candidate ranking over a (vec_id, code) frame — the pass that

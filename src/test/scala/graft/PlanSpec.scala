@@ -204,6 +204,21 @@ class PlanSpec extends SparkSpecBase {
       s"local top-k must spread over (q_id, pid):\n$p")
   }
 
+  test("batched IVF-PQ kNN: DPP-pruned code scan, column-table ADC, no cell literal") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val p = plan(graft.operators.Ingest.knnJoinIvfPqStored(
+      spark, TestSpark.Sf0001, qs, 5, nProbe = 4))
+    assert(p.contains("dynamicpruning"),
+      s"the shared code scan must prune probed cells via DPP:\n$p")
+    assert(p.contains("graft_pq_adc_cols"),
+      s"candidates must ADC-score against their query's table columns:\n$p")
+    assert(!p.contains("cell IN ("),
+      s"no driver-collected cell literal may remain:\n$p")
+  }
+
   test("runtime Bloom filter prunes the big side of a selective join") {
     // The petabyte pruning step q_decontaminate's docstring names: when
     // one join side is small-after-filter, Catalyst's InjectRuntimeFilter
