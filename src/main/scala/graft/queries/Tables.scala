@@ -168,5 +168,23 @@ object Tables {
     decoded
   }
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
-  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** The vector kernels (cosine, SRP, PQ encode, IVF assign) are typed
+    * on `array<float>`; if a future testdata generation widens the
+    * column to `array<double>` (the pandas/pyarrow default), normalize
+    * at the reader — the same drift class as the events `ts` encoding
+    * (r6), handled the same way: follow the footer, converge on one
+    * logical type. */
+  def embeddings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val df = t(s, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unsupported parquet type $other")
+    }
+  }
 }
