@@ -22,8 +22,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup (untimed): FileSystem init, parquet footers, codegen paths.
-    // (events.parquet is TIMESTAMP(NANOS): inference would reject it, so
-    // warm it through the explicit-schema reader like the queries do.)
+    // (events.parquet goes through Tables.events so the encoding probe
+    // and its per-path caches are warm before any timed pass.)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
