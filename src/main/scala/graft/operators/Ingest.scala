@@ -580,25 +580,28 @@ object Ingest {
       skewThreshold: Double = 4.0, m: Int = 8, kCent: Int = 256)
       : (Array[Float], Int, DataFrame, DataFrame, Boolean) = {
     val (cb, dim, centroids, codes, delta) = ensureIvfPqDelta(s, dir, m, kCent)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val cPath = scratch(s, dir, s"ivfpq_centroids_gen3_m${m}_k${kCent}_c$cells")
+    val gPath = scratch(s, dir, s"ivfpq_codes_gen3_m${m}_k${kCent}_c$cells")
+    val cH = new org.apache.hadoop.fs.Path(cPath)
+    val fs = cH.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // generations are MONOTONE (the LSM posture): once gen3 exists, a
+    // retrain already happened — serve it without re-deciding, so the
+    // warm path pays two parquet reads, not a k-means pass per probe
+    if (fs.exists(cH))
+      return (cb, dim, s.read.parquet(cPath), s.read.parquet(gPath), true)
     val live = indexedCorpus(s, dir)
       .unionByName(appendBatch(embeddings(s, dir)))
     val (newCents, _, retrained) = retrainOnDrift(live, centroids, skewThreshold)
     if (!retrained) (cb, dim, centroids, codes.unionByName(delta), false)
     else {
-      val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
-      val cPath = scratch(s, dir, s"ivfpq_centroids_gen3_m${m}_k${kCent}_c$cells")
-      val gPath = scratch(s, dir, s"ivfpq_codes_gen3_m${m}_k${kCent}_c$cells")
       graft.functions.PqOps.register(s)
-      val cH = new org.apache.hadoop.fs.Path(cPath)
-      val fs = cH.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(cH)) {
-        newCents.write.mode("ignore").parquet(cPath)
-        Similarity.ivfAssignKernel(live, newCents)
-          .select(col("vec_id"), col("cell"),
-            graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
-          .repartition(col("cell"))
-          .write.mode("ignore").partitionBy("cell").parquet(gPath)
-      }
+      newCents.write.mode("ignore").parquet(cPath)
+      Similarity.ivfAssignKernel(live, newCents)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
+        .repartition(col("cell"))
+        .write.mode("ignore").partitionBy("cell").parquet(gPath)
       (cb, dim, s.read.parquet(cPath), s.read.parquet(gPath), true)
     }
   }
@@ -678,22 +681,23 @@ object Ingest {
   def ensureRetrainedIvf(s: SparkSession, dir: String,
       skewThreshold: Double = 4.0): (DataFrame, DataFrame, Boolean) = {
     val (centroids, assign, delta) = ensureIvfDelta(s, dir)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val cPath = scratch(s, dir, s"ivf_centroids_gen3_c$cells")
+    val aPath = scratch(s, dir, s"ivf_assign_gen3_c$cells")
+    val cH = new org.apache.hadoop.fs.Path(cPath)
+    val fs = cH.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // monotone generations: an existing gen3 IS the retrain decision
+    if (fs.exists(cH))
+      return (s.read.parquet(cPath), s.read.parquet(aPath), true)
     val live = assign.select("vec_id", "embedding")
       .unionByName(delta.select("vec_id", "embedding"))
     val (newCents, newAssign, retrained) =
       retrainOnDrift(live, centroids, skewThreshold)
     if (!retrained) (centroids, assign.unionByName(delta), false)
     else {
-      val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
-      val cPath = scratch(s, dir, s"ivf_centroids_gen3_c$cells")
-      val aPath = scratch(s, dir, s"ivf_assign_gen3_c$cells")
-      val cH = new org.apache.hadoop.fs.Path(cPath)
-      val fs = cH.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(cH)) {
-        newCents.write.mode("ignore").parquet(cPath)
-        newAssign.repartition(col("cell"))
-          .write.mode("ignore").partitionBy("cell").parquet(aPath)
-      }
+      newCents.write.mode("ignore").parquet(cPath)
+      newAssign.repartition(col("cell"))
+        .write.mode("ignore").partitionBy("cell").parquet(aPath)
       (s.read.parquet(cPath), s.read.parquet(aPath), true)
     }
   }
@@ -1045,9 +1049,10 @@ object Ingest {
 
     // IVF-PQ RETRAIN: skewThreshold = 0 forces the drift response
     // deterministically (occupancy skew is ≥ 1 by construction), so the
-    // gate exercises the full retrain path every run: k-means on the
-    // live sample, gen3 assignment under the NEW centroids, codes
-    // re-derived with the FROZEN codebook. Pinned: the gen3 code SET is
+    // COLD run exercises the full retrain path — k-means on the live
+    // sample, gen3 assignment under the NEW centroids, codes re-derived
+    // with the FROZEN codebook — and warm runs serve the monotone gen3
+    // like production would. Pinned EVERY run: the gen3 code SET is
     // bit-identical per vec_id to the served base ∪ delta (codebook
     // frozen ⇒ re-encode is deterministic; n_code_diverging 0) and the
     // append canary surfaces through the retrained geometry (1.0).
