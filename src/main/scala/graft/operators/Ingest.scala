@@ -825,10 +825,40 @@ object Ingest {
   def knnJoinIvfPqStored(s: SparkSession, dir: String, queriesDf: DataFrame,
       k: Int, expand: Int = 60, nProbe: Int = 0, m: Int = 8,
       kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
+    knnJoinPqSides(s, dir, Seq(codes), centroids, cb, dim,
+      indexedCorpus(s, dir), queriesDf, k, expand, nProbe, m, kCent)
+  }
+
+  /** Batched IVF-PQ kNN over the APPENDED index (base ∪ delta code
+    * tables, each DPP-pruned before the union). */
+  def knnJoinIvfPqAppended(s: SparkSession, dir: String, queriesDf: DataFrame,
+      k: Int, expand: Int = 60, nProbe: Int = 0, m: Int = 8,
+      kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, codes, delta) = ensureIvfPqDelta(s, dir, m, kCent)
+    knnJoinPqSides(s, dir, Seq(codes, delta), centroids, cb, dim,
+      indexedCorpus(s, dir).unionByName(appendBatch(embeddings(s, dir))),
+      queriesDf, k, expand, nProbe, m, kCent)
+  }
+
+  /** Batched IVF-PQ kNN over the COMPACTED generation (one merged
+    * code scan). */
+  def knnJoinIvfPqCompacted(s: SparkSession, dir: String, queriesDf: DataFrame,
+      k: Int, expand: Int = 60, nProbe: Int = 0, m: Int = 8,
+      kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, gen2) = compactIvfPqIndex(s, dir, m, kCent)
+    knnJoinPqSides(s, dir, Seq(gen2), centroids, cb, dim,
+      indexedCorpus(s, dir).unionByName(appendBatch(embeddings(s, dir))),
+      queriesDf, k, expand, nProbe, m, kCent)
+  }
+
+  private def knnJoinPqSides(s: SparkSession, dir: String,
+      sides: Seq[DataFrame], centroids: DataFrame, cb: Array[Float],
+      dim: Int, rescoreCorpus: DataFrame, queriesDf: DataFrame, k: Int,
+      expand: Int, nProbe: Int, m: Int, kCent: Int): DataFrame = {
     VectorOps.register(s)
     graft.functions.PqOps.register(s)
     import s.implicits._
-    val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
     val n = embeddingCount(s, dir)
     val probe =
       if (nProbe > 0) nProbe
@@ -841,17 +871,19 @@ object Ingest {
       (r.getLong(0), dot.toSeq, nrm.toSeq)
     }.toSeq.toDF("tq_id", "dot", "nrm")
     val probePlan = batchProbePlan(centroids, queriesDf, probe)
-    val ranked = codes
-      .join(broadcast(probeCells(probePlan, codes)), "cell") // DPP prunes
-      .join(broadcast(tables), col("p_qid") === col("tq_id"))
-      .filter(col("vec_id") =!= col("tq_id"))
-      .select(col("tq_id").as("q_id"), col("vec_id"),
-        graft.functions.PqOps.adcCols(col("code"), col("dot"), col("nrm"),
-          m, kCent).as("score"))
+    val ranked = sides.map { side =>
+      side
+        .join(broadcast(probeCells(probePlan, side)), "cell") // DPP per side
+        .join(broadcast(tables), col("p_qid") === col("tq_id"))
+        .filter(col("vec_id") =!= col("tq_id"))
+        .select(col("tq_id").as("q_id"), col("vec_id"),
+          graft.functions.PqOps.adcCols(col("code"), col("dot"), col("nrm"),
+            m, kCent).as("score"))
+    }.reduce(_.unionByName(_))
     val shortlist = Similarity.topKPerQuery(ranked, expand * k)
       .select("q_id", "vec_id")
     val scored = shortlist
-      .join(indexedCorpus(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(rescoreCorpus.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queriesDf), "q_id")
       .select(col("q_id"), col("vec_id"),
         round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
@@ -935,6 +967,20 @@ object Ingest {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       knnJoinIvfPqStored(s, dir, qs, 10)
         .filter(col("vec_id") === col("q_id") + lit(TwinOffset))
+        .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
+          .as("recall_at_10"))
+    }),
+
+    // batched IVF-PQ kNN over base ∪ delta: the 8 append-source queries
+    // find their delta-only canaries through the composed path — batch
+    // probe plan, per-side DPP on both code scans, per-query ADC
+    // tables, shortlist + rescore over the appended corpus.
+    "q_knn_ivfpq_append" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").offset(NumCanaries).limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      knnJoinIvfPqAppended(s, dir, qs, 10)
+        .filter(col("vec_id") === col("q_id") + lit(AppendOffset))
         .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
           .as("recall_at_10"))
     }),
@@ -1134,6 +1180,7 @@ object Ingest {
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfpq_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_knn_ivfpq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_compact" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging"
   )

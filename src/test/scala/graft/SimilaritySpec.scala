@@ -318,6 +318,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(hit.head.getAs[Double]("score") - 1.0) < 1e-6)
   }
 
+  test("batched IVF-PQ kNN: compacted generation == appended path, row for row") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = TestSpark.Sf0001
+    val emb = graft.queries.Tables.embeddings(s, dir)
+    val qs = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    val appended = canon(graft.operators.Ingest.knnJoinIvfPqAppended(s, dir, qs, 5))
+    val compacted = canon(graft.operators.Ingest.knnJoinIvfPqCompacted(s, dir, qs, 5))
+    assert(appended == compacted && appended.nonEmpty)
+  }
+
   test("IVF-PQ retrain: gen3 carries bit-identical codes under new centroids, canary served") {
     import org.apache.spark.sql.functions._
     val s = spark
