@@ -32,6 +32,32 @@ class EventStreamSpec extends SparkSpecBase {
       s"events span $spanDays days ($lo .. $hi) — expected a ~30-day corpus")
   }
 
+  test("events reader sniffs bare-INT64 ts units (nanos vs micros) from the footer") {
+    import testImplicits._
+    // the branch the current testdata no longer exercises: a producer
+    // writing ts as a plain INT64 with no logical type. One sampled
+    // value decides the unit (epoch-nanos vs epoch-micros differ by 3
+    // orders of magnitude for any modern instant).
+    val instantUs = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    def write(dir: String, unitFactor: Long): String = {
+      val path = java.nio.file.Files.createTempDirectory(dir).toString
+      Seq((1L, instantUs * unitFactor, 7L, "click", 1.0, "{}"),
+          (2L, (instantUs + 60000000L) * unitFactor, 8L, "view", 2.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$path/events.parquet")
+      path
+    }
+    for ((factor, label) <- Seq((1L, "micros"), (1000L, "nanos"))) {
+      val dir = write(s"graft_ts_$label", factor)
+      val ts = graft.queries.Tables.events(spark, dir)
+        .orderBy("event_id").select("ts").collect().map(_.getTimestamp(0))
+      assert(ts.head.toInstant.toEpochMilli == instantUs / 1000,
+        s"$label: decoded ${ts.head}")
+      assert(ts(1).toInstant.toEpochMilli == instantUs / 1000 + 60000,
+        s"$label: decoded ${ts(1)}")
+    }
+  }
+
   test("windowedAgg (streaming, AvailableNow) == q_events_window (batch)") {
     val stream = EventStream.windowedAgg(
       EventStream.readEvents(spark, TestSpark.Sf0001))
