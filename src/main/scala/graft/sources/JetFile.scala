@@ -37,10 +37,25 @@ import graft.schema.{Col, HogiaTable}
   *    never through a double); LONG/INT16/BYTE little-endian;
   *    REAL4/REAL8 IEEE.
   *
-  * Scope: rows with 1-byte var boundaries (var section ending ≤ byte 255
-  * — every Hogia fixture row; longer rows fail loudly rather than
-  * misparse), no MEMO/OLE payload decode (the only memo column,
-  * LÅN.Anteckningar, is surfaced as NULL).
+  * Row trailers come in two self-describing forms, disambiguated by the
+  * var-count marker byte (`nVar` < 128 in both; the fixture never
+  * exceeds 11): marker == nVar → 1-byte boundaries (every fixture row,
+  * var section ends ≤ byte 255); marker == nVar|0x80 → 2-byte
+  * little-endian boundaries (long-TEXT rows, var section past byte 255).
+  * Any other marker fails loudly — a row is never misparsed.
+  *
+  * MEMO (Jet type 12) payloads live on LVAL pages: ordinary 0x06 pages
+  * owned by a dedicated pseudo-TDEF, holding chain rows
+  * `[nextPage u32][nextSlot u16][chunk]` (next page 0 = end). The
+  * in-row var value is a 12-byte descriptor
+  * `[magic u16 = 0x564C "LV"][totalLen u32][firstPage u32][firstSlot
+  * u16]`. Empty var bytes read as NULL (how the fixture stores its
+  * absent memos); a non-empty value that is not a valid descriptor
+  * fails loudly — a non-empty memo is NEVER silently NULLed (the
+  * reference copies memo content, `hhek2sqlite.go:834`). The descriptor
+  * and chain layout are this codec's own canonical form (real Jet 2.0's
+  * LVAL layout is undocumented for this pre-Jet3 era); writer and
+  * reader share it, which is what the round-trip contract needs.
   *
   * [[write]] is the symmetric encoder — it replaces the reference's
   * reverse-mode ADOX/COM file creation (`hhek2sqlite.go:1177-1202`,
@@ -61,10 +76,10 @@ import graft.schema.{Col, HogiaTable}
   * undocumented): presence prefix, sign-flipped big-endian numerics,
   * case-folded NUL-terminated cp1252 text. Divergences (documented,
   * loud where lossy): a NULL TEXT value between two non-NULL
-  * var columns reads back as "" (the 1-byte-boundary row form cannot
-  * mark interior var NULLs; trailing NULL vars are truncated and do
-  * round-trip), and a non-empty MEMO payload throws rather than write
-  * an LVAL page chain.
+  * var columns reads back as "" (the boundary row forms cannot mark
+  * interior var NULLs; trailing NULL vars are truncated and do
+  * round-trip), and an empty-string MEMO reads back as NULL (a
+  * zero-length payload has no LVAL chain to point at).
   */
 object JetFile {
 
@@ -116,17 +131,31 @@ object JetFile {
       require(row.length >= 4, s"short row (${row.length}B)")
       val nFixed = row(2) & 0xFF
       val nVar = row(3) & 0xFF
+      require(nVar < 128, s"var-column count $nVar >= 128 unsupported")
       val nMask = (nFixed + 7) / 8
       val mask = row.slice(row.length - nMask, row.length)
-      val nVar2 = row(row.length - nMask - 1) & 0xFF
-      require(nVar2 == nVar, s"row var-count mismatch ($nVar vs $nVar2): >255-byte rows unsupported")
+      val marker = row(row.length - nMask - 1) & 0xFF
       val offEnd = row.length - nMask - 1
-      val bounds = (0 to nVar).map(i => row(offEnd - 1 - i) & 0xFF).toArray // ascending
+      // marker == nVar → 1-byte boundaries; == nVar|0x80 → 2-byte LE
+      // boundaries (rows whose var section ends past byte 255); anything
+      // else is corruption — fail loudly, never misparse.
+      val bounds: Array[Int] =
+        if (marker == nVar)
+          (0 to nVar).map(i => row(offEnd - 1 - i) & 0xFF).toArray // ascending
+        else if (marker == (nVar | 0x80))
+          (0 to nVar).map { i =>
+            val p = offEnd - 2 * (i + 1)
+            (row(p) & 0xFF) | ((row(p + 1) & 0xFF) << 8)
+          }.toArray
+        else throw new IllegalArgumentException(
+          s"row var-count marker mismatch ($nVar vs $marker): corrupt row")
       require(bounds.sliding(2).forall(p => p(0) <= p(1)) && bounds.last <= row.length,
-        s"non-monotonic var bounds: >255-byte rows unsupported")
+        s"non-monotonic var bounds: corrupt row")
       val varVals = (0 until nVar).map(i =>
         java.util.Arrays.copyOfRange(row, bounds(i), bounds(i + 1)))
-      val fixed = java.util.Arrays.copyOfRange(row, 4, if (nVar > 0) bounds(0) else offEnd - 1)
+      // bounds(0) = 4 + fixed-section length in BOTH forms (for nVar = 0
+      // it degenerates to the trailer start), so it IS the fixed end.
+      val fixed = java.util.Arrays.copyOfRange(row, 4, bounds(0))
       val present = (0 until nFixed).map(i => ((mask(i / 8) >> (i % 8)) & 1) == 1)
       (fixed, varVals, present)
     }
@@ -184,7 +213,7 @@ object JetFile {
           if (j >= vars.size) null
           else c.jetType match {
             case 10 => cp1252(vars(j)) // TEXT
-            case 12 => null // MEMO payload decode unsupported (documented)
+            case 12 => readMemo(vars(j), c.name) // MEMO via LVAL chain
             case t => throw new IllegalArgumentException(
               s"unsupported var Jet type $t for ${c.name}")
           }
@@ -192,6 +221,44 @@ object JetFile {
       }
       out.result()
     }
+
+    /** MEMO value: empty bytes = NULL (how the fixture stores absent
+      * memos); otherwise a 12-byte LVAL descriptor whose page chain is
+      * followed and decoded. A non-empty value that does not validate as
+      * a descriptor fails LOUDLY — the reference copies memo content
+      * (`hhek2sqlite.go:834`), so silently NULLing one would be data
+      * loss, not a divergence. */
+    private def readMemo(b: Array[Byte], col: String): String = {
+      if (b.isEmpty) return null
+      require(b.length == 12 && u16a(b, 0) == 0x564C,
+        s"$col: unrecognized MEMO descriptor (${b.length} B) — refusing to NULL a non-empty memo")
+      val total = u32le(b, 2)
+      var pg = u32le(b, 6).toInt
+      var slot = u16a(b, 10)
+      val out = new java.io.ByteArrayOutputStream()
+      var hops = 0
+      while (pg != 0) {
+        require(hops < (1 << 16), s"$col: LVAL chain cycle")
+        hops += 1
+        require(pg < nPages && pageType(pg) == 6,
+          s"$col: LVAL pointer to non-data page $pg")
+        val exts = rowExtents(pg)
+        require(slot < exts.size, s"$col: LVAL slot $slot past page occupancy")
+        val (s, e) = exts(slot)
+        val base = pg * PageSize
+        val chunk = java.util.Arrays.copyOfRange(bytes, base + s, base + e)
+        require(chunk.length >= 6, s"$col: short LVAL row")
+        out.write(chunk, 6, chunk.length - 6)
+        pg = u32le(chunk, 0).toInt
+        slot = u16a(chunk, 4)
+      }
+      require(out.size() == total,
+        s"$col: torn LVAL chain (${out.size()} of $total B)")
+      cp1252(out.toByteArray)
+    }
+
+    private def u16a(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
 
     /** Decode one table into (columnName → value) maps. */
     def readTable(name: String): Seq[Map[String, Any]] = {
@@ -311,7 +378,7 @@ object JetFile {
     case "SMALLINT" => (3, 2) // INT16
     case "Bit" => (1, 0)
     case t if t.startsWith("Text") => (10, 0) // var
-    case "Memo" => (12, 0) // var (payload write unsupported — loud)
+    case "Memo" => (12, 0) // var (12-byte LVAL descriptor in-row)
     case t => throw new IllegalArgumentException(s"no Jet type code for $t (${c.name})")
   }
 
@@ -378,17 +445,29 @@ object JetFile {
       else a._2._2 - b._2._2
     }
 
+  /** Largest row the page allocator can place (2048-byte page, 20 B
+    * header + one 2 B slot entry + 2 B headroom). */
+  private final val MaxRowBytes = 2024
+
   /** Inverse of [[Db.parseRow]]: [len u16][nFixed u8][nVar u8][fixed]
-    * [var bytes][var bounds, descending][nVar u8][null mask]. */
+    * [var bytes][var bounds, descending][marker u8][null mask]. The
+    * trailer picks the 1-byte-boundary form (marker = nVar, the
+    * fixture's own) when the var section ends ≤ byte 255, else the
+    * 2-byte-LE form (marker = nVar|0x80) — so short rows stay
+    * byte-identical to every previously written file. */
   private def encodeRow(
       nFixed: Int, fixed: Array[Byte], mask: Array[Byte],
       vars: Seq[Array[Byte]]): Array[Byte] = {
     val nVar = vars.size
+    require(nVar < 128, s"var-column count $nVar >= 128 unsupported")
     val varLen = vars.map(_.length).sum
-    require(4 + fixed.length + varLen <= 255,
-      s"row var section ends past byte 255 (${4 + fixed.length + varLen}) — " +
-        "the 1-byte-boundary Jet row form cannot hold it")
-    val len = 4 + fixed.length + varLen + (nVar + 1) + 1 + mask.length
+    val varEnd = 4 + fixed.length + varLen
+    val wide = varEnd > 255
+    val bw = if (wide) 2 else 1
+    val len = varEnd + bw * (nVar + 1) + 1 + mask.length
+    require(len <= MaxRowBytes,
+      s"row of $len B cannot fit a 2048-byte Jet page — " +
+        "route oversized payloads through a MEMO column (LVAL pages)")
     val row = new Array[Byte](len)
     row(0) = (len & 0xFF).toByte; row(1) = ((len >> 8) & 0xFF).toByte
     row(2) = nFixed.toByte; row(3) = nVar.toByte
@@ -402,8 +481,17 @@ object JetFile {
       bounds(i + 1) = off
     }
     val offEnd = len - mask.length - 1
-    (0 to nVar).foreach(i => row(offEnd - 1 - i) = bounds(i).toByte)
-    row(offEnd) = nVar.toByte
+    if (wide) {
+      (0 to nVar).foreach { i =>
+        val p = offEnd - 2 * (i + 1)
+        row(p) = (bounds(i) & 0xFF).toByte
+        row(p + 1) = ((bounds(i) >> 8) & 0xFF).toByte
+      }
+      row(offEnd) = (nVar | 0x80).toByte
+    } else {
+      (0 to nVar).foreach(i => row(offEnd - 1 - i) = bounds(i).toByte)
+      row(offEnd) = nVar.toByte
+    }
     System.arraycopy(mask, 0, row, offEnd + 1, mask.length)
     row
   }
@@ -415,7 +503,8 @@ object JetFile {
     * can only mark TRAILING vars as NULL) so the lossy coercion is
     * observable to callers (ADVICE r4). */
   private def encodeUserRow(table: HogiaTable, row: Row,
-      interiorNulls: java.util.concurrent.atomic.AtomicLong): Array[Byte] = {
+      interiorNulls: java.util.concurrent.atomic.AtomicLong,
+      memoWriter: Array[Byte] => Array[Byte]): Array[Byte] = {
     val fixedCols = table.cols.filter(isFixedType)
     val varCols = table.cols.filter(!isFixedType(_))
     val mask = new Array[Byte]((fixedCols.size + 7) / 8)
@@ -455,9 +544,11 @@ object JetFile {
       val (code, _) = jetCode(c)
       if (v == null) null
       else {
-        require(code != 12 || v.asInstanceOf[String].isEmpty,
-          s"${table.name}.${c.name}: MEMO payload write unsupported (LVAL pages)")
-        toCp1252(v.asInstanceOf[String], s"${table.name}.${c.name}")
+        val enc = toCp1252(v.asInstanceOf[String], s"${table.name}.${c.name}")
+        // MEMO payload lives on LVAL pages; the in-row value is the
+        // 12-byte descriptor ("" keeps zero in-row bytes → reads NULL,
+        // the documented divergence).
+        if (code == 12 && enc.nonEmpty) memoWriter(enc) else enc
       }
     }
     val lastLive = varValsFull.lastIndexWhere(_ != null)
@@ -534,6 +625,51 @@ object JetFile {
     def dataPages(owner: Int, rows: Seq[Array[Byte]]): Seq[(Int, Int)] =
       slottedPages(0x06, owner, rows)
 
+    // ---- LVAL (MEMO payload) pages ------------------------------------
+    // Chain rows [nextPage u32][nextSlot u16][chunk] pack incrementally
+    // onto 0x06 pages owned by a LAZILY created pseudo-TDEF — a file with
+    // no non-empty memos gets no LVAL pages and stays byte-identical to
+    // what this writer always produced. Chunks are written LAST-first so
+    // each knows its successor's placement; the head placement goes in
+    // the 12-byte in-row descriptor.
+    val LvalChunk = MaxRowBytes - 6
+    var lvalTdef = -1
+    var lvalPg = -1
+    var lvalFloor = PageSize
+    var lvalCount = 0
+    def lvalFlush(): Unit = if (lvalPg >= 0) {
+      putU32(lvalPg, 4, lvalTdef.toLong)
+      putU16(lvalPg, 8, lvalCount)
+      putU16(lvalPg, 10, lvalFloor)
+    }
+    def placeLval(r: Array[Byte]): (Int, Int) = {
+      if (lvalTdef < 0) lvalTdef = tdefPage()
+      if (lvalPg < 0 || 20 + 2 * (lvalCount + 1) > lvalFloor - r.length) {
+        lvalFlush(); lvalPg = newPage(0x06); lvalFloor = PageSize; lvalCount = 0
+      }
+      lvalFloor -= r.length
+      System.arraycopy(r, 0, pages(lvalPg), lvalFloor, r.length)
+      putU16(lvalPg, 20 + 2 * lvalCount, lvalFloor)
+      lvalCount += 1
+      (lvalPg, lvalCount - 1)
+    }
+    def writeMemo(payload: Array[Byte]): Array[Byte] = {
+      var next = (0, 0) // page 0 = end of chain (page 0 is the header)
+      payload.grouped(LvalChunk).toSeq.reverseIterator.foreach { chunk =>
+        val r = new Array[Byte](6 + chunk.length)
+        (0 until 4).foreach(i => r(i) = ((next._1 >> (8 * i)) & 0xFF).toByte)
+        r(4) = (next._2 & 0xFF).toByte; r(5) = ((next._2 >> 8) & 0xFF).toByte
+        System.arraycopy(chunk, 0, r, 6, chunk.length)
+        next = placeLval(r)
+      }
+      val d = new Array[Byte](12)
+      d(0) = 0x4C; d(1) = 0x56 // "LV" magic, little-endian u16 0x564C
+      (0 until 4).foreach(i => d(2 + i) = ((payload.length >> (8 * i)) & 0xFF).toByte)
+      (0 until 4).foreach(i => d(6 + i) = ((next._1 >> (8 * i)) & 0xFF).toByte)
+      d(10) = (next._2 & 0xFF).toByte; d(11) = ((next._2 >> 8) & 0xFF).toByte
+      d
+    }
+
     /** Leaf entry [dataPage u32][slot u16][key]; interior entry
       * [childPage u32][maxKey]. Levels pack bottom-up until one page
       * remains — the root. Empty index → root 0 (no such page). */
@@ -564,7 +700,7 @@ object JetFile {
     val indexRows = Seq.newBuilder[(String, graft.schema.Index, Int)]
     val coerced = tables.map { case (t, rows) =>
       val nulls = new java.util.concurrent.atomic.AtomicLong()
-      val placements = dataPages(tdefOf(t.name), rows.map(encodeUserRow(t, _, nulls)))
+      val placements = dataPages(tdefOf(t.name), rows.map(encodeUserRow(t, _, nulls, writeMemo)))
       if (nulls.get() > 0)
         System.err.println(s"[jet] ${t.name}: ${nulls.get()} interior NULL " +
           "TEXT value(s) stored as '' (Jet row format marks only trailing NULLs)")
@@ -636,6 +772,7 @@ object JetFile {
       }
     })
 
+    lvalFlush() // seal the open LVAL page's header, if any memos landed
     Files.write(Paths.get(path), pages.toArray.flatten)
     coerced
   }

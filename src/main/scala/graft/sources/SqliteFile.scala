@@ -30,12 +30,14 @@ import graft.schema.HogiaTable
   *  - TEXT is UTF-8 text (the file's declared encoding).
   *
   * Scope (documented, asserted): no indexes (the reference's forward/
-  * SQLite side creates none either — D2 is Jet-only), no overflow pages
-  * (every Hogia row is far below the 4061-byte inline threshold; the
-  * writer asserts), rollback-journal-free single writer (an EXPORT
-  * format: the cluster path remains JdbcTableIO; this codec is the
-  * driver-side final-mile emitter, and reads are parallelized by Spark
-  * after decode).
+  * SQLite side creates none either — D2 is Jet-only); records past the
+  * 4061-byte inline threshold spill to standard overflow-page chains
+  * (the format's own K/M split, so multi-KB memos survive the SQLite
+  * middle leg of the mdb → db → mdb round trip and stock SQLite reads
+  * them); rollback-journal-free single writer (an EXPORT format: the
+  * cluster path remains JdbcTableIO; this codec is the driver-side
+  * final-mile emitter, and reads are parallelized by Spark after
+  * decode).
   */
 object SqliteFile {
 
@@ -132,14 +134,19 @@ object SqliteFile {
 
   // ---- B-tree construction ----------------------------------------------
 
-  /** A not-yet-placed page: kind 13 = table leaf, 5 = table interior.
-    * Interior children reference indices into the builder's page list,
-    * patched to absolute page numbers at layout time. */
+  /** A not-yet-placed page: kind 13 = table leaf, 5 = table interior,
+    * 10 = index leaf, 0 = OVERFLOW (raw chain page, no b-tree header).
+    * Interior children, per-cell overflow heads, and overflow next
+    * pointers reference indices into the builder's page list, patched to
+    * absolute page numbers at layout time. */
   private final class PendingPage(val kind: Int) {
     val cells = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val childRefs = scala.collection.mutable.ArrayBuffer[Int]() // parallel to cells
+    val overflowRefs = scala.collection.mutable.ArrayBuffer[Int]() // parallel; -1 = inline
     var rightRef: Int = -1
     var maxRowid: Long = Long.MinValue
+    var raw: Array[Byte] = null // kind 0: payload after the 4-byte next ptr
+    var nextRef: Int = -1 // kind 0: local index of the next chain page
     def cellBytes: Int = cells.map(_.length + 2).sum
     def headerSize: Int = if (kind == 5) 12 else 8
   }
@@ -161,13 +168,30 @@ object SqliteFile {
     val leafIdx = scala.collection.mutable.ArrayBuffer[Int]()
     leafIdx += 0
     rows.foreach { case (rowid, rec) =>
-      require(rec.length <= MaxInline,
-        s"record ${rec.length}B exceeds inline threshold $MaxInline (overflow pages unsupported)")
-      val cell = varint(rec.length) ++ varint(rowid) ++ rec
+      val P = rec.length
+      // Records past the table-leaf inline bound spill to overflow pages
+      // per the file format's own split: M = ((U-12)*32/255)-23,
+      // K = M + (P-M) mod (U-4); inline K bytes if K ≤ X else M, the
+      // cell ends with the 4-byte head of the chain.
+      val (cell, ovRef) =
+        if (P <= MaxInline) (varint(P) ++ varint(rowid) ++ rec, -1)
+        else {
+          val M = ((Usable - 12) * 32 / 255) - 23
+          val K = M + (P - M) % (Usable - 4)
+          val inline = if (K <= MaxInline) K else M
+          val chunkIdxs = rec.slice(inline, P).grouped(Usable - 4).map { ch =>
+            val p = new PendingPage(0); p.raw = ch; pages += p; pages.length - 1
+          }.toSeq
+          chunkIdxs.zip(chunkIdxs.drop(1)).foreach { case (a, b) =>
+            pages(a).nextRef = b
+          }
+          (varint(P) ++ varint(rowid) ++ rec.take(inline) ++ be32(0), chunkIdxs.head)
+        }
       if (leaf.headerSize + leaf.cellBytes + cell.length + 2 > budget) {
         leaf = newLeaf(); leafIdx += (pages.length - 1)
       }
       leaf.cells += cell
+      leaf.overflowRefs += ovRef
       leaf.maxRowid = rowid
     }
 
@@ -212,9 +236,18 @@ object SqliteFile {
   private def emitPage(buf: Array[Byte], pageNo: Int, p: PendingPage,
       abs: Int => Int): Unit = {
     val base = (pageNo - 1) * PageSize
+    if (p.kind == 0) { // overflow chain page: [next u32 BE][payload]
+      val next = if (p.nextRef < 0) 0 else abs(p.nextRef)
+      System.arraycopy(be32(next), 0, buf, base, 4)
+      System.arraycopy(p.raw, 0, buf, base + 4, p.raw.length)
+      return
+    }
     val hdrOff = if (pageNo == 1) 100 else 0
     val cellsWithChildren = p.cells.zipWithIndex.map { case (c, i) =>
-      if (p.kind == 5) be32(abs(p.childRefs(i))) ++ c.drop(4) else c
+      if (p.kind == 5) be32(abs(p.childRefs(i))) ++ c.drop(4)
+      else if (p.overflowRefs.size == p.cells.size && p.overflowRefs(i) >= 0)
+        c.dropRight(4) ++ be32(abs(p.overflowRefs(i)))
+      else c
     }
     var contentTop = PageSize
     val offsets = cellsWithChildren.map { c =>
@@ -423,7 +456,30 @@ object SqliteFile {
             val o = base + off
             val (payLen, n1) = readVarint(buf, o)
             val (rowid, n2) = readVarint(buf, o + n1)
-            (rowid, java.util.Arrays.copyOfRange(buf, o + n1 + n2, o + n1 + n2 + payLen.toInt))
+            val P = payLen.toInt
+            val payStart = o + n1 + n2
+            val X = pageSize - 35
+            if (P <= X)
+              (rowid, java.util.Arrays.copyOfRange(buf, payStart, payStart + P))
+            else { // spilled record: inline prefix + overflow chain
+              val M = ((pageSize - 12) * 32 / 255) - 23
+              val K = M + (P - M) % (pageSize - 4)
+              val inline = if (K <= X) K else M
+              def beAt(p: Int): Int = ((buf(p) & 0xFF) << 24) |
+                ((buf(p + 1) & 0xFF) << 16) | ((buf(p + 2) & 0xFF) << 8) |
+                (buf(p + 3) & 0xFF)
+              val out = new java.io.ByteArrayOutputStream()
+              out.write(buf, payStart, inline)
+              var ov = beAt(payStart + inline)
+              while (ov != 0 && out.size < P) {
+                val ob = (ov - 1) * pageSize
+                val next = beAt(ob)
+                out.write(buf, ob + 4, math.min(pageSize - 4, P - out.size))
+                ov = next
+              }
+              require(out.size == P, s"torn overflow chain (${out.size} of $P B)")
+              (rowid, out.toByteArray)
+            }
           }
         case 5 =>
           val right = ((buf(base + hdrOff + 8) & 0xFF) << 24) |

@@ -335,29 +335,108 @@ class JetFileSpec extends SparkSpecBase {
     assert(touched <= 3, s"point lookup touched $touched pages")
   }
 
-  test("writer failure modes are loud: oversized rows, memo payloads") {
-    val dir = Files.createTempDirectory("graft_jet_neg2").toString
+  test("2-byte var boundaries: rows past byte 255 round-trip; page-sized rows fail loudly") {
+    val dir = Files.createTempDirectory("graft_jet_wide").toString
     val pers = HogiaSchema.byName("Personer")
+    // 300 cp1252 chars (incl. high bytes) push the var section past byte
+    // 255 — the 1-byte-boundary fixture form can't hold it; the 2-byte
+    // form must, losslessly, alongside ordinary short rows
+    val longName = ("Åke Öst é€" + "x" * 290).take(300)
+    val mixed = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, longName, "1990", "Man"),
+      org.apache.spark.sql.Row(2L, "Kort", "1991", "Kvinna")), pers.schema)
+    val io2 = new JetTableIO(s"$dir/wide.mdb")
+    io2.truncateLoad(mixed, pers)
+    val back = io2.read(spark, pers).orderBy("Löpnr").collect()
+    assert(back(0).getAs[String]("Namn") == longName)
+    assert(back(1).getAs[String]("Namn") == "Kort")
+    // index over the long TEXT key still serves point lookups
+    val (hit, _) = JetFile.open(s"$dir/wide.mdb")
+      .indexLookup("Personer", "idxNamn", Seq(longName))
+    assert(hit.size == 1 && hit.head("Löpnr") == 1L)
+    // a row that cannot fit ANY 2048-byte page is rejected, not mangled
     val big = spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(1L, "x" * 300, "0", "M")), pers.schema)
+      java.util.List.of(org.apache.spark.sql.Row(1L, "x" * 2500, "0", "M")), pers.schema)
     val e = intercept[IllegalArgumentException](
       new JetTableIO(s"$dir/big.mdb").truncateLoad(big, pers))
-    assert(e.getMessage.contains("255"))
-    val lan = HogiaSchema.byName("LÅN")
-    val withMemo = spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(
-        Seq(1L, "L", "E", "N", null, null, null, null, null, null, null, null,
-          null, null, null, null, null, null, null, null, null, null, null,
-          "some notes", null, null, null): _*)), lan.schema)
-    val e2 = intercept[IllegalArgumentException](
-      new JetTableIO(s"$dir/memo.mdb").truncateLoad(withMemo, lan))
-    assert(e2.getMessage.contains("MEMO"))
+    assert(e.getMessage.contains("2048"))
     // unmappable text (cp1252 has no ∑) is rejected, not silently '?'-ed
     val bad = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(1L, "∑", "0", "M")), pers.schema)
     val e3 = intercept[IllegalArgumentException](
       new JetTableIO(s"$dir/bad.mdb").truncateLoad(bad, pers))
     assert(e3.getMessage.contains("Windows-1252"))
+  }
+
+  private def lanRowWith(note: String) =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](1L, "Banken", "Bolån", "L-1", new BigDecimal("250000.0000"),
+        "2020-01-01", "2020-01-02", "2025-01-01", "2050-01-01",
+        new BigDecimal("199999.5000"), new BigDecimal("0.0000"),
+        new BigDecimal("199999.5000"), 1.625f, 3.875f, "12",
+        new BigDecimal("645.8300"), new BigDecimal("1000.0000"),
+        new BigDecimal("0.0000"), new BigDecimal("25.0000"), "J", "Vem",
+        "Konto 1", "G", note, "r", "a", "o"),
+      HogiaSchema.byName("LÅN").schema)
+
+  test("MEMO round-trips mdb → db → mdb byte-identical through LVAL page chains") {
+    val dir = Files.createTempDirectory("graft_jet_memo").toString
+    val lan = HogiaSchema.byName("LÅN")
+    // ~8.6 KB of cp1252 (incl. € = 0x80 and åäö high bytes) → a chain of
+    // 5 LVAL rows at ~2 KB/chunk on the Jet side AND an overflow-page
+    // chain on the SQLite middle leg — both spill paths in one trip
+    val note = "Lånet omförhandlades — räksmörgås € åäö. " * 210
+    val io2 = new JetTableIO(s"$dir/memo.mdb")
+    io2.truncateLoad(spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](lanRowWith(note)), lan.schema), lan)
+    assert(io2.read(spark, lan).collect().head.getAs[String]("Anteckningar") == note)
+    // the reference copies memo content on conversion (hhek2sqlite.go:834)
+    // — replay its round trip with the memo aboard: mdb → SQLite → mdb
+    val dbPath = s"$dir/mellan.db"
+    val sq = new SqliteTableIO(dbPath)
+    sq.truncateLoad(io2.read(spark, lan), lan)
+    val backIo = new JetTableIO(s"$dir/back.mdb")
+    backIo.truncateLoad(sq.read(spark, lan), lan)
+    val got = backIo.read(spark, lan).collect().head.getAs[String]("Anteckningar")
+    assert(got == note, "memo content lost in round trip")
+    // a ~12 KB memo spans a 6-row LVAL chain over multiple pages and
+    // still reads back byte-identical (direct mdb round trip)
+    val big = "Sex sidor anteckningar € " * 500
+    val io4 = new JetTableIO(s"$dir/big.mdb")
+    io4.truncateLoad(spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](lanRowWith(big)), lan.schema), lan)
+    assert(io4.read(spark, lan).collect().head.getAs[String]("Anteckningar") == big)
+    // NULL and "" memos both read as NULL (no LVAL chain to point at)
+    val io3 = new JetTableIO(s"$dir/empty.mdb")
+    io3.truncateLoad(spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](lanRowWith("")), lan.schema), lan)
+    assert(io3.read(spark, lan).collect().head.isNullAt(
+      lan.schema.fieldIndex("Anteckningar")))
+  }
+
+  test("a non-empty memo is never silently NULLed: corrupt descriptors fail loudly") {
+    val dir = Files.createTempDirectory("graft_jet_memo_neg").toString
+    val lan = HogiaSchema.byName("LÅN")
+    val note = "Viktig anteckning som inte får försvinna."
+    val path = s"$dir/memo.mdb"
+    new JetTableIO(path).truncateLoad(spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](lanRowWith(note)), lan.schema), lan)
+    // flip the descriptor's magic in the raw file: the 6-byte prefix
+    // [0x4C 0x56][LE32 payload len] is unique in a file this small
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val len = note.getBytes("windows-1252").length
+    val sig = Array[Byte](0x4C, 0x56,
+      (len & 0xFF).toByte, ((len >> 8) & 0xFF).toByte,
+      ((len >> 16) & 0xFF).toByte, ((len >> 24) & 0xFF).toByte)
+    val at = bytes.indices.indexWhere(i => i + 6 <= bytes.length &&
+      (0 until 6).forall(j => bytes(i + j) == sig(j)))
+    assert(at > 0, "descriptor signature not found")
+    bytes(at) = 0x00
+    val corrupt = s"$dir/corrupt.mdb"
+    Files.write(java.nio.file.Paths.get(corrupt), bytes)
+    val e = intercept[IllegalArgumentException](
+      JetFile.open(corrupt).readTable("LÅN"))
+    assert(e.getMessage.contains("MEMO"))
   }
 
   test("FULL ROUND TRIP (db_test.go:83-140): GOTEST1.MDB → .db → .mdb, checkDB1 replayed") {

@@ -174,6 +174,52 @@ class SqliteFileSpec extends SparkSpecBase {
     }
   }
 
+  test("overflow pages: multi-KB records spill per the file format, real engine verified") {
+    val dir = Files.createTempDirectory("graft_sqlite_ovfl").toString
+    val path = s"$dir/ovfl.db"
+    val lan = HogiaSchema.byName("LÅN")
+    // three regimes in one table: inline (no spill), just-over-threshold
+    // (1-page chain), and ~20 KB (a 5-page chain) — plus UTF-8 multibyte
+    // content so byte counts ≠ char counts
+    val notes = Seq(
+      1L -> "kort anteckning",
+      2L -> ("x" * 4100),
+      3L -> ("Lång räksmörgås-€-anteckning. " * 700))
+    val rows = notes.map { case (id, note) =>
+      org.apache.spark.sql.Row(Seq[Any](
+        id, "Banken", "Bolån", s"L-$id", new BigDecimal("250000.0000"),
+        "2020-01-01", "2020-01-02", "2025-01-01", "2050-01-01",
+        new BigDecimal("199999.5000"), new BigDecimal("0.0000"),
+        new BigDecimal("199999.5000"), 1.625f, 3.875f, "12",
+        new BigDecimal("645.8300"), new BigDecimal("1000.0000"),
+        new BigDecimal("0.0000"), new BigDecimal("25.0000"), "J", "Vem",
+        "Konto 1", "G", note, "r", "a", "o"): _*)
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+      lan.schema)
+    new SqliteTableIO(path).truncateLoad(df, lan)
+    // own reader reassembles every chain byte-for-byte
+    val back = graft.sources.SqliteFile.readTable(path, lan)
+      .map(r => r.getLong(0) -> r.getString(lan.schema.fieldIndex("Anteckningar"))).toMap
+    notes.foreach { case (id, note) => assert(back(id) == note, s"row $id") }
+    if (havePython) {
+      val out = python(
+        s"""import sqlite3
+           |c = sqlite3.connect('$path')
+           |print(c.execute('PRAGMA integrity_check').fetchone()[0])
+           |for i in (1, 2, 3):
+           |    n = c.execute('SELECT Anteckningar FROM LÅN WHERE Löpnr=?', (i,)).fetchone()[0]
+           |    print(len(n), n[:20].replace(chr(10), ' '))""".stripMargin)
+      val lines = out.linesIterator.toSeq
+      assert(lines(0) == "ok", s"integrity: ${lines(0)}")
+      assert(lines(1) == "15 kort anteckning")
+      assert(lines(2) == "4100 " + "x" * 20)
+      assert(lines(3) == (30 * 700).toString + " " + ("Lång räksmörgås-€-anteckning. " * 700).take(20))
+    }
+  }
+
   test("randomized round-trip: special chars, NULLs, negatives, both decimal storage classes") {
     val dir = Files.createTempDirectory("graft_sqlite_rand").toString
     val path = s"$dir/rand.db"
