@@ -67,13 +67,20 @@ object Bench {
     val results = p1.zip(p2).map { case ((n, t1, e1), (_, t2, e2)) =>
       (n, math.min(t1, t2), e1.orElse(e2))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds (ms resolution — below run-to-run noise): full
+    // 17-digit doubles made the 102-query line overflow the driver's
+    // output-tail capture, so the recorded artifact held only 63 queries
+    // and failed to parse (VERDICT r7 #5). The rounded line is
+    // self-contained.
+    def sec3(v: Double): String = // Locale.ROOT: a comma decimal point is not JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, Some(m)) => k -> m }
     val errJson = errors.map { case (k, m) => s"\"$k\":\"${jsonEscape(m)}\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_2_passes","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","agg":"min_of_2_passes","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }

@@ -49,13 +49,27 @@ object Ingest {
       dir.replaceAll("[^0-9a-zA-Z]", "_")
   }
 
+  /** A stored artifact is LIVE only once its `_SUCCESS` commit marker
+    * exists — a bare directory can be a torn write from a crashed run,
+    * and a SaveMode.Ignore gated on directory existence would pin that
+    * damage forever (ADVICE r7). Every stored-index gate checks the
+    * marker and the gated writes use OVERWRITE, so a torn artifact is
+    * repaired by recomputation, never served empty or partial.
+    * Multi-directory generations write the PAYLOAD first and the
+    * centroid/marker directory LAST, so the gate implies a complete
+    * generation. */
+  private def committed(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Corpus size for geometry derivation, memoized per (app, sf): the
     * count resolves the stored index's IDENTITY (nCells is part of its
     * path), so it must be known before any warm read — one cheap
     * metadata-count job the first time, a map lookup after. */
   private val embCounts =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
-  private def embeddingCount(s: SparkSession, dir: String): Long =
+  private[operators] def embeddingCount(s: SparkSession, dir: String): Long =
     embCounts.getOrElseUpdate((s.sparkContext.applicationId, dir),
       embeddings(s, dir).count())
 
@@ -108,8 +122,9 @@ object Ingest {
 
   def ensureSketchedDocs(s: SparkSession, dir: String): DataFrame = {
     val path = scratch(s, dir, "docs_sketched")
-    sketchProjection(documents(s, dir))
-      .write.mode("ignore").parquet(path)
+    if (!committed(s, path))
+      sketchProjection(documents(s, dir))
+        .write.mode("overwrite").parquet(path)
     s.read.parquet(path)
   }
 
@@ -138,21 +153,19 @@ object Ingest {
     // Lloyd pass localCheckpoints), so unlike the lazy writes below a
     // SaveMode.Ignore cannot skip it — check the stored path FIRST
     // (the ensurePqCodebook pattern) or every warm probe would retrain.
-    val cPathH = new org.apache.hadoop.fs.Path(cPath)
-    val fs = cPathH.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cPathH)) {
+    if (!committed(s, cPath)) {
       val emb = indexedCorpus(s, dir)
       val centroids = Similarity.kmeansCentroids(emb, cells)
-      centroids.write.mode("ignore").parquet(cPath)
       // repartition on the partition column first: each write task then
       // owns whole cells, so the layout is nCells files instead of
       // nCells × shuffle.partitions fragments (the small-files problem
       // that kills object-store listings at scale). Assignment itself
       // is the narrow graft_ivf_cell kernel — the repartition is the
-      // ONLY exchange in the index build.
+      // ONLY exchange in the index build. Payload first, marker last.
       Similarity.ivfAssignKernel(emb, centroids)
         .repartition(col("cell"))
-        .write.mode("ignore").partitionBy("cell").parquet(aPath)
+        .write.mode("overwrite").partitionBy("cell").parquet(aPath)
+      centroids.write.mode("overwrite").parquet(cPath)
     }
     (s.read.parquet(cPath), s.read.parquet(aPath))
   }
@@ -274,11 +287,10 @@ object Ingest {
     val (centroids, assign) = ensureIvfIndex(s, dir)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val dPath = scratch(s, dir, s"ivf_delta_c$cells")
-    val dH = new org.apache.hadoop.fs.Path(dPath)
-    if (!dH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dH)) {
+    if (!committed(s, dPath)) {
       Similarity.ivfAssignKernel(appendBatch(embeddings(s, dir)), centroids)
         .repartition(col("cell"))
-        .write.mode("ignore").partitionBy("cell").parquet(dPath)
+        .write.mode("overwrite").partitionBy("cell").parquet(dPath)
     }
     (centroids, assign, s.read.parquet(dPath))
   }
@@ -322,11 +334,10 @@ object Ingest {
     val (centroids, assign, delta) = ensureIvfDelta(s, dir)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val gPath = scratch(s, dir, s"ivf_assign_gen2_c$cells")
-    val gH = new org.apache.hadoop.fs.Path(gPath)
-    if (!gH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(gH)) {
+    if (!committed(s, gPath)) {
       assign.unionByName(delta)
         .repartition(col("cell"))
-        .write.mode("ignore").partitionBy("cell").parquet(gPath)
+        .write.mode("overwrite").partitionBy("cell").parquet(gPath)
     }
     (centroids, s.read.parquet(gPath))
   }
@@ -375,9 +386,7 @@ object Ingest {
     val cbPath = scratch(s, dir, s"pq_codebook_m${m}_k$kCent")
     cbCache.getOrElseUpdate((s.sparkContext.applicationId, cbPath), {
       graft.functions.PqOps.register(s)
-      val cbHadoopPath = new org.apache.hadoop.fs.Path(cbPath)
-      val fs = cbHadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(cbHadoopPath)) {
+      if (committed(s, cbPath)) {
         val r = s.read.parquet(cbPath).head()
         require(r.getInt(2) == m && r.getInt(3) == kCent,
           s"stored PQ codebook was trained with m=${r.getInt(2)}, " +
@@ -387,7 +396,7 @@ object Ingest {
         val (cbT, dimT, _) = Similarity.pqTrain(embeddings(s, dir), m, kCent)
         import s.implicits._
         Seq((cbT.toSeq, dimT, m, kCent)).toDF("cb", "dim", "m", "k")
-          .write.mode("ignore").parquet(cbPath)
+          .write.mode("overwrite").parquet(cbPath)
         (cbT, dimT)
       }
     })
@@ -405,11 +414,10 @@ object Ingest {
     // — seen both.)
     val codePath = scratch(s, dir, s"pq_codes_m${m}_k$kCent")
     val (cb, dim) = ensurePqCodebook(s, dir, m, kCent)
-    val codeH = new org.apache.hadoop.fs.Path(codePath)
-    if (!codeH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(codeH))
+    if (!committed(s, codePath))
       embeddings(s, dir).select(col("vec_id"),
           graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
-        .write.mode("ignore").parquet(codePath)
+        .write.mode("overwrite").parquet(codePath)
     (cb, dim, s.read.parquet(codePath))
   }
 
@@ -444,8 +452,7 @@ object Ingest {
     val (centroids, _) = ensureIvfIndex(s, dir, cells)
     val path = scratch(s, dir, s"ivfpq_codes_m${m}_k${kCent}_c$cells")
     graft.functions.PqOps.register(s)
-    val pathH = new org.apache.hadoop.fs.Path(path)
-    if (!pathH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(pathH)) {
+    if (!committed(s, path)) {
       // canaries ride the cell-partitioned code table too, so the IVF-PQ
       // gate certifies DPP + ADC + rescore under real pruning
       val emb = indexedCorpus(s, dir)
@@ -453,7 +460,7 @@ object Ingest {
         .select(col("vec_id"), col("cell"),
           graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
         .repartition(col("cell")) // whole cells per write task (small files)
-        .write.mode("ignore").partitionBy("cell").parquet(path)
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
     }
     (cb, dim, centroids, s.read.parquet(path))
   }
@@ -472,13 +479,12 @@ object Ingest {
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val dPath = scratch(s, dir, s"ivfpq_delta_m${m}_k${kCent}_c$cells")
     graft.functions.PqOps.register(s)
-    val dH = new org.apache.hadoop.fs.Path(dPath)
-    if (!dH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dH)) {
+    if (!committed(s, dPath)) {
       Similarity.ivfAssignKernel(appendBatch(embeddings(s, dir)), centroids)
         .select(col("vec_id"), col("cell"),
           graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
         .repartition(col("cell"))
-        .write.mode("ignore").partitionBy("cell").parquet(dPath)
+        .write.mode("overwrite").partitionBy("cell").parquet(dPath)
     }
     (cb, dim, centroids, codes, s.read.parquet(dPath))
   }
@@ -523,11 +529,10 @@ object Ingest {
     val (cb, dim, centroids, codes, delta) = ensureIvfPqDelta(s, dir, m, kCent)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val gPath = scratch(s, dir, s"ivfpq_codes_gen2_m${m}_k${kCent}_c$cells")
-    val gH = new org.apache.hadoop.fs.Path(gPath)
-    if (!gH.getFileSystem(s.sparkContext.hadoopConfiguration).exists(gH)) {
+    if (!committed(s, gPath)) {
       codes.unionByName(delta)
         .repartition(col("cell"))
-        .write.mode("ignore").partitionBy("cell").parquet(gPath)
+        .write.mode("overwrite").partitionBy("cell").parquet(gPath)
     }
     (cb, dim, centroids, s.read.parquet(gPath))
   }
@@ -583,12 +588,12 @@ object Ingest {
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val cPath = scratch(s, dir, s"ivfpq_centroids_gen3_m${m}_k${kCent}_c$cells")
     val gPath = scratch(s, dir, s"ivfpq_codes_gen3_m${m}_k${kCent}_c$cells")
-    val cH = new org.apache.hadoop.fs.Path(cPath)
-    val fs = cH.getFileSystem(s.sparkContext.hadoopConfiguration)
     // generations are MONOTONE (the LSM posture): once gen3 exists, a
     // retrain already happened — serve it without re-deciding, so the
-    // warm path pays two parquet reads, not a k-means pass per probe
-    if (fs.exists(cH))
+    // warm path pays two parquet reads, not a k-means pass per probe.
+    // The gate is the CENTROID marker, written last: its _SUCCESS
+    // implies the code payload below committed first.
+    if (committed(s, cPath))
       return (cb, dim, s.read.parquet(cPath), s.read.parquet(gPath), true)
     val live = indexedCorpus(s, dir)
       .unionByName(appendBatch(embeddings(s, dir)))
@@ -596,12 +601,12 @@ object Ingest {
     if (!retrained) (cb, dim, centroids, codes.unionByName(delta), false)
     else {
       graft.functions.PqOps.register(s)
-      newCents.write.mode("ignore").parquet(cPath)
       Similarity.ivfAssignKernel(live, newCents)
         .select(col("vec_id"), col("cell"),
           graft.functions.PqOps.encode(col("embedding"), cb, m, kCent).as("code"))
         .repartition(col("cell"))
-        .write.mode("ignore").partitionBy("cell").parquet(gPath)
+        .write.mode("overwrite").partitionBy("cell").parquet(gPath)
+      newCents.write.mode("overwrite").parquet(cPath)
       (cb, dim, s.read.parquet(cPath), s.read.parquet(gPath), true)
     }
   }
@@ -663,12 +668,20 @@ object Ingest {
     val skew = occ.getDouble(2) * occ.getDouble(0) / occ.getDouble(1)
     if (skew <= skewThreshold) (servedCentroids, served, false)
     else {
-      val nCells = Similarity.ivfNumCells(occ.getDouble(1).toLong)
-      // bounded lowest-id training sample (the pqTrain rule: assignment
-      // quality, not training-set size, drives recall; the Lloyd passes
-      // stay O(sample) regardless of corpus size)
+      val n = occ.getDouble(1).toLong
+      val nCells = Similarity.ivfNumCells(n)
+      // bounded training sample, deterministic AND uniform over the LIVE
+      // corpus: append-driven drift arrives at HIGH vec_ids, which a
+      // lowest-id prefix would exclude by construction — fitting the
+      // retrained centroids to exactly the pre-drift data the mechanism
+      // is supposed to move away from (ADVICE r7). The hash-modulus
+      // filter keeps every id region represented; the residual
+      // orderBy+limit bounds the Lloyd passes to O(trainSample) and
+      // keeps the sample a pure function of the data.
+      val every = math.max(1L, n / trainSample)
       val retrained = Similarity.kmeansCentroids(
-        corpus.orderBy("vec_id").limit(trainSample), nCells, iters)
+        corpus.filter(pmod(xxhash64(col("vec_id")), lit(every)) === 0)
+          .orderBy("vec_id").limit(trainSample), nCells, iters)
       (retrained, Similarity.ivfAssignKernel(corpus, retrained), true)
     }
   }
@@ -684,10 +697,9 @@ object Ingest {
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val cPath = scratch(s, dir, s"ivf_centroids_gen3_c$cells")
     val aPath = scratch(s, dir, s"ivf_assign_gen3_c$cells")
-    val cH = new org.apache.hadoop.fs.Path(cPath)
-    val fs = cH.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // monotone generations: an existing gen3 IS the retrain decision
-    if (fs.exists(cH))
+    // monotone generations: a COMMITTED gen3 centroid marker IS the
+    // retrain decision (payload written first, marker last)
+    if (committed(s, cPath))
       return (s.read.parquet(cPath), s.read.parquet(aPath), true)
     val live = assign.select("vec_id", "embedding")
       .unionByName(delta.select("vec_id", "embedding"))
@@ -695,9 +707,9 @@ object Ingest {
       retrainOnDrift(live, centroids, skewThreshold)
     if (!retrained) (centroids, assign.unionByName(delta), false)
     else {
-      newCents.write.mode("ignore").parquet(cPath)
       newAssign.repartition(col("cell"))
-        .write.mode("ignore").partitionBy("cell").parquet(aPath)
+        .write.mode("overwrite").partitionBy("cell").parquet(aPath)
+      newCents.write.mode("overwrite").parquet(cPath)
       (s.read.parquet(cPath), s.read.parquet(aPath), true)
     }
   }
@@ -796,6 +808,20 @@ object Ingest {
   def knnJoinIvfAppended(s: SparkSession, dir: String, queriesDf: DataFrame,
       k: Int, nProbe: Int = 0): DataFrame = {
     val (centroids, assign, delta) = ensureIvfDelta(s, dir)
+    knnJoinSides(s, dir, Seq(assign, delta), centroids, queriesDf, k, nProbe)
+  }
+
+  /** Batched kNN over the base index plus a CALLER-SUPPLIED delta —
+    * e.g. one landed by the streaming ingest twin
+    * ([[graft.streaming.IvfStream.assignLandingStream]] →
+    * `partitionBy("cell")` file sink). Closes the LSM loop the
+    * streaming posture promises: vectors that arrived VIA A STREAM are
+    * served by the same per-side-DPP probe machinery, no batch
+    * re-ingest. The delta must carry (vec_id, cell, embedding) in the
+    * stored layout — exactly what the stream twin emits. */
+  def knnJoinIvfWithDelta(s: SparkSession, dir: String, delta: DataFrame,
+      queriesDf: DataFrame, k: Int, nProbe: Int = 0): DataFrame = {
+    val (centroids, assign) = ensureIvfIndex(s, dir)
     knnJoinSides(s, dir, Seq(assign, delta), centroids, queriesDf, k, nProbe)
   }
 

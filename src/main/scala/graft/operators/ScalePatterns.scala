@@ -65,23 +65,40 @@ object ScalePatterns {
     *    FAILS LOUDLY (the honest answer is genuinely quadratic — the
     *    caller must widen buckets, pre-aggregate, or raise the cap
     *    knowingly; silence is how r6 burned 357 s producing garbage);
-    *  - a bucket over `sliceRows` rows but under the cap is SUB-SPLIT
-    *    (the simhash band lesson, Sketch.scala): the probe side hashes
-    *    into ⌈n/sliceRows⌉ slices, the build side replicates to every
+    *  - a bucket whose ESTIMATED PAIRS n·(n+n_next) exceed
+    *    `pairsPerTask` (or whose own rows exceed `sliceRows`) is
+    *    SUB-SPLIT (the simhash band lesson, Sketch.scala): the probe
+    *    side hashes into slices, the build side replicates to every
     *    slice — same pairs, but the hot bucket's work spreads over
     *    slices reducers and per-task state stays bounded instead of one
-    *    straggler holding the whole bucket.
+    *    straggler holding the whole bucket. Slices derive from
+    *    est_pairs, NOT just the bucket's own occupancy: a task's work
+    *    is n(X)·(n(X)+n(X+1)), so a small bucket adjacent to a huge
+    *    next bucket is exactly as hot as a large one (ADVICE r7 — the
+    *    straggler shape an occupancy-only criterion misses).
     *
     * The hot list is bounded by totalRows/sliceRows entries, so the
     * slice map broadcasts; cold buckets (slices = 1) pay nothing but the
     * broadcast-join lookup. Rows with identical (us, type) hash to the
     * same slice — a corpus of byte-identical events should be
     * pre-aggregated with a count, not range-joined row-by-row. */
+  /** Slice count for one bucket: per-slice work is est_pairs/slices, so
+    * ⌈est_pairs/pairsPerTask⌉ bounds per-task comparisons BY
+    * CONSTRUCTION; the ⌈n/sliceRows⌉ term additionally bounds per-task
+    * build-side rows. Pure function — unit-testable without a plan. */
+  private[graft] def rangeSlices(n: Long, nNext: Long,
+      sliceRows: Int, pairsPerTask: Long): Int = {
+    val est = n * (n + nNext)
+    math.max(1L, math.max((n + sliceRows - 1) / sliceRows,
+      (est + pairsPerTask - 1) / pairsPerTask)).toInt
+  }
+
   def bucketedRangePairs(
       ev: DataFrame,
       windowUs: Long,
       sliceRows: Int = 65536,
-      maxBucketPairs: Long = 1000000000L): DataFrame = {
+      maxBucketPairs: Long = 1000000000L,
+      pairsPerTask: Long = 1L << 26): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
     val bkted = ev.select(unix_micros(col("ts")).as("us"), col("event_type").as("etype"))
@@ -90,20 +107,22 @@ object ScalePatterns {
     val occ = bkted.groupBy("bkt").agg(count(lit(1)).as("n"))
     val occNext = occ.select((col("bkt") - 1).as("bkt"), col("n").as("n_next"))
     val hot = occ.join(occNext, Seq("bkt"), "left")
-      .select(col("bkt"), col("n"),
+      .select(col("bkt"), col("n"), coalesce(col("n_next"), lit(0L)).as("n_next"),
         (col("n") * (col("n") + coalesce(col("n_next"), lit(0L)))).as("est_pairs"))
-      .filter(col("n") > sliceRows || col("est_pairs") > maxBucketPairs)
+      .filter(col("n") > sliceRows || col("est_pairs") > pairsPerTask ||
+        col("est_pairs") > maxBucketPairs)
       .collect()
     hot.filter(_.getAs[Long]("est_pairs") > maxBucketPairs).sortBy(-_.getAs[Long]("est_pairs"))
       .headOption.foreach { r =>
         throw new IllegalStateException(
           s"bucketedRangePairs: bucket ${r.getLong(0)} holds ${r.getLong(1)} rows " +
-            s"(~${r.getLong(2)} candidate pairs > cap $maxBucketPairs). The range " +
+            s"(~${r.getAs[Long]("est_pairs")} candidate pairs > cap $maxBucketPairs). The range " +
             "join on this data is effectively cartesian — widen windowUs, " +
             "pre-aggregate duplicate timestamps, or raise maxBucketPairs knowingly.")
       }
     val hotSlices = hot
-      .map(r => (r.getLong(0), ((r.getLong(1) + sliceRows - 1) / sliceRows).toInt))
+      .map(r => (r.getLong(0),
+        rangeSlices(r.getLong(1), r.getLong(2), sliceRows, pairsPerTask)))
       .toSeq.toDF("bkt", "slices")
     val a = bkted.join(broadcast(hotSlices), Seq("bkt"), "left")
       .withColumn("slices", coalesce(col("slices"), lit(1)))

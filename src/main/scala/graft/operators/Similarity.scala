@@ -87,10 +87,17 @@ object Similarity {
     * FRACTION, not a constant count. That is the honest ceiling of a
     * 64-bit-sketch prefilter: it buys its 32× I/O saving on corpora
     * with real neighbor structure; past ~10⁶ undistinguished vectors,
-    * IVF/PQ (whose gates derive geometry from N) are the scale path. */
-  def annTopK(emb: DataFrame, k: Int, expand: Int = 40): DataFrame = {
+    * IVF/PQ (whose gates derive geometry from N) are the scale path.
+    *
+    * `corpusRows` ≥ 0 supplies the corpus size for the floor without an
+    * action — pass the ingest-time count artifact (the rule every IVF
+    * path uses); the `emb.count()` fallback is for ad-hoc frames with no
+    * artifact, and costs one extra job per invocation. */
+  def annTopK(emb: DataFrame, k: Int, expand: Int = 40,
+      corpusRows: Long = -1L): DataFrame = {
     val s = sketched(emb)
-    val window = math.max(expand.toLong * k, emb.count() / 10).toInt
+    val n = if (corpusRows >= 0) corpusRows else emb.count()
+    val window = math.max(expand.toLong * k, n / 10).toInt
     val qs = sketched(queryRow(emb).select(col("q_emb").as("embedding"), col("q_id").as("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("sketch").as("q_sketch"))
@@ -689,7 +696,8 @@ object Similarity {
     // 0.7 there); the rescore stays narrow and bounded.
     "q_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      annTopK(emb, 10, expand = 100).select("vec_id")
+      annTopK(emb, 10, expand = 100,
+        corpusRows = Ingest.embeddingCount(s, dir)).select("vec_id")
         .join(cosineTopK(emb, 10).select("vec_id"), "vec_id")
         .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
     }),

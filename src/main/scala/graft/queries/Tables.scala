@@ -10,7 +10,39 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
+  /** One-shot per-(path, generation) sample probes — the events-reader
+    * r6 lesson generalized (VERDICT r7 #7): each high-traffic table
+    * asserts ONE absolute cross-column fact that a silent testdata
+    * regeneration drift would break (unit change, column re-meaning,
+    * truncation), so the failure is loud AT THE READER instead of a
+    * collapsed window or a garbage recall three operators downstream.
+    * Each probe reads a few rows of narrow columns, once per JVM per
+    * file generation (the fingerprint re-probes a regenerated file). */
+  private lazy val sanedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertOnce(s: SparkSession, path: String)(probe: => Unit): Unit = {
+    val fp = pathFingerprint(s, path)
+    if (!sanedPaths.contains(fp)) { probe; sanedPaths.add(fp) }
+  }
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, year}
+    val df = t(s, dir, "lineitem")
+    assertOnce(s, s"$dir/lineitem.parquet") {
+      // absolute fact: ship dates are civil years (a micro/nano-class
+      // unit drift lands millennia away), prices are positive money
+      df.select(year(col("l_shipdate")).as("y"), col("l_extendedprice"))
+        .head(1).foreach { r =>
+          require(r.getInt(0) >= 1990 && r.getInt(0) <= 2010,
+            s"lineitem.l_shipdate decoded to year ${r.getInt(0)} in $dir — " +
+              "timestamp encoding drifted; fix Tables.lineitem rather than " +
+              "letting every date filter silently go empty")
+          require(r.getDouble(1) > 0.0,
+            s"lineitem.l_extendedprice non-positive in $dir — column drift")
+        }
+    }
+    df
+  }
   def orders(s: SparkSession, dir: String): DataFrame = t(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
   def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
@@ -79,6 +111,30 @@ object Tables {
   private val encodingCache =
     new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]()
 
+  /** Cache key carrying the file's identity AND generation (path +
+    * modification time + byte length): the motivating failure is the
+    * testdata being REGENERATED with a different ts encoding within one
+    * JVM session — a path-only key would silently serve the stale
+    * encoding and misdecode by 1000× (ADVICE r7), the exact failure
+    * class the probe exists to catch. One FS stat per read call. */
+  private def pathFingerprint(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      val st = fs.getFileStatus(p)
+      val (mt, len) =
+        if (st.isDirectory) {
+          val kids = fs.listStatus(p)
+          (kids.map(_.getModificationTime).foldLeft(st.getModificationTime)(math.max),
+            kids.map(_.getLen).sum)
+        } else (st.getModificationTime, st.getLen)
+      s"$path@$mt:$len"
+    } catch {
+      // a missing path fails where the read fails, with Spark's message
+      case _: java.io.FileNotFoundException => s"$path@missing"
+    }
+  }
+
   private def isNanosIllegal(e: Throwable): Boolean = {
     var t = e
     while (t != null) {
@@ -90,10 +146,12 @@ object Tables {
     false
   }
 
-  /** Probe the footer (cached per path; one schema-inference plus at
-    * most one single-row scan — negligible against any table size). */
+  /** Probe the footer (cached per (path, mtime, length); one
+    * schema-inference plus at most one single-row scan — negligible
+    * against any table size, and a regenerated file re-probes). */
   def eventsTsEncoding(s: SparkSession, path: String): TsEncoding =
-    encodingCache.computeIfAbsent(path, { p =>
+    encodingCache.computeIfAbsent(pathFingerprint(s, path), { _ =>
+      val p = path
       import org.apache.spark.sql.types._
       try {
         val native = s.read.parquet(p)
@@ -149,7 +207,8 @@ object Tables {
     val path = s"$dir/events.parquet"
     val enc = eventsTsEncoding(s, path)
     val decoded = decodeTs(s.read.schema(eventsReadSchema(enc)).parquet(path), enc)
-    if (!saneEventPaths.contains(path)) {
+    val fp = pathFingerprint(s, path)
+    if (!saneEventPaths.contains(fp)) {
       // One sampled row must land in a modern year: a unit mistake is
       // uniform across rows, so a single sample catches it, and the
       // probe reads one row of one column — negligible at any scale.
@@ -163,11 +222,26 @@ object Tables {
             "encoding drifted again; fix Tables.events rather than " +
             "letting every downstream window silently collapse")
       }
-      saneEventPaths.add(path)
+      saneEventPaths.add(fp)
     }
     decoded
   }
-  def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  def documents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, length}
+    val df = t(s, dir, "documents")
+    assertOnce(s, s"$dir/documents.parquet") {
+      // absolute cross-column fact: n_chars IS the text length — a
+      // truncated or re-encoded text column breaks the equality
+      df.select(length(col("text")).as("l"), col("n_chars"), col("doc_id"))
+        .head(1).foreach { r =>
+          require(r.getInt(0).toLong == r.getLong(1),
+            s"documents.n_chars=${r.getLong(1)} != length(text)=${r.getInt(0)} " +
+              s"for doc_id=${r.getLong(2)} in $dir — text/metadata drifted; " +
+              "fix Tables.documents before any dedup/quality operator runs")
+        }
+    }
+    df
+  }
 
   /** The vector kernels (cosine, SRP, PQ encode, IVF assign) are typed
     * on `array<float>`; if a future testdata generation widens the
@@ -176,15 +250,27 @@ object Tables {
     * (r6), handled the same way: follow the footer, converge on one
     * logical type. */
   def embeddings(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, size}
     import org.apache.spark.sql.types._
     val df = t(s, dir, "embeddings")
-    df.schema("embedding").dataType match {
+    val typed = df.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => df
       case ArrayType(DoubleType, _) =>
         df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
       case other => throw new IllegalStateException(
         s"embeddings.embedding: unsupported parquet type $other")
     }
+    assertOnce(s, s"$dir/embeddings.parquet") {
+      // absolute fact: one constant sane dimension across rows — the
+      // vector kernels are dim-typed, and a ragged or empty column
+      // must fail here, not as a kernel layout error mid-query
+      val dims = typed.select(size(col("embedding")).as("d")).head(2).map(_.getInt(0))
+      require(dims.nonEmpty && dims.forall(d => d >= 2 && d <= 8192),
+        s"embeddings.embedding dimension ${dims.mkString(",")} out of sane " +
+          s"range in $dir — column drifted; fix Tables.embeddings")
+      require(dims.distinct.size == 1,
+        s"embeddings.embedding is RAGGED (${dims.mkString(" vs ")}) in $dir")
+    }
+    typed
   }
 }

@@ -26,10 +26,24 @@ object IvfStream {
     * retrain fork the assignments). */
   def assignStream(s: SparkSession, dir: String, cents: Array[Float],
       cids: Array[Long], dim: Int): DataFrame = {
-    IvfOps.register(s)
     val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
     // glob trick: see EventStream.readEvents (single-file testdata table)
-    s.readStream.schema(schema).parquet(s"$dir/[e]mbeddings.parquet")
+    assignLandingStream(s, s"$dir/[e]mbeddings.parquet", schema, cents, cids, dim)
+  }
+
+  /** Assign an arbitrary LANDING-ZONE directory of vector parquet files
+    * — the production delta shape: batches of new vectors arrive as
+    * files, each is cell-assigned against the frozen centroids as it
+    * lands, and a `partitionBy("cell")` file sink writes the delta in
+    * the exact layout the DPP-pruned probes
+    * ([[graft.operators.Ingest.knnJoinIvfWithDelta]]) read — closing
+    * the loop from streamed arrival to served kNN without a batch
+    * re-ingest. */
+  def assignLandingStream(s: SparkSession, landingGlob: String,
+      schema: org.apache.spark.sql.types.StructType, cents: Array[Float],
+      cids: Array[Long], dim: Int): DataFrame = {
+    IvfOps.register(s)
+    s.readStream.schema(schema).parquet(landingGlob)
       .select(col("vec_id"),
         IvfOps.cell(col("embedding"), cents, cids, dim).as("cell"),
         col("embedding"))

@@ -143,6 +143,47 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("STREAMED delta serves kNN: canary lands via the stream, probe finds it (VERDICT r7 #8)") {
+    // the LSM loop end to end: a delta batch arrives AS FILES in a
+    // landing zone → the streaming twin cell-assigns it against the
+    // STORED centroids → a partitionBy(cell) file sink writes the delta
+    // layout → the batched kNN probe serves base + streamed delta and
+    // must retrieve the canary (an exact copy of the probe's source
+    // vector that exists ONLY in the streamed delta) at cosine 1.0.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_knn").toString
+    val (centroids, _) = graft.operators.Ingest.ensureIvfIndex(spark, TestSpark.Sf0001)
+    val (cents, cids, dim) = graft.operators.Similarity.centroidArtifact(centroids)
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.Sf0001)
+    // offset 20: past the base-canary sources (the NumCanaries lowest
+    // ids, twinned at +TwinOffset in the base index — their twins would
+    // tie the probe at cosine 1.0 and win the id tie-break) and past the
+    // batch append sources, so the ONLY exact copy is the streamed one
+    val canarySrc = emb.orderBy("vec_id").offset(20).limit(1).localCheckpoint()
+    val CanaryId = 30000000L
+    canarySrc.withColumn("vec_id", lit(CanaryId))
+      .write.parquet(s"$dir/landing")
+    val stream = graft.streaming.IvfStream.assignLandingStream(
+      spark, s"$dir/landing", canarySrc.schema, cents, cids, dim)
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$dir/delta").option("checkpointLocation", s"$dir/ckpt")
+      .partitionBy("cell")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val delta = spark.read.parquet(s"$dir/delta")
+    assert(delta.count() == 1) // the canary lives ONLY in the streamed delta
+    val queries = canarySrc
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = graft.operators.Ingest.knnJoinIvfWithDelta(
+        spark, TestSpark.Sf0001, delta, queries, k = 5)
+      .collect()
+    val canaryHit = top.filter(r => r.getAs[Long]("vec_id") == CanaryId)
+    assert(canaryHit.length == 1, s"streamed canary not served (got ${top.length} rows)")
+    // exact copy of the probe vector ⇒ cosine 1.0 ⇒ it must rank FIRST
+    assert(canaryHit.head.getAs[Int]("rnk") == 1,
+      s"canary ranked ${canaryHit.head.getAs[Int]("rnk")}, expected 1")
+  }
+
   test("streaming Bloom decontamination (BloomStream) == batch filter") {
     import graft.functions.{BloomOps, Sketch}
     Sketch.register(spark); BloomOps.register(spark)

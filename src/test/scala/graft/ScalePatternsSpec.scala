@@ -72,6 +72,37 @@ class ScalePatternsSpec extends SparkSpecBase {
       s"expected the degenerate-occupancy message, got: ${e.getMessage}")
   }
 
+  test("rangeSlices derives from est_pairs: small bucket beside a huge neighbor splits (ADVICE r7)") {
+    import testImplicits._
+    // a task's work is n·(n+n_next): 100 own rows against a 10^7-row
+    // neighbor is ~10^9 comparisons — one unsliced task under an
+    // occupancy-only criterion, the straggler shape the guard documents
+    val s = ScalePatterns.rangeSlices(100L, 10000000L, sliceRows = 65536, pairsPerTask = 1L << 26)
+    assert(s >= 14, s"expected ~15 slices for ~1e9 est pairs, got $s")
+    // a genuinely cold bucket stays unsliced
+    assert(ScalePatterns.rangeSlices(1000L, 1000L, 65536, 1L << 26) == 1)
+    // the occupancy term still applies on its own
+    assert(ScalePatterns.rangeSlices(200000L, 0L, 65536, Long.MaxValue) == 4)
+    // and the asymmetric case produces the SAME pairs as brute force:
+    // 40 rows in bucket 0, 4000 in bucket 1, tiny pairsPerTask forces
+    // the est_pairs path to engage and split
+    val t0 = 1704067200000L
+    val ev = ((0 until 40).map(i => (new java.sql.Timestamp(t0 + i), "a")) ++
+      (0 until 4000).map(i => (new java.sql.Timestamp(t0 + 600000L + (i % 500)), s"b${i % 7}")))
+      .toDF("ts", "event_type")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("a_type", "b_type").agg(count(lit(1)).as("n"))
+        .orderBy("a_type", "b_type").collect().map(_.toSeq).toSeq
+    val guarded = canon(ScalePatterns.bucketedRangePairs(
+      ev, windowUs = 600000000L, sliceRows = 65536,
+      maxBucketPairs = 100000000L, pairsPerTask = 100000L))
+    val a = ev.select(unix_micros(col("ts")).as("a_us"), col("event_type").as("a_type"))
+    val b = ev.select(unix_micros(col("ts")).as("b_us"), col("event_type").as("b_type"))
+    val brute = canon(a.crossJoin(b)
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + 600000000L))
+    assert(guarded == brute && guarded.nonEmpty)
+  }
+
   test("bucketedRangePairs on sane data is unchanged by the guard (cold path)") {
     val ev = Tables.events(spark, TestSpark.Sf0001)
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -56,6 +56,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"ANN recall $recall")
   }
 
+  test("annTopK with a corpus-count artifact plans without running a job (ADVICE r7)") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val n = emb.count()
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val planned = Similarity.annTopK(emb, 10, expand = 100, corpusRows = n)
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"plan construction ran ${after - before} job(s) despite the count artifact")
+    // and the artifact-fed plan returns the same neighbor set as the
+    // fallback-count path
+    val viaArtifact = planned.select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaCount = Similarity.annTopK(emb, 10, expand = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaArtifact == viaCount)
+  }
+
   test("IVF top-k: perfect recall on clustered data, ≥ k rows on any data") {
     import testImplicits._
     // planted clusters: 8 bases × 25 members with small noise — the
