@@ -818,6 +818,7 @@ final class JetTableIO(path: String) extends TableIO {
   }
 
   override def truncateLoad(df: DataFrame, table: HogiaTable): Unit = {
+    TableIO.guardSingleFile(df, table, "Jet/MDB") // loud before the collect
     if (loaded.isEmpty && Files.exists(Paths.get(path)))
       Files.delete(Paths.get(path))
     val ordered = df.select(table.cols.map(c =>

@@ -597,6 +597,7 @@ final class SqliteTableIO(path: String) extends TableIO {
       table.schema)
 
   override def truncateLoad(df: DataFrame, table: HogiaTable): Unit = {
+    TableIO.guardSingleFile(df, table, "SQLite") // loud before the collect
     if (loaded.isEmpty && Files.exists(Paths.get(path))) Files.delete(Paths.get(path))
     loaded += table.name -> ((table, df.collect().toSeq))
     SqliteFile.write(path, loaded.values.toSeq)

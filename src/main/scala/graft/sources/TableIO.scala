@@ -24,6 +24,33 @@ trait TableIO {
   def exists(spark: SparkSession, table: HogiaTable): Boolean
 }
 
+object TableIO {
+  /** Row cap for the SINGLE-FILE sinks ([[SqliteTableIO]],
+    * [[JetTableIO]]), whose truncate-load inherently funnels the whole
+    * table through the driver (the reference's own single-threaded
+    * writer shape). Without a guard a 10⁸-row table OOMs the driver
+    * mid-collect; with it the export fails LOUDLY with routing guidance
+    * before any materialization. Configurable per session via
+    * `spark.graft.singleFileMaxRows`. The probe is `limit(cap+1).count()`
+    * — it stops scanning at cap+1 rows, so the guard costs O(cap) even
+    * on a 100 TB input. */
+  val SingleFileMaxRowsKey = "spark.graft.singleFileMaxRows"
+  val SingleFileMaxRowsDefault = 10000000L
+
+  private[sources] def guardSingleFile(df: DataFrame, table: HogiaTable,
+      sink: String): Unit = {
+    val cap = df.sparkSession.conf
+      .getOption(SingleFileMaxRowsKey).map(_.toLong)
+      .getOrElse(SingleFileMaxRowsDefault)
+    if (df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt.max(1)).count() > cap)
+      throw new IllegalArgumentException(
+        s"${table.name}: more than $cap rows bound for the single-file " +
+          s"$sink sink, which materializes on the driver. Export this " +
+          "table through JdbcTableIO (cluster-parallel) or ParquetTableIO " +
+          s"instead, or raise $SingleFileMaxRowsKey knowingly.")
+  }
+}
+
 /** Parquet-backed TableIO: `<root>/<tableName>` one directory per table.
   * Overwrite mode reproduces the reference's delete-output-first semantics
   * (`hhek2sqlite.go:1153-1156`). Table names are non-ASCII

@@ -81,6 +81,30 @@ class ConvertSpec extends SparkSpecBase {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("single-file sinks refuse driver-OOM-sized loads loudly (VERDICT r7 #3)") {
+    import graft.sources.{JetTableIO, SqliteTableIO, TableIO}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sizeguard").toString
+    val p = HogiaSchema.byName("Personer")
+    val rows = (1L to 50L).map(i =>
+      org.apache.spark.sql.Row(i, s"Namn $i", "1990", "Man"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava), p.schema)
+    spark.conf.set(TableIO.SingleFileMaxRowsKey, "10")
+    try {
+      val e1 = intercept[IllegalArgumentException](
+        new SqliteTableIO(s"$dir/cap.db").truncateLoad(df, p))
+      assert(e1.getMessage.contains("JdbcTableIO"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        new JetTableIO(s"$dir/cap.mdb").truncateLoad(df, p))
+      assert(e2.getMessage.contains("JdbcTableIO"), e2.getMessage)
+      // at or under the cap the export proceeds normally
+      spark.conf.set(TableIO.SingleFileMaxRowsKey, "50")
+      new SqliteTableIO(s"$dir/ok.db").truncateLoad(df, p)
+      assert(graft.sources.SqliteFile.readTable(s"$dir/ok.db", p).size == 50)
+    } finally spark.conf.unset(TableIO.SingleFileMaxRowsKey)
+  }
+
   test("truncate-load is idempotent (D3: delete-then-insert, both directions)") {
     val io = new ParquetTableIO(s"$work/idem")
     val t = HogiaSchema.byName("Personer")
