@@ -21,8 +21,27 @@ measure output explosion instead of operator scaling. So:
    original timespan would multiply temporal DENSITY 10x and grow every
    time-window pair count ~100x — measuring data shape, not operators.
 
-Usage: python3 scripts/make_sf1.py [outdir]   (default target/sf1)
+With --zipf (VERDICT r7 #6) the volume amplification is combined with
+SKEW: sf1 scales 10x but keeps the distribution, so the operators'
+guards (range-join est_pairs slicing, cellPairs triangle split, winnow
+stop-fingerprints) never met production-shaped hot keys. The zipf
+variant plants them deliberately, sized to SPLIT, not loud-fail:
+ - events: user_id redrawn zipf-ish (log-uniform rank over 50k users:
+   the hottest user carries ~9% of all events — the thundering-herd
+   session/funnel shape), plus a 10k-event burst squeezed into ONE
+   10-minute bucket of copy 0 (est_pairs ~1e8: above the 2^26
+   pairs-per-task slicing threshold, far below the 1e9 loud-fail cap).
+ - documents: copy 0 rows 10..159 become one 150-way exact-duplicate
+   group (hot digest, hot minhash band, winnow df>64 stop-cap), and
+   half of all sources collapse onto the hottest source value.
+ - embeddings: 25% of vectors blended toward a per-copy hot direction
+   (v' = 0.4*b + 0.6*v: mutual cosine ~0.3-0.7, far under the 0.99
+   SemDeDup tau - skews cell geometry without manufacturing duplicate
+   cliques).
+
+Usage: python3 scripts/make_sf1.py [--zipf] [outdir]  (default target/sf1)
 """
+import math
 import os
 import random
 import sys
@@ -32,7 +51,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
+ZIPF = "--zipf" in sys.argv
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = _args[0] if _args else ("target/sf1z" if ZIPF else "target/sf1")
 COPIES = 10
 
 # table -> {column: per-copy key offset}
@@ -87,6 +108,60 @@ def shifted(table: pa.Table, name: str, k: int) -> pa.Table:
         vecs = [v[r % len(v):] + v[:r % len(v)] if v else v
                 for v in t["embedding"].to_pylist()]
         t = t.set_column(t.schema.get_field_index("embedding"), "embedding",
+                         pa.array(vecs, type=t.schema.field("embedding").type))
+    if ZIPF:
+        t = zipfify(t, name, k)
+    return t
+
+
+def zipfify(t: pa.Table, name: str, k: int) -> pa.Table:
+    """Skew one amplified copy (see module docstring for the sizing)."""
+    rng = random.Random(7000 + k)
+    idx = t.schema.get_field_index
+    if name == "events":
+        n_users = 50_000
+        base = k * KEY_SHIFTS["events"]["user_id"]
+        log_n = math.log(n_users)
+        uid = [base + int(math.exp(rng.uniform(0.0, log_n)))
+               for _ in range(t.num_rows)]
+        t = t.set_column(idx("user_id"), "user_id",
+                         pa.array(uid, type=pa.int64()))
+        if k == 0:
+            ts_type = t.schema.field("ts").type
+            unit_per_s = {"s": 1, "ms": 10**3, "us": 10**6,
+                          "ns": 10**9}[ts_type.unit]
+            window = 600 * unit_per_s  # the range join's 10-min bucket
+            ts = t["ts"].cast(pa.int64()).to_pylist()
+            # burst base aligned DOWN to a bucket boundary so all 10k
+            # rows land in ONE bucket (offsets strictly < window)
+            t0 = (min(ts) // window) * window + window  # next full bucket
+            for i in range(min(10_000, len(ts))):
+                ts[i] = t0 + (i * 37_647) % (window - 1)
+            t = t.set_column(idx("ts"), "ts",
+                             pa.array(ts, type=pa.int64()).cast(ts_type))
+    if name == "documents":
+        srcs = t["source"].to_pylist()
+        hot_src = max(set(srcs), key=srcs.count)
+        srcs = [hot_src if rng.random() < 0.5 else s for s in srcs]
+        t = t.set_column(idx("source"), "source",
+                         pa.array(srcs, type=pa.string()))
+        if k == 0:
+            texts = t["text"].to_pylist()
+            n_chars = t["n_chars"].to_pylist()
+            if len(texts) > 160:
+                for i in range(10, 160):  # 150-way exact-dup group
+                    texts[i] = texts[10]
+                    n_chars[i] = n_chars[10]
+            t = t.set_column(idx("text"), "text",
+                             pa.array(texts, type=pa.string()))
+            t = t.set_column(idx("n_chars"), "n_chars",
+                             pa.array(n_chars, type=pa.int64()))
+    if name == "embeddings":
+        vecs = t["embedding"].to_pylist()
+        hot = vecs[0]
+        vecs = [[0.4 * b + 0.6 * x for b, x in zip(hot, v)]
+                if v and rng.random() < 0.25 else v for v in vecs]
+        t = t.set_column(idx("embedding"), "embedding",
                          pa.array(vecs, type=t.schema.field("embedding").type))
     return t
 

@@ -124,6 +124,15 @@ object ScalePatterns {
       .map(r => (r.getLong(0),
         rangeSlices(r.getLong(1), r.getLong(2), sliceRows, pairsPerTask)))
       .toSeq.toDF("bkt", "slices")
+    if (hot.nonEmpty) {
+      // observable engagement (not just absence-of-failure): the skew
+      // rehearsal greps for this line to prove the guard SPLIT a hot
+      // bucket instead of letting it straggle or failing loudly
+      val worst = hot.maxBy(_.getAs[Long]("est_pairs"))
+      System.err.println(s"[graft] range-join guard engaged: ${hot.length} hot " +
+        s"bucket(s), worst est_pairs=${worst.getAs[Long]("est_pairs")} " +
+        s"split into ${rangeSlices(worst.getLong(1), worst.getLong(2), sliceRows, pairsPerTask)} slices")
+    }
     val a = bkted.join(broadcast(hotSlices), Seq("bkt"), "left")
       .withColumn("slices", coalesce(col("slices"), lit(1)))
       .withColumn("slice", pmod(xxhash64(col("us"), col("etype")), col("slices")).cast("int"))

@@ -440,6 +440,9 @@ object Similarity {
           s"(> $maxSlices) — degenerate clustering. Run exact dedup " +
           "first, raise the cell count, or retrain centroids.")
     }
+    if (hotRows.nonEmpty) // observable engagement (skew rehearsal greps this)
+      System.err.println(s"[graft] cellPairs guard engaged: ${hotRows.length} hot " +
+        s"cell(s), worst split into ${hotRows.map(_.getInt(1)).max} slices")
     val hot = hotRows.map(r => (r.getLong(0), r.getInt(1))).toSeq
       .toDF("cell", "k")
       .withColumn("cell", col("cell").cast(assigned.schema("cell").dataType))
