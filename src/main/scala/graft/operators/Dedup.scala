@@ -84,6 +84,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Ingestion-time near-dup ADMISSION of PROBE docs against a STORED
+    * feature table (the `ensureSketchedDocs` layout): candidate
+    * (probe, stored) pairs from shared LSH band buckets, verified by
+    * exact shingle Jaccard, filtered to ≥ tau. Every step is a
+    * stateless projection or a join against the STATIC stored side —
+    * no self-join, no aggregation — so the SAME body runs over a batch
+    * frame and a Structured Streaming micro-batch
+    * ([[graft.streaming.DedupStream.admitStream]]); Append mode, no
+    * watermark state. Returns one row per (pair, matching band) —
+    * stateless plans cannot dedup cross-band hits, and the per-doc
+    * keep/drop verdict (`exists pair`) is insensitive to the
+    * duplication; aggregate downstream (foreachBatch in streams).
+    * At 100 TB the stored band table is the index: hash-partitioned on
+    * the uniform band hash, the probe batch shuffles 16 fixed-width
+    * keys per doc, and verification touches only banded candidates. */
+  def admitPairs(storedFeatures: DataFrame, probeFeatures: DataFrame,
+      tau: Double): DataFrame = {
+    val sBands = bands(storedFeatures.select("doc_id", "sig"))
+      .select(col("doc_id").as("stored_id"), col("band_idx"), col("band_hash"))
+    val sSets = storedFeatures
+      .select(col("doc_id").as("stored_id"), col("sh_set").as("stored_sh"))
+    // probe bands carry the probe's own shingle set so verification
+    // never joins the (possibly streaming) probe side with itself
+    val bandStructs = (0 until NumBands).map { j =>
+      struct(lit(j).as("band_idx"),
+        xxhash64(slice(col("sig"), j * BandRows + 1, BandRows)).as("band_hash"))
+    }
+    probeFeatures
+      .select(col("doc_id").as("probe_id"), col("sh_set"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("probe_id"), col("sh_set"), col("b.band_idx"), col("b.band_hash"))
+      .join(sBands, Seq("band_idx", "band_hash"))
+      .join(sSets, Seq("stored_id"))
+      .select(col("probe_id"), col("stored_id"), col("band_idx"),
+        (size(array_intersect(col("sh_set"), col("stored_sh"))).cast(DoubleType) /
+          size(array_union(col("sh_set"), col("stored_sh"))).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Exact n-gram Jaccard of candidate pairs against the true shingle
     * sets: two hash-joins on doc_id (auto-broadcast when the feature side
     * is small), then a per-pair array intersection — never a corpus
@@ -348,6 +388,28 @@ object Dedup {
         .orderBy("doc1", "doc2")
     }),
 
+    // Ingestion-time ADMISSION gate: 50 exact-copy probes (re-id'd at
+    // +10M) checked against the stored corpus through LSH banding +
+    // exact verification — the keep/drop decision a streaming pipeline
+    // runs before admitting a document (DedupStream is the stream twin,
+    // structurally the same admitPairs body). The oracle is DuckDB's
+    // brute-force probe×corpus Jaccard: equality certifies no-FP AND
+    // recall 1.0 of the admission path (probe-source pairs sit at
+    // J = 1.0, organic neighbors ≥ 0.90 — banding miss P < 4e-8; the
+    // corpus has no mid-range pairs, the same property q_near_dup_minhash
+    // relies on). distinct() collapses multi-band hits, whose
+    // multiplicity is hash-specific and not oracle-expressible.
+    "q_admit_near_dup" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val stored = minhashFeatures(docs)
+      val probes = minhashFeatures(
+        docs.orderBy("doc_id").limit(50)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      admitPairs(stored, probes, 0.5)
+        .select("probe_id", "stored_id", "jaccard").distinct()
+        .orderBy("probe_id", "stored_id")
+    }),
+
     // SimHash kernel invariants, per doc — engine-portable booleans that
     // are MATHEMATICALLY true of a correct implementation (votes are a
     // position-free sum over token occurrences; the tokenizer collapses
@@ -555,6 +617,21 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_near_dup_minhash" -> allPairsJaccardSql,
+    // brute-force probe×corpus Jaccard over the same shingle definition;
+    // threshold in integer arithmetic (2·|∩| ≥ |∪| ⟺ J ≥ 0.5)
+    "q_admit_near_dup" ->
+      s"""WITH $allPairsJaccardCtes,
+         |probe AS (
+         |  SELECT doc_id + 10000000 AS probe_id, s FROM sh
+         |  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)),
+         |apairs AS (
+         |  SELECT p.probe_id, b.doc_id AS stored_id,
+         |         len(list_intersect(p.s, b.s)) AS ni,
+         |         len(p.s) + len(b.s) - len(list_intersect(p.s, b.s)) AS nu
+         |  FROM probe p CROSS JOIN sh b)
+         |SELECT probe_id, stored_id, ni::DOUBLE / nu::DOUBLE AS jaccard
+         |FROM apairs WHERE ni * 2 >= nu
+         |ORDER BY probe_id, stored_id""".stripMargin,
     "q_near_dup_simhash" -> "SELECT CAST(1.0 AS DOUBLE) AS planted_recall",
     // invariants provably true of a correct kernel (see the query comment)
     "q_simhash" ->

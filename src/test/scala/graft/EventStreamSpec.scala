@@ -184,6 +184,38 @@ class EventStreamSpec extends SparkSpecBase {
       s"canary ranked ${canaryHit.head.getAs[Int]("rnk")}, expected 1")
   }
 
+  test("streamed near-dup admission (DedupStream) == batch; dup flagged, novel doc passes") {
+    // ingestion-time gate: documents land as files, are sketched per
+    // micro-batch, and probe the STORED band index — an exact copy of a
+    // stored doc must surface (J = 1.0), a novel doc must come through
+    // with no verified pair at all
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_admit").toString
+    val stored = graft.operators.Ingest.ensureSketchedDocs(spark, TestSpark.Sf0001)
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val src = docs.orderBy("doc_id").limit(1).localCheckpoint()
+    val dup = src.withColumn("doc_id", lit(910001L))
+    val novel = src.withColumn("doc_id", lit(910002L)).withColumn("text",
+      lit("zebra quantum marmalade turbine elk granite sonata pylon weasel " +
+        "ficus drizzle cobalt yurt paprika glacier mandolin tungsten fjord"))
+    dup.unionByName(novel).write.parquet(s"$dir/landing")
+    val stream = graft.streaming.DedupStream.admitStream(
+      spark, s"$dir/landing", src.schema, stored, 0.5)
+    val q = EventStream.runToMemory(stream, "admit_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    val got = spark.table("admit_stream_test")
+      .select("probe_id", "stored_id", "jaccard").distinct().collect()
+    assert(got.exists(r => r.getLong(0) == 910001L && r.getDouble(2) == 1.0),
+      "streamed exact copy not flagged against its stored source")
+    assert(!got.exists(_.getLong(0) == 910002L), "novel doc falsely flagged")
+    // streaming ≡ batch: the same admitPairs body over the same landing
+    // files must produce exactly the same verified pair rows
+    val batch = graft.operators.Dedup.admitPairs(stored,
+        graft.operators.Dedup.minhashFeatures(spark.read.parquet(s"$dir/landing")), 0.5)
+      .select("probe_id", "stored_id", "jaccard").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(got.map(_.toSeq).toSet == batch && batch.nonEmpty)
+  }
+
   test("streaming Bloom decontamination (BloomStream) == batch filter") {
     import graft.functions.{BloomOps, Sketch}
     Sketch.register(spark); BloomOps.register(spark)
