@@ -204,6 +204,45 @@ class PlanSpec extends SparkSpecBase {
       s"local top-k must spread over (q_id, pid):\n$p")
   }
 
+  test("streamed-delta kNN serving: caller delta joins the same probe plan, DPP on the base") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // a tiny in-memory delta in the stored layout (vec_id, cell, embedding)
+    val (centroids, _) = graft.operators.Ingest.ensureIvfIndex(spark, TestSpark.Sf0001)
+    val delta = graft.operators.Similarity.ivfAssignKernel(
+      emb.orderBy("vec_id").limit(3), centroids)
+    val p = plan(graft.operators.Ingest.knnJoinIvfWithDelta(
+      spark, TestSpark.Sf0001, delta, qs, 5, nProbe = 4))
+    // the cell-partitioned BASE scan must still be DPP-pruned (the
+    // in-memory delta side has no partitioned scan to prune)
+    assert(p.contains("dynamicpruning"),
+      s"base scan must carry a DPP filter with a caller delta present:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the serving plan:\n$p")
+    assert(p.contains("hashpartitioning(q_id#") && p.contains(", pid#"),
+      s"local top-k must spread over (q_id, pid):\n$p")
+  }
+
+  test("near-dup admission: band equi-join + doc_id lookups, no cartesian, no text re-read") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val stored = graft.operators.Ingest.ensureSketchedDocs(spark, TestSpark.Sf0001)
+    val probes = graft.operators.Dedup.minhashFeatures(
+      docs.orderBy("doc_id").limit(5)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+    val p = plan(graft.operators.Dedup.admitPairs(stored, probes, 0.5))
+    // the stored side serves from the SKETCH table: exactly one text
+    // scan in the whole plan (the probe sketch pass), zero against the
+    // stored corpus
+    assert("ReadSchema: [^\n]*text".r.findAllIn(p).size <= 1,
+      s"stored side must serve from sketches, not re-read document text:\n$p")
+    assert(p.contains("band_idx") && p.contains("band_hash"),
+      s"candidate step must equi-join on the band keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"admission must never degenerate to an all-pairs join:\n$p")
+  }
+
   test("batched IVF-PQ kNN: DPP-pruned code scan, column-table ADC, no cell literal") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
