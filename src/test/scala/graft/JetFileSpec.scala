@@ -439,6 +439,54 @@ class JetFileSpec extends SparkSpecBase {
     assert(e.getMessage.contains("MEMO"))
   }
 
+  test("randomized row forms: short/wide/memo rows round-trip together (property)") {
+    import org.scalacheck.Gen
+    val dir = Files.createTempDirectory("graft_jet_prop").toString
+    val lan = HogiaSchema.byName("LÅN")
+    // cp1252-representable chars incl. high bytes; lengths straddle the
+    // 1-byte/2-byte boundary-form switch (~220 B of other var columns)
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.oneOf('å', 'ä', 'ö', 'É', '€', ' ')))
+    def strGen(max: Int) = Gen.chooseNum(0, max)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val rowGen = for {
+      beskr <- strGen(300) // pushes var section past byte 255 when long
+      note <- Gen.frequency((3, Gen.const("")), (2, strGen(60)),
+        (2, strGen(3000)), (1, strGen(9000))) // "", inline-ish, 2- and 5-chunk LVAL
+      vem <- strGen(40)
+      fast <- Gen.chooseNum(-1000000, 1000000).map(_ / 16f) // exact float
+    } yield (beskr, note, vem, fast)
+    val rows = samples(rowGen, 60).zipWithIndex.map { case ((b, nt, v, f), i) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any]((i + 1).toLong, "Banken", b, s"L-$i",
+          new BigDecimal("250000.0000"), "2020-01-01", "2020-01-02",
+          "2025-01-01", "2050-01-01", new BigDecimal(s"$i.5000"),
+          new BigDecimal("0.0000"), new BigDecimal(s"$i.5000"),
+          f, 3.875f, "12", new BigDecimal("645.8300"),
+          new BigDecimal("1000.0000"), new BigDecimal("0.0000"),
+          new BigDecimal("25.0000"), "J", v, "Konto 1", "G",
+          nt, "r", "a", "o"), lan.schema)
+    }
+    val io2 = new JetTableIO(s"$dir/prop.mdb")
+    io2.truncateLoad(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+      lan.schema), lan)
+    val back = io2.read(spark, lan).orderBy("Löpnr").collect()
+    assert(back.length == rows.length)
+    rows.zip(back).foreach { case (exp, got) =>
+      assert(got.getAs[String]("EgenBeskrivn") == exp.getAs[String]("EgenBeskrivn"))
+      // "" memo reads NULL (documented divergence); non-empty must be exact
+      val note = exp.getAs[String]("Anteckningar")
+      if (note.isEmpty) assert(got.isNullAt(lan.schema.fieldIndex("Anteckningar")))
+      else assert(got.getAs[String]("Anteckningar") == note,
+        s"memo of ${note.length} chars corrupted")
+      assert(got.getAs[Float]("FastRanta") == exp.getAs[Float]("FastRanta"))
+      assert(got.getAs[BigDecimal]("AktLaneskuld")
+        .compareTo(exp.getAs[BigDecimal]("AktLaneskuld")) == 0)
+    }
+  }
+
   test("FULL ROUND TRIP (db_test.go:83-140): GOTEST1.MDB → .db → .mdb, checkDB1 replayed") {
     assume(available)
     val dir = Files.createTempDirectory("graft_jet_rt").toString

@@ -220,6 +220,49 @@ class SqliteFileSpec extends SparkSpecBase {
     }
   }
 
+  test("overflow K/M-branch boundary sweep: every spill regime round-trips, engine-verified") {
+    // the format's split: X=4061, M=489, K = M + (P-M) mod (U-4).
+    // Payload sizes chosen to hit: inline (no spill), the M-branch
+    // (K > X → inline only M bytes), the K-branch (K ≤ X → inline K),
+    // the exact threshold, and a multi-page chain — each a distinct
+    // code path in both writer and reader.
+    val dir = Files.createTempDirectory("graft_sqlite_km").toString
+    val path = s"$dir/km.db"
+    val lan = HogiaSchema.byName("LÅN")
+    val sizes = Seq(100, 4000, 4061, 4100, 4681, 9000, 20000)
+    val rows = sizes.zipWithIndex.map { case (n, i) =>
+      org.apache.spark.sql.Row(Seq[Any](
+        (i + 1).toLong, "B", "E", s"L-$i", new BigDecimal("1.0000"),
+        "2020-01-01", "2020-01-02", "2025-01-01", "2050-01-01",
+        new BigDecimal("1.0000"), new BigDecimal("0.0000"),
+        new BigDecimal("1.0000"), 1.5f, 2.5f, "12",
+        new BigDecimal("1.0000"), new BigDecimal("1.0000"),
+        new BigDecimal("0.0000"), new BigDecimal("1.0000"), "J", "V",
+        "K", "G", "x" * n, "r", "a", "o"): _*)
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+      lan.schema)
+    new SqliteTableIO(path).truncateLoad(df, lan)
+    val back = graft.sources.SqliteFile.readTable(path, lan)
+      .map(r => r.getLong(0) -> r.getString(lan.schema.fieldIndex("Anteckningar"))).toMap
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      assert(back(i + 1L) == "x" * n, s"payload of $n chars corrupted")
+    }
+    if (havePython) {
+      val out = python(
+        s"""import sqlite3
+           |c = sqlite3.connect('$path')
+           |print(c.execute('PRAGMA integrity_check').fetchone()[0])
+           |print([r[0] for r in c.execute(
+           |    'SELECT length(Anteckningar) FROM LÅN ORDER BY Löpnr')])""".stripMargin)
+      val lines = out.linesIterator.toSeq
+      assert(lines(0) == "ok", s"integrity: ${lines(0)}")
+      assert(lines(1) == sizes.mkString("[", ", ", "]"))
+    }
+  }
+
   test("randomized round-trip: special chars, NULLs, negatives, both decimal storage classes") {
     val dir = Files.createTempDirectory("graft_sqlite_rand").toString
     val path = s"$dir/rand.db"
