@@ -27,6 +27,9 @@ def main() -> None:
     base, new = load(sys.argv[1]), load(sys.argv[2])
     max_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
     floor = 0.5
+    # a query present in the baseline but MISSING from the new run is a
+    # coverage loss, not a speedup — the gate must fail, not shrink
+    gone = sorted(set(base["queries"]) - set(new["queries"]))
     bad = []
     rows = []
     for q, t_new in sorted(new["queries"].items()):
@@ -47,6 +50,10 @@ def main() -> None:
           f"failed: base={base.get('failed')} new={new.get('failed')}")
     if new.get("failed"):
         print("FAIL: new run has failed queries:", new.get("errors"))
+        sys.exit(1)
+    if gone:
+        print(f"FAIL: {len(gone)} baseline query(ies) missing from the new run:")
+        print("  " + ", ".join(gone))
         sys.exit(1)
     if bad:
         print(f"FAIL: {len(bad)} query(ies) above {max_ratio}x:")

@@ -93,6 +93,10 @@ def shifted(table: pa.Table, name: str, k: int) -> pa.Table:
             texts.append(" ".join(toks))
         t = t.set_column(t.schema.get_field_index("text"), "text",
                          pa.array(texts, type=pa.string()))
+        # n_chars IS length(text) — the reader canary asserts it
+        # (Tables.documents); the salted copies must keep it true
+        t = t.set_column(t.schema.get_field_index("n_chars"), "n_chars",
+                         pa.array([len(s) for s in texts], type=pa.int64()))
     if name == "events" and k > 0:
         # shift in the column's OWN unit (the driver's physical encoding
         # drifted nanos->micros between rounds; a hardcoded-nanos shift

@@ -54,15 +54,20 @@ object Dedup {
       .select(col("doc_id"), col("f.sh_set").as("sh_set"), col("f.sig").as("sig"))
   }
 
-  /** Explode signatures into (band_idx, band_hash) bucket keys — 16
-    * fixed-width rows per doc. */
-  private def bands(features: DataFrame): DataFrame = {
+  /** Explode signatures into (doc_id, carry..., band_idx, band_hash)
+    * bucket keys — 16 fixed-width rows per doc. `carry` columns ride
+    * along (the admission path carries the probe's shingle set so a
+    * streaming probe side never self-joins); the band-key derivation
+    * lives HERE and only here — two copies would let a banding change
+    * silently de-correlate stored and probe buckets. */
+  private def bands(features: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until NumBands).map { j =>
       struct(lit(j).as("band_idx"),
         xxhash64(slice(col("sig"), j * BandRows + 1, BandRows)).as("band_hash"))
     }
-    features.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    val keep = col("doc_id") +: carry.map(col)
+    features.select(keep :+ explode(array(bandStructs: _*)).as("b"): _*)
+      .select(keep :+ col("b.band_idx") :+ col("b.band_hash"): _*)
   }
 
   /** Candidate pairs: docs sharing any LSH band bucket (doc1 < doc2),
@@ -105,16 +110,10 @@ object Dedup {
       .select(col("doc_id").as("stored_id"), col("band_idx"), col("band_hash"))
     val sSets = storedFeatures
       .select(col("doc_id").as("stored_id"), col("sh_set").as("stored_sh"))
-    // probe bands carry the probe's own shingle set so verification
+    // probe bands CARRY the probe's own shingle set so verification
     // never joins the (possibly streaming) probe side with itself
-    val bandStructs = (0 until NumBands).map { j =>
-      struct(lit(j).as("band_idx"),
-        xxhash64(slice(col("sig"), j * BandRows + 1, BandRows)).as("band_hash"))
-    }
-    probeFeatures
-      .select(col("doc_id").as("probe_id"), col("sh_set"),
-        explode(array(bandStructs: _*)).as("b"))
-      .select(col("probe_id"), col("sh_set"), col("b.band_idx"), col("b.band_hash"))
+    bands(probeFeatures.select("doc_id", "sig", "sh_set"), carry = Seq("sh_set"))
+      .withColumnRenamed("doc_id", "probe_id")
       .join(sBands, Seq("band_idx", "band_hash"))
       .join(sSets, Seq("stored_id"))
       .select(col("probe_id"), col("stored_id"), col("band_idx"),

@@ -77,9 +77,12 @@ object ScalePatterns {
     *    next bucket is exactly as hot as a large one (ADVICE r7 — the
     *    straggler shape an occupancy-only criterion misses).
     *
-    * The hot list is bounded by totalRows/sliceRows entries, so the
-    * slice map broadcasts; cold buckets (slices = 1) pay nothing but the
-    * broadcast-join lookup. Rows with identical (us, type) hash to the
+    * The hot list is bounded by totalRows/min(sliceRows,
+    * √(pairsPerTask/2)) entries (≈ totalRows/5800 at the defaults — the
+    * est_pairs criterion marks a bucket hot from ~5.8k rows beside an
+    * equal neighbor), so the collected slice map stays a broadcastable
+    * few-KB relation for any realistic time span; cold buckets
+    * (slices = 1) pay nothing but the broadcast-join lookup. Rows with identical (us, type) hash to the
     * same slice — a corpus of byte-identical events should be
     * pre-aggregated with a count, not range-joined row-by-row. */
   /** Slice count for one bucket: per-slice work is est_pairs/slices, so

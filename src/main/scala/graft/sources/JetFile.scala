@@ -149,8 +149,9 @@ object JetFile {
           }.toArray
         else throw new IllegalArgumentException(
           s"row var-count marker mismatch ($nVar vs $marker): corrupt row")
-      require(bounds.sliding(2).forall(p => p(0) <= p(1)) && bounds.last <= row.length,
-        s"non-monotonic var bounds: corrupt row")
+      require(bounds.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)) &&
+        bounds.last <= row.length,
+        s"non-monotonic var bounds: corrupt row") // nVar=0 yields one partial window
       val varVals = (0 until nVar).map(i =>
         java.util.Arrays.copyOfRange(row, bounds(i), bounds(i + 1)))
       // bounds(0) = 4 + fixed-section length in BOTH forms (for nVar = 0
@@ -233,15 +234,20 @@ object JetFile {
       require(b.length == 12 && u16a(b, 0) == 0x564C,
         s"$col: unrecognized MEMO descriptor (${b.length} B) — refusing to NULL a non-empty memo")
       val total = u32le(b, 2)
-      var pg = u32le(b, 6).toInt
+      // page numbers validate as UNSIGNED longs BEFORE narrowing: a
+      // corrupt descriptor holding e.g. 0xFFFFFFFF would wrap to a
+      // negative Int, slip past an int-typed bound check, and crash
+      // with a bare AIOOBE instead of this codec's loud contract
+      var pgL = u32le(b, 6)
       var slot = u16a(b, 10)
       val out = new java.io.ByteArrayOutputStream()
       var hops = 0
-      while (pg != 0) {
+      while (pgL != 0L) {
         require(hops < (1 << 16), s"$col: LVAL chain cycle")
         hops += 1
-        require(pg < nPages && pageType(pg) == 6,
-          s"$col: LVAL pointer to non-data page $pg")
+        require(pgL > 0L && pgL < nPages, s"$col: LVAL pointer to page $pgL outside the file")
+        val pg = pgL.toInt
+        require(pageType(pg) == 6, s"$col: LVAL pointer to non-data page $pg")
         val exts = rowExtents(pg)
         require(slot < exts.size, s"$col: LVAL slot $slot past page occupancy")
         val (s, e) = exts(slot)
@@ -249,7 +255,7 @@ object JetFile {
         val chunk = java.util.Arrays.copyOfRange(bytes, base + s, base + e)
         require(chunk.length >= 6, s"$col: short LVAL row")
         out.write(chunk, 6, chunk.length - 6)
-        pg = u32le(chunk, 0).toInt
+        pgL = u32le(chunk, 0) // unsigned — validated at the loop head
         slot = u16a(chunk, 4)
       }
       require(out.size() == total,

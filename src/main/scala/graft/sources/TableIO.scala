@@ -42,7 +42,14 @@ object TableIO {
     val cap = df.sparkSession.conf
       .getOption(SingleFileMaxRowsKey).map(_.toLong)
       .getOrElse(SingleFileMaxRowsDefault)
-    if (df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt.max(1)).count() > cap)
+    // limit() takes an Int, so for caps past 2^31-1 a clamped limit
+    // could never exceed the cap and the guard would silently pass —
+    // fall back to a full count there (a user raising the cap that far
+    // asked for the scan; the guard must still be enforceable)
+    val n =
+      if (cap + 1 <= Int.MaxValue.toLong) df.limit((cap + 1).toInt.max(1)).count()
+      else df.count()
+    if (n > cap)
       throw new IllegalArgumentException(
         s"${table.name}: more than $cap rows bound for the single-file " +
           s"$sink sink, which materializes on the driver. Export this " +
