@@ -261,6 +261,72 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  // --- Exact set-similarity join (prefix filter) -----------------------
+
+  /** EXACT n-gram Jaccard self-join via prefix filtering (the
+    * AllPairs/PPJoin family: Bayardo et al., WWW '07, "Scaling Up All
+    * Pairs Similarity Search"; Xiao et al., WWW '08) — every pair with
+    * J ≥ tauP/tauQ, recall 1.0 BY THEOREM rather than by banding
+    * probability (the guarantee MinHash+LSH can only approximate).
+    *
+    * Sort every doc's distinct shingle-hash set under ONE global total
+    * order; a pair with overlap ≥ o must then share an element among the
+    * first |s| − o + 1 of each side (if the prefixes were disjoint, all
+    * o common elements would sit inside one side's (o−1)-long suffix —
+    * pigeonhole). With J ≥ tau and the length filter
+    * tau·|x| ≤ |y| ≤ |x|/tau, the overlap is ≥ ⌈tau·|s|⌉ per side, so
+    * the prefix is the first |s| − ⌈tau·|s|⌉ + 1 elements — only
+    * ~(1−tau)·|s| shingles per doc ever enter the join (a fifth, at
+    * tau = 0.8).
+    *
+    * The global order is DOCUMENT-FREQUENCY ASCENDING, ties by gram hash
+    * — the AllPairs ordering, and the load-bearing scale choice:
+    * prefixes prefer each doc's RAREST shingles, so a boilerplate gram
+    * shared by 10⁶ docs sorts to the very END of every set, lands in
+    * essentially no prefix, and never forms a hot join bucket. (Under a
+    * random/hash order it would enter ~(1−tau) of its documents'
+    * prefixes ⇒ ~10¹⁰ candidate pairs from that one gram — the same
+    * blow-up the winnow path caps with stop-fingerprints, solved here
+    * by ordering instead of dropping, which is what keeps the join
+    * EXACT.)
+    *
+    * All thresholds are exact integer arithmetic — tau is the rational
+    * tauP/tauQ, ⌈tauP·n/tauQ⌉ = (tauP·n + tauQ−1) div tauQ, the final
+    * cut is tauQ·|∩| ≥ tauP·|∪| — so no float boundary can disagree
+    * with an oracle.
+    *
+    * Shape at 100 TB: df is one partial-aggregating shuffle (map-side
+    * combine on the uniform gram hash); the prefix rank is a window
+    * partitioned by doc_id (uniform, bounded per doc); the candidate
+    * self-join shuffles only prefix entries on a key whose heavy
+    * hitters the df-ordering has just demoted; verification joins
+    * candidates back to the fixed-width shingle arrays — never a corpus
+    * re-scan, nothing quadratic on an unbounded bucket. */
+  def jaccardPairsExact(docs: DataFrame, tauP: Int, tauQ: Int): DataFrame = {
+    require(0 < tauP && tauP < tauQ, s"tau must be in (0,1): $tauP/$tauQ")
+    Sketch.register(docs.sparkSession)
+    val feats = docs.select(col("doc_id"),
+      Sketch.wordGramHashes(tokens(col("text")), 3).as("sh_set"))
+    val entries = feats.select(col("doc_id"), size(col("sh_set")).as("n"),
+      explode(col("sh_set")).as("g"))
+    val dfreq = entries.groupBy("g").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "g")
+    val prefix = entries.join(dfreq, "g")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        col("n") - expr(s"(n * $tauP + ${tauQ - 1}) div $tauQ") + 1)
+      .select("doc_id", "n", "g")
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * tauP <= col("y.n") * tauQ &&
+          col("y.n") * tauP <= col("x.n") * tauQ)
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    verifiedOverlapFromFeatures(feats, cands)
+      .filter(col("n_common") * tauQ >= col("n_union") * tauP)
+  }
+
   /** Window width (tokens) for exact-substring dedup. Lee et al. use 50
     * BPE tokens; 15 whitespace words is the comparable span on word
     * tokenization, and long enough that a shared window means copied
@@ -386,6 +452,18 @@ object Dedup {
         .select("doc1", "doc2", "jaccard")
         .orderBy("doc1", "doc2")
     }),
+
+    // EXACT prefix-filter near-dup join (AllPairs/PPJoin): every pair
+    // with word-3-gram Jaccard ≥ 0.8, NO sketch and NO banding — recall
+    // 1.0 is a theorem (prefix pigeonhole over the df-ascending global
+    // order), so unlike q_near_dup_minhash the brute-force-oracle
+    // equality here is unconditional, not a banding-probability
+    // argument. tau = 4/5 held as a rational; prefix lengths and the
+    // final cut (5·|∩| ≥ 4·|∪|) are exact integer arithmetic.
+    "q_near_dup_jaccard" -> ((s, dir) =>
+      jaccardPairsExact(documents(s, dir), 4, 5)
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")),
 
     // Ingestion-time ADMISSION gate: 50 exact-copy probes (re-id'd at
     // +10M) checked against the stored corpus through LSH banding +
@@ -616,6 +694,14 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_near_dup_minhash" -> allPairsJaccardSql,
+    // same brute-force ground truth, tightened to the exact join's
+    // tau = 4/5 in integer arithmetic (jpairs carries the 0.5 cut, a
+    // superset of 0.8)
+    "q_near_dup_jaccard" ->
+      s"""WITH $allPairsJaccardCtes
+         |SELECT doc1, doc2, ni::DOUBLE / nu::DOUBLE AS jaccard
+         |FROM jpairs WHERE ni * 5 >= nu * 4
+         |ORDER BY doc1, doc2""".stripMargin,
     // brute-force probe×corpus Jaccard over the same shingle definition;
     // threshold in integer arithmetic (2·|∩| ≥ |∪| ⟺ J ≥ 0.5)
     "q_admit_near_dup" ->

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** The exact prefix-filter set-similarity join (Dedup.jaccardPairsExact):
+  * boundary behavior in integer arithmetic and unconditional brute-force
+  * equality on a corpus with engineered near-dups. (The oracle gate
+  * q_near_dup_jaccard re-proves the same equality against DuckDB on the
+  * planted testdata corpus.)
+  */
+class DedupSpec extends SparkSpecBase {
+  import testImplicits._
+
+  /** Ground truth: every doc1<doc2 pair verified exactly — no prefix
+    * filter anywhere, so any filtering bug diverges from this. */
+  private def bruteForce(docs: org.apache.spark.sql.DataFrame,
+      tauP: Int, tauQ: Int): Set[(Long, Long)] = {
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val allPairs = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+    } yield (ids(i), ids(j))).toDF("doc1", "doc2")
+    Dedup.verifiedOverlap(docs, allPairs)
+      .filter(col("n_common") * tauQ >= col("n_union") * tauP)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+  }
+
+  test("jaccardPairsExact: exact-0.8 boundary pair included, below excluded") {
+    // x: 11 distinct tokens → 9 distinct grams. y: last token changed →
+    // shares 8 of 9 grams, |∩|=8, |∪|=10, J = 0.8 EXACTLY (5·8 = 4·10):
+    // the ≥ cut must include it. z: one MIDDLE token changed → 3 grams
+    // differ, J = 6/12 = 0.5: excluded. u: disjoint.
+    val base = (0 until 11).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.dropRight(1) :+ "zz").mkString(" ")),
+      (3L, base.updated(5, "qq").mkString(" ")),
+      (4L, (0 until 11).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsExact(docs, 4, 5)
+      .select("doc1", "doc2", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 0.8)), s"got $got")
+  }
+
+  test("jaccardPairsExact ≡ brute force on a corpus with planted near-dups") {
+    // 40 base docs of 20 distinct-ish tokens; every 4th doc gets a copy
+    // with k ∈ {1,2,3} trailing tokens rewritten — J spans both sides of
+    // 0.8 — plus verbatim copies (J = 1.0) and cross-doc boilerplate
+    // (a shared 8-token prefix in HALF the corpus: a hot gram that the
+    // df-ascending order must keep out of prefixes without losing pairs).
+    val boiler = (0 until 8).map(i => s"b$i")
+    val rows = (0 until 40).flatMap { d =>
+      val toks = boiler ++ (0 until 12).map(i => s"d${d}t$i")
+      val doc = (d.toLong, toks.mkString(" "))
+      val variants =
+        if (d % 4 == 0) {
+          val k = d % 3 + 1
+          val mut = toks.dropRight(k) ++ (0 until k).map(i => s"m${d}x$i")
+          Seq((100L + d, mut.mkString(" ")))
+        } else if (d % 7 == 0) Seq((200L + d, toks.mkString(" ")))
+        else Nil
+      doc +: variants
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val expected = bruteForce(docs, 4, 5)
+    val got = Dedup.jaccardPairsExact(docs, 4, 5)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "corpus must contain pairs above tau")
+    assert(got == expected,
+      s"missed=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("jaccardPairsExact plan: equi-joins only, no cartesian") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val p = Dedup.jaccardPairsExact(docs, 4, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
