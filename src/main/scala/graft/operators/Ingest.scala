@@ -434,6 +434,74 @@ object Ingest {
       Similarity.pqRank(codes, qid, dot, nrm, m, kCent, expand * k), k)
   }
 
+  /** SQ8 scalar-quantized stored index (FAISS's flat `SQ8`, the middle
+    * rung between exact floats and PQ): per-dimension affine byte codes
+    * — `binary(dim)`, 4× less scan I/O than the float payload, with
+    * per-dim error ≤ step/2 (≈ 0.2 % of the dimension's range), so a
+    * small expand window is sufficient where PQ needs 60×.
+    *
+    * The model is the exact per-dimension (min, max) of the corpus —
+    * ONE partial-aggregating pass of 2·dim min/max aggregates (no
+    * shuffle wider than the final reduce, no sampling: unlike k-means
+    * there is no iterative fit to bound). Model and codes are
+    * committed-marker-gated like every other stored artifact.
+    * Returns (mins, steps, code frame). */
+  def ensureSqIndex(s: SparkSession, dir: String): (Array[Float], Array[Float], DataFrame) = {
+    val modelPath = scratch(s, dir, "sq8_model")
+    val codePath = scratch(s, dir, "sq8_codes")
+    graft.functions.SqOps.register(s)
+    val emb = embeddings(s, dir)
+    val (mins, steps) =
+      if (committed(s, modelPath)) {
+        val r = s.read.parquet(modelPath).head()
+        (r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray)
+      } else {
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val aggs = (0 until dim).flatMap { d =>
+          Seq(min(element_at(col("embedding"), d + 1)).as(s"mn$d"),
+            max(element_at(col("embedding"), d + 1)).as(s"mx$d"))
+        }
+        val r = emb.agg(aggs.head, aggs.tail: _*).head()
+        val mn = Array.tabulate(dim)(d => r.getFloat(2 * d))
+        val st = Array.tabulate(dim)(d => (r.getFloat(2 * d + 1) - r.getFloat(2 * d)) / 255f)
+        import s.implicits._
+        // payload (codes) BEFORE the model marker would invert the
+        // dependency — here the MODEL is the prerequisite artifact, so
+        // it commits first and the code table is gated on its own marker
+        Seq((mn.toSeq, st.toSeq)).toDF("mins", "steps")
+          .write.mode("overwrite").parquet(modelPath)
+        (mn, st)
+      }
+    if (!committed(s, codePath))
+      emb.select(col("vec_id"),
+          graft.functions.SqOps.encode(col("embedding"), mins, steps).as("code"))
+        .write.mode("overwrite").parquet(codePath)
+    (mins, steps, s.read.parquet(codePath))
+  }
+
+  /** Warm-path SQ8 top-k: approximate-cosine ranking over the stored
+    * dim-bytes/row code table (the probe folded into per-dim tables
+    * driver-side; PlanSpec asserts the rank subtree reads only
+    * vec_id+code), then the bounded exact rescore. */
+  def sqTopKStored(s: SparkSession, dir: String, k: Int,
+      expand: Int = 8): DataFrame = {
+    val (mins, steps, codes) = ensureSqIndex(s, dir)
+    graft.functions.VectorOps.register(s) // the exact-cosine rescore
+    val emb = embeddings(s, dir)
+    val qr = Similarity.queryRow(emb).head()
+    val qv = qr.getSeq[Float](0).toArray
+    val qid = qr.getLong(1)
+    val (alpha, lin, quad, beta, gamma0) =
+      graft.functions.SqOps.probeTables(qv, mins, steps)
+    val cand = codes.filter(col("vec_id") =!= lit(qid))
+      .select(col("vec_id"),
+        graft.functions.SqOps.score(col("code"), alpha, lin, quad, beta, gamma0)
+          .as("sq"))
+      .orderBy(desc("sq"), asc("vec_id"))
+      .limit(expand * k)
+    Similarity.pqRescore(emb, cand, k)
+  }
+
   /** IVF-PQ combined index: the billion-scale layout (FAISS's IVFPQ,
     * Jégou et al. 2011) — every vector's 8-byte PQ code stored
     * PARTITIONED BY its IVF cell, so a probe composes the two prunings:
@@ -1053,6 +1121,20 @@ object Ingest {
         .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
     }),
 
+    // SQ8 stored-index serving: approximate-cosine ranking over the
+    // byte-per-dim code table + bounded exact rescore, recall@10 vs the
+    // in-engine brute force (itself hash-verified by q_cosine_topk),
+    // oracle pins the literal 1.0 — any encode/score/model bug that
+    // perturbs the candidate window turns the gate red. The rank-10/11
+    // cosine gap at the verify SFs (>1e-3) dwarfs SQ8's reconstruction
+    // error (~1e-4), so 1.0 is the deterministic outcome, not luck.
+    "q_sq_topk_stored" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      sqTopKStored(s, dir, 10).select("vec_id")
+        .join(Similarity.cosineTopK(emb, 10).select("vec_id"), "vec_id")
+        .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
+    }),
+
     // INDEX APPEND: a delta batch assigned against the FROZEN stored
     // centroids and served from base ∪ delta (each side DPP-pruned by
     // the same probe plan). The appended exact copy of the query vector
@@ -1202,6 +1284,7 @@ object Ingest {
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
     "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_sq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
