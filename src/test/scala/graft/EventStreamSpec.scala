@@ -127,6 +127,23 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming SQ8 code ingest (SqStream) == batch encode, same model") {
+    val (mins, steps, batchCodes) =
+      graft.operators.Ingest.ensureSqIndex(spark, TestSpark.Sf0001)
+    val stream = graft.streaming.SqStream.codeStream(
+      spark, TestSpark.Sf0001, mins, steps)
+    val q = EventStream.runToMemory(stream, "sq_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    // byte[] equality is referential inside Row.toSeq — compare via hex
+    val streamed = spark.table("sq_stream_test")
+      .select(col("vec_id"), org.apache.spark.sql.functions.hex(col("code")))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val batch = batchCodes
+      .select(col("vec_id"), org.apache.spark.sql.functions.hex(col("code")))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming IVF delta ingest (IvfStream) == batch kernel assignment") {
     val emb = spark.read.parquet(TestSpark.Sf0001 + "/embeddings.parquet")
     val centroids = graft.operators.Similarity.kmeansCentroids(emb, 16, iters = 1)
