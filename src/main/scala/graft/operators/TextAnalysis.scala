@@ -254,6 +254,45 @@ object TextAnalysis {
         .groupBy("lang", "guess").agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "guess")),
 
+    // per-source DATA CARD: the one-page corpus report a training-data
+    // pipeline publishes per source (docs, chars, BPE tokens, language
+    // spread + dominant language, exact-dup rate, median length).
+    // Shape at 100 TB: THREE separate partial-aggregating passes joined
+    // on the tiny source key — deliberately NOT one agg with multiple
+    // COUNT(DISTINCT)s, which Spark plans as an Expand that multiplies
+    // every corpus row ×3 before the exchange. n_distinct (dup rate) is
+    // a two-level groupBy over the uniform digest; top_lang ranks the
+    // (source × lang) grouped frame (tiny) with a deterministic
+    // lowest-lang tie-break; median_chars uses the exact percentile
+    // aggregate, whose buffer is O(#distinct lengths) per source — the
+    // value RANGE of doc lengths, not the corpus size.
+    "q_data_card" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(bpeTokens(col("text"))).as("bpe_tokens"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+      val perLang = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val langW = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("c"), asc("lang"))
+      val langs = perLang
+        .withColumn("rn", row_number().over(langW))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_langs"),
+          max(when(col("rn") === 1, col("lang"))).as("top_lang"))
+      val dups = d.groupBy(col("source"), fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      base.join(langs, "source").join(dups, "source")
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("bpe_tokens"), col("n_langs"), col("top_lang"),
+          (lit(1.0) - col("n_distinct").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("dup_rate"),
+          col("median_chars"))
+        .orderBy("source")
+    }),
+
     // canonical-form fingerprint per doc.
     "q_fingerprint" -> ((s, dir) =>
       documents(s, dir)
@@ -423,6 +462,35 @@ object TextAnalysis {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // median via quantile_cont: n_chars is integral, so the 0.5 quantile
+    // is an int or an int midpoint — exactly representable, bit-equal to
+    // Spark's exact percentile. Casts per the HUGEINT/BIGINT rule.
+    "q_data_card" ->
+      """WITH base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS bpe_tokens,
+        |         quantile_cont(n_chars, 0.5) AS median_chars
+        |  FROM documents GROUP BY 1),
+        |pl AS (
+        |  SELECT source, lang, count(*) AS c,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY count(*) DESC, lang) AS rn
+        |  FROM documents GROUP BY source, lang),
+        |langs AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |         max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+        |  FROM pl GROUP BY 1),
+        |dups AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM (
+        |    SELECT source, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |    FROM documents GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.source, b.n_docs, b.total_chars, b.bpe_tokens,
+        |       l.n_langs, l.top_lang,
+        |       1.0 - CAST(d.n_distinct AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS dup_rate,
+        |       b.median_chars
+        |FROM base b JOIN langs l USING (source) JOIN dups d USING (source)
+        |ORDER BY source""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
