@@ -37,6 +37,9 @@ object SqOps {
     reg.createOrReplaceTempFunction("graft_sq_score",
       exprs => SqScore(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4),
         exprs(5)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sq_score_cols",
+      exprs => SqScoreCols(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4),
+        exprs(5)), "built-in")
   }
 
   /** Encode an `array<float>` embedding to one byte per dimension. */
@@ -52,31 +55,62 @@ object SqOps {
       typedlit(alpha.toSeq), typedlit(linNrm.toSeq),
       typedlit(quadNrm.toSeq), lit(beta), lit(gamma0))
 
-  /** Driver-side fold of probe vector × SQ model into the score tables:
-    * dot(q, v̂) = Σ q_d·min_d + Σ (q_d·step_d)·c_d = beta + Σ alpha_d·c_d
-    * |v̂|²      = Σ min_d² + Σ (2·min_d·step_d)·c_d + Σ step_d²·c_d²
-    *            = gamma0 + Σ lin_d·c_d + Σ quad_d·c_d². */
-  def probeTables(qv: Array[Float], mins: Array[Float],
-      steps: Array[Float]): (Array[Double], Array[Double], Array[Double], Double, Double) = {
+  /** [[score]] with the PER-QUERY half (alpha, beta) taken from COLUMNS
+    * — the batched-kNN path broadcasts a per-query table frame and each
+    * candidate row reads its query's tables; the MODEL half
+    * (lin/quad/gamma0) is query-independent and stays a codegen
+    * reference array shared by the whole batch. */
+  def scoreCols(code: Column, alpha: Column, beta: Column,
+      linNrm: Array[Double], quadNrm: Array[Double], gamma0: Double): Column =
+    call_function("graft_sq_score_cols", code, alpha, beta,
+      typedlit(linNrm.toSeq), typedlit(quadNrm.toSeq), lit(gamma0))
+
+  /** Query-independent half of the score tables — from the MODEL alone:
+    * |v̂|² = Σ min_d² + Σ (2·min_d·step_d)·c_d + Σ step_d²·c_d²
+    *       = gamma0 + Σ lin_d·c_d + Σ quad_d·c_d². */
+  def modelTables(mins: Array[Float],
+      steps: Array[Float]): (Array[Double], Array[Double], Double) = {
     val dim = mins.length
-    require(qv.length == dim && steps.length == dim,
-      s"sq probe dim ${qv.length} != model dim $dim")
-    val alpha = new Array[Double](dim)
+    require(steps.length == dim, s"sq model dims differ: $dim/${steps.length}")
     val lin = new Array[Double](dim)
     val quad = new Array[Double](dim)
-    var beta = 0.0
     var gamma0 = 0.0
     var d = 0
     while (d < dim) {
       val mn = mins(d).toDouble
       val st = steps(d).toDouble
-      alpha(d) = qv(d).toDouble * st
       lin(d) = 2.0 * mn * st
       quad(d) = st * st
-      beta += qv(d).toDouble * mn
       gamma0 += mn * mn
       d += 1
     }
+    (lin, quad, gamma0)
+  }
+
+  /** Per-query half of the score tables:
+    * dot(q, v̂) = Σ q_d·min_d + Σ (q_d·step_d)·c_d = beta + Σ alpha_d·c_d. */
+  def queryTables(qv: Array[Float], mins: Array[Float],
+      steps: Array[Float]): (Array[Double], Double) = {
+    val dim = mins.length
+    require(qv.length == dim && steps.length == dim,
+      s"sq probe dim ${qv.length} != model dim $dim")
+    val alpha = new Array[Double](dim)
+    var beta = 0.0
+    var d = 0
+    while (d < dim) {
+      alpha(d) = qv(d).toDouble * steps(d).toDouble
+      beta += qv(d).toDouble * mins(d).toDouble
+      d += 1
+    }
+    (alpha, beta)
+  }
+
+  /** Driver-side fold of probe vector × SQ model into the full score
+    * tables ([[queryTables]] + [[modelTables]]). */
+  def probeTables(qv: Array[Float], mins: Array[Float],
+      steps: Array[Float]): (Array[Double], Array[Double], Array[Double], Double, Double) = {
+    val (alpha, beta) = queryTables(qv, mins, steps)
+    val (lin, quad, gamma0) = modelTables(mins, steps)
     (alpha, lin, quad, beta, gamma0)
   }
 }
@@ -124,6 +158,26 @@ object SqKernels {
     while (d < dim) {
       val c = (code(d) & 0xff).toDouble
       dot += alpha(d) * c
+      nrm += lin(d) * c + quad(d) * c * c
+      d += 1
+    }
+    if (nrm <= 0.0) 0.0 else dot / math.sqrt(nrm)
+  }
+
+  /** [[score]] with the per-query (alpha, beta) read from row data
+    * (UnsafeArrayData random access — same per-element cost as the
+    * reference-array form) and the model half from reference arrays. */
+  def scoreData(code: Array[Byte], alpha: ArrayData, beta: Double,
+      lin: Array[Double], quad: Array[Double], gamma0: Double): Double = {
+    val dim = code.length
+    require(alpha.numElements() == dim,
+      s"sq_score_cols: code dim=$dim != alpha dim ${alpha.numElements()}")
+    var dot = beta
+    var nrm = gamma0
+    var d = 0
+    while (d < dim) {
+      val c = (code(d) & 0xff).toDouble
+      dot += alpha.getDouble(d) * c
       nrm += lin(d) * c + quad(d) * c * c
       d += 1
     }
@@ -217,5 +271,60 @@ case class SqScore(code: Expression, alpha: Expression, lin: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SqScore =
     SqScore(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4), newChildren(5))
+}
+
+/** `graft_sq_score_cols(binary, array<double>, double, array<double>,
+  * array<double>, double) -> double` — [[SqScore]] with the per-query
+  * (alpha, beta) taken from ordinary (usually broadcast-joined)
+  * COLUMNS; the model half (lin/quad/gamma0) stays foldable. Null code
+  * or table → null score. */
+case class SqScoreCols(code: Expression, alpha: Expression, beta: Expression,
+    lin: Expression, quad: Expression, gamma0: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] =
+    Seq(code, alpha, beta, lin, quad, gamma0)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    code.nullable || alpha.nullable || beta.nullable
+  override def prettyName: String = "graft_sq_score_cols"
+
+  @transient private lazy val (lArr, qArr, gV) = {
+    require(lin.foldable && quad.foldable && gamma0.foldable,
+      "graft_sq_score_cols model tables must be literals")
+    (lin.eval(null).asInstanceOf[ArrayData].toDoubleArray(),
+      quad.eval(null).asInstanceOf[ArrayData].toDoubleArray(),
+      gamma0.eval(null).asInstanceOf[Double])
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val c = code.eval(input)
+    val a = alpha.eval(input)
+    val b = beta.eval(input)
+    if (c == null || a == null || b == null) null
+    else SqKernels.scoreData(c.asInstanceOf[Array[Byte]],
+      a.asInstanceOf[ArrayData], b.asInstanceOf[Double], lArr, qArr, gV)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("sqLin", lArr, "double[]")
+    val qRef = ctx.addReferenceObj("sqQuad", qArr, "double[]")
+    val c = code.genCode(ctx)
+    val a = alpha.genCode(ctx)
+    val b = beta.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      ${a.code}
+      ${b.code}
+      boolean ${ev.isNull} = ${c.isNull} || ${a.isNull} || ${b.isNull};
+      double ${ev.value} = ${ev.isNull}
+        ? 0.0 : graft.functions.SqKernels.scoreData(
+            ${c.value}, ${a.value}, ${b.value}, $lRef, $qRef, $gV);""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SqScoreCols =
+    SqScoreCols(newChildren(0), newChildren(1), newChildren(2),
       newChildren(3), newChildren(4), newChildren(5))
 }

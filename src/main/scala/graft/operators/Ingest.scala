@@ -446,32 +446,36 @@ object Ingest {
     * there is no iterative fit to bound). Model and codes are
     * committed-marker-gated like every other stored artifact.
     * Returns (mins, steps, code frame). */
-  def ensureSqIndex(s: SparkSession, dir: String): (Array[Float], Array[Float], DataFrame) = {
+  def ensureSqModel(s: SparkSession, dir: String): (Array[Float], Array[Float]) = {
     val modelPath = scratch(s, dir, "sq8_model")
-    val codePath = scratch(s, dir, "sq8_codes")
     graft.functions.SqOps.register(s)
-    val emb = embeddings(s, dir)
-    val (mins, steps) =
-      if (committed(s, modelPath)) {
-        val r = s.read.parquet(modelPath).head()
-        (r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray)
-      } else {
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        val aggs = (0 until dim).flatMap { d =>
-          Seq(min(element_at(col("embedding"), d + 1)).as(s"mn$d"),
-            max(element_at(col("embedding"), d + 1)).as(s"mx$d"))
-        }
-        val r = emb.agg(aggs.head, aggs.tail: _*).head()
-        val mn = Array.tabulate(dim)(d => r.getFloat(2 * d))
-        val st = Array.tabulate(dim)(d => (r.getFloat(2 * d + 1) - r.getFloat(2 * d)) / 255f)
-        import s.implicits._
-        // payload (codes) BEFORE the model marker would invert the
-        // dependency — here the MODEL is the prerequisite artifact, so
-        // it commits first and the code table is gated on its own marker
-        Seq((mn.toSeq, st.toSeq)).toDF("mins", "steps")
-          .write.mode("overwrite").parquet(modelPath)
-        (mn, st)
+    if (committed(s, modelPath)) {
+      val r = s.read.parquet(modelPath).head()
+      (r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray)
+    } else {
+      val emb = embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val aggs = (0 until dim).flatMap { d =>
+        Seq(min(element_at(col("embedding"), d + 1)).as(s"mn$d"),
+          max(element_at(col("embedding"), d + 1)).as(s"mx$d"))
       }
+      val r = emb.agg(aggs.head, aggs.tail: _*).head()
+      val mn = Array.tabulate(dim)(d => r.getFloat(2 * d))
+      val st = Array.tabulate(dim)(d => (r.getFloat(2 * d + 1) - r.getFloat(2 * d)) / 255f)
+      import s.implicits._
+      // payload (codes) BEFORE the model marker would invert the
+      // dependency — here the MODEL is the prerequisite artifact, so
+      // it commits first and each code table is gated on its own marker
+      Seq((mn.toSeq, st.toSeq)).toDF("mins", "steps")
+        .write.mode("overwrite").parquet(modelPath)
+      (mn, st)
+    }
+  }
+
+  def ensureSqIndex(s: SparkSession, dir: String): (Array[Float], Array[Float], DataFrame) = {
+    val codePath = scratch(s, dir, "sq8_codes")
+    val (mins, steps) = ensureSqModel(s, dir)
+    val emb = embeddings(s, dir)
     if (!committed(s, codePath))
       emb.select(col("vec_id"),
           graft.functions.SqOps.encode(col("embedding"), mins, steps).as("code"))
@@ -500,6 +504,79 @@ object Ingest {
       .orderBy(desc("sq"), asc("vec_id"))
       .limit(expand * k)
     Similarity.pqRescore(emb, cand, k)
+  }
+
+  /** IVF-SQ8 combined index (FAISS's `IVF…,SQ8` — the practical middle
+    * ground when PQ's 8 B/vector ranks too coarsely but the float
+    * payload is too big to scan): byte-per-dim SQ codes stored
+    * PARTITIONED BY IVF cell, so a probe composes DPP cell pruning with
+    * the 4×-smaller code scan. Model (exact per-dim min/step) and
+    * centroids are the frozen artifacts; encode + assignment are both
+    * narrow kernels, so ingest's only exchange is the partitionBy(cell)
+    * write. Returns (mins, steps, centroids, cell-partitioned codes). */
+  def ensureIvfSqIndex(s: SparkSession, dir: String,
+      nCells: Int = 0): (Array[Float], Array[Float], DataFrame, DataFrame) = {
+    val cells =
+      if (nCells > 0) nCells
+      else Similarity.ivfNumCells(embeddingCount(s, dir))
+    val (mins, steps) = ensureSqModel(s, dir)
+    val (centroids, _) = ensureIvfIndex(s, dir, cells)
+    val path = scratch(s, dir, s"ivfsq_codes_c$cells")
+    if (!committed(s, path)) {
+      // canaries ride the cell-partitioned code table too, so the gate
+      // certifies DPP + byte-code ranking + rescore under real pruning
+      val emb = indexedCorpus(s, dir)
+      Similarity.ivfAssignKernel(emb, centroids)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.SqOps.encode(col("embedding"), mins, steps).as("code"))
+        .repartition(col("cell")) // whole cells per write task (small files)
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
+    (mins, steps, centroids, s.read.parquet(path))
+  }
+
+  /** Batched kNN through the stored IVF-SQ8 index: the same plan-based
+    * probe as the IVF-PQ path — broadcast (q_id, cell) probe frame, DPP
+    * on the cell-partitioned code scan, per-query tables joined
+    * broadcast — but the per-query half of the SQ score is only (alpha:
+    * dim doubles, beta) per query, while the model half (lin/quad/
+    * gamma0) rides the codegen reference array ONCE for the whole batch
+    * (`graft_sq_score_cols`). Shortlist + bounded exact rescore as
+    * everywhere else. */
+  def knnJoinIvfSqStored(s: SparkSession, dir: String, queriesDf: DataFrame,
+      k: Int, expand: Int = 8, nProbe: Int = 0): DataFrame = {
+    val (mins, steps, centroids, codes) = ensureIvfSqIndex(s, dir)
+    VectorOps.register(s)
+    graft.functions.SqOps.register(s)
+    import s.implicits._
+    val n = embeddingCount(s, dir)
+    val probe =
+      if (nProbe > 0) nProbe
+      else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
+    val (lin, quad, gamma0) = graft.functions.SqOps.modelTables(mins, steps)
+    // per-query tables: |Q|·(dim+1) doubles, driver-built and
+    // broadcast-bounded by construction like the ADC tables
+    val tables = queriesDf.select(col("q_id"), col("q_emb")).collect().map { r =>
+      val (alpha, beta) = graft.functions.SqOps.queryTables(
+        r.getSeq[Float](1).toArray, mins, steps)
+      (r.getLong(0), alpha.toSeq, beta)
+    }.toSeq.toDF("tq_id", "alpha", "tbeta")
+    val probePlan = batchProbePlan(centroids, queriesDf, probe)
+    val ranked = codes
+      .join(broadcast(probeCells(probePlan, codes)), "cell") // DPP
+      .join(broadcast(tables), col("p_qid") === col("tq_id"))
+      .filter(col("vec_id") =!= col("tq_id"))
+      .select(col("tq_id").as("q_id"), col("vec_id"),
+        graft.functions.SqOps.scoreCols(col("code"), col("alpha"),
+          col("tbeta"), lin, quad, gamma0).as("score"))
+    val shortlist = Similarity.topKPerQuery(ranked, expand * k)
+      .select("q_id", "vec_id")
+    val scored = shortlist
+      .join(indexedCorpus(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queriesDf), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+    Similarity.topKPerQuery(scored, k)
   }
 
   /** IVF-PQ combined index: the billion-scale layout (FAISS's IVFPQ,
@@ -1055,6 +1132,21 @@ object Ingest {
     // top the exact rescore — recall pinned 1.0 proves the batched
     // probe plan, the per-query table join, the column-table ADC
     // kernel, and the two-phase top-k composed under real pruning.
+    // batched kNN through the stored IVF-SQ8 index: 8 canary-source
+    // queries in ONE probe plan — DPP-pruned byte-code scan, per-query
+    // (alpha, beta) tables broadcast, shared model half in the codegen
+    // reference array, shortlist + exact rescore. Each query must
+    // retrieve its planted exact-copy twin at rank 1; pinned 1.0.
+    "q_knn_ivfsq_stored" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      knnJoinIvfSqStored(s, dir, qs, 10)
+        .filter(col("vec_id") === col("q_id") + lit(TwinOffset))
+        .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
+          .as("recall_at_10"))
+    }),
+
     "q_knn_ivfpq_stored" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val qs = emb.orderBy("vec_id").limit(NumCanaries)
@@ -1285,6 +1377,7 @@ object Ingest {
         |ORDER BY vec_id""".stripMargin,
     "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_sq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_knn_ivfsq_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",

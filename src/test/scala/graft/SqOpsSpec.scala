@@ -61,6 +61,43 @@ class SqOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("scoreCols kernel == literal-table score (split model/query halves)") {
+    val r = rng(23)
+    val dim = 16
+    val vecs = Seq.fill(30)(Array.fill(dim)(r.nextFloat() * 2f - 1f))
+    val q = Array.fill(dim)(r.nextFloat() * 2f - 1f)
+    val (mins, steps) = model(vecs)
+    val (alpha, lin, quad, beta, gamma0) = SqOps.probeTables(q, mins, steps)
+    val (alpha2, beta2) = SqOps.queryTables(q, mins, steps)
+    val (lin2, quad2, gamma02) = SqOps.modelTables(mins, steps)
+    assert(alpha.sameElements(alpha2) && beta == beta2 &&
+      lin.sameElements(lin2) && quad.sameElements(quad2) && gamma0 == gamma02)
+    for (v <- vecs) {
+      val code = SqKernels.encode(new GenericArrayData(v.map(x => x: Any)), mins, steps)
+      val a = SqKernels.score(code, alpha, lin, quad, beta, gamma0)
+      val b = SqKernels.scoreData(code,
+        new GenericArrayData(alpha2.map(x => x: Any)), beta2, lin2, quad2, gamma02)
+      assert(a == b, s"literal=$a cols=$b")
+    }
+  }
+
+  test("batched IVF-SQ8 kNN plan: DPP-pruned byte-code scan, no cell literal") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val emb = graft.queries.Tables.embeddings(s, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val p = graft.operators.Ingest.knnJoinIvfSqStored(s, TestSpark.Sf0001, qs, 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"probe must prune cell directories dynamically:\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,code:binary>"),
+      s"the ranking scan must read only (vec_id, code):\n$p")
+    assert(!p.contains("cell IN ("), s"no driver-collected cell literal:\n$p")
+    assert(!p.toLowerCase.contains("sq_encode"),
+      s"warm path must not re-encode:\n$p")
+  }
+
   test("sqTopKStored plan: byte-code scan only, no re-encode, top-k pushed") {
     val p = graft.operators.Ingest.sqTopKStored(spark, TestSpark.Sf0001, 10)
       .queryExecution.executedPlan.toString
