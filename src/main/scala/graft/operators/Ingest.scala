@@ -546,6 +546,44 @@ object Ingest {
   def knnJoinIvfSqStored(s: SparkSession, dir: String, queriesDf: DataFrame,
       k: Int, expand: Int = 8, nProbe: Int = 0): DataFrame = {
     val (mins, steps, centroids, codes) = ensureIvfSqIndex(s, dir)
+    knnJoinSqSides(s, dir, Seq(codes), centroids, mins, steps,
+      indexedCorpus(s, dir), queriesDf, k, expand, nProbe)
+  }
+
+  /** IVF-SQ8 delta append — frozen model, frozen centroids, the landing
+    * batch lands as its own cell-partitioned byte-code table next to
+    * the base (same LSM posture as [[ensureIvfPqDelta]]). */
+  def ensureIvfSqDelta(s: SparkSession, dir: String)
+      : (Array[Float], Array[Float], DataFrame, DataFrame, DataFrame) = {
+    val (mins, steps, centroids, codes) = ensureIvfSqIndex(s, dir)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val dPath = scratch(s, dir, s"ivfsq_delta_c$cells")
+    graft.functions.SqOps.register(s)
+    if (!committed(s, dPath)) {
+      Similarity.ivfAssignKernel(appendBatch(embeddings(s, dir)), centroids)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.SqOps.encode(col("embedding"), mins, steps).as("code"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dPath)
+    }
+    (mins, steps, centroids, codes, s.read.parquet(dPath))
+  }
+
+  /** Batched IVF-SQ8 kNN over base ∪ delta (each side DPP-pruned by the
+    * shared probe plan before the union; rescore corpus includes the
+    * appended batch). */
+  def knnJoinIvfSqAppended(s: SparkSession, dir: String, queriesDf: DataFrame,
+      k: Int, expand: Int = 8, nProbe: Int = 0): DataFrame = {
+    val (mins, steps, centroids, codes, delta) = ensureIvfSqDelta(s, dir)
+    knnJoinSqSides(s, dir, Seq(codes, delta), centroids, mins, steps,
+      indexedCorpus(s, dir).unionByName(appendBatch(embeddings(s, dir))),
+      queriesDf, k, expand, nProbe)
+  }
+
+  private def knnJoinSqSides(s: SparkSession, dir: String,
+      sides: Seq[DataFrame], centroids: DataFrame, mins: Array[Float],
+      steps: Array[Float], rescoreCorpus: DataFrame, queriesDf: DataFrame,
+      k: Int, expand: Int, nProbe: Int): DataFrame = {
     VectorOps.register(s)
     graft.functions.SqOps.register(s)
     import s.implicits._
@@ -562,17 +600,19 @@ object Ingest {
       (r.getLong(0), alpha.toSeq, beta)
     }.toSeq.toDF("tq_id", "alpha", "tbeta")
     val probePlan = batchProbePlan(centroids, queriesDf, probe)
-    val ranked = codes
-      .join(broadcast(probeCells(probePlan, codes)), "cell") // DPP
-      .join(broadcast(tables), col("p_qid") === col("tq_id"))
-      .filter(col("vec_id") =!= col("tq_id"))
-      .select(col("tq_id").as("q_id"), col("vec_id"),
-        graft.functions.SqOps.scoreCols(col("code"), col("alpha"),
-          col("tbeta"), lin, quad, gamma0).as("score"))
+    val ranked = sides.map { side =>
+      side
+        .join(broadcast(probeCells(probePlan, side)), "cell") // DPP per side
+        .join(broadcast(tables), col("p_qid") === col("tq_id"))
+        .filter(col("vec_id") =!= col("tq_id"))
+        .select(col("tq_id").as("q_id"), col("vec_id"),
+          graft.functions.SqOps.scoreCols(col("code"), col("alpha"),
+            col("tbeta"), lin, quad, gamma0).as("score"))
+    }.reduce(_.unionByName(_))
     val shortlist = Similarity.topKPerQuery(ranked, expand * k)
       .select("q_id", "vec_id")
     val scored = shortlist
-      .join(indexedCorpus(s, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      .join(rescoreCorpus.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queriesDf), "q_id")
       .select(col("q_id"), col("vec_id"),
         round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
@@ -1147,6 +1187,19 @@ object Ingest {
           .as("recall_at_10"))
     }),
 
+    // the IVF-SQ8 delta path: the 8 append-source queries find their
+    // delta-only canaries through base ∪ delta with per-side DPP —
+    // frozen model + centroids encode/assign the landing batch.
+    "q_knn_ivfsq_append" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").offset(NumCanaries).limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      knnJoinIvfSqAppended(s, dir, qs, 10)
+        .filter(col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
+          .as("recall_at_10"))
+    }),
+
     "q_knn_ivfpq_stored" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val qs = emb.orderBy("vec_id").limit(NumCanaries)
@@ -1378,6 +1431,7 @@ object Ingest {
     "q_pq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_sq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfsq_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_knn_ivfsq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
