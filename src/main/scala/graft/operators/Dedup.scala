@@ -305,8 +305,13 @@ object Dedup {
   def jaccardPairsExact(docs: DataFrame, tauP: Int, tauQ: Int): DataFrame = {
     require(0 < tauP && tauP < tauQ, s"tau must be in (0,1): $tauP/$tauQ")
     Sketch.register(docs.sparkSession)
+    // sketch ONCE: the feature frame feeds the df count, both prefix
+    // sides, and both verification joins — without the checkpoint the
+    // text scan + gram kernel re-runs per consumer (~4× at sf1; same
+    // rule as the winnow/simhash gates)
     val feats = docs.select(col("doc_id"),
       Sketch.wordGramHashes(tokens(col("text")), 3).as("sh_set"))
+      .localCheckpoint()
     val entries = feats.select(col("doc_id"), size(col("sh_set")).as("n"),
       explode(col("sh_set")).as("g"))
     val dfreq = entries.groupBy("g").agg(count(lit(1)).as("df"))
