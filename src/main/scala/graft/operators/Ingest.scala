@@ -580,6 +580,35 @@ object Ingest {
       queriesDf, k, expand, nProbe)
   }
 
+  /** IVF-SQ8 COMPACTION — generation merge, same LSM rule as
+    * [[compactIvfPqIndex]]: model and centroids frozen, so base ∪ delta
+    * byte codes rewrite VERBATIM into gen2 under a new cell-partitioned
+    * path — a pure layout job (dim bytes/row read and written, no
+    * re-encode, no embedding I/O). Old generation files untouched. */
+  def compactIvfSqIndex(s: SparkSession, dir: String)
+      : (Array[Float], Array[Float], DataFrame, DataFrame) = {
+    val (mins, steps, centroids, codes, delta) = ensureIvfSqDelta(s, dir)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val gPath = scratch(s, dir, s"ivfsq_codes_gen2_c$cells")
+    if (!committed(s, gPath)) {
+      codes.unionByName(delta)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(gPath)
+    }
+    (mins, steps, centroids, s.read.parquet(gPath))
+  }
+
+  /** Batched IVF-SQ8 kNN through the compacted generation (single
+    * DPP-pruned scan; rescore corpus includes the appended batch — the
+    * compacted index SERVES the same corpus the appended one did). */
+  def knnJoinIvfSqCompacted(s: SparkSession, dir: String, queriesDf: DataFrame,
+      k: Int, expand: Int = 8, nProbe: Int = 0): DataFrame = {
+    val (mins, steps, centroids, gen2) = compactIvfSqIndex(s, dir)
+    knnJoinSqSides(s, dir, Seq(gen2), centroids, mins, steps,
+      indexedCorpus(s, dir).unionByName(appendBatch(embeddings(s, dir))),
+      queriesDf, k, expand, nProbe)
+  }
+
   private def knnJoinSqSides(s: SparkSession, dir: String,
       sides: Seq[DataFrame], centroids: DataFrame, mins: Array[Float],
       steps: Array[Float], rescoreCorpus: DataFrame, queriesDf: DataFrame,
@@ -1200,6 +1229,26 @@ object Ingest {
           .as("recall_at_10"))
     }),
 
+    // IVF-SQ8 compaction: the same 8-query batch through the merged
+    // gen2 must equal appended serving ROW-FOR-ROW (codes merge
+    // verbatim — any re-encode or layout bug diverges; n_diverging
+    // pinned 0) and still surface every delta-only canary (1.0).
+    "q_knn_ivfsq_compact" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").offset(NumCanaries).limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val appended = knnJoinIvfSqAppended(s, dir, qs, 10)
+      val compacted = knnJoinIvfSqCompacted(s, dir, qs, 10)
+      val diverging = appended.exceptAll(compacted)
+        .unionByName(compacted.exceptAll(appended))
+      compacted
+        .filter(col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
+          .as("recall_at_10"))
+        .crossJoin(diverging.agg(count(lit(1)).cast(LongType)
+          .as("n_diverging")))
+    }),
+
     "q_knn_ivfpq_stored" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val qs = emb.orderBy("vec_id").limit(NumCanaries)
@@ -1432,6 +1481,8 @@ object Ingest {
     "q_sq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfsq_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfsq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_knn_ivfsq_compact" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
