@@ -217,6 +217,52 @@ object TextAnalysis {
           .otherwise(lit(0L)))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * under TWO bigram LMs — a TARGET model trained on the domain the
+    * pipeline wants more of, and a RAW model trained on the whole
+    * corpus — and weight by the log-likelihood ratio
+    * `w = log p_target(x) − log p_raw(x) = nll_raw − nll_target`.
+    * Documents that look more like the target than the corpus average
+    * get w > 0 and survive selection. (DSIR hashes its n-gram features;
+    * at these vocab caps the capped exact tables are the same bounded
+    * model artifact, and keep the DuckDB oracle exact.)
+    *
+    * Selection keeps documents whose weight beats the CORPUS MEAN
+    * weight (DSIR resamples by weight rank; a fixed w > 0 cut is
+    * degenerate here because the target model, trained on a strict
+    * slice, has thinner bigram coverage and so scores EVERY document
+    * worse than the raw model — observed: all-negative weights, en
+    * least negative). The mean test is pure integer cross-
+    * multiplication `w·N > Σw` — exact, order-independent, and safe in
+    * Long far past this corpus (|w| ≤ ~3·10⁷ micro-nats/doc keeps
+    * `w·N` under 2⁶³ through N ≈ 10¹⁰ docs).
+    *
+    * Shape at 100 TB: both models are capped broadcast artifacts
+    * ([[lmTables]] trains each in one pass over its training slice);
+    * scoring is TWO stateless kernel calls in one narrow projection —
+    * zero joins, zero shuffles, no per-row state — plus one broadcast
+    * join against a single-row (N, Σw) aggregate. */
+  def dsirWeights(docs: DataFrame,
+      rawUni: Map[String, Long], rawBi: Map[String, Long],
+      tgtUni: Map[String, Long], tgtBi: Map[String, Long]): DataFrame = {
+    graft.functions.LmModel.register(docs.sparkSession)
+    val raw = graft.functions.LmModel.lmNll(lmToks(col("text")), rawUni, rawBi)
+    val tgt = graft.functions.LmModel.lmNll(lmToks(col("text")), tgtUni, tgtBi)
+    val scored = docs
+      .select(col("doc_id"), col("lang"), raw.as("r"), tgt.as("t"))
+      .select(col("doc_id"), col("lang"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.nll_micro_sum").as("nll_raw_micro"),
+        col("t.nll_micro_sum").as("nll_tgt_micro"),
+        (col("r.nll_micro_sum") - col("t.nll_micro_sum")).as("w_micro"))
+    val tot = scored.agg(count(lit(1)).as("n_total"), sum("w_micro").as("w_total"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("nll_raw_micro"), col("nll_tgt_micro"), col("w_micro"),
+        (col("w_micro") * col("n_total") > col("w_total")).as("selected"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-language corpus stats: counts + whitespace tokenization.
     "q_text_stats" -> ((s, dir) =>
@@ -313,6 +359,18 @@ object TextAnalysis {
       val docs = documents(s, dir)
       val (uni, bi) = lmTables(docs)
       lmScoreStateless(docs, uni, bi).orderBy("doc_id")
+    }),
+
+    // DSIR importance weights: target = the English slice, raw = the
+    // whole corpus; w_micro = nll_raw − nll_target in integer micro-nats
+    // (order-independent), selected = looks more target-like than the
+    // corpus average. Training is two bounded lmTables passes; scoring
+    // is one shuffle-free projection running both kernels.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val (rawU, rawB) = lmTables(docs)
+      val (tgtU, tgtB) = lmTables(docs.filter(col("lang") === "en"))
+      dsirWeights(docs, rawU, rawB, tgtU, tgtB).orderBy("doc_id")
     }),
 
     // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
@@ -551,6 +609,57 @@ object TextAnalysis {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |            ORDER BY score DESC, term) AS rn
         |  FROM scored)
-        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
+        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    // DSIR: the LM oracle's train+score pipeline run TWICE — raw model
+    // over every document, target model over the lang='en' slice — with
+    // the same caps, tie order and micro-nat quantization; the weight
+    // and selection flag are integer comparisons of the two sums.
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |uni_r AS (SELECT w, count(*) AS c1
+        |          FROM (SELECT unnest(t) AS w FROM toks)
+        |          GROUP BY 1 ORDER BY c1 DESC, w LIMIT 1000),
+        |bi_r AS (SELECT w1, w2, count(*) AS c12 FROM pairs
+        |         GROUP BY 1, 2 ORDER BY c12 DESC, w1, w2 LIMIT 5000),
+        |uni_t AS (SELECT w, count(*) AS c1
+        |          FROM (SELECT unnest(t) AS w FROM toks WHERE lang = 'en')
+        |          GROUP BY 1 ORDER BY c1 DESC, w LIMIT 1000),
+        |bi_t AS (SELECT w1, w2, count(*) AS c12 FROM pairs WHERE lang = 'en'
+        |         GROUP BY 1, 2 ORDER BY c12 DESC, w1, w2 LIMIT 5000),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |         CAST(round(-ln(CAST(COALESCE(br.c12, 0) + 1 AS DOUBLE) /
+        |                        CAST(COALESCE(ur.c1, 0) + 1001 AS DOUBLE))
+        |                    * 1000000.0) AS BIGINT) AS nll_r,
+        |         CAST(round(-ln(CAST(COALESCE(bt.c12, 0) + 1 AS DOUBLE) /
+        |                        CAST(COALESCE(ut.c1, 0) + 1001 AS DOUBLE))
+        |                    * 1000000.0) AS BIGINT) AS nll_t
+        |  FROM pairs p
+        |  LEFT JOIN uni_r ur ON p.w1 = ur.w
+        |  LEFT JOIN bi_r br ON p.w1 = br.w1 AND p.w2 = br.w2
+        |  LEFT JOIN uni_t ut ON p.w1 = ut.w
+        |  LEFT JOIN bi_t bt ON p.w1 = bt.w1 AND p.w2 = bt.w2),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |               sum(nll_r) AS sr, sum(nll_t) AS st
+        |        FROM terms GROUP BY 1),
+        |perdoc AS (
+        |  SELECT d.doc_id, d.lang,
+        |         CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |         CAST(COALESCE(a.sr, 0) AS BIGINT) AS nll_raw_micro,
+        |         CAST(COALESCE(a.st, 0) AS BIGINT) AS nll_tgt_micro,
+        |         CAST(COALESCE(a.sr, 0) - COALESCE(a.st, 0) AS BIGINT) AS w_micro
+        |  FROM documents d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, lang, n_bigrams, nll_raw_micro, nll_tgt_micro, w_micro,
+        |       (w_micro * (SELECT count(*) FROM perdoc)
+        |          > (SELECT sum(w_micro) FROM perdoc)) AS selected
+        |FROM perdoc
+        |ORDER BY doc_id""".stripMargin
   )
 }

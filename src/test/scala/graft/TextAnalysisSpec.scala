@@ -107,4 +107,38 @@ class TextAnalysisSpec extends SparkSpecBase {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("DSIR weights rank target-domain docs above off-domain docs") {
+    // two disjoint vocabularies: the target model is trained on the
+    // "legal" half only, the raw model on everything. Every legal doc
+    // must out-weight every spam doc, and the above-mean selection cut
+    // must fall exactly between the two clusters.
+    val legal = (1L to 20L).map(i =>
+      (i, "the court finds the claim valid and the motion granted", "en"))
+    val spam = (101L to 120L).map(i =>
+      (i, "buy cheap pills now click here win big money fast", "xx"))
+    val docs = (legal ++ spam).toDF("doc_id", "text", "lang")
+    val (rawU, rawB) = TextAnalysis.lmTables(docs)
+    val (tgtU, tgtB) = TextAnalysis.lmTables(docs.filter(col("lang") === "en"))
+    val w = TextAnalysis.dsirWeights(docs, rawU, rawB, tgtU, tgtB)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(5), r.getBoolean(6)))).toMap
+    val legalW = legal.map(d => w(d._1))
+    val spamW = spam.map(d => w(d._1))
+    assert(legalW.map(_._1).min > spamW.map(_._1).max,
+      "every target-domain doc must out-weight every off-domain doc")
+    assert(legalW.forall(_._2) && spamW.forall(!_._2),
+      "the above-mean cut must select exactly the target-domain cluster")
+  }
+
+  test("DSIR weights are partitioning-independent") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val (rawU, rawB) = TextAnalysis.lmTables(docs)
+    val (tgtU, tgtB) = TextAnalysis.lmTables(docs.filter(col("lang") === "en"))
+    val a = TextAnalysis.dsirWeights(docs.repartition(1), rawU, rawB, tgtU, tgtB)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.dsirWeights(docs.repartition(13), rawU, rawB, tgtU, tgtB)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }
