@@ -327,6 +327,45 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id"))
   }
 
+  /** kNN label propagation: predict a label for each held-out vector by
+    * majority vote of its k nearest LABELED neighbors (exact cosine) —
+    * the embedding-space auto-labeling / quality-classifier transfer
+    * step of a curation pipeline (label a small seed set by hand,
+    * propagate to the corpus by similarity). The held-out slice is the
+    * deterministic `vec_id % 5 == 0` fifth; the vote tie-break is
+    * (votes DESC, label ASC) — total and engine-exact.
+    *
+    * Scale shape: scoring + two-phase top-k is [[knnJoin]]'s broadcast
+    * pattern (queries broadcast, corpus never shuffled; local top-k
+    * keyed by scan partition so no |Q|-reducer collapse); the vote is a
+    * groupBy over |Q|·k fixed-width rows — tiny. This is the
+    * BROADCAST-BATCH shape: an unlabeled pool too big to broadcast
+    * walks the same batched probe the stored IVF index serves
+    * ([[Ingest.knnJoinIvfStored]]), batch by batch. */
+  def knnClassify(emb: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorOps.register(emb.sparkSession)
+    val unlabeled = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val labeled = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val scored = labeled
+      .crossJoin(broadcast(unlabeled
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+    val votes = topKPerQuery(scored, k)
+      .join(labeled.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVotes = Window.partitionBy("q_id").orderBy(desc("n_votes"), asc("label"))
+    votes
+      .withColumn("rn", row_number().over(byVotes)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+      .join(unlabeled.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), "q_id")
+      .select(col("q_id").as("vec_id"), col("true_label"), col("pred_label"),
+        col("n_votes"), (col("true_label") === col("pred_label")).as("correct"))
+  }
+
   /** Embedding near-dup candidate pairs: SRP band self-join + exact
     * cosine verification. The banding bounds the quadratic rescore step;
     * the caller applies a threshold or takes the top pairs.
@@ -783,6 +822,11 @@ object Similarity {
       knnJoin(emb, qs, 10).orderBy("q_id", "rnk")
     }),
 
+    // kNN label propagation: the vec_id%5 held-out fifth classified by
+    // majority vote of its 10 nearest labeled neighbors.
+    "q_knn_classify" -> ((s, dir) =>
+      knnClassify(embeddings(s, dir), 10).orderBy("vec_id")),
+
     // PQ path: 8-byte-code ADC ranking + exact rescore, same
     // forced-recall gate as q_ann_topk/q_ivf_topk. Operating point
     // measured at sf0.1 on this near-continuum synthetic corpus:
@@ -857,6 +901,28 @@ object Similarity {
         |                            ORDER BY score DESC, vec_id) AS rnk
         |  FROM scored)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "q_knn_classify" ->
+      """WITH u AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |l AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+        |scored AS (
+        |  SELECT u.q_id, l.vec_id, l.label,
+        |         round(list_cosine_similarity(l.embedding, u.q_emb), 6) AS score
+        |  FROM l, u),
+        |nn AS (SELECT q_id, label FROM (
+        |  SELECT q_id, label,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, vec_id) AS rnk
+        |  FROM scored) WHERE rnk <= 10),
+        |votes AS (SELECT q_id, label, count(*) AS n_votes FROM nn GROUP BY 1, 2),
+        |pred AS (SELECT q_id, label AS pred_label, n_votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY n_votes DESC, label) AS rn
+        |  FROM votes) WHERE rn = 1)
+        |SELECT u.q_id AS vec_id, u.true_label, p.pred_label,
+        |       CAST(p.n_votes AS BIGINT) AS n_votes,
+        |       (u.true_label = p.pred_label) AS correct
+        |FROM u JOIN pred p USING (q_id) ORDER BY vec_id""".stripMargin,
     "q_embed_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |       CAST(sum(len(embedding)) AS BIGINT) AS total_dims

@@ -176,6 +176,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("knnClassify recovers cluster labels on separable data") {
+    import org.apache.spark.sql.functions._
+    // 5 well-separated cluster directions in 16-d; label = cluster.
+    // Every vec_id%5==0 hold-out must be re-labeled correctly by its
+    // neighbors, and the vote must be unanimous (n_votes = k).
+    val bases = Array.tabulate(5)(c => Array.tabulate(16)(d =>
+      (math.sin(c * 2.9 + d * 1.3) + (if (d % 5 == c) 4.0 else 0.0)).toFloat))
+    // clusters in id-blocks of 12, so the vec_id%5==0 hold-out fifth
+    // spans every cluster (ids 0,5,10 → c0 … 50,55 → c4) and each
+    // cluster keeps ≥9 labeled members for the k=5 vote
+    val vecs = (0L until 60L).map { i =>
+      val c = (i / 12L).toInt
+      val v = bases(c).zipWithIndex.map { case (x, d) =>
+        x + 0.01f * math.sin(i * 7.7 + d).toFloat }
+      (i, v, c)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.length == 12) // 60/5 held out
+    assert(out.forall(_._5), s"misclassified: ${out.filterNot(_._5).mkString(", ")}")
+    assert(out.forall(_._4 == 5L), "votes must be unanimous on separable clusters")
+  }
+
   test("PQ encode: argmin codes, lowest-index tie-break, packed layout") {
     graft.functions.PqOps.register(spark)
     // m=2 sub-spaces of 1 dim, k=2 centroids each; codebook layout
