@@ -185,6 +185,54 @@ object Curation {
       .when(source === "src3", 0.25)
       .otherwise(1.0)
 
+  /** UniMax-style token-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): given a total training-token budget and
+    * a per-source epoch cap, allocate the budget by WATERFILLING — every
+    * source gets the uniform fair share `t` unless its cap is below `t`,
+    * in which case it is capped and its leftover raises everyone else's
+    * share. The closed form over caps sorted ascending: source i is
+    * capped iff `prefix(i) + (k−i)·cap_i ≤ B` (pure integer arithmetic —
+    * exact and engine-portable), and the fair share is
+    * `t = (B − Σ capped caps) / (#uncapped)` — the allocation's ONLY
+    * float, one deterministic division rounded to 6 dp.
+    *
+    * Shape at scale: one partial-aggregated shuffle builds the
+    * per-source token counts; everything after runs on the #sources-row
+    * frame, so the unpartitioned windows sort tens of rows, not the
+    * corpus. The per-source epoch cap is exogenous config in a real
+    * pipeline; here `1 + (source# mod 4)` — varied, so both the capped
+    * and uncapped branches stay exercised on a near-uniform corpus. */
+  def mixBudget(docs: DataFrame, budgetFactor: Int = 2): DataFrame = {
+    val srcs = docs.groupBy("source")
+      .agg(sum(TextAnalysis.bpeTokens(col("text"))).as("n_tokens"))
+      .withColumn("max_epochs",
+        lit(1) + pmod(regexp_extract(col("source"), "(\\d+)", 1)
+          .cast(IntegerType), lit(4)))
+      .withColumn("cap_tokens", col("max_epochs").cast(LongType) * col("n_tokens"))
+    val ord = Window.orderBy(col("cap_tokens"), col("source"))
+    val all = Window.partitionBy() // whole frame = #sources rows (tiny)
+    srcs
+      .withColumn("i", row_number().over(ord))
+      .withColumn("prefix", sum("cap_tokens").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("budget", lit(budgetFactor.toLong) * sum("n_tokens").over(all))
+      .withColumn("capped",
+        col("prefix") + (col("k") - col("i")) * col("cap_tokens") <= col("budget"))
+      .withColumn("m", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("prefix_m",
+        sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).over(all))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens").cast(DoubleType))
+          .otherwise(round((col("budget") - col("prefix_m")).cast(DoubleType) /
+            (col("k") - col("m")).cast(DoubleType), 6)))
+      .withColumn("epochs",
+        round(col("alloc_tokens") / col("n_tokens").cast(DoubleType), 6))
+      .select(col("source"), col("n_tokens"), col("max_epochs"),
+        col("cap_tokens"), col("capped"), col("alloc_tokens"), col("epochs"))
+  }
+
   /** Deterministic 10% stratified sample: within each stratum, rank by
     * md5(doc_id) (a reproducible pseudo-random order) and keep the first
     * ceil(n/10) — integer arithmetic, no float boundary. */
@@ -470,6 +518,13 @@ object Curation {
         .orderBy("doc_id", "epoch")
     }),
 
+    // UniMax waterfilling of a 2×-corpus token budget under per-source
+    // epoch caps: the training-mix PLAN (q_source_mix is the epoch
+    // EXECUTION for fixed weights; this derives the weights from a
+    // budget).
+    "q_mix_budget" -> ((s, dir) =>
+      mixBudget(documents(s, dir), budgetFactor = 2).orderBy("source")),
+
     // the WHOLE curation pipeline as ONE declarative plan — exact-dedup
     // survivors → stopword-ratio quality filter → hash split → 10%
     // stratified sample → per-(split, lang) membership-binding counts.
@@ -640,6 +695,38 @@ object Curation {
         |SELECT doc_id, source,
         |       CAST(unnest(range(1, CAST(n_ep AS BIGINT) + 1)) AS INT) AS epoch
         |FROM e ORDER BY doc_id, epoch""".stripMargin,
+    // UniMax waterfilling: integer capped-test over caps sorted
+    // ascending, one rounded double division for the fair share.
+    "q_mix_budget" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS n_tokens,
+        |         1 + (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) AS max_epochs
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT source, n_tokens, max_epochs,
+        |             CAST(max_epochs AS BIGINT) * n_tokens AS cap_tokens FROM s),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (ORDER BY cap_tokens, source) AS i,
+        |         CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+        |         count(*) OVER () AS k,
+        |         CAST(2 * sum(n_tokens) OVER () AS BIGINT) AS budget
+        |  FROM c),
+        |f AS (SELECT *, (prefix + (k - i) * cap_tokens <= budget) AS capped FROM r),
+        |g AS (SELECT *,
+        |             CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS m,
+        |             CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER () AS BIGINT) AS prefix_m
+        |      FROM f),
+        |a AS (SELECT *,
+        |             CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+        |                  ELSE round(CAST(budget - prefix_m AS DOUBLE) /
+        |                             NULLIF(CAST(k - m AS DOUBLE), 0.0), 6) END AS alloc_tokens
+        |      FROM g)
+        |SELECT source, n_tokens, max_epochs, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+        |       capped, alloc_tokens,
+        |       round(alloc_tokens / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM a ORDER BY source""".stripMargin,
     "q_pipeline_e2e" ->
       """WITH survivors AS (
         |  SELECT doc_id, text, lang FROM (

@@ -178,6 +178,46 @@ class CurationSpec extends SparkSpecBase {
     assert(src1x3 > 10 && src1x3 < 40, s"src1 frac keep=$src1x3")
   }
 
+  test("mixBudget waterfilling: caps respected, budget conserved, shares fair") {
+    // src1 tiny (capped), src2/src3 large (uncapped): the fair share must
+    // exceed src1's cap, the uncapped allocations must be EQUAL, and the
+    // total must hit the budget exactly (cap + 2·share = B).
+    def doc(src: String, n: Int) = (1 to n).map(i => (s"$src-$i", src, "w " * 9 + "w"))
+    val docs = (doc("src1", 2) ++ doc("src2", 40) ++ doc("src3", 40))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixBudget(docs, budgetFactor = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // 10 tokens/doc: n_tokens = 20 / 400 / 400; caps = 2n: 40 / 1200 / 1600
+    assert(out("src1")._1 == 20L && out("src2")._1 == 400L)
+    assert(out("src1")._3 == 40L)   // max_epochs 1+(1%4)=2 → cap 40
+    assert(out("src2")._3 == 1200L) // 1+(2%4)=3
+    assert(out("src3")._3 == 1600L) // 1+(3%4)=4
+    val budget = 2L * (20 + 400 + 400) // 1640
+    assert(out("src1")._4 && !out("src2")._4 && !out("src3")._4,
+      s"capped flags: $out")
+    assert(out("src1")._5 == 40.0) // capped at its cap
+    val share = (budget - 40).toDouble / 2 // 800.0
+    assert(out("src2")._5 == share && out("src3")._5 == share,
+      "uncapped sources must get the identical fair share")
+    assert(out.values.map(_._5).sum == budget.toDouble, "budget conserved")
+    assert(out("src2")._6 == 2.0) // 800/400 epochs
+    // epoch caps bind: no allocation exceeds max_epochs·n_tokens
+    out.values.foreach { case (n, _, cap, _, alloc, _) =>
+      assert(alloc <= cap.toDouble + 1e-9)
+      assert(alloc >= 0.0 && n > 0)
+    }
+  }
+
+  test("mixBudget: budget above total capacity caps every source") {
+    val docs = (1 to 10).map(i => (s"d$i", s"src${i % 2}", "w w w w"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixBudget(docs, budgetFactor = 100).collect()
+      .map(r => (r.getBoolean(4), r.getLong(3), r.getDouble(5)))
+    assert(out.forall(_._1), "all sources must be capped")
+    out.foreach { case (_, cap, alloc) => assert(alloc == cap.toDouble) }
+  }
+
   test("stratifiedSample keeps ceil(n/10) per stratum, deterministically") {
     val docs = (0L until 95L).map(i => (i, if (i < 7) "sv" else "en"))
       .toDF("doc_id", "lang")
