@@ -305,4 +305,39 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(q_id#") && p.contains(", pid#"),
       s"local top-k must partition by (q_id, pid):\n$p")
   }
+
+  test("kNN classify: broadcast scoring + broadcast label joins, no sort-merge") {
+    val p = plan(SparkEntry.queries("q_knn_classify")(spark, TestSpark.Sf0001))
+    // same two-phase shape as knnJoin; the label/true-label joins ride
+    // on tiny frames and must broadcast — the labeled corpus is never
+    // shuffled for a join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(q_id#") && p.contains(", pid#"),
+      s"local top-k must partition by (q_id, pid):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"all label joins must broadcast:\n$p")
+  }
+
+  test("DSIR scoring: both LM kernels in one narrow pass; only the mean-cut joins") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val (ru, rb) = graft.operators.TextAnalysis.lmTables(docs)
+    val (tu, tb) = graft.operators.TextAnalysis.lmTables(docs.filter(col("lang") === "en"))
+    val p = plan(graft.operators.TextAnalysis.dsirWeights(docs, ru, rb, tu, tb))
+    // two kernel invocations, zero shuffles on the scoring path: the
+    // only exchange feeds the single-row (N, Σw) aggregate, and the only
+    // join is its broadcast back onto the scored rows
+    assert(p.sliding("graft_lm_nll".length).count(_ == "graft_lm_nll") >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the (N, Σw) mean-cut must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mixBudget: per-source aggregation is two-phase; windows sort only sources") {
+    val p = plan(SparkEntry.queries("q_mix_budget")(spark, TestSpark.Sf0001))
+    // the corpus-sized work is the one partial-aggregated groupBy; every
+    // window runs on the #sources-row frame after it
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"token counting must partially aggregate before the exchange:\n$p")
+    assert(p.contains("Window"), p)
+  }
 }
