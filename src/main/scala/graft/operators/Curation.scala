@@ -206,9 +206,15 @@ object Curation {
   def mixBudget(docs: DataFrame, budgetFactor: Int = 2): DataFrame = {
     val srcs = docs.groupBy("source")
       .agg(sum(TextAnalysis.bpeTokens(col("text"))).as("n_tokens"))
-      .withColumn("max_epochs",
-        lit(1) + pmod(regexp_extract(col("source"), "(\\d+)", 1)
-          .cast(IntegerType), lit(4)))
+      // digit-less source names fall back to cap group 0 (max_epochs 1)
+      // instead of poisoning the closed form: an unguarded cast('')
+      // throws under ANSI mode, and a null cap would be treated as
+      // uncapped while contributing nothing to the prefix sums
+      .withColumn("max_epochs", {
+        val digits = regexp_extract(col("source"), "(\\d+)", 1)
+        lit(1) + pmod(when(digits === "", lit(0))
+          .otherwise(digits.cast(IntegerType)), lit(4))
+      })
       .withColumn("cap_tokens", col("max_epochs").cast(LongType) * col("n_tokens"))
     val ord = Window.orderBy(col("cap_tokens"), col("source"))
     val all = Window.partitionBy() // whole frame = #sources rows (tiny)
@@ -701,7 +707,7 @@ object Curation {
       """WITH s AS (
         |  SELECT source,
         |         CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS n_tokens,
-        |         1 + (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4) AS max_epochs
+        |         1 + (COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INT), 0) % 4) AS max_epochs
         |  FROM documents GROUP BY 1),
         |c AS (SELECT source, n_tokens, max_epochs,
         |             CAST(max_epochs AS BIGINT) * n_tokens AS cap_tokens FROM s),

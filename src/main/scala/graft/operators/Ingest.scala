@@ -441,9 +441,9 @@ object Ingest {
     * small expand window is sufficient where PQ needs 60×.
     *
     * The model is the exact per-dimension (min, max) of the corpus —
-    * ONE partial-aggregating pass of 2·dim min/max aggregates (no
-    * shuffle wider than the final reduce, no sampling: unlike k-means
-    * there is no iterative fit to bound). Model and codes are
+    * ONE partial-aggregating posexplode pass keyed by dimension (the
+    * exchange carries tasks×dim fixed-width rows; no sampling: unlike
+    * k-means there is no iterative fit to bound). Model and codes are
     * committed-marker-gated like every other stored artifact.
     * Returns (mins, steps, code frame). */
   def ensureSqModel(s: SparkSession, dir: String): (Array[Float], Array[Float]) = {
@@ -454,14 +454,21 @@ object Ingest {
       (r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray)
     } else {
       val emb = embeddings(s, dir)
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      val aggs = (0 until dim).flatMap { d =>
-        Seq(min(element_at(col("embedding"), d + 1)).as(s"mn$d"),
-          max(element_at(col("embedding"), d + 1)).as(s"mx$d"))
-      }
-      val r = emb.agg(aggs.head, aggs.tail: _*).head()
-      val mn = Array.tabulate(dim)(d => r.getFloat(2 * d))
-      val st = Array.tabulate(dim)(d => (r.getFloat(2 * d + 1) - r.getFloat(2 * d)) / 255f)
+      // per-dim (min, max) via posexplode + ONE two-phase aggregation:
+      // partial agg combines inside each task, so the exchange carries
+      // tasks×dim fixed-width rows and the codegen stays fixed-size
+      // regardless of dim. (The alternative — 2·dim independent min/max
+      // aggregate expressions — plans 1536 buffers at dim 768, deep in
+      // whole-stage-codegen's 64KB-method fallback zone, plus an extra
+      // job just to learn dim.)
+      val perDim = emb
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+        .orderBy("pos").collect() // dim rows — the model artifact bound
+      val dim = perDim.length
+      require(dim > 0, "SQ8 model: empty embeddings corpus")
+      val mn = Array.tabulate(dim)(d => perDim(d).getFloat(1))
+      val st = Array.tabulate(dim)(d => (perDim(d).getFloat(2) - perDim(d).getFloat(1)) / 255f)
       import s.implicits._
       // payload (codes) BEFORE the model marker would invert the
       // dependency — here the MODEL is the prerequisite artifact, so
@@ -609,34 +616,29 @@ object Ingest {
       queriesDf, k, expand, nProbe)
   }
 
-  private def knnJoinSqSides(s: SparkSession, dir: String,
-      sides: Seq[DataFrame], centroids: DataFrame, mins: Array[Float],
-      steps: Array[Float], rescoreCorpus: DataFrame, queriesDf: DataFrame,
-      k: Int, expand: Int, nProbe: Int): DataFrame = {
+  /** Shared generation-spanning batched-kNN serving scaffold for the
+    * CODE-table index families (PQ and SQ8 differ only in their
+    * per-query lookup-table schema and their score kernel): per-side
+    * DPP probe join + broadcast per-query `tables` join (keyed tq_id) +
+    * approximate ranking by `scoreCol`, then the expand·k shortlist and
+    * the bounded exact rescore. One copy of the scaffold means a fix to
+    * the probe/shortlist/rescore logic cannot drift between families. */
+  private def knnJoinCodeSides(s: SparkSession, dir: String,
+      sides: Seq[DataFrame], centroids: DataFrame, tables: DataFrame,
+      scoreCol: org.apache.spark.sql.Column, rescoreCorpus: DataFrame,
+      queriesDf: DataFrame, k: Int, expand: Int, nProbe: Int): DataFrame = {
     VectorOps.register(s)
-    graft.functions.SqOps.register(s)
-    import s.implicits._
     val n = embeddingCount(s, dir)
     val probe =
       if (nProbe > 0) nProbe
       else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
-    val (lin, quad, gamma0) = graft.functions.SqOps.modelTables(mins, steps)
-    // per-query tables: |Q|·(dim+1) doubles, driver-built and
-    // broadcast-bounded by construction like the ADC tables
-    val tables = queriesDf.select(col("q_id"), col("q_emb")).collect().map { r =>
-      val (alpha, beta) = graft.functions.SqOps.queryTables(
-        r.getSeq[Float](1).toArray, mins, steps)
-      (r.getLong(0), alpha.toSeq, beta)
-    }.toSeq.toDF("tq_id", "alpha", "tbeta")
     val probePlan = batchProbePlan(centroids, queriesDf, probe)
     val ranked = sides.map { side =>
       side
         .join(broadcast(probeCells(probePlan, side)), "cell") // DPP per side
         .join(broadcast(tables), col("p_qid") === col("tq_id"))
         .filter(col("vec_id") =!= col("tq_id"))
-        .select(col("tq_id").as("q_id"), col("vec_id"),
-          graft.functions.SqOps.scoreCols(col("code"), col("alpha"),
-            col("tbeta"), lin, quad, gamma0).as("score"))
+        .select(col("tq_id").as("q_id"), col("vec_id"), scoreCol.as("score"))
     }.reduce(_.unionByName(_))
     val shortlist = Similarity.topKPerQuery(ranked, expand * k)
       .select("q_id", "vec_id")
@@ -646,6 +648,26 @@ object Ingest {
       .select(col("q_id"), col("vec_id"),
         round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
     Similarity.topKPerQuery(scored, k)
+  }
+
+  private def knnJoinSqSides(s: SparkSession, dir: String,
+      sides: Seq[DataFrame], centroids: DataFrame, mins: Array[Float],
+      steps: Array[Float], rescoreCorpus: DataFrame, queriesDf: DataFrame,
+      k: Int, expand: Int, nProbe: Int): DataFrame = {
+    graft.functions.SqOps.register(s)
+    import s.implicits._
+    val (lin, quad, gamma0) = graft.functions.SqOps.modelTables(mins, steps)
+    // per-query tables: |Q|·(dim+1) doubles, driver-built and
+    // broadcast-bounded by construction like the ADC tables
+    val tables = queriesDf.select(col("q_id"), col("q_emb")).collect().map { r =>
+      val (alpha, beta) = graft.functions.SqOps.queryTables(
+        r.getSeq[Float](1).toArray, mins, steps)
+      (r.getLong(0), alpha.toSeq, beta)
+    }.toSeq.toDF("tq_id", "alpha", "tbeta")
+    knnJoinCodeSides(s, dir, sides, centroids, tables,
+      graft.functions.SqOps.scoreCols(col("code"), col("alpha"),
+        col("tbeta"), lin, quad, gamma0),
+      rescoreCorpus, queriesDf, k, expand, nProbe)
   }
 
   /** IVF-PQ combined index: the billion-scale layout (FAISS's IVFPQ,
@@ -1096,13 +1118,8 @@ object Ingest {
       sides: Seq[DataFrame], centroids: DataFrame, cb: Array[Float],
       dim: Int, rescoreCorpus: DataFrame, queriesDf: DataFrame, k: Int,
       expand: Int, nProbe: Int, m: Int, kCent: Int): DataFrame = {
-    VectorOps.register(s)
     graft.functions.PqOps.register(s)
     import s.implicits._
-    val n = embeddingCount(s, dir)
-    val probe =
-      if (nProbe > 0) nProbe
-      else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
     // per-query ADC tables: a driver-built bounded model artifact, like
     // the codebook itself (|Q| is broadcast-bounded by construction)
     val tables = queriesDf.select(col("q_id"), col("q_emb")).collect().map { r =>
@@ -1110,24 +1127,10 @@ object Ingest {
         r.getSeq[Float](1).toArray, cb, dim, m, kCent)
       (r.getLong(0), dot.toSeq, nrm.toSeq)
     }.toSeq.toDF("tq_id", "dot", "nrm")
-    val probePlan = batchProbePlan(centroids, queriesDf, probe)
-    val ranked = sides.map { side =>
-      side
-        .join(broadcast(probeCells(probePlan, side)), "cell") // DPP per side
-        .join(broadcast(tables), col("p_qid") === col("tq_id"))
-        .filter(col("vec_id") =!= col("tq_id"))
-        .select(col("tq_id").as("q_id"), col("vec_id"),
-          graft.functions.PqOps.adcCols(col("code"), col("dot"), col("nrm"),
-            m, kCent).as("score"))
-    }.reduce(_.unionByName(_))
-    val shortlist = Similarity.topKPerQuery(ranked, expand * k)
-      .select("q_id", "vec_id")
-    val scored = shortlist
-      .join(rescoreCorpus.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(queriesDf), "q_id")
-      .select(col("q_id"), col("vec_id"),
-        round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
-    Similarity.topKPerQuery(scored, k)
+    knnJoinCodeSides(s, dir, sides, centroids, tables,
+      graft.functions.PqOps.adcCols(col("code"), col("dot"), col("nrm"),
+        m, kCent),
+      rescoreCorpus, queriesDf, k, expand, nProbe)
   }
 
   // --- query surface ---------------------------------------------------

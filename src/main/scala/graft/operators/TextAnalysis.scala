@@ -243,19 +243,32 @@ object TextAnalysis {
     * scoring is TWO stateless kernel calls in one narrow projection —
     * zero joins, zero shuffles, no per-row state — plus one broadcast
     * join against a single-row (N, Σw) aggregate. */
-  def dsirWeights(docs: DataFrame,
+  /** The scoring projection alone — both kernels in one narrow pass,
+    * zero joins/shuffles (PlanSpec pins this shape). */
+  def dsirScore(docs: DataFrame,
       rawUni: Map[String, Long], rawBi: Map[String, Long],
       tgtUni: Map[String, Long], tgtBi: Map[String, Long]): DataFrame = {
     graft.functions.LmModel.register(docs.sparkSession)
     val raw = graft.functions.LmModel.lmNll(lmToks(col("text")), rawUni, rawBi)
     val tgt = graft.functions.LmModel.lmNll(lmToks(col("text")), tgtUni, tgtBi)
-    val scored = docs
+    docs
       .select(col("doc_id"), col("lang"), raw.as("r"), tgt.as("t"))
       .select(col("doc_id"), col("lang"),
         col("r.n_bigrams").as("n_bigrams"),
         col("r.nll_micro_sum").as("nll_raw_micro"),
         col("t.nll_micro_sum").as("nll_tgt_micro"),
         (col("r.nll_micro_sum") - col("t.nll_micro_sum")).as("w_micro"))
+  }
+
+  def dsirWeights(docs: DataFrame,
+      rawUni: Map[String, Long], rawBi: Map[String, Long],
+      tgtUni: Map[String, Long], tgtBi: Map[String, Long]): DataFrame = {
+    // score ONCE: the scored frame feeds both the (N, Σw) aggregate and
+    // the output projection — without the checkpoint the text scan and
+    // BOTH kernels re-run per consumer (same rule as jaccardPairsExact's
+    // feature checkpoint); the checkpointed frame is 6 fixed-width
+    // columns per doc, far narrower than the corpus
+    val scored = dsirScore(docs, rawUni, rawBi, tgtUni, tgtBi).localCheckpoint()
     val tot = scored.agg(count(lit(1)).as("n_total"), sum("w_micro").as("w_total"))
     scored.crossJoin(broadcast(tot))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),

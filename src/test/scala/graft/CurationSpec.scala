@@ -209,6 +209,17 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("mixBudget: digit-less source names fall back to cap group 0") {
+    val docs = (1 to 20).map(i => (s"d$i", if (i <= 10) "web" else "src3", "w w w w"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.mixBudget(docs, budgetFactor = 2).collect()
+      .map(r => r.getString(0) -> ((r.getInt(2), r.getLong(3), r.getDouble(5)))).toMap
+    assert(out("web")._1 == 1, "no-digit source must get max_epochs 1")
+    assert(out("web")._2 == 40L) // 10 docs × 4 tokens × 1 epoch
+    // budget still conserved: web capped at 40, src3 takes the rest
+    assert(out.values.map(_._3).sum == 2.0 * 80)
+  }
+
   test("mixBudget: budget above total capacity caps every source") {
     val docs = (1 to 10).map(i => (s"d$i", s"src${i % 2}", "w w w w"))
       .toDF("doc_id", "source", "text")

@@ -318,15 +318,22 @@ class PlanSpec extends SparkSpecBase {
       s"all label joins must broadcast:\n$p")
   }
 
-  test("DSIR scoring: both LM kernels in one narrow pass; only the mean-cut joins") {
+  test("DSIR scoring: both LM kernels in one narrow pass, scored exactly once") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
     val (ru, rb) = graft.operators.TextAnalysis.lmTables(docs)
     val (tu, tb) = graft.operators.TextAnalysis.lmTables(docs.filter(col("lang") === "en"))
+    // the scoring projection: two kernel invocations, zero shuffles,
+    // zero joins
+    val ps = plan(graft.operators.TextAnalysis.dsirScore(docs, ru, rb, tu, tb))
+    assert(ps.sliding("graft_lm_nll".length).count(_ == "graft_lm_nll") >= 2, ps)
+    assert(!ps.contains("Exchange") && !ps.contains("Join"),
+      s"scoring must be one narrow pass:\n$ps")
+    // the full operator: the checkpointed scored frame feeds both the
+    // (N, Σw) aggregate and the output, so the final plan holds NO
+    // kernel call (scoring ran exactly once) and the mean-cut broadcasts
     val p = plan(graft.operators.TextAnalysis.dsirWeights(docs, ru, rb, tu, tb))
-    // two kernel invocations, zero shuffles on the scoring path: the
-    // only exchange feeds the single-row (N, Σw) aggregate, and the only
-    // join is its broadcast back onto the scored rows
-    assert(p.sliding("graft_lm_nll".length).count(_ == "graft_lm_nll") >= 2, p)
+    assert(!p.contains("graft_lm_nll"),
+      s"scored frame must be materialized once, not re-scored per consumer:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the (N, Σw) mean-cut must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
