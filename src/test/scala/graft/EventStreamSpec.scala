@@ -112,6 +112,17 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming DSIR selection (DsirStream) == batch weights, frozen threshold") {
+    val stream = graft.streaming.DsirStream.dsirStream(spark, TestSpark.Sf0001)
+    val q = EventStream.runToMemory(stream, "dsir_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    val streamed = spark.table("dsir_stream_test")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("q_dsir_weights")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming PQ code ingest (PqStream) == batch encode, same codebook") {
     val emb = spark.read.parquet(TestSpark.Sf0001 + "/embeddings.parquet")
     val (cb, _, _) = graft.operators.Similarity.pqTrain(emb, 8, 256)
