@@ -338,14 +338,18 @@ object Similarity {
     * Scale shape: scoring + two-phase top-k is [[knnJoin]]'s broadcast
     * pattern (queries broadcast, corpus never shuffled; local top-k
     * keyed by scan partition so no |Q|-reducer collapse); the vote is a
-    * groupBy over |Q|·k fixed-width rows — tiny. This is the
-    * BROADCAST-BATCH shape: an unlabeled pool too big to broadcast
-    * walks the same batched probe the stored IVF index serves
-    * ([[Ingest.knnJoinIvfStored]]), batch by batch. */
-  def knnClassify(emb: DataFrame, k: Int): DataFrame = {
+    * groupBy over |Q|·k fixed-width rows — tiny. `maxQueries` BOUNDS the
+    * broadcast batch (deterministic lowest-id slice), which keeps one
+    * call LINEAR in the corpus: an UNBOUNDED hold-out grows with the
+    * corpus and turns the brute pass O(N²) — the sf1 rehearsal measured
+    * 42× at 10× data before this budget existed. Pools beyond the
+    * budget iterate batches, or walk the batched probe the stored IVF
+    * index serves ([[Ingest.knnJoinIvfStored]]). */
+  def knnClassify(emb: DataFrame, k: Int, maxQueries: Int = 400): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
     val unlabeled = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .orderBy("vec_id").limit(maxQueries) // TakeOrderedAndProject, not a sort
     val labeled = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val scored = labeled
       .crossJoin(broadcast(unlabeled
@@ -822,8 +826,9 @@ object Similarity {
       knnJoin(emb, qs, 10).orderBy("q_id", "rnk")
     }),
 
-    // kNN label propagation: the vec_id%5 held-out fifth classified by
-    // majority vote of its 10 nearest labeled neighbors.
+    // kNN label propagation: the lowest-id 400 of the vec_id%5 hold-out
+    // classified by majority vote of their 10 nearest labeled neighbors
+    // (the bounded broadcast batch — one linear pass per batch).
     "q_knn_classify" -> ((s, dir) =>
       knnClassify(embeddings(s, dir), 10).orderBy("vec_id")),
 
@@ -903,7 +908,8 @@ object Similarity {
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "q_knn_classify" ->
       """WITH u AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
-        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |           FROM embeddings WHERE vec_id % 5 = 0
+        |           ORDER BY vec_id LIMIT 400),
         |l AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
         |scored AS (
         |  SELECT u.q_id, l.vec_id, l.label,
