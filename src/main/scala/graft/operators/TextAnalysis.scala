@@ -276,6 +276,50 @@ object TextAnalysis {
         (col("w_micro") * col("n_total") > col("w_total")).as("selected"))
   }
 
+  /** BM25 top-k lexical retrieval (Robertson-Walker, Lucene's +1 idf
+    * form; k1 = 1.2, b = 0.75) — the sparse-retrieval complement of the
+    * dense ANN family: given a term-set query, rank documents by
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Shape at 100 TB: tokens are FILTERED to the query's terms before
+    * any aggregation, so the only corpus-wide work is the narrow
+    * explode+filter inside the scan stage; the tf groupBy ships one row
+    * per (matching doc × query term), df/avgdl/N are tiny broadcast
+    * aggregates, and the final top-k is TakeOrderedAndProject. (A
+    * production engine would serve repeated queries from a stored
+    * inverted index — the stored-sketch ingest pattern — but the
+    * ad-hoc-query plan here is already index-free linear.) Scores are
+    * rounded to 6 dp on both engines (the tfidf rule) so libm ulp
+    * differences in ln cannot flip a rank; ties break on doc_id. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ").as("t"))
+    // dl rides along the exploded token stream (constant per doc, max()
+    // re-extracts it) so no corpus-sized doc-length join is ever needed;
+    // the only whole-corpus aggregate is the 1-row (N, Σdl) stats frame
+    val tf = toks
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = toks.select(size(col("t")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_total"))
+    tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+            (col("dl_total").cast(DoubleType) / col("n_docs").cast(DoubleType)))))
+          .as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-language corpus stats: counts + whitespace tokenization.
     "q_text_stats" -> ((s, dir) =>
@@ -373,6 +417,12 @@ object TextAnalysis {
       val (uni, bi) = lmTables(docs)
       lmScoreStateless(docs, uni, bi).orderBy("doc_id")
     }),
+
+    // BM25 top-10 for a fixed term query — sparse lexical retrieval
+    // beside the dense ANN family; corpus work is one narrow
+    // explode+filter, the rest is broadcast-sized.
+    "q_bm25_topk" -> ((s, dir) =>
+      bm25TopK(documents(s, dir), Seq("table", "scan", "join"), 10)),
 
     // DSIR importance weights: target = the English slice, raw = the
     // whole corpus; w_micro = nll_raw − nll_target in integer micro-nats
@@ -623,6 +673,30 @@ object TextAnalysis {
         |            ORDER BY score DESC, term) AS rn
         |  FROM scored)
         |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    // BM25: identical tokenization, identical +1-idf formula, identical
+    // literal arithmetic ((1.2 + 1.0), (1.0 - 0.75) — same IEEE ops both
+    // engines); round-6 absorbs libm ln ulp differences (the tfidf rule).
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        |       WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_total FROM lens),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |         (tf.tf * (1.2 + 1.0)) /
+        |         (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl /
+        |            (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS s
+        |  FROM tf JOIN dfreq d USING (term) JOIN lens l ON tf.doc_id = l.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 6) AS score FROM scored
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // DSIR: the LM oracle's train+score pipeline run TWICE — raw model
     // over every document, target model over the lang='en' slice — with

@@ -339,6 +339,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("BM25 top-k: term filter precedes the tf aggregation; top-k never global-sorts") {
+    val p = plan(SparkEntry.queries("q_bm25_topk")(spark, TestSpark.Sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$p")
+    // the only corpus-wide aggregation is the tf groupBy over rows
+    // already filtered to the query's terms — partial agg before its
+    // exchange, and no sort-merge join anywhere (df/stats broadcast)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(!p.contains("SortMergeJoin"), s"df/stats joins must broadcast:\n$p")
+  }
+
   test("mixBudget: per-source aggregation is two-phase; windows sort only sources") {
     val p = plan(SparkEntry.queries("q_mix_budget")(spark, TestSpark.Sf0001))
     // the corpus-sized work is the one partial-aggregated groupBy; every

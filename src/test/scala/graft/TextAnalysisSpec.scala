@@ -108,6 +108,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("BM25 ranks by term frequency, rarity and length normalization") {
+    // d1: both query terms, short → top. d2: same tf but padded long →
+    // below d1 (length normalization). d3: only the COMMON term.
+    // d4: only the RARE term — idf must put d4 above d3. d5: no terms.
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple banana pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "apple pad"),
+      (4L, "banana pad"),
+      (5L, "pad pad")
+    ) ++ (10L to 29L).map(i => (i, "apple filler filler")) // apple common
+    val out = TextAnalysis.bm25TopK(docs.toDF("doc_id", "text"),
+      Seq("apple", "banana"), 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(5L), "doc with no query terms must not score")
+    assert(out(1L) > out(2L), "shorter doc with same tf must rank higher")
+    assert(out(4L) > out(3L), "rare term must out-score common term (idf)")
+    assert(out(1L) > out(3L) && out(1L) > out(4L))
+  }
+
+  test("BM25 scores are partitioning-independent") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val a = TextAnalysis.bm25TopK(docs.repartition(1), Seq("table", "scan", "join"), 10)
+      .collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.bm25TopK(docs.repartition(13), Seq("table", "scan", "join"), 10)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("DSIR weights rank target-domain docs above off-domain docs") {
     // two disjoint vocabularies: the target model is trained on the
     // "legal" half only, the raw model on everything. Every legal doc
