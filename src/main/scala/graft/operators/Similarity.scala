@@ -370,6 +370,25 @@ object Similarity {
         col("n_votes"), (col("true_label") === col("pred_label")).as("correct"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): merge ranked
+    * retrieval lists by `Σ_lists 1/(c + rank)` — the standard hybrid
+    * (sparse ⊕ dense) combiner, robust to incomparable score scales
+    * because only RANKS enter the sum. Each input frame carries
+    * (id, rank); ties break on id. With L lists the per-id sum has ≤ L
+    * addends of the fixed form 1/(c+r) — rounded to 6 dp so the result
+    * is engine-exact (the tfidf rule). The inputs are top-k lists (tiny
+    * by construction), so fusion is wholly broadcast-scale regardless
+    * of corpus size. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    lists.map(df => df.select(col("id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank"))).as("contrib")))
+      .reduce(_.unionByName(_))
+      .groupBy("id").agg(round(sum("contrib"), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf"), asc("id"))
+      .limit(k)
+  }
+
   /** Embedding near-dup candidate pairs: SRP band self-join + exact
     * cosine verification. The banding bounds the quadratic rescore step;
     * the caller applies a threshold or takes the top pairs.
@@ -826,6 +845,26 @@ object Similarity {
       knnJoin(emb, qs, 10).orderBy("q_id", "rnk")
     }),
 
+    // hybrid retrieval: RRF-fuse the dense cosine top-10 (query = the
+    // min-id vector) with the BM25 lexical top-10 — the synthetic corpus
+    // pairs documents.doc_id 1:1 with embeddings.vec_id, which is the
+    // production shape too (the embedding table carries the doc id).
+    // Both inputs are 10-row frames; ranks derive from each list's own
+    // total order, so fusion adds no corpus-scale work at all.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dense = cosineTopK(embeddings(s, dir), 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("vec_id")))) // 10-row frame
+        .select(col("vec_id").as("id"), col("rank"))
+      val sparse = TextAnalysis.bm25TopK(
+          graft.queries.Tables.documents(s, dir), Seq("table", "scan", "join"), 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      rrfFuse(Seq(dense, sparse), 10)
+    }),
+
     // kNN label propagation: the lowest-id 400 of the vec_id%5 hold-out
     // classified by majority vote of their 10 nearest labeled neighbors
     // (the bounded broadcast batch — one linear pass per batch).
@@ -906,6 +945,48 @@ object Similarity {
         |                            ORDER BY score DESC, vec_id) AS rnk
         |  FROM scored)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    // RRF: both input lists replayed with their own tie orders, fused
+    // with the identical 1/(60+rank) arithmetic.
+    "q_rrf_fusion" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings
+        |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |dense AS (
+        |  SELECT vec_id AS id,
+        |         row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+        |  FROM (
+        |    SELECT vec_id, list_cosine_similarity(embedding, q_emb) AS score
+        |    FROM embeddings, q WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+        |    ORDER BY score DESC, vec_id LIMIT 10)),
+        |toks AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf,
+        |              max(dl) AS dl
+        |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+        |       WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS dl_total FROM toks),
+        |bm AS (
+        |  SELECT doc_id, round(sum(s), 6) AS score FROM (
+        |    SELECT tf.doc_id,
+        |           ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |           (tf.tf * (1.2 + 1.0)) /
+        |           (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl /
+        |              (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS s
+        |    FROM tf JOIN dfreq d USING (term), stats)
+        |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10),
+        |sparse AS (
+        |  SELECT doc_id AS id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM bm),
+        |fused AS (
+        |  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib FROM dense
+        |  UNION ALL
+        |  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib FROM sparse)
+        |SELECT id, round(sum(contrib), 6) AS rrf,
+        |       CAST(count(*) AS BIGINT) AS n_lists
+        |FROM fused GROUP BY 1 ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
     "q_knn_classify" ->
       """WITH u AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
         |           FROM embeddings WHERE vec_id % 5 = 0

@@ -176,6 +176,24 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("rrfFuse: consensus beats single-list rank-1; ranks only, no scores") {
+    import org.apache.spark.sql.functions._
+    // id 1: rank 2 on BOTH lists (2/62) beats id 2: rank 3 on one list
+    // (1/63); id 3 (ranks 1+3, 1/61+1/63) tops everything by a hair.
+    val a = Seq((3L, 1), (1L, 2), (2L, 3)).toDF("id", "rank")
+    val b = Seq((1L, 2), (3L, 3), (9L, 1)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 == 2 && byId(3L)._3 == 2 && byId(2L)._3 == 1)
+    assert(byId(3L)._2 > byId(1L)._2, "1/61+1/63 > 2/62... rank sums decide")
+    assert(byId(1L)._2 > byId(2L)._2, "two mid ranks beat one good rank")
+    assert(out.head._1 == 3L, "output ordered by fused score")
+    assert(!byId.contains(5L))
+    // exact values: the arithmetic is pinned, not just the order
+    assert(byId(2L)._2 == math.rint(1.0 / 63 * 1e6) / 1e6)
+  }
+
   test("knnClassify recovers cluster labels on separable data") {
     import org.apache.spark.sql.functions._
     // 5 well-separated cluster directions in 16-d; label = cluster.
