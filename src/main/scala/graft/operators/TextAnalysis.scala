@@ -217,6 +217,44 @@ object TextAnalysis {
           .otherwise(lit(0L)))
   }
 
+  /** Train the RAW (whole-corpus) and TARGET (domain-slice) LM tables in
+    * ONE tokenize + aggregate pass: each gram's target-side count is a
+    * conditional sum in the same aggregation that produces its raw
+    * count, and the four capped tables (raw/target × uni/bi) cut on
+    * their own count order — bit-identical to calling [[lmTables]] twice
+    * (a conditional sum over the slice IS the slice's count, and the
+    * (count DESC, key ASC) cap order is per-model), at half the corpus
+    * work: one scan, one tokenization, two aggregations instead of two
+    * of each. The four capped frames come back in a single union job. */
+  def lmTablesDual(docs: DataFrame, isTarget: Column):
+      (Map[String, Long], Map[String, Long], Map[String, Long], Map[String, Long]) = {
+    val toks = docs.select(lmToks(col("text")).as("t"), isTarget.as("tgt")).persist()
+    try {
+      val uni = toks.select(explode(col("t")).as("w"), col("tgt"))
+        .groupBy("w").agg(count(lit(1)).as("c"),
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+      val bi = toks.filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat(element_at(col("t"), i), lit("\u0000"),
+            element_at(col("t"), i + 1)))).as("b"), col("tgt"))
+        .groupBy("b").agg(count(lit(1)).as("c"),
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+      def cap(df: DataFrame, key: String, cnt: String, kind: String, n: Int) =
+        df.filter(col(cnt) > 0)
+          .orderBy(desc(cnt), asc(key)).limit(n)
+          .select(lit(kind).as("kind"), col(key).as("key"), col(cnt).as("c"))
+      val rows = cap(uni, "w", "c", "ur", LmVocab)
+        .unionAll(cap(uni, "w", "ct", "ut", LmVocab))
+        .unionAll(cap(bi, "b", "c", "br", LmBigramTable))
+        .unionAll(cap(bi, "b", "ct", "bt", LmBigramTable))
+        .collect()
+      def table(kind: String) = rows.iterator
+        .filter(_.getString(0) == kind)
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      (table("ur"), table("br"), table("ut"), table("bt"))
+    } finally { toks.unpersist(); () }
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * under TWO bigram LMs — a TARGET model trained on the domain the
@@ -431,8 +469,7 @@ object TextAnalysis {
     // is one shuffle-free projection running both kernels.
     "q_dsir_weights" -> ((s, dir) => {
       val docs = documents(s, dir)
-      val (rawU, rawB) = lmTables(docs)
-      val (tgtU, tgtB) = lmTables(docs.filter(col("lang") === "en"))
+      val (rawU, rawB, tgtU, tgtB) = lmTablesDual(docs, col("lang") === "en")
       dsirWeights(docs, rawU, rawB, tgtU, tgtB).orderBy("doc_id")
     }),
 

@@ -20,8 +20,8 @@ object DsirStream {
 
   def dsirStream(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
-    val (rawU, rawB) = TextAnalysis.lmTables(docs)
-    val (tgtU, tgtB) = TextAnalysis.lmTables(docs.filter(col("lang") === "en"))
+    val (rawU, rawB, tgtU, tgtB) =
+      TextAnalysis.lmTablesDual(docs, col("lang") === "en")
     // the frozen threshold: the reference corpus's (N, Σw)
     val t = TextAnalysis.dsirScore(docs, rawU, rawB, tgtU, tgtB)
       .agg(count(lit(1)).as("n"), sum("w_micro").as("w")).head()

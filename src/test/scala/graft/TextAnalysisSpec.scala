@@ -160,6 +160,17 @@ class TextAnalysisSpec extends SparkSpecBase {
       "the above-mean cut must select exactly the target-domain cluster")
   }
 
+  test("lmTablesDual == two separate lmTables trainings, table for table") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val (rawU, rawB, tgtU, tgtB) =
+      TextAnalysis.lmTablesDual(docs, col("lang") === "en")
+    val (ru, rb) = TextAnalysis.lmTables(docs)
+    val (tu, tb) = TextAnalysis.lmTables(docs.filter(col("lang") === "en"))
+    assert(rawU == ru && rawB == rb, "raw tables must match separate training")
+    assert(tgtU == tu && tgtB == tb, "target tables must match separate training")
+    assert(tgtU.nonEmpty && tgtB.nonEmpty)
+  }
+
   test("DSIR weights are partitioning-independent") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
     val (rawU, rawB) = TextAnalysis.lmTables(docs)
