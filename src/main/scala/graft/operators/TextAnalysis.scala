@@ -456,6 +456,33 @@ object TextAnalysis {
       lmScoreStateless(docs, uni, bi).orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    // language, rank documents by their LM score and cut into
+    // head/middle/tail tertiles — the classic quality stratification a
+    // pretraining pipeline keeps (head), downsamples (middle), or drops
+    // (tail). Scoring is the stateless kernel (lang rides the same
+    // projection, no join-back); the ntile window shuffles once keyed by
+    // lang — skew bounded by the largest language; a production corpus
+    // range-partitions within each language instead, same semantics.
+    "q_ppl_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      val (uni, bi) = lmTables(docs)
+      graft.functions.LmModel.register(s)
+      val r = graft.functions.LmModel.lmNll(lmToks(col("text")), uni, bi)
+      val scored = docs.select(col("doc_id"), col("lang"), r.as("r"))
+        .select(col("doc_id"), col("lang"),
+          when(col("r.n_bigrams") > 0,
+            round(col("r.nll_micro_sum").cast(DoubleType) /
+              col("r.n_bigrams").cast(DoubleType)).cast(LongType))
+            .otherwise(lit(0L)).as("mean_nll_micro"))
+      val byLang = Window.partitionBy("lang")
+        .orderBy(col("mean_nll_micro"), col("doc_id"))
+      scored
+        .withColumn("bucket", ntile(3).over(byLang)) // 1=head … 3=tail
+        .orderBy("doc_id")
+    }),
+
     // BM25 top-10 for a fixed term query — sparse lexical retrieval
     // beside the dense ANN family; corpus work is one narrow
     // explode+filter, the rest is broadcast-sized.
@@ -710,6 +737,43 @@ object TextAnalysis {
         |            ORDER BY score DESC, term) AS rn
         |  FROM scored)
         |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    // CCNet buckets: the LM oracle's train+score pipeline, then the
+    // same per-lang tertile window (ntile group sizing is SQL-standard
+    // ceil-then-floor in both engines).
+    "q_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |alltoks AS (SELECT unnest(t) AS w FROM toks),
+        |uni AS (SELECT w, count(*) AS c1 FROM alltoks
+        |        GROUP BY 1 ORDER BY c1 DESC, w LIMIT 1000),
+        |pairs AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM pairs
+        |       GROUP BY 1, 2 ORDER BY c12 DESC, w1, w2 LIMIT 5000),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |         CAST(round(-ln(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE) /
+        |                        CAST(COALESCE(u.c1, 0) + 1001 AS DOUBLE))
+        |                    * 1000000.0) AS BIGINT) AS nll
+        |  FROM pairs p
+        |  LEFT JOIN uni u ON p.w1 = u.w
+        |  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
+        |        FROM terms GROUP BY 1),
+        |m AS (
+        |  SELECT d.doc_id, d.lang,
+        |         CAST(CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+        |              THEN round(CAST(a.s AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE))
+        |              ELSE 0 END AS BIGINT) AS mean_nll_micro
+        |  FROM documents d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, lang, mean_nll_micro,
+        |       CAST(ntile(3) OVER (PARTITION BY lang
+        |                           ORDER BY mean_nll_micro, doc_id) AS INT) AS bucket
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // BM25: identical tokenization, identical +1-idf formula, identical
     // literal arithmetic ((1.2 + 1.0), (1.0 - 0.75) — same IEEE ops both

@@ -108,6 +108,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("perplexity buckets: per-lang tertiles, fluent text lands in the head") {
+    val out = graft.SparkEntry.queries("q_ppl_buckets")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    // tertiles per lang: sizes differ by at most 1, every bucket in 1..3
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)), s"$lang: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
+      // bucket order tracks the score order: max(head) <= min(tail)
+      val head = rows.filter(_._4 == 1).map(_._3)
+      val tail = rows.filter(_._4 == 3).map(_._3)
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.max <= tail.min, s"$lang: head ${head.max} > tail ${tail.min}")
+    }
+  }
+
   test("BM25 ranks by term frequency, rarity and length normalization") {
     // d1: both query terms, short → top. d2: same tf but padded long →
     // below d1 (length normalization). d3: only the COMMON term.
