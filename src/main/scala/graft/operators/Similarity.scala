@@ -348,8 +348,13 @@ object Similarity {
   def knnClassify(emb: DataFrame, k: Int, maxQueries: Int = 400): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorOps.register(emb.sparkSession)
+    // materialize the bounded slice ONCE (≤ maxQueries rows): it feeds
+    // both the broadcast scoring side and the true-label join, and
+    // without the checkpoint each consumer re-runs the corpus-wide
+    // filter + TakeOrderedAndProject (the jaccardPairsExact rule)
     val unlabeled = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
       .orderBy("vec_id").limit(maxQueries) // TakeOrderedAndProject, not a sort
+      .localCheckpoint()
     val labeled = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val scored = labeled
       .crossJoin(broadcast(unlabeled
@@ -380,6 +385,7 @@ object Similarity {
     * by construction), so fusion is wholly broadcast-scale regardless
     * of corpus size. */
   def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     lists.map(df => df.select(col("id"),
         (lit(1.0) / (lit(c.toDouble) + col("rank"))).as("contrib")))
       .reduce(_.unionByName(_))
@@ -853,14 +859,19 @@ object Similarity {
     // total order, so fusion adds no corpus-scale work at all.
     "q_rrf_fusion" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val dense = cosineTopK(embeddings(s, dir), 10)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("vec_id")))) // 10-row frame
-        .select(col("vec_id").as("id"), col("rank"))
+      // dense ranks come from knnJoin's ROUNDED two-phase ranking (the
+      // round-6-before-rank rule every ranked gate follows): raw-float
+      // rank order between the two engines' cosine implementations is
+      // exactly the cross-engine coupling the rule exists to remove
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dense = knnJoin(emb, qs, 10)
+        .select(col("vec_id").as("id"), col("rnk").as("rank"))
       val sparse = TextAnalysis.bm25TopK(
           graft.queries.Tables.documents(s, dir), Seq("table", "scan", "join"), 10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))))
+          Window.orderBy(desc("score"), asc("doc_id")))) // 10-row frame
         .select(col("doc_id").as("id"), col("rank"))
       rrfFuse(Seq(dense, sparse), 10)
     }),
@@ -945,37 +956,20 @@ object Similarity {
         |                            ORDER BY score DESC, vec_id) AS rnk
         |  FROM scored)
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
-    // RRF: both input lists replayed with their own tie orders, fused
-    // with the identical 1/(60+rank) arithmetic.
+    // RRF: dense list = the q_knn_join oracle's ROUNDED ranking with one
+    // query; sparse list = the SHARED BM25 CTE block (one string, two
+    // gates); fusion arithmetic identical, DOUBLE-cast.
     "q_rrf_fusion" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
         |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
         |dense AS (
         |  SELECT vec_id AS id,
         |         row_number() OVER (ORDER BY score DESC, vec_id) AS rank
         |  FROM (
-        |    SELECT vec_id, list_cosine_similarity(embedding, q_emb) AS score
-        |    FROM embeddings, q WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
-        |    ORDER BY score DESC, vec_id LIMIT 10)),
-        |toks AS (
-        |  SELECT doc_id,
-        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf,
-        |              max(dl) AS dl
-        |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
-        |       WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS dl_total FROM toks),
-        |bm AS (
-        |  SELECT doc_id, round(sum(s), 6) AS score FROM (
-        |    SELECT tf.doc_id,
-        |           ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
-        |           (tf.tf * (1.2 + 1.0)) /
-        |           (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl /
-        |              (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS s
-        |    FROM tf JOIN dfreq d USING (term), stats)
-        |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10),
+        |    SELECT vec_id, round(list_cosine_similarity(embedding, q_emb), 6) AS score
+        |    FROM embeddings, q WHERE vec_id <> (SELECT min(vec_id) FROM embeddings))
+        |  QUALIFY rank <= 10),
+        |${graft.operators.TextAnalysis.Bm25CtesSql},
         |sparse AS (
         |  SELECT doc_id AS id,
         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank

@@ -320,17 +320,22 @@ object TextAnalysis {
     * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
     *
     * Shape at 100 TB: tokens are FILTERED to the query's terms before
-    * any aggregation, so the only corpus-wide work is the narrow
-    * explode+filter inside the scan stage; the tf groupBy ships one row
-    * per (matching doc × query term), df/avgdl/N are tiny broadcast
-    * aggregates, and the final top-k is TakeOrderedAndProject. (A
-    * production engine would serve repeated queries from a stored
-    * inverted index — the stored-sketch ingest pattern — but the
-    * ad-hoc-query plan here is already index-free linear.) Scores are
-    * rounded to 6 dp on both engines (the tfidf rule) so libm ulp
-    * differences in ln cannot flip a rank; ties break on doc_id. */
+    * any aggregation, so the tf pass is a narrow explode+filter inside
+    * the scan stage shipping one row per (matching doc × query term),
+    * df is tiny, and the final top-k is TakeOrderedAndProject. The
+    * (N, Σdl) corpus statistics are a CORPUS CONSTANT independent of
+    * the query: pass the stored artifact via `corpusStats` to keep a
+    * query to ONE corpus pass (the lmTables/pqCodebook
+    * materialize-once rule); with None the operator derives them in a
+    * second scan-and-tokenize aggregate — fine for ad-hoc use,
+    * documented cost at scale. (A production engine would additionally
+    * serve repeated queries from a stored inverted index — the
+    * stored-sketch ingest pattern.) Scores are rounded to 6 dp on both
+    * engines (the tfidf rule) so libm ulp differences in ln cannot
+    * flip a rank; ties break on doc_id. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      corpusStats: Option[(Long, Long)] = None): DataFrame = {
     val toks = docs.select(col("doc_id"),
       split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ").as("t"))
     // dl rides along the exploded token stream (constant per doc, max()
@@ -341,8 +346,14 @@ object TextAnalysis {
       .filter(col("term").isInCollection(queryTerms))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = toks.select(size(col("t")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_total"))
+    val stats = corpusStats match {
+      case Some((n, dlTotal)) =>
+        docs.sparkSession.range(1)
+          .select(lit(n).as("n_docs"), lit(dlTotal).as("dl_total"))
+      case None =>
+        toks.select(size(col("t")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_total"))
+    }
     tf
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
@@ -604,6 +615,30 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The ONE BM25 oracle pipeline (CTE block `toks…bm`), shared verbatim
+    * by q_bm25_topk and Similarity's q_rrf_fusion (the LmOracleSql
+    * precedent): a formula or tokenization fix edits exactly one string.
+    * `bm` ends as the rounded, totally-ordered top-10 list. */
+  val Bm25CtesSql: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+      |       WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS dl_total FROM toks),
+      |bm AS (
+      |  SELECT doc_id, round(sum(s), 6) AS score FROM (
+      |    SELECT tf.doc_id,
+      |           ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+      |           (tf.tf * (1.2 + 1.0)) /
+      |           (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl /
+      |              (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS s
+      |    FROM tf JOIN dfreq d USING (term), stats)
+      |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // CAST(sum(...) AS BIGINT): DuckDB's sum over integers is HUGEINT,
     // which the driver's pandas conversion floats ('3549.0' vs Spark's
@@ -779,25 +814,8 @@ object TextAnalysis {
     // literal arithmetic ((1.2 + 1.0), (1.0 - 0.75) — same IEEE ops both
     // engines); round-6 absorbs libm ln ulp differences (the tfidf rule).
     "q_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
-        |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
-        |tf AS (SELECT doc_id, term, count(*) AS tf
-        |       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-        |       WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_total FROM lens),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |         ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
-        |         (tf.tf * (1.2 + 1.0)) /
-        |         (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl /
-        |            (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS s
-        |  FROM tf JOIN dfreq d USING (term) JOIN lens l ON tf.doc_id = l.doc_id, stats)
-        |SELECT doc_id, round(sum(s), 6) AS score FROM scored
-        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      s"""WITH $Bm25CtesSql
+        |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin,
 
     // DSIR: the LM oracle's train+score pipeline run TWICE — raw model
     // over every document, target model over the lang='en' slice — with

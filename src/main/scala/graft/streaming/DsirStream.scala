@@ -25,6 +25,10 @@ object DsirStream {
     // the frozen threshold: the reference corpus's (N, Σw)
     val t = TextAnalysis.dsirScore(docs, rawU, rawB, tgtU, tgtB)
       .agg(count(lit(1)).as("n"), sum("w_micro").as("w")).head()
+    // an empty reference corpus means there is no threshold to freeze —
+    // fail with the contract, not a null-sum NPE from Row.getLong
+    require(t.getLong(0) > 0,
+      s"DSIR admission stream needs a non-empty reference corpus at $dir")
     val (nTotal, wTotal) = (t.getLong(0), t.getLong(1))
     // file-stream sources need an explicit schema; the glob sidesteps
     // FileStreamSource's basePath rule (same trick as LmStream).
