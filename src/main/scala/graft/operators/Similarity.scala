@@ -395,6 +395,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** nDCG@k of a retrieval list against an ideal ranking — retrieval
+    * EVALUATION as a first-class operator (the metric a pipeline runs
+    * after every index build / fusion change). Graded relevance
+    * `k+1 − ideal_rank` (0 for ids outside the ideal list), log2
+    * positional discount, one rounded division. Both inputs are
+    * (id, rank) top-k frames, so the metric is broadcast-scale; the sum
+    * has ≤ k addends and rounds to 6 dp (cross-engine ulp rule). */
+  def ndcgAtK(ranked: DataFrame, ideal: DataFrame, k: Int): DataFrame = {
+    val rel = ideal.select(col("id"),
+      (lit(k + 1) - col("rank")).cast(DoubleType).as("rel"))
+    val dcg = ranked
+      .join(broadcast(rel), Seq("id"), "left")
+      .select((coalesce(col("rel"), lit(0.0)) /
+        log2(col("rank").cast(DoubleType) + lit(1.0))).as("g"))
+      .agg(sum("g").as("dcg"))
+    val idcg = ideal
+      .select(((lit(k + 1) - col("rank")).cast(DoubleType) /
+        log2(col("rank").cast(DoubleType) + lit(1.0))).as("g"))
+      .agg(sum("g").as("idcg"))
+    dcg.crossJoin(idcg)
+      .select(round(col("dcg") / col("idcg"), 6).as(s"ndcg_at_$k"))
+  }
+
+  /** The hybrid-retrieval input pair shared by q_rrf_fusion and
+    * q_ndcg_rrf: dense = knnJoin's ROUNDED two-phase top-10 for the
+    * min-id probe; sparse = the BM25 top-10. Both checkpointed — each
+    * is a 10-row frame consumed by several downstream shapes, and
+    * without materialization every consumer re-runs the corpus pass
+    * behind it (the jaccardPairsExact rule). */
+  private def hybridLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, dir)
+    val qs = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dense = knnJoin(emb, qs, 10)
+      .select(col("vec_id").as("id"), col("rnk").as("rank"))
+      .localCheckpoint()
+    val sparse = TextAnalysis.bm25TopK(
+        graft.queries.Tables.documents(s, dir), Seq("table", "scan", "join"), 10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id")))) // 10-row frame
+      .select(col("doc_id").as("id"), col("rank"))
+      .localCheckpoint()
+    (dense, sparse)
+  }
+
   /** Embedding near-dup candidate pairs: SRP band self-join + exact
     * cosine verification. The banding bounds the quadratic rescore step;
     * the caller applies a threshold or takes the top pairs.
@@ -858,22 +904,25 @@ object Similarity {
     // Both inputs are 10-row frames; ranks derive from each list's own
     // total order, so fusion adds no corpus-scale work at all.
     "q_rrf_fusion" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // dense ranks come from knnJoin's ROUNDED two-phase ranking (the
       // round-6-before-rank rule every ranked gate follows): raw-float
       // rank order between the two engines' cosine implementations is
       // exactly the cross-engine coupling the rule exists to remove
-      val emb = embeddings(s, dir)
-      val qs = emb.orderBy("vec_id").limit(1)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val dense = knnJoin(emb, qs, 10)
-        .select(col("vec_id").as("id"), col("rnk").as("rank"))
-      val sparse = TextAnalysis.bm25TopK(
-          graft.queries.Tables.documents(s, dir), Seq("table", "scan", "join"), 10)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id")))) // 10-row frame
-        .select(col("doc_id").as("id"), col("rank"))
+      val (dense, sparse) = hybridLists(s, dir)
       rrfFuse(Seq(dense, sparse), 10)
+    }),
+
+    // retrieval evaluation: nDCG@10 of the fused hybrid list against the
+    // dense ideal — fusion deliberately reorders, so the metric pins the
+    // REAL cross-list behavior, not a trivial 1.0.
+    "q_ndcg_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (dense, sparse) = hybridLists(s, dir)
+      val ranked = rrfFuse(Seq(dense, sparse), 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("rrf"), asc("id")))) // 10-row frame
+        .select("id", "rank")
+      ndcgAtK(ranked, dense, 10)
     }),
 
     // kNN label propagation: the lowest-id 400 of the vec_id%5 hold-out
@@ -903,6 +952,34 @@ object Similarity {
           sum(size(col("embedding"))).as("total_dims"))
         .orderBy("label"))
   )
+
+  /** Shared RRF oracle CTE block (`q`/`dense`/BM25 CTEs/`sparse`/
+    * `fusedtop`), spliced into q_rrf_fusion and q_ndcg_rrf — one string,
+    * two gates (the Bm25CtesSql rule, one level up). `fusedtop` ends as
+    * the rounded fused top-10 with its vote count. */
+  val RrfCtesSql: String =
+    s"""q AS (SELECT embedding AS q_emb FROM embeddings
+      |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+      |dense AS (
+      |  SELECT vec_id AS id,
+      |         row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      |  FROM (
+      |    SELECT vec_id, round(list_cosine_similarity(embedding, q_emb), 6) AS score
+      |    FROM embeddings, q WHERE vec_id <> (SELECT min(vec_id) FROM embeddings))
+      |  QUALIFY rank <= 10),
+      |${graft.operators.TextAnalysis.Bm25CtesSql},
+      |sparse AS (
+      |  SELECT doc_id AS id,
+      |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      |  FROM bm),
+      |fused AS (
+      |  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib FROM dense
+      |  UNION ALL
+      |  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib FROM sparse),
+      |fusedtop AS (
+      |  SELECT id, round(sum(contrib), 6) AS rrf,
+      |         CAST(count(*) AS BIGINT) AS n_lists
+      |  FROM fused GROUP BY 1 ORDER BY rrf DESC, id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // forced-recall gates: the Spark side measures recall@10 of the
@@ -960,27 +1037,24 @@ object Similarity {
     // query; sparse list = the SHARED BM25 CTE block (one string, two
     // gates); fusion arithmetic identical, DOUBLE-cast.
     "q_rrf_fusion" ->
-      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
-        |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
-        |dense AS (
-        |  SELECT vec_id AS id,
-        |         row_number() OVER (ORDER BY score DESC, vec_id) AS rank
-        |  FROM (
-        |    SELECT vec_id, round(list_cosine_similarity(embedding, q_emb), 6) AS score
-        |    FROM embeddings, q WHERE vec_id <> (SELECT min(vec_id) FROM embeddings))
-        |  QUALIFY rank <= 10),
-        |${graft.operators.TextAnalysis.Bm25CtesSql},
-        |sparse AS (
-        |  SELECT doc_id AS id,
-        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-        |  FROM bm),
-        |fused AS (
-        |  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib FROM dense
-        |  UNION ALL
-        |  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib FROM sparse)
-        |SELECT id, round(sum(contrib), 6) AS rrf,
-        |       CAST(count(*) AS BIGINT) AS n_lists
-        |FROM fused GROUP BY 1 ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+      s"""WITH $RrfCtesSql
+        |SELECT id, rrf, n_lists FROM fusedtop ORDER BY rrf DESC, id""".stripMargin,
+    // nDCG@10 of the fused hybrid list against the dense ideal: graded
+    // relevance 11−ideal_rank, log2 discount, one rounded division.
+    "q_ndcg_rrf" ->
+      s"""WITH $RrfCtesSql,
+        |ranked AS (
+        |  SELECT id, row_number() OVER (ORDER BY rrf DESC, id) AS rank
+        |  FROM fusedtop),
+        |rel AS (SELECT id, CAST(11 - rank AS DOUBLE) AS rel FROM dense),
+        |dcg AS (
+        |  SELECT sum(COALESCE(rel.rel, CAST(0.0 AS DOUBLE)) /
+        |             log2(ranked.rank + 1)) AS dcg
+        |  FROM ranked LEFT JOIN rel USING (id)),
+        |idcg AS (
+        |  SELECT sum(CAST(11 - rank AS DOUBLE) / log2(rank + 1)) AS idcg
+        |  FROM dense)
+        |SELECT round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_10 FROM dcg, idcg""".stripMargin,
     "q_knn_classify" ->
       """WITH u AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
         |           FROM embeddings WHERE vec_id % 5 = 0
