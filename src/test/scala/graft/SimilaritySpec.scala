@@ -194,6 +194,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(byId(2L)._2 == math.rint(1.0 / 63 * 1e6) / 1e6)
   }
 
+  test("ndcgAtK: 1.0 on the ideal order, known value reversed, 0.0 disjoint") {
+    import org.apache.spark.sql.functions._
+    val ideal = (1L to 3L).map(i => (i, i.toInt)).toDF("id", "rank")
+    def ndcg(ranked: org.apache.spark.sql.DataFrame) =
+      Similarity.ndcgAtK(ranked, ideal, 3).head().getDouble(0)
+    assert(ndcg(ideal) == 1.0)
+    val reversed = Seq((3L, 1), (2L, 2), (1L, 3)).toDF("id", "rank")
+    // rel = 4-ideal_rank → (3,2,1); DCG_rev = 1/1 + 2/log2(3) + 3/2;
+    // IDCG = 3/1 + 2/log2(3) + 1/2
+    val expect = (1.0 / 1 + 2.0 / (math.log(3) / math.log(2)) + 3.0 / 2) /
+      (3.0 / 1 + 2.0 / (math.log(3) / math.log(2)) + 1.0 / 2)
+    assert(math.abs(ndcg(reversed) - math.rint(expect * 1e6) / 1e6) < 1e-9)
+    val disjoint = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    assert(ndcg(disjoint) == 0.0)
+  }
+
   test("knnClassify recovers cluster labels on separable data") {
     import org.apache.spark.sql.functions._
     // 5 well-separated cluster directions in 16-d; label = cluster.
