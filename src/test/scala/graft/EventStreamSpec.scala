@@ -123,6 +123,26 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming BM25 scoring (Bm25Stream) top-k == batch bm25TopK") {
+    val stream = graft.streaming.Bm25Stream.bm25Stream(
+      spark, TestSpark.Sf0001, Seq("table", "scan", "join"))
+    val q = EventStream.runToMemory(stream, "bm25_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    // the streamed per-doc scores, cut to their own top-10, must equal
+    // the batch operator's list value-for-value (zero-scoring docs can
+    // never enter the batch list: a doc without any query term has no
+    // tf rows there, and BM25 scores are strictly positive otherwise)
+    val streamed = spark.table("bm25_stream_test")
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.bm25TopK(
+        graft.queries.Tables.documents(spark, TestSpark.Sf0001),
+        Seq("table", "scan", "join"), 10)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming PQ code ingest (PqStream) == batch encode, same codebook") {
     val emb = spark.read.parquet(TestSpark.Sf0001 + "/embeddings.parquet")
     val (cb, _, _) = graft.operators.Similarity.pqTrain(emb, 8, 256)
