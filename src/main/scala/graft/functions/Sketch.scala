@@ -280,10 +280,27 @@ object SketchOps {
 
   private def mix(x: Long): Long = Hashing.splitmix64(x)
 
+  /** Hard ceiling on one posting/bucket list fed to [[idPairs]]
+    * (C(4096,2) ≈ 8.4 M pairs ≈ 130 MB of structs — the largest buffer
+    * one bucket may pin). The winnow caller filters hot posting lists
+    * away below this (stop-fingerprints carry no signal); the minhash
+    * caller CANNOT drop a hot band bucket without losing recall, so a
+    * bucket past the cap — ≥4096 docs agreeing on a 4-row signature
+    * slice, i.e. a mass-duplicate corpus whose true pair volume is
+    * quadratic for any enumeration — fails loudly with remediation
+    * instead of OOMing the executor (the MaxPairsPerBucket rule). */
+  val MaxIdPairsBucket: Int = 4096
+
   /** Sorted (a, b) a<b pairs from an id array — the [[IdPairs]] kernel.
-    * Output size is C(n,2); callers bound n (stop-fingerprint cap). */
+    * Output size is C(n,2); callers bound n (stop-fingerprint cap),
+    * [[MaxIdPairsBucket]] backstops the ones that can't. */
   def idPairs(ids: ArrayData): GenericArrayData = {
     val n = ids.numElements()
+    if (n > MaxIdPairsBucket)
+      throw new IllegalStateException(
+        s"id-pair bucket of $n entries > $MaxIdPairsBucket (mass-duplicate " +
+          "corpus: one LSH band bucket's pair volume is quadratic): run " +
+          "exact dedup first so band buckets discriminate")
     val sorted = new Array[Long](n)
     var i = 0
     while (i < n) { sorted(i) = ids.getLong(i); i += 1 }

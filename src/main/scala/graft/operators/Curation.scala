@@ -206,15 +206,18 @@ object Curation {
   def mixBudget(docs: DataFrame, budgetFactor: Int = 2): DataFrame = {
     val srcs = docs.groupBy("source")
       .agg(sum(TextAnalysis.bpeTokens(col("text"))).as("n_tokens"))
-      // digit-less source names fall back to cap group 0 (max_epochs 1)
-      // instead of poisoning the closed form: an unguarded cast('')
-      // throws under ANSI mode, and a null cap would be treated as
-      // uncapped while contributing nothing to the prefix sums
-      .withColumn("max_epochs", {
-        val digits = regexp_extract(col("source"), "(\\d+)", 1)
-        lit(1) + pmod(when(digits === "", lit(0))
-          .otherwise(digits.cast(IntegerType)), lit(4))
-      })
+      // digit-less source names AND digit runs past Int range (a
+      // date-stamped crawl like 'dump20240101000000') fall back to cap
+      // group 0 (max_epochs 1) instead of poisoning the closed form:
+      // an unguarded cast throws under ANSI mode (empty string OR
+      // overflow), and a null cap would be treated as uncapped while
+      // contributing nothing to the prefix sums. try_cast + coalesce
+      // mirrors the oracle's COALESCE(TRY_CAST(...), 0) exactly, so
+      // the engines agree on every pathological source name (ADVICE r8).
+      .withColumn("max_epochs",
+        lit(1) + pmod(coalesce(
+          expr("try_cast(regexp_extract(source, '(\\\\d+)', 1) as int)"),
+          lit(0)), lit(4)))
       .withColumn("cap_tokens", col("max_epochs").cast(LongType) * col("n_tokens"))
     val ord = Window.orderBy(col("cap_tokens"), col("source"))
     val all = Window.partitionBy() // whole frame = #sources rows (tiny)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -126,6 +126,116 @@ object Ingest {
       sketchProjection(documents(s, dir))
         .write.mode("overwrite").parquet(path)
     s.read.parquet(path)
+  }
+
+  // --- stored inverted index (sparse / BM25 retrieval) -----------------
+
+  /** Term-hash partition count of the stored inverted index. 64 here
+    * (the synthetic vocabulary is ~30 terms); production sizes this so
+    * one bucket's postings stay well under a scan-task split — the
+    * bucket count, like nCells, is part of the artifact's identity. */
+  val NumTermBuckets: Int = 64
+
+  /** The ONE bucket-key derivation, used by the index writer AND every
+    * query side (the bands()-rule: two copies would let a hash change
+    * silently de-correlate stored and probe buckets). */
+  private def termBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(NumTermBuckets.toLong)).cast(IntegerType)
+
+  /** Stored INVERTED INDEX over `documents` — the sparse-retrieval
+    * analog of the IVF family: postings (doc_id, term, tf, dl)
+    * partitioned by a 64-way term-hash bucket, plus the 1-row (n_docs,
+    * dl_total) BM25 corpus statistics. A warm BM25 query then reads
+    * ONLY its terms' bucket directories — never the text column, never
+    * a corpus-wide tokenize (the fresh `bm25TopK` re-scans and
+    * re-tokenizes the whole corpus per query; VERDICT r8 #1 names this
+    * index as the fix). tf and dl are the exact values the fresh path's
+    * explode+filter derives, so stored ≡ fresh is hash-exact by
+    * construction and q_bm25_topk_stored shares q_bm25_topk's oracle.
+    *
+    * Commit protocol: postings payload first, the stats directory last
+    * — its `_SUCCESS` is the generation marker (the multi-directory
+    * rule above), so a torn build recomputes rather than serving a
+    * partial index. */
+  def ensureTermIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pPath = scratch(s, dir, "term_postings")
+    val sPath = scratch(s, dir, "term_stats")
+    if (!committed(s, sPath)) {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.bm25Toks(col("text")).as("t"))
+      // repartition on the partition column first (the ensureIvfIndex
+      // file-count rule): each write task owns whole buckets, so the
+      // layout is ≤ NumTermBuckets files, not buckets × shuffle tasks
+      toks
+        .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        .withColumn("bucket", termBucket(col("term")))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(pPath)
+      toks.select(size(col("t")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_total"))
+        .write.mode("overwrite").parquet(sPath)
+    }
+    (s.read.parquet(pPath), s.read.parquet(sPath))
+  }
+
+  /** Align a probe plan's `bucket` key with the partition column's
+    * read-back type (the probeCells rule below: a cast on the scan side
+    * would defeat dynamic partition pruning). */
+  private def probeBuckets(probePlan: DataFrame, postings: DataFrame): DataFrame =
+    probePlan.withColumn("bucket",
+      col("bucket").cast(postings.schema("bucket").dataType))
+
+  /** Warm-path BM25 top-k from the STORED index: the query's terms
+    * become a broadcast (bucket, term) frame joined against the
+    * postings, so DYNAMIC PARTITION PRUNING drops every non-query
+    * bucket directory at the scan — the ivfTopKStored posture, no
+    * driver-side hash replication and no plan-size blow-up at
+    * production bucket counts. Ranking is the shared
+    * [[TextAnalysis.bm25Rank]] body, so fresh and stored scores cannot
+    * drift. */
+  def bm25TopKStored(s: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, stats) = ensureTermIndex(s, dir)
+    import s.implicits._
+    val q = queryTerms.toDF("term").select(col("term"),
+      termBucket(col("term")).as("bucket"))
+    val tf = postings
+      .join(broadcast(probeBuckets(q, postings)), Seq("bucket", "term"))
+      .select("doc_id", "term", "tf", "dl")
+    TextAnalysis.bm25Rank(tf, stats, k, k1, b)
+  }
+
+  /** BATCHED BM25 serving — the sparse analog of the batched kNN joins:
+    * a whole (q_id, term) query frame served in ONE pass over the
+    * pruned postings. Per-(q_id, term) document frequency falls out of
+    * the joined frame itself (each matching (doc, term) posting
+    * contributes exactly one row per q_id carrying the term); the
+    * per-query top-k is the two-phase scan-pid-keyed rank
+    * ([[Similarity.topKPerQuery]]) so a hot query cannot collapse the
+    * corpus into one reducer. Scores round to 6 dp before ranking (the
+    * cross-engine rule). */
+  def bm25TopKBatch(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, stats) = ensureTermIndex(s, dir)
+    val q = queries.select(col("q_id"), col("term"),
+      termBucket(col("term")).as("bucket"))
+    val tf = postings
+      .join(broadcast(probeBuckets(q, postings)), Seq("bucket", "term"))
+      .select("q_id", "doc_id", "term", "tf", "dl")
+    // df per (q_id, term): the tf frame holds one row per matching
+    // (doc, term, q_id), so the grouped count IS the term's document
+    // frequency — no second postings scan. |Q|·|terms| rows, broadcast.
+    val dfreq = tf.groupBy("q_id", "term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("q_id", "term"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        TextAnalysis.bm25TermScore(k1, b).as("s"))
+      .groupBy("q_id", "doc_id").agg(round(sum("s"), 6).as("score"))
+      .withColumnRenamed("doc_id", "vec_id")
+    Similarity.topKPerQuery(scored, k)
+      .withColumnRenamed("vec_id", "doc_id")
   }
 
   /** IVF index tables (centroids + cell-partitioned assignments), written
@@ -1135,6 +1245,16 @@ object Ingest {
 
   // --- query surface ---------------------------------------------------
 
+  /** Fixed probe set of the batched BM25 gate: 4 term-set queries over
+    * the synthetic vocabulary, including one term ('state') that occurs
+    * nowhere in the corpus — the zero-postings edge the join must drop
+    * silently (score contribution 0), not error on. */
+  private[graft] val BatchQueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "table", 1L -> "scan", 1L -> "join",
+    2L -> "hash", 2L -> "merge", 2L -> "sort",
+    3L -> "stream", 3L -> "window", 3L -> "state",
+    4L -> "vector", 4L -> "query", 4L -> "fast")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the ingest step itself: materialize both stored layouts, report
     // row counts (oracle-checked). In the sorted bench order this runs
@@ -1159,6 +1279,25 @@ object Ingest {
         .filter(col("n_common") * 2 >= col("n_union"))
         .select("doc1", "doc2", "jaccard")
         .orderBy("doc1", "doc2")
+    }),
+
+    // BM25 from the STORED inverted index: identical query, identical
+    // oracle (the shared Bm25CtesSql string) as q_bm25_topk — the gate
+    // IS the fresh-vs-stored differential, pinned 0 by the hash compare
+    // (the q_near_dup_minhash_stored precedent). The warm plan reads
+    // only the query terms' bucket directories (PlanSpec: DPP partition
+    // filter, no text column, no corpus tokenize).
+    "q_bm25_topk_stored" -> ((s, dir) =>
+      bm25TopKStored(s, dir, Seq("table", "scan", "join"), 10)),
+
+    // batched BM25 serving: the whole 4-query probe frame (incl. one
+    // term absent from the corpus — the zero-postings edge) answered in
+    // ONE pass over the pruned postings; per-query top-5 via the
+    // two-phase scan-pid rank.
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      bm25TopKBatch(s, dir, BatchQueryTerms.toDF("q_id", "term"), 5)
+        .orderBy("q_id", "rnk")
     }),
 
     // batched kNN through the stored IVF index, canary forced-recall
@@ -1457,6 +1596,46 @@ object Ingest {
         |SELECT 'ivf_assign', count(*) + 8 FROM embeddings
         |ORDER BY stored_table""".stripMargin,
     "q_near_dup_minhash_stored" -> Dedup.oracles("q_near_dup_minhash"),
+    // the stored-index gate shares the fresh gate's oracle VERBATIM —
+    // that hash equality IS the fresh-vs-stored differential, pinned 0.
+    "q_bm25_topk_stored" -> TextAnalysis.oracles("q_bm25_topk"),
+    // batched BM25: per-query replay of the shared formula — tf/df per
+    // (q_id, term), the same (N, Σdl) stats, rounded scores, per-query
+    // row_number rank. q_id cast BIGINT (Spark lit(1L)); the absent
+    // term 'state' matches no postings and silently contributes 0.
+    "q_bm25_batch" ->
+      """WITH q AS (
+        |  SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
+        |    (1,'table'),(1,'scan'),(1,'join'),
+        |    (2,'hash'),(2,'merge'),(2,'sort'),
+        |    (3,'stream'),(3,'window'),(3,'state'),
+        |    (4,'vector'),(4,'query'),(4,'fast')) t(q_id, term)),
+        |toks AS (
+        |  SELECT doc_id,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+        |       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS dl_total FROM toks),
+        |qtf AS (SELECT q.q_id, tf.doc_id, tf.term, tf.tf, tf.dl
+        |        FROM q JOIN tf USING (term)),
+        |dfreq AS (SELECT q_id, term, count(*) AS df FROM qtf GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT q_id, doc_id, round(sum(s), 6) AS score FROM (
+        |    SELECT qtf.q_id, qtf.doc_id,
+        |           ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |           (qtf.tf * (1.2 + 1.0)) /
+        |           (qtf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * qtf.dl /
+        |              (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS s
+        |    FROM qtf JOIN dfreq d USING (q_id, term), stats)
+        |  GROUP BY 1, 2)
+        |SELECT q_id, rnk, doc_id FROM (
+        |  SELECT q_id, doc_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, doc_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivf_compact" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",

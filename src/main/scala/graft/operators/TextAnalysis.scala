@@ -336,8 +336,7 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       corpusStats: Option[(Long, Long)] = None): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ").as("t"))
+    val toks = docs.select(col("doc_id"), bm25Toks(col("text")).as("t"))
     // dl rides along the exploded token stream (constant per doc, max()
     // re-extracts it) so no corpus-sized doc-length join is ever needed;
     // the only whole-corpus aggregate is the 1-row (N, Σdl) stats frame
@@ -345,7 +344,6 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
       .filter(col("term").isInCollection(queryTerms))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = corpusStats match {
       case Some((n, dlTotal)) =>
         docs.sparkSession.range(1)
@@ -354,16 +352,40 @@ object TextAnalysis {
         toks.select(size(col("t")).as("dl"))
           .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_total"))
     }
+    bm25Rank(tf, stats, k, k1, b)
+  }
+
+  /** The ONE BM25 tokenizer, shared by the fresh scan path, the stored
+    * inverted-index build (Ingest.ensureTermIndex), and the streaming
+    * scorer — one expression, so a tokenization change cannot
+    * de-correlate the index from the query side (the bands()-derivation
+    * rule). */
+  private[graft] def bm25Toks(text: Column): Column =
+    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+
+  /** The ONE per-(doc, term) BM25 addend over columns
+    * (tf, df, dl, n_docs, dl_total) — shared by the fresh, stored and
+    * batched rankers so the formula cannot drift between paths. */
+  private[graft] def bm25TermScore(k1: Double, b: Double): Column =
+    log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+        (col("dl_total").cast(DoubleType) / col("n_docs").cast(DoubleType))))
+
+  /** Rank the top-k documents from a (doc_id, term, tf, dl) frame —
+    * fresh (filtered scan) or stored (pruned postings) — plus the 1-row
+    * (n_docs, dl_total) stats frame. df per term falls out of the tf
+    * frame itself (one row per matching (doc, term) ⇒ count = document
+    * frequency); both df and stats broadcast; top-k is
+    * TakeOrderedAndProject. */
+  private[graft] def bm25Rank(tf: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (log((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
-            (col("dl_total").cast(DoubleType) / col("n_docs").cast(DoubleType)))))
-          .as("s"))
+      .select(col("doc_id"), bm25TermScore(k1, b).as("s"))
       .groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)

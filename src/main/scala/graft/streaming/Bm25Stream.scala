@@ -35,7 +35,11 @@ object Bm25Stream {
           (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl)))
         .otherwise(lit(0.0))
     }
-    round(terms.reduce(_ + _), 6)
+    // reduceOption: an empty df map (no query term occurs in the
+    // reference corpus) scores every document 0.0 — the batch operator
+    // returns an empty top-k in that situation; a bare reduce would
+    // crash the stream with an opaque empty.reduce error (ADVICE r8)
+    round(terms.reduceOption(_ + _).getOrElse(lit(0.0)), 6)
   }
 
   /** Train the frozen model on the reference corpus, then score the
