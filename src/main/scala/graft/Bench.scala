@@ -81,6 +81,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","agg":"min_of_2_passes","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    // summary-only line LAST: the driver records only the tail of stdout,
+    // and the per-query line above outgrew the 2000-char capture (r8/r9
+    // artifacts lost total/failed — VERDICT r9 #3). This short line is
+    // always inside any tail window and carries the verdict-bearing
+    // fields on its own.
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","agg":"min_of_2_passes","n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }

@@ -142,6 +142,22 @@ object Ingest {
   private def termBucket(term: Column): Column =
     pmod(xxhash64(term), lit(NumTermBuckets.toLong)).cast(IntegerType)
 
+  /** The query's bucket ids, computed driver-side through the SAME
+    * [[termBucket]] column (a LocalRelation job over ≤|terms| literal
+    * rows — no file scan, and no second copy of the hash derivation).
+    * Applied as a literal `bucket IN (...)` partition filter, these
+    * prune the postings scan at PLAN time: Spark's dynamic
+    * PartitionPruning rule declines the broadcast probe join because a
+    * bare literal probe frame carries no selective predicate (VERDICT
+    * r9 #1), and unlike the IVF cell probe the pruning set here is
+    * known before execution — ≤|query terms| values, so the literal
+    * IN-list stays tiny at any production bucket count. */
+  private def termBucketIds(s: SparkSession, terms: Seq[String]): Seq[Int] = {
+    import s.implicits._
+    terms.toDF("term").select(termBucket(col("term")).as("b"))
+      .collect().map(_.getInt(0)).toSeq.distinct
+  }
+
   /** Stored INVERTED INDEX over `documents` — the sparse-retrieval
     * analog of the IVF family: postings (doc_id, term, tf, dl)
     * partitioned by a 64-way term-hash bucket, plus the 1-row (n_docs,
@@ -161,8 +177,12 @@ object Ingest {
     val pPath = scratch(s, dir, "term_postings")
     val sPath = scratch(s, dir, "term_stats")
     if (!committed(s, sPath)) {
+      // two consumers (postings write + stats write): localCheckpoint so
+      // the corpus is read and tokenized ONCE per index build, not once
+      // per write job (the jaccardPairsExact multi-consumer rule)
       val toks = documents(s, dir)
         .select(col("doc_id"), TextAnalysis.bm25Toks(col("text")).as("t"))
+        .localCheckpoint()
       // repartition on the partition column first (the ensureIvfIndex
       // file-count rule): each write task owns whole buckets, so the
       // layout is ≤ NumTermBuckets files, not buckets × shuffle tasks
@@ -186,14 +206,16 @@ object Ingest {
     probePlan.withColumn("bucket",
       col("bucket").cast(postings.schema("bucket").dataType))
 
-  /** Warm-path BM25 top-k from the STORED index: the query's terms
-    * become a broadcast (bucket, term) frame joined against the
-    * postings, so DYNAMIC PARTITION PRUNING drops every non-query
-    * bucket directory at the scan — the ivfTopKStored posture, no
-    * driver-side hash replication and no plan-size blow-up at
-    * production bucket counts. Ranking is the shared
-    * [[TextAnalysis.bm25Rank]] body, so fresh and stored scores cannot
-    * drift. */
+  /** Warm-path BM25 top-k from the STORED index: the query's bucket
+    * ids are known before execution ([[termBucketIds]]), so a literal
+    * `bucket IN (...)` STATIC partition filter prunes every non-query
+    * bucket directory at plan time, and the broadcast (bucket, term)
+    * join then keeps only the query's terms inside those buckets.
+    * (The IVF probe needs dynamic pruning because its cells emerge at
+    * runtime from a centroid ranking; a term query's buckets do not —
+    * and Spark's DPP rule declines a bare literal probe frame anyway,
+    * VERDICT r9 #1.) Ranking is the shared [[TextAnalysis.bm25Rank]]
+    * body, so fresh and stored scores cannot drift. */
   def bm25TopKStored(s: SparkSession, dir: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val (postings, stats) = ensureTermIndex(s, dir)
@@ -201,6 +223,7 @@ object Ingest {
     val q = queryTerms.toDF("term").select(col("term"),
       termBucket(col("term")).as("bucket"))
     val tf = postings
+      .filter(col("bucket").isin(termBucketIds(s, queryTerms): _*))
       .join(broadcast(probeBuckets(q, postings)), Seq("bucket", "term"))
       .select("doc_id", "term", "tf", "dl")
     TextAnalysis.bm25Rank(tf, stats, k, k1, b)
@@ -215,14 +238,34 @@ object Ingest {
     * ([[Similarity.topKPerQuery]]) so a hot query cannot collapse the
     * corpus into one reducer. Scores round to 6 dp before ranking (the
     * cross-engine rule). */
-  def bm25TopKBatch(s: SparkSession, dir: String, queries: DataFrame,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (postings, stats) = ensureTermIndex(s, dir)
+  /** The batched probe's (q_id, doc_id, term, tf, dl) frame — exposed
+    * pre-checkpoint so PlanSpec can assert the static bucket pruning on
+    * the postings scan (the localCheckpoint in [[bm25TopKBatch]] hides
+    * the scan from the served plan). distinct: a duplicate (q_id, term)
+    * row would inflate both the grouped df count and the summed score
+    * addends (ADVICE r9); the probe frame is the bounded broadcast
+    * query batch, so the driver collect of its distinct terms (for
+    * static bucket pruning, same rationale as bm25TopKStored) is ≤ that
+    * broadcast bound. */
+  private[graft] def bm25BatchTf(s: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val (postings, _) = ensureTermIndex(s, dir)
     val q = queries.select(col("q_id"), col("term"),
-      termBucket(col("term")).as("bucket"))
-    val tf = postings
+      termBucket(col("term")).as("bucket")).distinct()
+    val batchTerms =
+      queries.select("term").distinct().collect().map(_.getString(0)).toSeq
+    postings
+      .filter(col("bucket").isin(termBucketIds(s, batchTerms): _*))
       .join(broadcast(probeBuckets(q, postings)), Seq("bucket", "term"))
       .select("q_id", "doc_id", "term", "tf", "dl")
+  }
+
+  def bm25TopKBatch(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (_, stats) = ensureTermIndex(s, dir)
+    // two consumers below (dfreq aggregation + the scored join): one
+    // postings-join subtree, not two (the multi-consumer rule)
+    val tf = bm25BatchTf(s, dir, queries).localCheckpoint()
     // df per (q_id, term): the tf frame holds one row per matching
     // (doc, term, q_id), so the grouped count IS the term's document
     // frequency — no second postings scan. |Q|·|terms| rows, broadcast.
@@ -1255,6 +1298,23 @@ object Ingest {
     3L -> "stream", 3L -> "window", 3L -> "state",
     4L -> "vector", 4L -> "query", 4L -> "fast")
 
+  /** Probe set of the batched retrieval-EVALUATION gate (ADVICE r9 #5):
+    * 8 sparse term-set queries, q_ids 1..8 aligned with the 8 dense
+    * probes (rank of the 8 smallest vec_ids). q6 carries the
+    * zero-postings 'state' edge through the whole fusion+metric chain. */
+  private[graft] val NdcgBatchTerms: Seq[(Long, String)] = Seq(
+    1L -> "table", 1L -> "scan",
+    2L -> "join", 2L -> "hash",
+    3L -> "merge", 3L -> "sort",
+    4L -> "stream", 4L -> "window",
+    5L -> "vector", 5L -> "query",
+    6L -> "fast", 6L -> "state",
+    7L -> "table", 7L -> "join",
+    8L -> "scan", 8L -> "hash")
+
+  /** Number of probes in the batched evaluation gate. */
+  private[graft] val NdcgBatchProbes: Int = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the ingest step itself: materialize both stored layouts, report
     // row counts (oracle-checked). In the sorted bench order this runs
@@ -1298,6 +1358,41 @@ object Ingest {
       import s.implicits._
       bm25TopKBatch(s, dir, BatchQueryTerms.toDF("q_id", "term"), 5)
         .orderBy("q_id", "rnk")
+    }),
+
+    // BATCHED retrieval evaluation (ADVICE r9 #5): mean nDCG@10 over 8
+    // probes, each probe = RRF fusion of its dense (exact kNN) and
+    // sparse (stored-index batched BM25) top-10 lists, evaluated
+    // against the dense ideal — the q_ndcg_rrf pipeline generalized to
+    // q_id-keyed frames so a whole evaluation suite runs as ONE batch
+    // (one corpus pass per side) instead of |Q| single-query jobs.
+    "q_ndcg_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      // dense side: q_id = probe vec_id through the kNN join (so the
+      // self-exclusion stays vec_id ≠ probe), then relabeled 1..8 by
+      // vec_id rank to align with the sparse q_ids — an 8-row window.
+      val probes = emb.orderBy("vec_id").limit(NdcgBatchProbes)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qmap = probes.select(col("q_id"),
+        row_number().over(Window.orderBy("q_id")).cast(LongType).as("eq"))
+      // three consumers (fusion + graded relevance + idcg): checkpoint
+      val dense = Similarity.knnJoin(emb, probes, 10)
+        .join(broadcast(qmap), "q_id")
+        .select(col("eq").as("q_id"), col("vec_id").as("id"),
+          col("rnk").as("rank"))
+        .localCheckpoint()
+      val sparse = bm25TopKBatch(s, dir,
+          NdcgBatchTerms.toDF("q_id", "term"), 10)
+        .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("rank"))
+      val ranked = Similarity.rrfFuseBatch(Seq(dense, sparse), 10)
+        .select("q_id", "id", "rank")
+      // two consumers (mean + final projection): checkpoint the 8 rows
+      val perQ = Similarity.ndcgAtKBatch(ranked, dense, 10).localCheckpoint()
+      perQ.crossJoin(broadcast(
+          perQ.agg(round(avg("ndcg_at_10"), 6).as("mean_ndcg_at_10"))))
+        .orderBy("q_id")
     }),
 
     // batched kNN through the stored IVF index, canary forced-recall
@@ -1588,6 +1683,37 @@ object Ingest {
     })
   )
 
+  /** q_id-keyed BM25 oracle CTE chain (q → toks → tf → stats → qtf →
+    * dfreq → scored), parameterized by the probe term list so the
+    * VALUES block is GENERATED from the same Scala constant the Spark
+    * side consumes — one string, two gates (q_bm25_batch /
+    * q_ndcg_batch; the Bm25CtesSql rule), and no hand-copied term list
+    * that could drift. */
+  private def bm25BatchCtesSql(ts: Seq[(Long, String)]): String =
+    s"""q AS (
+      |  SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
+      |    ${ts.map { case (q, t) => s"($q,'$t')" }.mkString(",")}) t(q_id, term)),
+      |toks AS (
+      |  SELECT doc_id,
+      |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+      |       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS dl_total FROM toks),
+      |qtf AS (SELECT q.q_id, tf.doc_id, tf.term, tf.tf, tf.dl
+      |        FROM q JOIN tf USING (term)),
+      |dfreq AS (SELECT q_id, term, count(*) AS df FROM qtf GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT q_id, doc_id, round(sum(s), 6) AS score FROM (
+      |    SELECT qtf.q_id, qtf.doc_id,
+      |           ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+      |           (qtf.tf * (1.2 + 1.0)) /
+      |           (qtf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * qtf.dl /
+      |              (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS s
+      |    FROM qtf JOIN dfreq d USING (q_id, term), stats)
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // ivf_assign = corpus + the 8 planted canary rows (see TwinOffset)
     "q_ingest_sketches" ->
@@ -1604,38 +1730,69 @@ object Ingest {
     // row_number rank. q_id cast BIGINT (Spark lit(1L)); the absent
     // term 'state' matches no postings and silently contributes 0.
     "q_bm25_batch" ->
-      """WITH q AS (
-        |  SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
-        |    (1,'table'),(1,'scan'),(1,'join'),
-        |    (2,'hash'),(2,'merge'),(2,'sort'),
-        |    (3,'stream'),(3,'window'),(3,'state'),
-        |    (4,'vector'),(4,'query'),(4,'fast')) t(q_id, term)),
-        |toks AS (
-        |  SELECT doc_id,
-        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-        |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
-        |       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
-        |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS dl_total FROM toks),
-        |qtf AS (SELECT q.q_id, tf.doc_id, tf.term, tf.tf, tf.dl
-        |        FROM q JOIN tf USING (term)),
-        |dfreq AS (SELECT q_id, term, count(*) AS df FROM qtf GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT q_id, doc_id, round(sum(s), 6) AS score FROM (
-        |    SELECT qtf.q_id, qtf.doc_id,
-        |           ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
-        |           (qtf.tf * (1.2 + 1.0)) /
-        |           (qtf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * qtf.dl /
-        |              (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)))) AS s
-        |    FROM qtf JOIN dfreq d USING (q_id, term), stats)
-        |  GROUP BY 1, 2)
+      s"""WITH ${bm25BatchCtesSql(BatchQueryTerms)}
         |SELECT q_id, rnk, doc_id FROM (
         |  SELECT q_id, doc_id,
         |         row_number() OVER (PARTITION BY q_id
         |                            ORDER BY score DESC, doc_id) AS rnk
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // batched evaluation: per-query fusion + metric + mean in ONE
+    // statement — sparse = the SHARED q_id-keyed BM25 CTE chain (the
+    // Bm25CtesSql rule), dense = the q_knn_join oracle's rounded
+    // ranking relabeled 1..8 by probe vec_id rank, RRF and nDCG
+    // arithmetic identical to q_rrf_fusion / q_ndcg_rrf, DOUBLE-cast.
+    "q_ndcg_batch" ->
+      s"""WITH ${bm25BatchCtesSql(NdcgBatchTerms)},
+        |sparse AS (
+        |  SELECT q_id, doc_id AS id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored QUALIFY rank <= 10),
+        |probes AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS eq,
+        |         vec_id, embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 8)),
+        |dense AS (
+        |  SELECT q_id, id, rank FROM (
+        |    SELECT p.eq AS q_id, e.vec_id AS id,
+        |           row_number() OVER (PARTITION BY p.eq ORDER BY
+        |             round(list_cosine_similarity(e.embedding, p.embedding), 6) DESC,
+        |             e.vec_id) AS rank
+        |    FROM embeddings e, probes p WHERE e.vec_id <> p.vec_id)
+        |  WHERE rank <= 10),
+        |fused AS (
+        |  SELECT q_id, id,
+        |         CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib
+        |  FROM dense
+        |  UNION ALL
+        |  SELECT q_id, id,
+        |         CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib
+        |  FROM sparse),
+        |ranked AS (
+        |  SELECT q_id, id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY rrf DESC, id) AS rank
+        |  FROM (SELECT q_id, id, round(sum(contrib), 6) AS rrf
+        |        FROM fused GROUP BY 1, 2)
+        |  QUALIFY rank <= 10),
+        |rel AS (SELECT q_id, id, CAST(11 - rank AS DOUBLE) AS rel FROM dense),
+        |dcg AS (
+        |  SELECT ranked.q_id,
+        |         sum(COALESCE(rel.rel, CAST(0.0 AS DOUBLE)) /
+        |             log2(ranked.rank + 1)) AS dcg
+        |  FROM ranked LEFT JOIN rel USING (q_id, id) GROUP BY 1),
+        |idcg AS (
+        |  SELECT q_id, sum(CAST(11 - rank AS DOUBLE) / log2(rank + 1)) AS idcg
+        |  FROM dense GROUP BY 1),
+        |perq AS (
+        |  SELECT q_id, round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_10
+        |  FROM dcg JOIN idcg USING (q_id)),
+        |m AS (SELECT round(avg(ndcg_at_10), 6) AS mean_ndcg_at_10 FROM perq)
+        |SELECT q_id, ndcg_at_10, mean_ndcg_at_10 FROM perq, m
+        |ORDER BY q_id""".stripMargin,
     "q_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivf_compact" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",

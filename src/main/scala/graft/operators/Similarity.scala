@@ -395,6 +395,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** q_id-keyed reciprocal-rank fusion — [[rrfFuse]] generalized to a
+    * whole evaluation batch: every input frame carries (q_id, id, rank)
+    * top-k rows, fusion groups on (q_id, id), and the fused rank is a
+    * per-q_id window. The window partitions on q_id (no single-reducer
+    * collapse), and each query's input is ≤ lists×k rows by
+    * construction, so the whole fusion stays broadcast-scale per query
+    * regardless of corpus size. */
+  def rrfFuseBatch(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lists.nonEmpty, "rrfFuseBatch needs at least one ranked list")
+    lists.map(df => df.select(col("q_id"), col("id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank"))).as("contrib")))
+      .reduce(_.unionByName(_))
+      .groupBy("q_id", "id").agg(round(sum("contrib"), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("rrf"), asc("id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-query nDCG@k — [[ndcgAtK]] generalized to q_id-keyed (q_id,
+    * id, rank) frames: graded relevance `k+1 − ideal_rank`, log2
+    * discount, one rounded division per q_id. Returns one (q_id,
+    * ndcg_at_k) row per query; the caller aggregates the mean. Both
+    * inputs are per-query top-k lists, so every aggregation here is
+    * over ≤ k rows per q_id. */
+  def ndcgAtKBatch(ranked: DataFrame, ideal: DataFrame, k: Int): DataFrame = {
+    val rel = ideal.select(col("q_id"), col("id"),
+      (lit(k + 1) - col("rank")).cast(DoubleType).as("rel"))
+    val dcg = ranked
+      .join(broadcast(rel), Seq("q_id", "id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("rel"), lit(0.0)) /
+        log2(col("rank").cast(DoubleType) + lit(1.0))).as("dcg"))
+    val idcg = ideal.groupBy("q_id")
+      .agg(sum((lit(k + 1) - col("rank")).cast(DoubleType) /
+        log2(col("rank").cast(DoubleType) + lit(1.0))).as("idcg"))
+    dcg.join(idcg, "q_id")
+      .select(col("q_id"),
+        round(col("dcg") / col("idcg"), 6).as(s"ndcg_at_$k"))
+  }
+
   /** nDCG@k of a retrieval list against an ideal ranking — retrieval
     * EVALUATION as a first-class operator (the metric a pipeline runs
     * after every index build / fusion change). Graded relevance

@@ -82,15 +82,23 @@ class PlanSpec extends SparkSpecBase {
       spark, TestSpark.Sf0001, Seq("table", "scan", "join"), 10))
     // warm path: no corpus text, no tokenize/explode of documents —
     // the postings scan is pruned to the query's bucket directories by
-    // dynamic partition pruning (the ivfTopKStored posture)
+    // the STATIC literal bucket IN-list (the bucket ids are computable
+    // driver-side, and DPP declines a bare literal probe — VERDICT r9)
     assert(!p.contains("documents.parquet"),
       s"warm path must not scan the corpus:\n$p")
     assert(!p.contains("text#"), s"warm path must not read text:\n$p")
-    assert(p.contains("dynamicpruning"),
-      s"postings scan must prune bucket directories dynamically:\n$p")
+    assert(bucketInListPruned(p),
+      s"postings scan must carry a static bucket IN-list PartitionFilter:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n$p")
   }
+
+  /** The postings scan's PartitionFilters must hold a literal bucket
+    * IN/INSET — plan-time directory pruning, not a full 64-bucket scan. */
+  private def bucketInListPruned(p: String): Boolean =
+    p.linesIterator.exists(l => l.contains("PartitionFilters:") &&
+      (l.contains("bucket#") || l.contains("bucket:")) &&
+      (l.contains(" IN (") || l.contains(" INSET ")))
 
   test("batched BM25 serves the whole query frame without a corpus scan") {
     import spark.implicits._
@@ -101,6 +109,11 @@ class PlanSpec extends SparkSpecBase {
       s"batched warm path must stay on the postings:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"every join side is broadcast-small:\n$p")
+    // the (checkpointed) probe frame's postings scan carries the same
+    // static bucket IN-list pruning as the single-query stored path
+    val tfPlan = plan(graft.operators.Ingest.bm25BatchTf(spark, TestSpark.Sf0001, q))
+    assert(bucketInListPruned(tfPlan),
+      s"batched postings scan must carry the static bucket IN-list:\n$tfPlan")
   }
 
   test("minhash candidates run the bucket-local pair kernel, not a band self-join") {

@@ -210,6 +210,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ndcg(disjoint) == 0.0)
   }
 
+  test("batched RRF + nDCG ≡ the single-query operators, per q_id") {
+    import org.apache.spark.sql.functions._
+    // two queries with deliberately different shapes: q1 = the rrfFuse
+    // spec's consensus case, q2 = a partially-disjoint pair
+    val a1 = Seq((3L, 1), (1L, 2), (2L, 3)); val b1 = Seq((1L, 2), (3L, 3), (9L, 1))
+    val a2 = Seq((7L, 1), (8L, 2)); val b2 = Seq((8L, 1), (5L, 2))
+    def keyed(q: Long, l: Seq[(Long, Int)]) = l.map { case (i, r) => (q, i, r) }
+    val aB = (keyed(1L, a1) ++ keyed(2L, a2)).toDF("q_id", "id", "rank")
+    val bB = (keyed(1L, b1) ++ keyed(2L, b2)).toDF("q_id", "id", "rank")
+    val fusedB = Similarity.rrfFuseBatch(Seq(aB, bB), 10)
+    for ((qa, qb, q) <- Seq((a1, b1, 1L), (a2, b2, 2L))) {
+      val single = Similarity.rrfFuse(
+          Seq(qa.toDF("id", "rank"), qb.toDF("id", "rank")), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val batch = fusedB.filter(col("q_id") === q)
+        .select("id", "rrf", "n_lists")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(batch == single, s"q$q fused lists diverge")
+      val idealB = aB.filter(col("q_id") === q)
+      val rankedB = fusedB.filter(col("q_id") === q).select("q_id", "id", "rank")
+      val nd = Similarity.ndcgAtKBatch(rankedB,
+        idealB, 10).head()
+      val ndSingle = Similarity.ndcgAtK(
+        rankedB.select("id", "rank"), qa.toDF("id", "rank"), 10).head().getDouble(0)
+      assert(nd.getLong(0) == q && nd.getDouble(1) == ndSingle,
+        s"q$q nDCG batch ${nd.getDouble(1)} != single $ndSingle")
+    }
+  }
+
   test("knnClassify recovers cluster labels on separable data") {
     import org.apache.spark.sql.functions._
     // 5 well-separated cluster directions in 16-d; label = cluster.
