@@ -49,6 +49,8 @@ object MediaFormats {
     if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
         bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes, stride)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes, stride)
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) decodeJpeg(bytes, stride)
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
         bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') decodeWav(bytes, stride)
@@ -302,6 +304,431 @@ object MediaFormats {
     val rw = (width + stride - 1) / stride
     val rh = (height + stride - 1) / stride
     MediaInfo("bmp", rw, rh, rw.toLong * rh, sum, ok = true)
+  }
+
+  // --- JPEG (baseline DCT, SOF0) --------------------------------------
+
+  /** Zigzag index → natural (row*8+col) index, ITU-T T.81 Figure A.6. */
+  private val ZigzagNat: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3 typical luminance Huffman tables (BITS, HUFFVAL) — the
+    * tables most real-world baseline files carry; the encoder writes
+    * them into DHT so any conformant decoder reads our files. */
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = Array.tabulate(12)(identity)
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+  private val AcLumVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+  /** Canonical Huffman decode tables per T.81 Annex C/F: for each code
+    * LENGTH l (1..16), the smallest and largest code of that length and
+    * the index of its first symbol in `vals`. */
+  private final class HuffTable(bits: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l); k += bits(l)
+        maxCode(l) = if (bits(l) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** (code, length) for each symbol — encoder side. */
+    lazy val encode: Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0; var l = 1
+      val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      while (l <= 16) {
+        var i = 0
+        while (i < bits(l)) { m(vals(k)) = (code, l); code += 1; k += 1; i += 1 }
+        code <<= 1
+        l += 1
+      }
+      m.toMap
+    }
+  }
+
+  private lazy val DcLumTable = new HuffTable(DcLumBits, DcLumVals)
+  private lazy val AcLumTable = new HuffTable(AcLumBits, AcLumVals)
+
+  /** Encode a BASELINE (SOF0) grayscale JPEG whose 8×8 blocks are each
+    * CONSTANT `blockValue(bx, by)`. Dimensions must be multiples of 8.
+    * A constant block's DCT has one DC coefficient 8·(v−128) and zero
+    * ACs; with DC quantizer 8 the quantized value is exactly v−128, and
+    * a DC-only block inverse-transforms to the constant v EXACTLY in
+    * every conformant decoder (integer or float IDCT — no rounding
+    * freedom), so the decoded pixel sum is engine-independent and a
+    * SQL oracle can predict it despite JPEG being a lossy format. The
+    * bitstream is real: Annex K Huffman tables, byte stuffing, the
+    * works — any JPEG decoder reads these files. */
+  def encodeJpegGray(width: Int, height: Int, blockValue: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "block-constant encoder needs multiple-of-8 dims")
+    val out = new ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write(((body.length + 2) >>> 8) & 0xFF); out.write((body.length + 2) & 0xFF)
+      out.write(body)
+    }
+    marker(0xD8) // SOI
+    // DQT, table 0, 8-bit: DC quantizer 8 (exactness, above), ACs 8
+    val dqt = new ByteArrayOutputStream
+    dqt.write(0x00)
+    (0 until 64).foreach(_ => dqt.write(8))
+    seg(0xDB, dqt.toByteArray)
+    // SOF0: 8-bit precision, 1 component, no subsampling
+    val sof = new ByteArrayOutputStream
+    sof.write(8)
+    sof.write((height >>> 8) & 0xFF); sof.write(height & 0xFF)
+    sof.write((width >>> 8) & 0xFF); sof.write(width & 0xFF)
+    sof.write(1); sof.write(1); sof.write(0x11); sof.write(0)
+    seg(0xC0, sof.toByteArray)
+    // DHT: luminance DC (class 0) + AC (class 1), both id 0
+    val dht = new ByteArrayOutputStream
+    dht.write(0x00); (1 to 16).foreach(l => dht.write(DcLumBits(l))); DcLumVals.foreach(dht.write)
+    dht.write(0x10); (1 to 16).foreach(l => dht.write(AcLumBits(l))); AcLumVals.foreach(dht.write)
+    seg(0xC4, dht.toByteArray)
+    // SOS
+    seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // entropy-coded data: per block, DC diff + EOB (all ACs zero)
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var l = len - 1
+      while (l >= 0) {
+        bitBuf = (bitBuf << 1) | ((code >>> l) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitBuf & 0xFF)
+          if ((bitBuf & 0xFF) == 0xFF) out.write(0x00) // byte stuffing
+          bitBuf = 0; bitCnt = 0
+        }
+        l -= 1
+      }
+    }
+    val (eobCode, eobLen) = AcLumTable.encode(0x00)
+    var pred = 0
+    var by = 0
+    while (by < height / 8) {
+      var bx = 0
+      while (bx < width / 8) {
+        val dc = (blockValue(bx, by) & 0xFF) - 128
+        val diff = dc - pred; pred = dc
+        val mag = math.abs(diff)
+        val t = 32 - Integer.numberOfLeadingZeros(mag) // category; 0 for diff=0
+        val (c, l) = DcLumTable.encode(t)
+        putBits(c, l)
+        if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        putBits(eobCode, eobLen)
+        bx += 1
+      }
+      by += 1
+    }
+    if (bitCnt > 0) { // pad final byte with 1s
+      bitBuf = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      out.write(bitBuf & 0xFF)
+      if ((bitBuf & 0xFF) == 0xFF) out.write(0x00)
+    }
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  private lazy val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+      math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Full BASELINE JPEG decode: marker walk, DQT/DHT/DRI/SOF0/SOS
+    * parse, Huffman entropy decode with byte-unstuffing and restart
+    * markers, dequantize, double-precision IDCT, level shift + clamp.
+    * Handles any component count / sampling factors (the Y plane of a
+    * 4:2:0 color file is full-resolution); the gray feature sums
+    * component 0 (luma). Progressive (SOF2) and other non-baseline
+    * frames report header dimensions with ok = false; ANY structural or
+    * entropy-stream damage — bad marker, missing table, invalid Huffman
+    * code, coefficient overrun, truncated scan — fails loudly with
+    * ok = false rather than returning a half-decoded sum. */
+  def decodeJpeg(bytes: Array[Byte]): MediaInfo = decodeJpeg(bytes, 1)
+
+  def decodeJpeg(bytes: Array[Byte], stride: Int): MediaInfo = {
+    var width = 0; var height = 0
+    def fail(): MediaInfo =
+      MediaInfo("jpeg", width, height, width.toLong * height, 0L, ok = false)
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return fail()
+    var off = 2
+    var nComp = 0
+    val compId = new Array[Int](4); val compH = new Array[Int](4)
+    val compV = new Array[Int](4); val compTq = new Array[Int](4)
+    val compDc = new Array[Int](4); val compAc = new Array[Int](4)
+    val qt = Array.ofDim[Int](4, 64); val qtSeen = new Array[Boolean](4)
+    val huff = Array.ofDim[HuffTable](2, 4)
+    var restartInterval = 0
+    var sofSeen = false; var baseline = false
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (off + 2 > bytes.length || (bytes(off) & 0xFF) != 0xFF) return fail()
+      val m = bytes(off + 1) & 0xFF
+      off += 2
+      if (m == 0xD8) () // spurious SOI: tolerate
+      else if (m == 0xD9) return fail() // EOI before any scan
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) () // standalone markers
+      else {
+        if (off + 2 > bytes.length) return fail()
+        val len = ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
+        if (len < 2 || off + len > bytes.length) return fail()
+        val seg = off + 2; val segEnd = off + len
+        m match {
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 (sequential) or SOF2 (progressive)
+            if (sofSeen || segEnd - seg < 6) return fail()
+            sofSeen = true; baseline = m != 0xC2
+            height = ((bytes(seg + 1) & 0xFF) << 8) | (bytes(seg + 2) & 0xFF)
+            width = ((bytes(seg + 3) & 0xFF) << 8) | (bytes(seg + 4) & 0xFF)
+            nComp = bytes(seg + 5) & 0xFF
+            if ((bytes(seg) & 0xFF) != 8 || nComp < 1 || nComp > 4 ||
+              segEnd - seg < 6 + 3 * nComp) return fail()
+            var c = 0
+            while (c < nComp) {
+              compId(c) = bytes(seg + 6 + 3 * c) & 0xFF
+              compH(c) = (bytes(seg + 7 + 3 * c) & 0xF0) >>> 4
+              compV(c) = bytes(seg + 7 + 3 * c) & 0x0F
+              compTq(c) = bytes(seg + 8 + 3 * c) & 0xFF
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4 ||
+                compTq(c) > 3) return fail()
+              c += 1
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              if (p + 17 > segEnd) return fail()
+              val tc = (bytes(p) & 0xF0) >>> 4; val th = bytes(p) & 0x0F
+              if (tc > 1 || th > 3) return fail()
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = bytes(p + l) & 0xFF; total += bits(l); l += 1 }
+              if (total > 256 || p + 17 + total > segEnd) return fail()
+              val vals = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xFF)
+              huff(tc)(th) = new HuffTable(bits, vals)
+              p += 17 + total
+            }
+          case 0xDB => // DQT: one or more tables, 8- or 16-bit entries
+            var p = seg
+            while (p < segEnd) {
+              val pq = (bytes(p) & 0xF0) >>> 4; val tq = bytes(p) & 0x0F
+              if (pq > 1 || tq > 3) return fail()
+              val w = if (pq == 0) 1 else 2
+              if (p + 1 + 64 * w > segEnd) return fail()
+              var k = 0
+              while (k < 64) {
+                qt(tq)(k) =
+                  if (pq == 0) bytes(p + 1 + k) & 0xFF
+                  else ((bytes(p + 1 + 2 * k) & 0xFF) << 8) | (bytes(p + 2 + 2 * k) & 0xFF)
+                k += 1
+              }
+              qtSeen(tq) = true
+              p += 1 + 64 * w
+            }
+          case 0xDD =>
+            if (segEnd - seg < 2) return fail()
+            restartInterval = ((bytes(seg) & 0xFF) << 8) | (bytes(seg + 1) & 0xFF)
+          case 0xDA => // SOS
+            if (!sofSeen) return fail()
+            val ns = bytes(seg) & 0xFF
+            if (ns != nComp || segEnd - seg < 1 + 2 * ns + 3) return fail()
+            var c = 0
+            while (c < ns) {
+              val cs = bytes(seg + 1 + 2 * c) & 0xFF
+              val ci = compId.indexOf(cs)
+              if (ci < 0 || ci >= nComp) return fail()
+              compDc(ci) = (bytes(seg + 2 + 2 * c) & 0xF0) >>> 4
+              compAc(ci) = bytes(seg + 2 + 2 * c) & 0x0F
+              c += 1
+            }
+            scanStart = segEnd
+          case _ => () // APPn / COM / others: skipped
+        }
+        off = segEnd
+      }
+    }
+    if (width <= 0 || height <= 0) return fail()
+    if (!baseline) return fail() // progressive: dims reported, not decoded
+    var c = 0
+    while (c < nComp) {
+      if (!qtSeen(compTq(c)) || huff(0)(compDc(c)) == null ||
+        huff(1)(compAc(c)) == null) return fail()
+      c += 1
+    }
+    // entropy decode --------------------------------------------------
+    var pos = scanStart; var bitBuf = 0; var bitCnt = 0; var bad = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= bytes.length) { bad = true; return 0 }
+        var b = bytes(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          if (pos >= bytes.length) { bad = true; return 0 }
+          val b2 = bytes(pos) & 0xFF
+          if (b2 == 0x00) pos += 1 // stuffed data byte
+          else { bad = true; return 0 } // a marker inside the bitstream
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >>> bitCnt) & 1
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = nextBit(); var l = 1
+      while (l <= 16) {
+        if (!bad && t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.vals(t.valPtr(l) + code - t.minCode(l))
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      bad = true; 0
+    }
+    def receiveExtend(t: Int): Int = {
+      var v = 0; var i = 0
+      while (i < t) { v = (v << 1) | nextBit(); i += 1 }
+      if (t > 0 && v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    }
+    val hmax = (0 until nComp).map(compH).max
+    val vmax = (0 until nComp).map(compV).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // store only component 0 (luma) — the gray-feature plane
+    val planeW = mcusX * compH(0) * 8; val planeH = mcusY * compV(0) * 8
+    if (planeW.toLong * planeH > (1L << 31)) return fail()
+    val plane = new Array[Byte](planeW * planeH)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    val freq = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    def idctToBlock(qtab: Array[Int]): Unit = {
+      java.util.Arrays.fill(freq, 0.0)
+      var k = 0
+      while (k < 64) { freq(ZigzagNat(k)) = coef(k).toDouble * qtab(k); k += 1 }
+      // rows then columns (separable); freq natural order = (row*8+col)
+      var r = 0
+      while (r < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0; var u = 0
+          while (u < 8) { s += IdctCos(u)(x) * freq(r * 8 + u); u += 1 }
+          tmp(r * 8 + x) = s
+          x += 1
+        }
+        r += 1
+      }
+      var xcol = 0
+      while (xcol < 8) {
+        var y = 0
+        while (y < 8) {
+          var s = 0.0; var v = 0
+          while (v < 8) { s += IdctCos(v)(y) * tmp(v * 8 + xcol); v += 1 }
+          val pix = math.rint(s / 4.0 + 128.0).toInt
+          block(y * 8 + xcol) = if (pix < 0) 0 else if (pix > 255) 255 else pix
+          y += 1
+        }
+        xcol += 1
+      }
+    }
+    val dcPred = new Array[Int](4)
+    var mcu = 0; val nMcus = mcusX * mcusY
+    var rstCount = 0
+    while (mcu < nMcus && !bad) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align, expect RSTn, reset predictors
+        bitCnt = 0
+        if (pos + 2 > bytes.length || (bytes(pos) & 0xFF) != 0xFF ||
+          (bytes(pos + 1) & 0xFF) != 0xD0 + (rstCount & 7)) bad = true
+        else { pos += 2; rstCount += 1; java.util.Arrays.fill(dcPred, 0) }
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < nComp && !bad) {
+        val qtab = qt(compTq(ci))
+        var v = 0
+        while (v < compV(ci) && !bad) {
+          var h = 0
+          while (h < compH(ci) && !bad) {
+            java.util.Arrays.fill(coef, 0)
+            val t = decodeHuff(huff(0)(compDc(ci)))
+            if (t > 15) bad = true
+            else {
+              dcPred(ci) += receiveExtend(t)
+              coef(0) = dcPred(ci)
+              var k = 1
+              while (k < 64 && !bad) {
+                val rs = decodeHuff(huff(1)(compAc(ci)))
+                val r = rs >>> 4; val s = rs & 0x0F
+                if (s == 0) { if (r == 15) k += 16 else k = 64 } // ZRL / EOB
+                else {
+                  k += r
+                  if (k > 63) bad = true
+                  else { coef(k) = receiveExtend(s); k += 1 }
+                }
+              }
+            }
+            if (!bad && ci == 0) {
+              idctToBlock(qtab)
+              val bx0 = (mx * compH(0) + h) * 8; val by0 = (my * compV(0) + v) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  plane((by0 + y) * planeW + bx0 + x) = block(y * 8 + x).toByte
+                  x += 1
+                }
+                y += 1
+              }
+            } else if (!bad) idctToBlock(qtab) // non-luma: decoded, discarded
+            h += 1
+          }
+          v += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    if (bad) return fail()
+    // gray sum in IMAGE coordinates (maps through comp-0 sampling)
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      if (y % stride == 0) {
+        val py = y * compV(0) / vmax
+        var x = 0
+        while (x < width) {
+          if (x % stride == 0) sum += plane(py * planeW + x * compH(0) / hmax) & 0xFF
+          x += 1
+        }
+      }
+      y += 1
+    }
+    val rw = (width + stride - 1) / stride
+    val rh = (height + stride - 1) / stride
+    MediaInfo("jpeg", rw, rh, rw.toLong * rh, sum, ok = true)
   }
 
   // --- WAV -------------------------------------------------------------

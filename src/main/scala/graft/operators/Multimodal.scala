@@ -14,15 +14,17 @@ import graft.queries.Tables.documents
   * shape, no per-row driver work).
   *
   * The decode step is REAL: graft.functions.MediaFormats implements the
-  * PNG (chunk walk + CRC32 + inflate + full unfilter), BMP and PCM-WAV
-  * container formats, and [[extractFeatures]] sniffs the format from
-  * magic bytes and parses actual file structure. What is synthetic — and
-  * clearly scoped — is the CORPUS: this container ships no media files,
-  * so [[mediaFrame]] renders deterministic PNG/WAV/BMP payloads from
-  * doc_id (formulas below), which is precisely what lets the DuckDB
-  * oracle brute-force the expected decoded structure and certify the
-  * byte-level encode→decode round-trip (a wrong chunk offset, CRC,
-  * filter or endianness turns the gate red). Video container parsing
+  * PNG (chunk walk + CRC32 + inflate + full unfilter), baseline JPEG
+  * (marker walk, DQT/DHT, Huffman entropy decode, dequantize, IDCT),
+  * BMP and PCM-WAV container formats, and [[extractFeatures]] sniffs
+  * the format from magic bytes and parses actual file structure. What
+  * is synthetic — and clearly scoped — is the CORPUS: this container
+  * ships no media files, so [[mediaFrame]] renders deterministic
+  * PNG/WAV/BMP/JPEG payloads from doc_id (formulas below), which is
+  * precisely what lets the DuckDB oracle brute-force the expected
+  * decoded structure and certify the byte-level encode→decode
+  * round-trip (a wrong chunk offset, CRC, filter, Huffman code or
+  * endianness turns the gate red). Video container parsing
   * (mp4/mkv) is OUT of scope — at 100 TB those stay opaque
   * payload+`ref` columns feeding an external transcode fleet, which the
   * oversize-`ref` split below models.
@@ -75,16 +77,28 @@ object Multimodal {
     Array.tabulate(n)(i => ((i * mult % 2003) - 1001).toShort)
   }
 
+  // JPEG is lossy, so its synthesized frames are 8×8-BLOCK-constant:
+  // a DC-only block survives quantize→IDCT bit-exactly in every
+  // conformant decoder (see MediaFormats.encodeJpegGray), which is what
+  // lets a SQL oracle predict the decoded pixel sum of a lossy format.
+  private[operators] def jpgDims(d: Long): (Int, Int) =
+    (8 * (1 + (d % 3).toInt), 8 * (1 + ((d / 3) % 3).toInt))
+  private[operators] def blockVal(d: Long)(bx: Int, by: Int): Int =
+    ((bx + 3L * by + d) % 256).toInt
+
   private[operators] def renderPayload(d: Long): (String, Array[Byte]) =
-    (d % 3) match {
+    (d % 4) match {
       case 0 =>
         val (w, h) = pngDims(d)
         ("image/png", MediaFormats.encodePng(w, h, pixel(d)))
       case 1 =>
         ("audio/wav", MediaFormats.encodeWav(wavRate(d), wavSamples(d)))
-      case _ =>
+      case 2 =>
         val (w, h) = bmpDims(d)
         ("image/bmp", MediaFormats.encodeBmp(w, h, pixel(d)))
+      case _ =>
+        val (w, h) = jpgDims(d)
+        ("image/jpeg", MediaFormats.encodeJpegGray(w, h, blockVal(d)))
     }
 
   /** Build the multimodal frame from `documents`: one REAL media file per
@@ -211,9 +225,10 @@ object Multimodal {
   )
 
   private val mimeCase =
-    """CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-      |     WHEN doc_id % 3 = 1 THEN 'audio/wav'
-      |     ELSE 'image/bmp' END""".stripMargin
+    """CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+      |     WHEN doc_id % 4 = 1 THEN 'audio/wav'
+      |     WHEN doc_id % 4 = 2 THEN 'image/bmp'
+      |     ELSE 'image/jpeg' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -227,31 +242,37 @@ object Multimodal {
     "q_multimodal_features" ->
       s"""WITH m AS (
          |  SELECT doc_id, $mimeCase AS mime,
-         |    CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
-         |         WHEN doc_id % 3 = 2 THEN 8 + doc_id % 7
+         |    CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 9
+         |         WHEN doc_id % 4 = 2 THEN 8 + doc_id % 7
+         |         WHEN doc_id % 4 = 3 THEN 8 * (1 + doc_id % 3)
          |         ELSE (CASE (doc_id // 3) % 3 WHEN 0 THEN 8000
          |               WHEN 1 THEN 16000 ELSE 44100 END) END AS width,
-         |    CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id // 9) % 9
-         |         WHEN doc_id % 3 = 2 THEN 8 + (doc_id // 7) % 7
+         |    CASE WHEN doc_id % 4 = 0 THEN 8 + (doc_id // 9) % 9
+         |         WHEN doc_id % 4 = 2 THEN 8 + (doc_id // 7) % 7
+         |         WHEN doc_id % 4 = 3 THEN 8 * (1 + (doc_id // 3) % 3)
          |         ELSE 0 END AS height,
-         |    CASE WHEN doc_id % 3 = 1 THEN 200 + doc_id % 100
-         |         ELSE (CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
-         |                    ELSE 8 + doc_id % 7 END) *
-         |              (CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id // 9) % 9
-         |                    ELSE 8 + (doc_id // 7) % 7 END) END AS n_units,
-         |    CASE WHEN doc_id % 3 = 1 THEN
+         |    CASE WHEN doc_id % 4 = 1 THEN 200 + doc_id % 100
+         |         WHEN doc_id % 4 = 0 THEN (8 + doc_id % 9) * (8 + (doc_id // 9) % 9)
+         |         WHEN doc_id % 4 = 2 THEN (8 + doc_id % 7) * (8 + (doc_id // 7) % 7)
+         |         ELSE 64 * (1 + doc_id % 3) * (1 + (doc_id // 3) % 3) END AS n_units,
+         |    CASE WHEN doc_id % 4 = 1 THEN
          |           list_sum(list_transform(range(0, 200 + doc_id % 100),
          |             i -> abs((i * (doc_id % 251 + 3)) % 2003 - 1001)))
-         |         WHEN doc_id % 3 = 0 THEN
+         |         WHEN doc_id % 4 = 0 THEN
          |           list_sum(list_transform(
          |             range(0, (8 + doc_id % 9) * (8 + (doc_id // 9) % 9)),
          |             i -> (i % (8 + doc_id % 9) +
          |                   3 * (i // (8 + doc_id % 9)) + doc_id) % 256))
-         |         ELSE
+         |         WHEN doc_id % 4 = 2 THEN
          |           list_sum(list_transform(
          |             range(0, (8 + doc_id % 7) * (8 + (doc_id // 7) % 7)),
          |             i -> (i % (8 + doc_id % 7) +
          |                   3 * (i // (8 + doc_id % 7)) + doc_id) % 256))
+         |         ELSE
+         |           64 * list_sum(list_transform(
+         |             range(0, (1 + doc_id % 3) * (1 + (doc_id // 3) % 3)),
+         |             i -> (i % (1 + doc_id % 3) +
+         |                   3 * (i // (1 + doc_id % 3)) + doc_id) % 256))
          |    END AS value_sum
          |  FROM documents)
          |SELECT mime, count(*) AS n_media,
@@ -267,31 +288,40 @@ object Multimodal {
     "q_multimodal_resize" ->
       s"""WITH m AS (
          |  SELECT doc_id, $mimeCase AS mime,
-         |    CASE WHEN doc_id % 3 = 0 THEN (8 + doc_id % 9 + 1) // 2
-         |         WHEN doc_id % 3 = 2 THEN (8 + doc_id % 7 + 1) // 2
+         |    CASE WHEN doc_id % 4 = 0 THEN (8 + doc_id % 9 + 1) // 2
+         |         WHEN doc_id % 4 = 2 THEN (8 + doc_id % 7 + 1) // 2
+         |         WHEN doc_id % 4 = 3 THEN 4 * (1 + doc_id % 3)
          |         ELSE (CASE (doc_id // 3) % 3 WHEN 0 THEN 8000
          |               WHEN 1 THEN 16000 ELSE 44100 END) END AS width,
-         |    CASE WHEN doc_id % 3 = 0 THEN (8 + (doc_id // 9) % 9 + 1) // 2
-         |         WHEN doc_id % 3 = 2 THEN (8 + (doc_id // 7) % 7 + 1) // 2
+         |    CASE WHEN doc_id % 4 = 0 THEN (8 + (doc_id // 9) % 9 + 1) // 2
+         |         WHEN doc_id % 4 = 2 THEN (8 + (doc_id // 7) % 7 + 1) // 2
+         |         WHEN doc_id % 4 = 3 THEN 4 * (1 + (doc_id // 3) % 3)
          |         ELSE 0 END AS height,
-         |    CASE WHEN doc_id % 3 = 1 THEN (200 + doc_id % 100 + 1) // 2
-         |         ELSE ((CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9
+         |    CASE WHEN doc_id % 4 = 1 THEN (200 + doc_id % 100 + 1) // 2
+         |         WHEN doc_id % 4 = 3 THEN
+         |           16 * (1 + doc_id % 3) * (1 + (doc_id // 3) % 3)
+         |         ELSE ((CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 9
          |                     ELSE 8 + doc_id % 7 END + 1) // 2) *
-         |              ((CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id // 9) % 9
+         |              ((CASE WHEN doc_id % 4 = 0 THEN 8 + (doc_id // 9) % 9
          |                     ELSE 8 + (doc_id // 7) % 7 END + 1) // 2) END AS n_units,
-         |    CASE WHEN doc_id % 3 = 1 THEN
+         |    CASE WHEN doc_id % 4 = 1 THEN
          |           list_sum(list_transform(range(0, (200 + doc_id % 100 + 1) // 2),
          |             i -> abs((2 * i * (doc_id % 251 + 3)) % 2003 - 1001)))
-         |         WHEN doc_id % 3 = 0 THEN
+         |         WHEN doc_id % 4 = 0 THEN
          |           list_sum(list_transform(
          |             range(0, ((8 + doc_id % 9 + 1) // 2) * ((8 + (doc_id // 9) % 9 + 1) // 2)),
          |             i -> (2 * (i % ((8 + doc_id % 9 + 1) // 2)) +
          |                   6 * (i // ((8 + doc_id % 9 + 1) // 2)) + doc_id) % 256))
-         |         ELSE
+         |         WHEN doc_id % 4 = 2 THEN
          |           list_sum(list_transform(
          |             range(0, ((8 + doc_id % 7 + 1) // 2) * ((8 + (doc_id // 7) % 7 + 1) // 2)),
          |             i -> (2 * (i % ((8 + doc_id % 7 + 1) // 2)) +
          |                   6 * (i // ((8 + doc_id % 7 + 1) // 2)) + doc_id) % 256))
+         |         ELSE
+         |           list_sum(list_transform(
+         |             range(0, (4 * (1 + doc_id % 3)) * (4 * (1 + (doc_id // 3) % 3))),
+         |             i -> ((i % (4 * (1 + doc_id % 3))) // 4 +
+         |                   3 * ((i // (4 * (1 + doc_id % 3))) // 4) + doc_id) % 256))
          |    END AS value_sum
          |  FROM documents)
          |SELECT mime, count(*) AS n_media,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.MediaFormats
 import graft.operators.Multimodal
 
-/** Multimodal tests: the REAL format codecs (PNG/BMP/WAV) are
+/** Multimodal tests: the REAL format codecs (PNG/JPEG/BMP/WAV) are
   * cross-checked against the JDK's independent ImageIO / AudioSystem
   * implementations in both directions, so a matched encoder/decoder bug
   * pair cannot hide behind a clean round-trip. Plus corruption handling,
@@ -116,10 +116,78 @@ class MultimodalSpec extends SparkSpecBase {
     assert(info.ok && info.nUnits == 2 && info.valueSum == 200)
   }
 
+  test("JPEG: our block-constant encoder is readable by ImageIO, pixel-exact") {
+    // DC-only blocks decode bit-exactly in ANY conformant decoder — the
+    // property the lossy-format oracle rests on; ImageIO is the
+    // independent implementation that certifies it
+    def bv(bx: Int, by: Int): Int = (bx + 3 * by + 7) % 256
+    val (w, h) = (16, 24)
+    val bytes = MediaFormats.encodeJpegGray(w, h, bv)
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO must accept our baseline JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == bv(x / 8, y / 8),
+        s"pixel ($x,$y)")
+    val info = MediaFormats.decodeJpeg(bytes)
+    assert(info.ok && info.width == w && info.height == h)
+    assert(info.valueSum == (for (y <- 0 until h; x <- 0 until w)
+      yield bv(x / 8, y / 8).toLong).sum)
+  }
+
+  test("JPEG: our decoder reads ImageIO-encoded files (independent producer)") {
+    // full AC path: a gradient image through ImageIO's own encoder
+    // (libjpeg tables, real quantization). The JPEG spec leaves IDCT
+    // implementations ±1/pixel of each other, so the cross-check is
+    // dims exact + per-file sum within n_pixels of ImageIO's own decode.
+    val (w, h) = (21, 13) // non-multiple-of-8: exercises edge MCU padding
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, gradient(17)(x, y))
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    val info = MediaFormats.decodeJpeg(bytes)
+    assert(info.ok && info.width == w && info.height == h && info.nUnits == w * h)
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    val refSum = (for (y <- 0 until h; x <- 0 until w)
+      yield ref.getRaster.getSample(x, y, 0).toLong).sum
+    assert(math.abs(info.valueSum - refSum) <= w.toLong * h,
+      s"our sum ${info.valueSum} vs ImageIO $refSum beyond the ±1/pixel IDCT freedom")
+  }
+
+  test("JPEG: progressive files report dims with ok=false; damage fails loudly") {
+    val (w, h) = (16, 16)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, gradient(3)(x, y))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    val prog = MediaFormats.decodeJpeg(bos.toByteArray)
+    assert(!prog.ok && prog.width == w && prog.height == h,
+      "progressive: header dims, no decode claim")
+    // structural damage: truncation mid-entropy, garbage, bad marker
+    val good = MediaFormats.encodeJpegGray(16, 16, (bx, by) => bx + by)
+    for (cut <- Seq(0, 4, 10, good.length / 2))
+      assert(!MediaFormats.decodeJpeg(good.take(cut)).ok, s"cut=$cut")
+    val badMarker = good.clone()
+    badMarker(2) = 0x00 // FF?? marker prefix destroyed
+    assert(!MediaFormats.decodeJpeg(badMarker).ok)
+  }
+
   test("decode() sniffs format from magic bytes, not labels") {
     assert(MediaFormats.decode(MediaFormats.encodePng(8, 8, gradient(0))).format == "png")
     assert(MediaFormats.decode(MediaFormats.encodeBmp(8, 8, gradient(0))).format == "bmp")
     assert(MediaFormats.decode(MediaFormats.encodeWav(8000, Array[Short](0))).format == "wav")
+    assert(MediaFormats.decode(
+      MediaFormats.encodeJpegGray(8, 8, (_, _) => 5)).format == "jpeg")
   }
 
   test("extractFeatures parses generated payloads back to the formulas") {
@@ -127,13 +195,16 @@ class MultimodalSpec extends SparkSpecBase {
     val f = Multimodal.extractFeatures(Multimodal.mediaFrame(docs))
       .collect().map(r => r.media_id -> r).toMap
     assert(f.values.forall(_.ok), "every generated file must parse clean")
-    // d=0: png 8x8; d=3: png 11x8 — dims from the real IHDR parse
+    // d=0: png 8x8; d=4: png 12x8 — dims from the real IHDR parse
     assert(f(0L).width == 8 && f(0L).height == 8 && f(0L).n_units == 64)
-    assert(f(3L).width == 11 && f(3L).height == 8)
+    assert(f(4L).width == 12 && f(4L).height == 8)
     // d=1: wav — width carries the sample rate, n_units the sample count
     assert(f(1L).width == 8000 && f(1L).n_units == 201)
     // d=2: bmp 10x8
     assert(f(2L).width == 10 && f(2L).height == 8)
+    // d=3: jpeg 8x16, block-constant pixels — blocks (0,0)=3, (0,1)=6
+    assert(f(3L).width == 8 && f(3L).height == 16)
+    assert(f(3L).value_sum == 64L * (3 + 6))
     // pixel sum of d=0 png: Σ (x+3y) % 256 over 8×8
     val expect0 = (for (y <- 0 until 8; x <- 0 until 8) yield (x + 3 * y) % 256).sum
     assert(f(0L).value_sum == expect0)
