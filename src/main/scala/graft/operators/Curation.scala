@@ -256,9 +256,63 @@ object Curation {
       .select(col("doc_id"), col(stratum))
   }
 
+  /** Hash-bucket count of the quality classifier — part of the model's
+    * identity (the NumTermBuckets rule). */
+  val QualityDim: Int = 1024
+
+  /** The gate's deterministic synthetic model: bucket j's weight is a
+    * pure formula (±1.0 in micro-units), so the DuckDB oracle REBUILDS
+    * the identical weight vector from j instead of trusting a file —
+    * the operator itself takes any weight array (a trained model is the
+    * same bounded artifact, just with learned values). */
+  lazy val QualityWeights: Array[Long] =
+    Array.tabulate(QualityDim)(j =>
+      (j.toLong * 2654435761L + 12345L) % 2000001L - 1000000L)
+
+  /** Gate bias (micro-units): +0.05 logits. */
+  val QualityBiasMicro: Long = 50000L
+
+  /** Quality-classifier INFERENCE (the CCNet / fastText serving shape,
+    * Wenzek et al. 2020): hashed unigram+bigram features, linear score,
+    * sigmoid probability, keep-cut at p ≥ 0.5. The weight vector is a
+    * bounded broadcast artifact (QualityDim longs) compiled into the
+    * [[graft.functions.QualityModel]] kernel — ONE narrow pass over the
+    * corpus, zero joins, zero shuffles (PlanSpec pins the shape).
+    *
+    * Exactness: the kernel returns integer (n_features, sum_micro); the
+    * keep decision is the cross-multiplied form `sum + bias·n ≥ 0`
+    * (⟺ sigmoid ≥ 0.5 for n > 0 — the dsirWeights mean-cut rule, no
+    * float boundary), and only the REPORTED probability touches
+    * floating point, rounded to 6 dp on both engines. Tokenization is
+    * the shared [[TextAnalysis.bm25Toks]]. */
+  def qualityClassify(docs: DataFrame, wMicro: Array[Long],
+      biasMicro: Long): DataFrame = {
+    graft.functions.QualityModel.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.QualityModel.qualityScore(
+          TextAnalysis.bm25Toks(col("text")), wMicro).as("f"))
+      .select(col("doc_id"), col("lang"),
+        col("f.n_features").as("n_features"),
+        col("f.sum_micro").as("sum_micro"))
+      .withColumn("score", round(
+        lit(1.0) / (lit(1.0) + exp(-(lit(biasMicro.toDouble) +
+          when(col("n_features") > 0,
+            col("sum_micro").cast(DoubleType) / col("n_features"))
+            .otherwise(lit(0.0))) / lit(1e6))), 6))
+      .withColumn("kept",
+        when(col("n_features") > 0,
+          col("sum_micro") + lit(biasMicro) * col("n_features") >= 0)
+          .otherwise(lit(biasMicro >= 0L)))
+  }
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classify" -> ((s, dir) =>
+      qualityClassify(documents(s, dir), QualityWeights, QualityBiasMicro)
+        .orderBy("doc_id")),
+
     // deterministic hash split: membership is bound by sum(doc_id), not
     // just counts, so a single doc landing in the wrong split flips the
     // gate even if totals balance.
@@ -568,6 +622,43 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // full replay of the classifier: tokenize, build unigram+bigram
+    // features, recompute the polynomial hash per feature, REBUILD the
+    // weight from the bucket formula, integer dot product, sigmoid
+    // rounded 6 dp, cross-multiplied keep-cut — nothing trusted from
+    // the Spark side, including the hash function itself.
+    "q_quality_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(t) AS f FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |           i -> t[CAST(i + 1 AS INT)] || '_' || t[CAST(i + 2 AS INT)])) AS f
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id,
+        |         (length(f) * 2654435761 + coalesce(list_sum(
+        |            list_transform(range(length(f)),
+        |              i -> unicode(substr(f, CAST(i + 1 AS INT), 1)) * (i * i + 7))), 0))
+        |           % 1024 AS b
+        |  FROM feats),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_features,
+        |         CAST(sum((b * 2654435761 + 12345) % 2000001 - 1000000) AS BIGINT)
+        |           AS sum_micro
+        |  FROM hashed GROUP BY 1)
+        |SELECT s.doc_id, t.lang,
+        |       CAST(s.n_features AS BIGINT) AS n_features, s.sum_micro,
+        |       round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |         exp(-(50000 + CAST(s.sum_micro AS DOUBLE) / s.n_features) /
+        |             CAST(1000000.0 AS DOUBLE))), 6) AS score,
+        |       (s.sum_micro + 50000 * s.n_features >= 0) AS kept
+        |FROM scored s JOIN toks t USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
     "q_train_test_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'

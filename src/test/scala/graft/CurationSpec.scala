@@ -240,4 +240,31 @@ class CurationSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(s1 == s2)
   }
+
+  test("qualityClassify: hand-computed features, sigmoid and keep-cut; empty edge") {
+    import graft.functions.QualityModel
+    // hash formula replayed by hand for a 1-char token:
+    // bucket("a") = (1*2654435761 + 97*7) % 1024
+    assert(QualityModel.bucket("a", 1024) ==
+      ((2654435761L + 97L * 7L) % 1024L).toInt)
+    // "ab": len 2, a*(0+7) + b*(1+7)
+    assert(QualityModel.bucket("ab", 1024) ==
+      ((2L * 2654435761L + 97L * 7L + 98L * 8L) % 1024L).toInt)
+    val docs = Seq((1L, "en", "aa bb"), (2L, "en", "")).toDF("doc_id", "lang", "text")
+    val out = Curation.qualityClassify(docs, Curation.QualityWeights,
+        Curation.QualityBiasMicro).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def w(f: String) = Curation.QualityWeights(QualityModel.bucket(f, 1024))
+    // doc 1: features aa, bb, aa_bb — exact integer sum, then sigmoid
+    val sum = w("aa") + w("bb") + w("aa_bb")
+    assert(out(1L).getLong(2) == 3 && out(1L).getLong(3) == sum)
+    val z = (50000.0 + sum.toDouble / 3) / 1e6
+    assert(out(1L).getDouble(4) == math.rint(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6)
+    assert(out(1L).getBoolean(5) == (sum + 50000L * 3 >= 0))
+    // doc 2: bm25Toks("") = [""] — one empty-string unigram, bucket 0's
+    // weight; the decision still follows the cross-multiplied cut
+    val w0 = Curation.QualityWeights(QualityModel.bucket("", 1024))
+    assert(out(2L).getLong(2) == 1 && out(2L).getLong(3) == w0)
+    assert(out(2L).getBoolean(5) == (w0 + 50000L >= 0))
+  }
 }

@@ -392,6 +392,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("quality-classifier inference is one narrow kernel pass: no joins, no shuffle") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Curation.qualityClassify(docs,
+      graft.operators.Curation.QualityWeights,
+      graft.operators.Curation.QualityBiasMicro))
+    assert(p.contains("graft_quality_score"),
+      s"scoring must run through the compiled kernel:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"inference must be one narrow projection over the scan:\n$p")
+  }
+
   test("BM25 top-k: term filter precedes the tf aggregation; top-k never global-sorts") {
     val p = plan(SparkEntry.queries("q_bm25_topk")(spark, TestSpark.Sf0001))
     assert(p.contains("TakeOrderedAndProject"),
