@@ -42,15 +42,14 @@ object Bm25Stream {
     round(terms.reduceOption(_ + _).getOrElse(lit(0.0)), 6)
   }
 
-  /** Train the frozen model on the reference corpus, then score the
-    * document stream with it. */
-  def bm25Stream(s: SparkSession, dir: String,
-      queryTerms: Seq[String]): DataFrame = {
+  /** Train the frozen model on the reference corpus: (term → df, N,
+    * Σdl) — all tiny driver-side artifacts, the same values the batch
+    * operator's subtrees derive. Shared by [[bm25Stream]] and the
+    * composed ingest gate ([[IngestGateStream]]). */
+  def frozenModel(s: SparkSession, dir: String,
+      queryTerms: Seq[String]): (Map[String, Long], Long, Long) = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     def toks = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
-    // frozen model: (N, Σdl) + df per query term (df = number of
-    // DOCUMENTS containing the term) — all tiny driver-side artifacts,
-    // the same values the batch operator's subtrees derive
     val stats = docs.select(toks.as("t"))
       .agg(count(lit(1)).as("n"), sum(size(col("t"))).as("dl")).head()
     require(stats.getLong(0) > 0,
@@ -60,11 +59,19 @@ object Bm25Stream {
       .filter(col("term").isInCollection(queryTerms))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (dfMap, stats.getLong(0), stats.getLong(1))
+  }
+
+  /** Train the frozen model on the reference corpus, then score the
+    * document stream with it. */
+  def bm25Stream(s: SparkSession, dir: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val (dfMap, nDocs, dlTotal) = frozenModel(s, dir, queryTerms)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
     // file-stream sources need an explicit schema; the glob sidesteps
     // FileStreamSource's basePath rule (same trick as LmStream).
-    s.readStream.schema(docs.schema).parquet(s"$dir/[d]ocuments.parquet")
+    s.readStream.schema(schema).parquet(s"$dir/[d]ocuments.parquet")
       .select(col("doc_id"),
-        bm25ScoreCol(col("text"), dfMap,
-          stats.getLong(0), stats.getLong(1)).as("score"))
+        bm25ScoreCol(col("text"), dfMap, nDocs, dlTotal).as("score"))
   }
 }

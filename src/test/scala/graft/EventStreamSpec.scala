@@ -470,4 +470,56 @@ class EventStreamSpec extends SparkSpecBase {
         s"late 03:00 event must be dropped by the watermark: $rows")
     } finally q.stop()
   }
+
+  test("composed ingest gate (IngestGateStream) == batch score+admit+assign chain") {
+    // the full admission pipeline in ONE AvailableNow pass: a landing
+    // batch of (doc_id, text, embedding) rows is BM25-tagged against
+    // the frozen model, near-dup-gated against the stored sketch index,
+    // and IVF-cell-assigned against the frozen centroids. One landing
+    // doc is an exact copy of a stored doc (must be REJECTED), two are
+    // novel (must come through scored and assigned).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_gate").toString
+    val stored = graft.operators.Ingest.ensureSketchedDocs(spark, TestSpark.Sf0001)
+    val (centroids, _) = graft.operators.Ingest.ensureIvfIndex(spark, TestSpark.Sf0001)
+    val (cents, cids, dim) = graft.operators.Similarity.centroidArtifact(centroids)
+    val terms = Seq("table", "scan", "join")
+    val (dfMap, nDocs, dlTotal) =
+      graft.streaming.Bm25Stream.frozenModel(spark, TestSpark.Sf0001, terms)
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.Sf0001)
+      .orderBy("vec_id").limit(3).select("embedding")
+      .collect().map(_.getAs[scala.collection.Seq[Float]](0))
+    val src = docs.orderBy("doc_id").limit(1)
+      .select("doc_id", "text").localCheckpoint()
+    val srcText = src.head().getString(1)
+    import testImplicits._
+    val landing = Seq(
+      (920001L, srcText, emb(0)), // exact stored copy → rejected
+      (920002L, "zebra quantum marmalade turbine elk granite sonata pylon " +
+        "weasel ficus drizzle cobalt yurt paprika glacier mandolin", emb(1)),
+      (920003L, "table scan join table scan join table scan join pivot " +
+        "quantum granite sonata turbine elk marmalade zebra pylon", emb(2))
+    ).toDF("doc_id", "text", "embedding")
+    landing.write.parquet(s"$dir/landing")
+    val q = graft.streaming.IngestGateStream.gateStream(spark,
+      s"$dir/landing", landing.schema, s"$dir/out", s"$dir/ckpt",
+      dfMap, nDocs, dlTotal, stored, 0.5, cents, cids, dim)
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // streamed ≡ batch: the same gateBatch body over the same files
+    val batch = graft.streaming.IngestGateStream.gateBatch(
+        spark.read.parquet(s"$dir/landing"), dfMap, nDocs, dlTotal,
+        stored, 0.5, cents, cids, dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    // admission semantics: the stored copy is gone, both novels served
+    assert(!got.exists(_._1 == 920001L), "exact stored copy must be rejected")
+    assert(got.map(_._1) == Set(920002L, 920003L))
+    // relevance routing: the term-rich doc outscores the term-free one
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(920002L)._2 == 0.0 && byId(920003L)._2 > 0.0)
+    // every admitted doc landed in a REAL cell of the frozen geometry
+    assert(got.forall(t => cids.contains(t._3)))
+  }
 }
