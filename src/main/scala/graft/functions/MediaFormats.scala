@@ -491,7 +491,8 @@ object MediaFormats {
       if (off + 2 > bytes.length || (bytes(off) & 0xFF) != 0xFF) return fail()
       val m = bytes(off + 1) & 0xFF
       off += 2
-      if (m == 0xD8) () // spurious SOI: tolerate
+      if (m == 0xFF) off -= 1 // optional 0xFF fill byte before a marker
+      else if (m == 0xD8) () // spurious SOI: tolerate
       else if (m == 0xD9) return fail() // EOI before any scan
       else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) () // standalone markers
       else {
@@ -618,7 +619,7 @@ object MediaFormats {
     val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
     // store only component 0 (luma) — the gray-feature plane
     val planeW = mcusX * compH(0) * 8; val planeH = mcusY * compV(0) * 8
-    if (planeW.toLong * planeH > (1L << 31)) return fail()
+    if (planeW.toLong * planeH > Int.MaxValue - 8L) return fail()
     val plane = new Array[Byte](planeW * planeH)
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
@@ -690,6 +691,8 @@ object MediaFormats {
                 }
               }
             }
+            // non-luma components only need the ENTROPY decode (to keep
+            // the bitstream position honest) — their IDCT is skipped
             if (!bad && ci == 0) {
               idctToBlock(qtab)
               val bx0 = (mx * compH(0) + h) * 8; val by0 = (my * compV(0) + v) * 8
@@ -702,7 +705,7 @@ object MediaFormats {
                 }
                 y += 1
               }
-            } else if (!bad) idctToBlock(qtab) // non-luma: decoded, discarded
+            }
             h += 1
           }
           v += 1

@@ -157,6 +157,59 @@ class MultimodalSpec extends SparkSpecBase {
       s"our sum ${info.valueSum} vs ImageIO $refSum beyond the ±1/pixel IDCT freedom")
   }
 
+  test("JPEG: 3-component color files decode through the interleaved MCU walk") {
+    // ImageIO encodes RGB input as YCbCr (subsampled chroma) — this is
+    // the ONLY test exercising multi-component MCUs, per-component
+    // sampling factors, and the luma-plane extraction. Our gray feature
+    // is the Y channel; ImageIO hands back post-upsampling RGB, so the
+    // cross-check recomputes BT.601 luma from ImageIO's pixels and
+    // allows the color-convert + IDCT rounding (±2/pixel).
+    val (w, h) = (19, 14)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 11 + 40) % 256; val g = (y * 17 + 60) % 256
+      val b = (x * 3 + y * 5) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    val info = MediaFormats.decodeJpeg(bytes)
+    assert(info.ok && info.width == w && info.height == h && info.nUnits == w * h)
+    val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    var refLuma = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      refLuma += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+        0.114 * (p & 0xFF)
+    }
+    assert(math.abs(info.valueSum - refLuma) <= 2.0 * w * h,
+      s"Y-plane sum ${info.valueSum} vs ImageIO-derived luma $refLuma")
+  }
+
+  test("JPEG: block-constant encode→decode is exact for random geometries (property)") {
+    // the oracle's exactness claim, swept: any multiple-of-8 geometry
+    // and any block-value pattern must decode bit-exactly BY BOTH our
+    // decoder and ImageIO (DC-only blocks leave an IDCT no freedom)
+    val rnd = new scala.util.Random(0xA11CE)
+    for (trial <- 0 until 12) {
+      val w = 8 * (1 + rnd.nextInt(6)); val h = 8 * (1 + rnd.nextInt(6))
+      val base = rnd.nextInt(256)
+      def bv(bx: Int, by: Int): Int = (base + 37 * bx + 101 * by) % 256
+      val bytes = MediaFormats.encodeJpegGray(w, h, bv)
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield bv(x / 8, y / 8).toLong).sum
+      val info = MediaFormats.decodeJpeg(bytes)
+      assert(info.ok && info.width == w && info.height == h &&
+        info.valueSum == expect, s"trial $trial ${w}x$h base=$base: $info")
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      val ioSum = (for (y <- 0 until h; x <- 0 until w)
+        yield img.getRaster.getSample(x, y, 0).toLong).sum
+      assert(ioSum == expect, s"trial $trial: ImageIO sum $ioSum != $expect")
+    }
+  }
+
   test("JPEG: progressive files report dims with ok=false; damage fails loudly") {
     val (w, h) = (16, 16)
     val img = new java.awt.image.BufferedImage(w, h,
