@@ -356,6 +356,67 @@ object Dedup {
     * text (the 8-gram decontamination threshold reasoning, with margin). */
   val SubstrDedupK = 15
 
+  /** Block length (tokens) for paragraph-granularity dedup rewrite. The
+    * corpus is single-paragraph word soup, so "paragraph" is a fixed
+    * 10-token block — the operator is granularity-agnostic (swap the
+    * blockizer for a split on '\n\n' on a corpus that has real
+    * paragraph structure). */
+  val ParaBlockLen = 10
+
+  /** Paragraph-granularity dedup WITH document reconstruction (the C4
+    * pipeline's span removal, Raffel et al. 2020 §2.2: "discard all but
+    * one of any three-sentence span occurring more than once"): split
+    * each doc into consecutive [[ParaBlockLen]]-token blocks (tail block
+    * may be short), keep only the globally FIRST occurrence of each
+    * distinct block text (ordered by (doc_id, pos) — deterministic, not
+    * dropDuplicates' arbitrary row), and rebuild each doc's text from
+    * its surviving blocks in position order. Unlike
+    * [[substringDupCoverage]] (which *measures* duplicated spans) this
+    * *rewrites* the corpus — the actual training-data operation.
+    * Returns (doc_id, n_blocks, n_kept, dedup_text) for every doc; an
+    * exact copy of an earlier doc loses every block (n_kept = 0,
+    * dedup_text = '').
+    *
+    * Shape at 100 TB — two shuffles, both skew-safe:
+    *  1. blockization is a NARROW transform+explode inside the scan
+    *     stage (no shuffle);
+    *  2. keep-first is groupBy(blk).agg(min(struct(doc_id, pos))) — the
+    *     winner's identity comes out of the aggregate itself, so there
+    *     is NO join-back and NO window over the block key (a window
+    *     partitioned by blk ships every copy of a boilerplate block to
+    *     one reducer — the r5/r6 straggler rule); map-side combine
+    *     collapses a 10⁷-copy block to one row per map partition;
+    *  3. reconstruction is groupBy(doc_id) with per-doc state bounded
+    *     by the doc's own length.
+    */
+  def paragraphDedup(docs: DataFrame, blockLen: Int = ParaBlockLen): DataFrame = {
+    val toks = graft.operators.Curation.gramToks(col("text"))
+    val base = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        ((size(col("t")) + (blockLen - 1)) divide blockLen)
+          .cast(IntegerType).as("nb"))
+    val blocks = base.select(col("doc_id"),
+      explode(transform(sequence(lit(0), col("nb") - 1),
+        i => struct(i.as("pos"),
+          array_join(slice(col("t"), i * blockLen + 1, lit(blockLen)), " ")
+            .as("blk")))).as("pb"))
+      .select(col("doc_id"), col("pb.pos").as("pos"), col("pb.blk").as("blk"))
+    val kept = blocks.groupBy("blk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("blk"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("blk")))),
+          pb => pb.getField("blk")), " ").as("dedup_text"))
+    base.select(col("doc_id"), col("nb").cast(LongType).as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Span-level exact-substring duplicate coverage: for every doc,
     * `n_dup_tokens` = the number of token positions covered by at least
     * one k-token window whose text also occurs verbatim in a DIFFERENT
@@ -458,6 +519,13 @@ object Dedup {
     // (min≠max doc id below) — that axis is q_repetition's.
     "q_dedup_substring" -> ((s, dir) =>
       substringDupCoverage(documents(s, dir), SubstrDedupK)
+        .orderBy("doc_id")),
+
+    // paragraph-granularity dedup REWRITE (C4 §2.2): globally keep the
+    // first occurrence of every 10-token block and rebuild each doc —
+    // the output is the deduplicated corpus itself, not a measurement.
+    "q_dedup_paragraph" -> ((s, dir) =>
+      paragraphDedup(documents(s, dir))
         .orderBy("doc_id")),
 
     // MinHash LSH near-dup: ALL pairs with exact word-3-gram Jaccard
@@ -789,6 +857,35 @@ object Dedup {
          |    FROM fl) GROUP BY doc_id)
          |SELECT b.doc_id, CAST(b.n_toks AS BIGINT) AS n_toks,
          |       CAST(COALESCE(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
-         |FROM base b LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM base b LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // brute-force twin of paragraphDedup: same tokenization, same
+    // blockization (1-based inclusive list slices = Spark's slice), the
+    // keep-first rule as a min() over (doc_id, pos) per block text, and
+    // the reconstruction as an ordered string_agg
+    "q_dedup_paragraph" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, t,
+         |         CAST((len(t) + ${ParaBlockLen - 1}) // $ParaBlockLen AS INT) AS nb
+         |  FROM toks),
+         |blocks AS (
+         |  SELECT doc_id,
+         |         unnest(range(nb)) AS pos,
+         |         unnest(list_transform(range(nb),
+         |                i -> array_to_string(t[i*$ParaBlockLen+1:i*$ParaBlockLen+$ParaBlockLen], ' '))) AS blk
+         |  FROM base),
+         |kept AS (
+         |  SELECT min(struct_pack(doc_id := doc_id, pos := pos)) AS f, blk
+         |  FROM blocks GROUP BY blk),
+         |rebuilt AS (
+         |  SELECT f.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(blk, ' ' ORDER BY f.pos) AS dedup_text
+         |  FROM kept GROUP BY f.doc_id)
+         |SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
+         |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(r.dedup_text, '') AS dedup_text
+         |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY b.doc_id""".stripMargin
   )
 }

@@ -79,4 +79,48 @@ class DedupSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("paragraphDedup: first occurrence wins, tail blocks, reconstruction") {
+    // blockLen=3 for readability. doc 10: two blocks, the second short
+    // (tail). doc 11: exact copy of doc 10 → loses everything. doc 12:
+    // repeats doc 10's FIRST block then adds a novel block → keeps only
+    // the novel one. doc 13: repeats its own first block within-doc →
+    // the in-doc second copy is dropped too (C4 removes global repeats,
+    // within-doc included).
+    val docs = Seq(
+      (10L, "a b c d e"),
+      (11L, "a b c d e"),
+      (12L, "a b c x y z"),
+      (13L, "p q r p q r")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, blockLen = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (10L, 2L, 2L, "a b c d e"),
+      (11L, 2L, 0L, ""),
+      (12L, 2L, 1L, "x y z"),
+      (13L, 2L, 1L, "p q r")), got.toString)
+  }
+
+  test("paragraphDedup: rebuilt blocks stay in position order across many blocks") {
+    // one long doc, all blocks distinct — reconstruction must be the
+    // identity, which fails if the collect_list sort or the slice
+    // arithmetic is off by one anywhere over 40 blocks
+    val text = (0 until 120).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, blockLen = 3)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(got == ((1L, 40L, 40L, text)), got.toString)
+  }
+
+  test("paragraphDedup plan: keep-first is an aggregate, not a window over blk") {
+    // the r5/r6 straggler rule: a mass-duplicate block must partial-
+    // aggregate map-side, so the keep decision may not be a Window
+    // partitioned by the block text
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val p = Dedup.paragraphDedup(docs, blockLen = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
 }
