@@ -306,6 +306,59 @@ object Curation {
           .otherwise(lit(biasMicro >= 0L)))
   }
 
+  /** Deterministic HTML wrapper for the extraction gate: the corpus has
+    * no markup, so each doc is wrapped in a fixed page skeleton — head
+    * (title + style), a link-only nav line, a script line, the body
+    * text as a `<p>` (with `<b>` tags around 'the' and an `&amp;`
+    * entity replacing bare 'a' tokens, so tag-stripping and
+    * entity-decoding are actually exercised), and a link-heavy footer.
+    * Head and script sections are single lines by construction, keeping
+    * the section-strip regexes line-local on both engines. */
+  private def htmlWrap(docId: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>doc "), docId,
+      lit("</title><style>p{margin:0}</style></head><body>\n" +
+        "<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/about\">about</a> <a href=\"/contact\">contact</a></div>\n" +
+        "<script>var page = "), docId, lit(";</script>\n<p>"),
+      replace(replace(text, lit(" the "), lit(" <b>the</b> ")),
+        lit(" a "), lit(" &amp; ")),
+      lit("</p>\n<div class=\"footer\"><a href=\"/terms\">terms</a> | <a href=\"/privacy\">privacy</a></div>\n</body></html>"))
+
+  /** Crawl-corpus text extraction — the stage every web-scale pipeline
+    * runs before any quality/dedup work (trafilatura/resiliparse class,
+    * rule-based): strip head and script sections, drop boilerplate lines
+    * by LINK DENSITY (a line whose anchor text is ≥ half its visible
+    * text is navigation/footer chrome — the jusText/trafilatura core
+    * heuristic), strip the remaining tags, decode HTML entities, and
+    * normalize whitespace. Returns (extracted, n_boilerplate_lines).
+    *
+    * 100 TB shape: every step is a NARROW per-row projection of
+    * codegen'd string functions (regexp_replace / filter-lambda /
+    * array_join) — zero shuffles, no UDFs; the operator composes into
+    * any scan stage. */
+  def extractHtmlText(html: Column): Column = {
+    val sections = regexp_replace(
+      regexp_replace(html, "<head>[^\\n]*</head>", ""),
+      "<script>[^\\n]*</script>", "")
+    val lines = split(sections, "\n")
+    def plainOf(line: Column): Column =
+      regexp_replace(line, "<[^>]*>", "")
+    val kept = filter(lines, line => {
+      val plain = plainOf(line)
+      val anchorChars = length(plain) -
+        length(plainOf(regexp_replace(line, "<a [^>]*>[^<]*</a>", "")))
+      (length(trim(plain)) > 0) && (anchorChars * 2 < length(plain))
+    })
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(regexp_replace(array_join(kept, " "), "<[^>]*>", "")) {
+        case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+      }
+    struct(
+      trim(regexp_replace(decoded, " +", " ")).as("extracted"),
+      (size(lines) - size(kept)).cast(LongType).as("n_boilerplate_lines"))
+  }
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -332,6 +385,20 @@ object Curation {
           md5(redactPii(concat(col("text"),
             lit(" Contact: user"), col("doc_id"), lit("@example.com or +1-555-"),
             lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))).as("redacted_fp"))
+        .orderBy("doc_id")),
+
+    // crawl text extraction: wrap every doc in the deterministic page
+    // skeleton, then run the full extraction chain — section strip,
+    // link-density boilerplate drop, tag strip, entity decode,
+    // whitespace normalize. The gate hashes the extracted text itself,
+    // so both engines' regex + replace + lambda-filter semantics must
+    // agree byte-for-byte on every doc.
+    "q_html_extract" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          extractHtmlText(htmlWrap(col("doc_id"), col("text"))).as("x"))
+        .select(col("doc_id"), col("x.extracted").as("extracted"),
+          col("x.n_boilerplate_lines").as("n_boilerplate_lines"))
         .orderBy("doc_id")),
 
     // duplicate-cluster resolution: connected components over the exact
@@ -675,6 +742,43 @@ object Curation {
         |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // brute-force twin of htmlWrap + extractHtmlText: same page
+    // skeleton built with ||, same regex chain (RE2 'g' ≡ Java global),
+    // same lambda link-density filter, same entity replace order
+    // (&amp; decoded LAST so injected entities never double-decode)
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || doc_id || '</title><style>p{margin:0}</style></head><body>' || chr(10) ||
+        |    '<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>' || chr(10) ||
+        |    '<script>var page = ' || doc_id || ';</script>' || chr(10) ||
+        |    '<p>' || replace(replace(text, ' the ', ' <b>the</b> '), ' a ', ' &amp; ') || '</p>' || chr(10) ||
+        |    '<div class="footer"><a href="/terms">terms</a> | <a href="/privacy">privacy</a></div>' || chr(10) ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(regexp_replace(html,
+        |           '<head>[^\n]*</head>', '', 'g'),
+        |           '<script>[^\n]*</script>', '', 'g'), chr(10)) AS lines
+        |  FROM h),
+        |k AS (
+        |  SELECT doc_id, len(lines) AS n_lines,
+        |         list_filter(lines, line ->
+        |           len(trim(regexp_replace(line, '<[^>]*>', '', 'g'))) > 0 AND
+        |           2 * (len(regexp_replace(line, '<[^>]*>', '', 'g')) -
+        |                len(regexp_replace(regexp_replace(line, '<a [^>]*>[^<]*</a>', '', 'g'),
+        |                    '<[^>]*>', '', 'g')))
+        |             < len(regexp_replace(line, '<[^>]*>', '', 'g'))) AS kept
+        |  FROM s)
+        |SELECT doc_id,
+        |       trim(regexp_replace(
+        |         replace(replace(replace(replace(replace(
+        |           regexp_replace(array_to_string(kept, ' '), '<[^>]*>', '', 'g'),
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |         ' +', ' ', 'g')) AS extracted,
+        |       CAST(n_lines - len(kept) AS BIGINT) AS n_boilerplate_lines
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_dup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.allPairsJaccardCtes},
          |edges AS (

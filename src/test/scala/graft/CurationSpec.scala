@@ -267,4 +267,61 @@ class CurationSpec extends SparkSpecBase {
     assert(out(2L).getLong(2) == 1 && out(2L).getLong(3) == w0)
     assert(out(2L).getBoolean(5) == (w0 + 50000L >= 0))
   }
+
+  private def extractOne(html: String): (String, Long) = {
+    val r = Seq(html).toDF("h")
+      .select(Curation.extractHtmlText(col("h")).as("x"))
+      .select("x.extracted", "x.n_boilerplate_lines")
+      .as[(String, Long)].collect().head
+    r
+  }
+
+  test("extractHtmlText: link-density boundary — half-anchor line drops, less keeps") {
+    // visible text 10 chars, anchor text 5 → 2*5 >= 10 → dropped
+    val (t1, b1) = extractOne("<a href=\"/x\">abcde</a>fghij")
+    assert(t1 == "" && b1 == 1, s"$t1/$b1")
+    // visible text 11 chars, anchor text 5 → kept, tags stripped
+    val (t2, b2) = extractOne("<a href=\"/x\">abcde</a>fghijk")
+    assert(t2 == "abcdefghijk" && b2 == 0, s"$t2/$b2")
+  }
+
+  test("extractHtmlText: entities decode once, &amp; last — no double decode") {
+    // '&amp;lt;' must yield the literal text '&lt;', NOT '<'
+    val (t, _) = extractOne("<p>x &amp;lt; y &quot;z&quot; &#39;w&#39;</p>")
+    assert(t == "x &lt; y \"z\" 'w'", t)
+  }
+
+  test("extractHtmlText: head/script sections and empty-tag lines vanish") {
+    val html = "<html><head><title>t</title><style>p{}</style></head><body>\n" +
+      "<script>var x = \"visible?\";</script>\n<p>real body text</p>\n</body></html>"
+    val (t, b) = extractOne(html)
+    assert(t == "real body text", t)
+    assert(b == 3, s"boilerplate=$b") // head line, script line, </body> line
+  }
+
+  test("q_html_extract round-trips the body modulo the planted markup") {
+    // wrap → extract recovers the text with ' a ' tokens turned into
+    // '&' (the planted entity) and the <b> markup gone
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, dir).limit(50)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = Curation.queries("q_html_extract")(spark, dir)
+      .filter(col("doc_id").isin(docs.keys.toSeq: _*))
+      .select("doc_id", "extracted", "n_boilerplate_lines")
+      .as[(Long, String, Long)].collect()
+    assert(got.length == docs.size)
+    got.foreach { case (id, extracted, boiler) =>
+      val expected = docs(id).replace(" a ", " & ")
+      assert(extracted == expected, s"doc $id: $extracted != $expected")
+      assert(boiler == 5L, s"doc $id boilerplate $boiler")
+    }
+  }
+
+  test("extractHtmlText plan: narrow projection only, no exchange and no UDF") {
+    val p = Seq((1L, "t")).toDF("doc_id", "text")
+      .select(Curation.extractHtmlText(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython") &&
+      !p.toLowerCase.contains("scalaudf"), p)
+  }
 }
