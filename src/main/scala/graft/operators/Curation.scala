@@ -256,6 +256,41 @@ object Curation {
       .select(col("doc_id"), col(stratum))
   }
 
+  /** Deterministic uniform in (0,1) from an id: Knuth multiplicative
+    * scramble in EXACT BIGINT arithmetic (mod-before-multiply keeps
+    * every intermediate < 2⁶³, so ANSI mode can't overflow and any SQL
+    * engine replays it bit-for-bit — the QualityWeights rule). The +0.5
+    * keeps u strictly inside (0,1) so ln(u) is finite. Production
+    * pipelines that don't need cross-engine replay would plug xxhash64
+    * here; the operator takes any uniform column. */
+  private[operators] def unitHash(id: Column): Column =
+    (((id % 1048573L) * 2654435761L + 12345L) % 2147483648L + lit(0.5)) /
+      lit(2147483648.0)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spiliotis 2006):
+    * keep the k docs with the largest priority u^(1/w) — equivalently
+    * the largest ln(u)/w, the "exponential race" form — so a doc's
+    * inclusion probability is proportional to its weight and the whole
+    * draw is one deterministic ranking, not a sequential scan. The
+    * curation use: token-budget sampling (w = document length) or
+    * quality-proportional sampling (w = classifier score) over a corpus
+    * far larger than the target budget.
+    *
+    * Priorities are rounded to 12 dp BEFORE ranking (the repo's
+    * cross-engine rank rule: both engines' only libm call is ln, which
+    * agrees to ~1 ulp ≪ the rounding grid) and tie-broken by doc_id.
+    *
+    * 100 TB shape: the narrow priority projection feeds a global top-k
+    * — TakeOrderedAndProject, a per-partition k-heap plus a driver
+    * merge of k rows per partition; no shuffle of the corpus, no
+    * window. */
+  def weightedSample(docs: DataFrame, k: Int, weight: Column): DataFrame =
+    docs
+      .select(col("doc_id"), weight.as("w"),
+        round(log(unitHash(col("doc_id"))) / weight, 12).as("pri"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(k)
+
   /** Hash-bucket count of the quality classifier — part of the model's
     * identity (the NumTermBuckets rule). */
   val QualityDim: Int = 1024
@@ -418,6 +453,14 @@ object Curation {
     // ids themselves, so the gate pins exact membership.
     "q_stratified_sample" -> ((s, dir) =>
       stratifiedSample(documents(s, dir), "lang")
+        .orderBy("doc_id")),
+
+    // length-weighted sample (token-budget draw): 40 docs with inclusion
+    // probability ∝ n_chars. The gate pins exact membership — a single
+    // priority computed differently on either engine flips a row.
+    "q_weighted_sample" -> ((s, dir) =>
+      weightedSample(documents(s, dir), 40, col("n_chars"))
+        .select("doc_id", "w")
         .orderBy("doc_id")),
 
     // quartile length filter: keep each source's longest quartile — the
@@ -742,6 +785,18 @@ object Curation {
         |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same exponential-race priority: exact-BIGINT scramble, the +0.5
+    // added while still DECIMAL (exact for an integer operand) and only
+    // THEN cast to DOUBLE, so both engines divide identical doubles;
+    // round-12 before the rank per the cross-engine rank rule
+    "q_weighted_sample" ->
+      """SELECT doc_id, w FROM (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         round(ln(CAST(((doc_id % 1048573) * 2654435761 + 12345) % 2147483648 + 0.5 AS DOUBLE)
+        |                  / CAST(2147483648 AS DOUBLE)) / n_chars, 12) AS pri
+        |  FROM documents
+        |  ORDER BY pri DESC, doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin,
     // brute-force twin of htmlWrap + extractHtmlText: same page
     // skeleton built with ||, same regex chain (RE2 'g' ≡ Java global),
     // same lambda link-density filter, same entity replace order

@@ -268,6 +268,41 @@ class CurationSpec extends SparkSpecBase {
     assert(out(2L).getBoolean(5) == (w0 + 50000L >= 0))
   }
 
+  test("weightedSample: ranking matches the hand-computed exponential race") {
+    val ids = (0L until 200L).toSeq
+    val docs = ids.map(i => (i, i % 7 + 1)).toDF("doc_id", "n_chars")
+    def pri(id: Long): Double = {
+      val h = ((id % 1048573L) * 2654435761L + 12345L) % 2147483648L
+      val u = (h + 0.5) / 2147483648.0
+      BigDecimal(math.log(u) / (id % 7 + 1))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = ids.sortBy(i => (-pri(i), i)).take(25).toSet
+    val got = Curation.weightedSample(docs, 25, col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected, s"missed=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("weightedSample: heavier docs are drawn far more often") {
+    // 1000 light (w=10) + 1000 heavy (w=90) docs; at k=400 the heavy
+    // class should dominate roughly by its weight share (9:1); the
+    // deterministic hash makes this a fixed number, the assert just
+    // bounds it loosely
+    val docs = (0L until 2000L).map(i => (i, if (i < 1000) 10L else 90L))
+      .toDF("doc_id", "n_chars")
+    val heavy = Curation.weightedSample(docs, 400, col("n_chars"))
+      .filter(col("doc_id") >= 1000).count()
+    assert(heavy > 300 && heavy < 400, s"heavy=$heavy of 400")
+  }
+
+  test("weightedSample plan: global top-k, no shuffle and no window") {
+    val docs = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "n_chars")
+    val p = Curation.weightedSample(docs, 1, col("n_chars"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   private def extractOne(html: String): (String, Long) = {
     val r = Seq(html).toDF("h")
       .select(Curation.extractHtmlText(col("h")).as("x"))
