@@ -18,7 +18,8 @@ object Extensions {
       graft.operators.ScalePatterns.queries ++
       graft.operators.AsOf.queries ++
       graft.operators.Ingest.queries ++
-      graft.operators.Curation.queries
+      graft.operators.Curation.queries ++
+      graft.operators.Bpe.queries
 
   def oracles: Map[String, String] =
     graft.operators.TextAnalysis.oracles ++
@@ -29,5 +30,6 @@ object Extensions {
       graft.operators.ScalePatterns.oracles ++
       graft.operators.AsOf.oracles ++
       graft.operators.Ingest.oracles ++
-      graft.operators.Curation.oracles
+      graft.operators.Curation.oracles ++
+      graft.operators.Bpe.oracles
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** The BPE tokenizer: fold-pass merge semantics, hand-computed training
+  * on the Sennrich toy corpus, the pinned corpus merge table, and the
+  * narrow encode plan. */
+class BpeSpec extends SparkSpecBase {
+  import testImplicits._
+
+  private def units(word: String, merges: Seq[(String, String)]): Seq[String] =
+    Seq(word).toDF("w")
+      .select(Bpe.encodeUnits(col("w"), merges).as("u"))
+      .as[Seq[String]].collect().head
+
+  test("mergeFold: left-to-right pass, new unit re-merges with the NEXT token") {
+    assert(units("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    assert(units("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    assert(units("aab", Seq(("a", "b"))) == Seq("a", "ab"))
+    assert(units("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
+    assert(units("b", Seq(("a", "b"))) == Seq("b"))
+    assert(units("", Seq(("a", "b"))) == Seq())
+  }
+
+  test("encodeUnits applies merges in rank order") {
+    // (e,r) then (o,r): 'error' → er r o r → er r or
+    assert(units("error", Seq(("e", "r"), ("o", "r"))) == Seq("er", "r", "or"))
+    // rank order matters: (o,r) first consumes the 'o r', starving a
+    // later (e,r)? no — 'e r' is untouched: → e r r or → er r or. Same
+    // here, but 'or' vs 'er' on 'eor': (e,o) then (eo,r) ≠ (o,r) first
+    assert(units("eor", Seq(("e", "o"), ("eo", "r"))) == Seq("eor"))
+    assert(units("eor", Seq(("o", "r"), ("e", "o"))) == Seq("e", "or"))
+  }
+
+  test("train reproduces the hand-computed Sennrich toy sequence") {
+    // vocab: low×3, lower×2, newest×1. Pair counts round 1: (l,o)=5,
+    // (o,w)=5, (w,e)=3, (e,r)=2, rest 1 → tie (l,o)/(o,w) broken
+    // lexicographically → (l,o). Round 2: (lo,w)=5. Round 3: (low,e)=2
+    // ties (e,r)=2 → 'e' < 'low' → (e,r).
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 3)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r")), merges.toString)
+  }
+
+  test("train stops early when no word has two units left") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // 3 possible merges exhaust every word: (a,b) [count 2], (c,d);
+    // asking for 10 must return only what exists
+    val merges = Bpe.train(docs, 10)
+    assert(merges == Seq(("a", "b"), ("c", "d")), merges.toString)
+  }
+
+  test("PinnedMerges is exactly train(sf0.001 corpus, 24)") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(Bpe.train(docs, 24) == Bpe.PinnedMerges)
+  }
+
+  test("encoding compresses the corpus and never crosses word boundaries") {
+    val dir = "/root/testdata/sf0.001"
+    val row = Bpe.queries("q_bpe_encode")(spark, dir)
+      .agg(sum("n_units").as("u"), sum("n_words").as("w"))
+      .as[(Long, Long)].collect().head
+    val chars = graft.queries.Tables.documents(spark, dir)
+      .agg(sum(length(regexp_replace(col("text"), " ", ""))))
+      .as[Long].collect().head
+    // units strictly fewer than letters (merges fired), at least one
+    // unit per word (boundaries hold)
+    assert(row._1 < chars, s"units=${row._1} chars=$chars")
+    assert(row._1 >= row._2, s"units=${row._1} words=${row._2}")
+  }
+
+  test("encode plan: narrow projection only — no exchange, no UDF") {
+    val p = Seq((1L, "sort order window")).toDF("doc_id", "text")
+      .select(flatten(transform(
+        split(col("text"), " "),
+        w => Bpe.encodeUnits(w, Bpe.PinnedMerges))))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.toLowerCase.contains("scalaudf"), p)
+  }
+}
