@@ -162,6 +162,52 @@ object ScalePatterns {
   def mergeUpsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
     target.join(updates, Seq(key), "left_anti").unionByName(updates)
 
+  /** Contiguous global row ids 0..n-1 in `order`-column order WITHOUT
+    * the single-partition window (`row_number() OVER (ORDER BY …)` with
+    * no PARTITION BY funnels 100 TB through one task — the canonical
+    * Spark scale trap, and the exact shape WindowExec warns about).
+    * Three-step two-phase form:
+    *  1. range-repartition + in-partition sort on the order columns —
+    *     partitions are globally ordered, rows locally ordered;
+    *     localCheckpoint because two consumers follow (the count pass
+    *     and the id pass must see the SAME partitioning);
+    *  2. one row PER PARTITION (≤ a few thousand at any scale) comes to
+    *     the driver to compute each partition's id offset — the bounded
+    *     broadcast-artifact rule;
+    *  3. a mapPartitions counter adds offset+local position — the
+    *     genuine per-partition imperative case the DataFrame API has no
+    *     expression for (`monotonically_increasing_id` is monotonic but
+    *     NOT contiguous; `zipWithIndex` is the RDD-world spelling).
+    * Output ids do not depend on where the range sampler lands the
+    * bounds — any range split of a total order yields the same ids. */
+  def contiguousIds(df: DataFrame, order: Seq[Column],
+      idCol: String = "row_id"): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val counts = sorted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pid")
+      .collect() // bounded: one row per partition
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] =
+      counts.scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, n)) =>
+        (pid, acc + n, acc)
+      }.drop(1).map { case (pid, _, off) => pid -> off }.toMap
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var next = bc.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ next)
+        next += 1
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // salted fact⋈dim aggregation — the oracle is the PLAIN join, so a
     // hash match proves the salting is semantics-preserving.
@@ -185,6 +231,16 @@ object ScalePatterns {
         .groupBy("a_type", "b_type")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("a_type", "b_type")),
+
+    // contiguous global ids in curriculum order (longest docs first) —
+    // the oracle's single row_number() window IS the single-partition
+    // anti-pattern; the operator must reproduce it exactly via the
+    // two-phase range form.
+    "q_global_ids" -> ((s, dir) =>
+      contiguousIds(
+        documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .orderBy("doc_id")),
 
     // merge/upsert: deterministic update batch (keys %97 get a price
     // bump, keys %193 arrive as new orders) merged into orders; the
@@ -219,6 +275,10 @@ object ScalePatterns {
         |    ON epoch_us(b.ts) > epoch_us(a.ts)
         |   AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000)
         |GROUP BY 1, 2 ORDER BY a_type, b_type""".stripMargin,
+    "q_global_ids" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" ->
       """WITH ord AS (
         |  SELECT o_orderkey, o_orderstatus,

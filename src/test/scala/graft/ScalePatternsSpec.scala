@@ -115,4 +115,34 @@ class ScalePatternsSpec extends SparkSpecBase {
       .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + 600000000L))
     assert(guarded == brute && guarded.nonEmpty)
   }
+
+  test("contiguousIds == global row_number, on more rows than fit one range bin") {
+    import testImplicits._
+    // keys deliberately shuffled; dup sort keys need the tiebreaker
+    val docs = scala.util.Random.shuffle((0L until 3000L).toList)
+      .map(i => (i, i % 17))
+      .toDF("doc_id", "k")
+    val got = ScalePatterns.contiguousIds(docs,
+        Seq(col("k").desc, col("doc_id").asc))
+      .select("doc_id", "row_id").as[(Long, Long)].collect().toMap
+    val expected = (0L until 3000L).toSeq
+      .sortBy(i => (-(i % 17), i)).zipWithIndex
+      .map { case (id, rid) => id -> rid.toLong }.toMap
+    assert(got == expected)
+  }
+
+  test("contiguousIds survives more partitions than rows (empty partitions)") {
+    import testImplicits._
+    val docs = Seq((5L, 1L), (3L, 2L), (9L, 0L)).toDF("doc_id", "k")
+    val got = ScalePatterns.contiguousIds(docs, Seq(col("k").asc))
+      .select("doc_id", "row_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((9L, 0L), (5L, 1L), (3L, 2L)))
+  }
+
+  test("contiguousIds plan: no global window anywhere") {
+    import testImplicits._
+    val docs = (0L until 100L).map(i => (i, i % 3)).toDF("doc_id", "k")
+    val out = ScalePatterns.contiguousIds(docs, Seq(col("k").asc, col("doc_id").asc))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
