@@ -3,10 +3,11 @@ package graft.functions
 import java.io.ByteArrayOutputStream
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Pure-JVM binary codecs for three real media container formats — PNG
-  * (8-bit grayscale, all five scanline filters), BMP (24-bit
-  * BITMAPINFOHEADER, bottom-up padded rows) and WAV (RIFF PCM 16-bit
-  * mono). These are genuine format implementations, not stubs: the PNG
+/** Pure-JVM binary codecs for five real media container formats — PNG
+  * (8-bit grayscale, all five scanline filters), baseline JPEG (SOF0),
+  * BMP (24-bit BITMAPINFOHEADER, bottom-up padded rows), WAV (RIFF PCM
+  * 16-bit mono) and GIF (variable-width LZW, interlace, palettes).
+  * These are genuine format implementations, not stubs: the PNG
   * path does the actual chunk walk, per-chunk CRC32 verification, zlib
   * inflate and full None/Sub/Up/Average/Paeth unfiltering of the spec
   * (https://www.w3.org/TR/png-3/); MultimodalSpec cross-checks both
@@ -54,6 +55,8 @@ object MediaFormats {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
         bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') decodeWav(bytes, stride)
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8') decodeGif(bytes, stride)
     else MediaInfo("unknown", 0, 0, 0L, 0L, ok = false)
 
   // --- PNG -------------------------------------------------------------
@@ -798,5 +801,230 @@ object MediaFormats {
       off += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
     }
     MediaInfo("wav", sampleRate, 0, nSamples, sum, ok = sawFmt && sawData)
+  }
+
+  // --- GIF (87a/89a, LZW) ---------------------------------------------
+
+  /** Encode a GIF87a: 8-bit grayscale via a 256-entry (i,i,i) global
+    * palette, one non-interlaced frame, REAL variable-width LZW (9→12
+    * bits, dictionary growth, KwKwK-producing) — any GIF decoder reads
+    * these files, and the format is LOSSLESS so decoded values are
+    * byte-exact (unlike JPEG, no block-constant trick needed). */
+  def encodeGif(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "encodeGif: empty image")
+    val out = new ByteArrayOutputStream
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    le16(width); le16(height)
+    out.write(0xF7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background index
+    out.write(0)    // aspect ratio
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0)    // no local table, not interlaced
+    out.write(8)    // LZW minimum code size
+    // LZW compress the index stream (index == gray value)
+    val lzw = new ByteArrayOutputStream
+    var bitBuf = 0; var bitCnt = 0
+    def emit(code: Int, size: Int): Unit = {
+      bitBuf |= code << bitCnt; bitCnt += size
+      while (bitCnt >= 8) { lzw.write(bitBuf & 0xFF); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    val Clear = 256; val Eoi = 257
+    var codeSize = 9; var next = 258
+    val dict = scala.collection.mutable.LongMap.empty[Int] // (prefix << 8 | byte) → code
+    emit(Clear, codeSize)
+    var cur = pixel(0, 0) & 0xFF
+    var p = 1
+    val total = width * height
+    while (p < total) {
+      val k = pixel(p % width, p / width) & 0xFF
+      val key = (cur.toLong << 8) | k
+      val hit = dict.getOrElse(key, -1)
+      if (hit >= 0) cur = hit
+      else {
+        emit(cur, codeSize)
+        if (next < 4096) {
+          dict(key) = next; next += 1
+          // decoder lags one entry behind: it widens after reading the
+          // code we emit NEXT, hence the +1 (giflib's rule)
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        }
+        cur = k
+      }
+      p += 1
+    }
+    emit(cur, codeSize)
+    emit(Eoi, codeSize)
+    if (bitCnt > 0) lzw.write(bitBuf & 0xFF)
+    // chop into ≤255-byte sub-blocks
+    val data = lzw.toByteArray
+    var o = 0
+    while (o < data.length) {
+      val n = math.min(255, data.length - o)
+      out.write(n); out.write(data, o, n); o += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF interlace pass structure: (first row, row step) per pass. */
+  private val GifInterlace = Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+  def decodeGif(bytes: Array[Byte]): MediaInfo = decodeGif(bytes, 1)
+
+  /** Decode the FIRST frame of a GIF87a/89a: logical screen descriptor,
+    * global/local palettes, 0x21 extension-block skipping (GCE/comment/
+    * application), interlace row mapping, and a full LZW decode —
+    * variable code width, clear/EOI, the KwKwK case. Pixel value = the
+    * palette entry's integer BT.601 luma ((299r+587g+114b)/1000 — the
+    * identity for gray palettes); `stride` decimates in final image
+    * coordinates (interlace already unmapped). Later frames are
+    * ignored; a bitstream that dies before filling the frame fails
+    * loudly. */
+  def decodeGif(bytes: Array[Byte], stride: Int): MediaInfo = {
+    var width = 0; var height = 0
+    def fail(): MediaInfo = {
+      val rw = if (width > 0) (width + stride - 1) / stride else 0
+      val rh = if (height > 0) (height + stride - 1) / stride else 0
+      MediaInfo("gif", rw, rh, rw.toLong * rh, 0L, ok = false)
+    }
+    if (bytes.length < 13 || bytes(0) != 'G' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != '8' ||
+      (bytes(4) != '7' && bytes(4) != '9') || bytes(5) != 'a') return fail()
+    def le16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    var off = 6
+    off += 4 // logical screen w/h — frame dims come from the descriptor
+    val packed = bytes(off) & 0xFF; off += 3
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (off + 3 * n > bytes.length) return fail()
+      palette = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+      off += 3 * n
+    }
+    // skip extension blocks to the first image descriptor
+    while (off < bytes.length && (bytes(off) & 0xFF) == 0x21) {
+      off += 2 // introducer + label
+      while (off < bytes.length && bytes(off) != 0) off += 1 + (bytes(off) & 0xFF)
+      off += 1 // sub-block terminator
+    }
+    if (off >= bytes.length || (bytes(off) & 0xFF) != 0x2C) return fail()
+    if (off + 10 > bytes.length) return fail()
+    width = le16(off + 5); height = le16(off + 7)
+    val ipacked = bytes(off + 9) & 0xFF
+    off += 10
+    if ((ipacked & 0x80) != 0) { // local color table overrides
+      val n = 2 << (ipacked & 7)
+      if (off + 3 * n > bytes.length) return fail()
+      palette = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+      off += 3 * n
+    }
+    if (palette == null || width <= 0 || height <= 0) return fail()
+    val interlaced = (ipacked & 0x40) != 0
+    if (off >= bytes.length) return fail()
+    val minCode = bytes(off) & 0xFF; off += 1
+    if (minCode < 2 || minCode > 8) return fail()
+    // luma per palette index
+    val nPal = palette.length / 3
+    val luma = Array.tabulate(nPal) { j =>
+      (299 * (palette(3 * j) & 0xFF) + 587 * (palette(3 * j + 1) & 0xFF) +
+        114 * (palette(3 * j + 2) & 0xFF)) / 1000
+    }
+    // LZW decode over the concatenated sub-blocks
+    val Clear = 1 << minCode; val Eoi = Clear + 1
+    var codeSize = minCode + 1; var next = Eoi + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+    val stack = new Array[Int](4097); var sp = 0
+    var prev = -1; var firstOf = 0
+    var bitBuf = 0; var bitCnt = 0
+    var blockLeft = 0
+    val total = width.toLong * height
+    var emitted = 0L
+    var sum = 0L
+    // interlace mapping: decoded row r → display row
+    val rowMap = new Array[Int](height)
+    if (interlaced) {
+      var r = 0
+      for ((start, step) <- GifInterlace) {
+        var y = start
+        while (y < height) { rowMap(r) = y; r += 1; y += step }
+      }
+    } else { var r = 0; while (r < height) { rowMap(r) = r; r += 1 } }
+    def outPixel(idx: Int): Boolean = {
+      if (idx >= nPal || emitted >= total) return false
+      val x = (emitted % width).toInt
+      val y = rowMap((emitted / width).toInt)
+      if (x % stride == 0 && y % stride == 0) sum += luma(idx)
+      emitted += 1
+      true
+    }
+    var sawEoi = false
+    var bad = false
+    while (!sawEoi && !bad && emitted < total) {
+      // refill bits
+      while (bitCnt < codeSize && !bad) {
+        if (blockLeft == 0) {
+          if (off >= bytes.length) { bad = true }
+          else {
+            blockLeft = bytes(off) & 0xFF; off += 1
+            if (blockLeft == 0) bad = true // terminator before frame filled
+          }
+        }
+        if (!bad) {
+          if (off >= bytes.length) bad = true
+          else {
+            bitBuf |= (bytes(off) & 0xFF) << bitCnt
+            bitCnt += 8; off += 1; blockLeft -= 1
+          }
+        }
+      }
+      if (!bad) {
+        val code = bitBuf & ((1 << codeSize) - 1)
+        bitBuf >>>= codeSize; bitCnt -= codeSize
+        if (code == Clear) {
+          codeSize = minCode + 1; next = Eoi + 1; prev = -1
+        } else if (code == Eoi) {
+          sawEoi = true
+        } else if (prev == -1) {
+          if (code >= Clear) bad = true
+          else { firstOf = code; bad = !outPixel(code); prev = code }
+        } else if (code < next && code != Clear && code != Eoi) {
+          // expand code via the suffix chain
+          sp = 0
+          var c = code
+          while (c >= Eoi + 1) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          stack(sp) = c; sp += 1
+          firstOf = c
+          while (sp > 0 && !bad) { sp -= 1; bad = !outPixel(stack(sp)) }
+          if (!bad && next < 4096) {
+            prefix(next) = prev; suffix(next) = firstOf; next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        } else if (code == next && next < 4096) {
+          // KwKwK: str(prev) + first(str(prev))
+          sp = 0
+          stack(sp) = firstOf; sp += 1
+          var c = prev
+          while (c >= Eoi + 1) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          stack(sp) = c; sp += 1
+          firstOf = c
+          while (sp > 0 && !bad) { sp -= 1; bad = !outPixel(stack(sp)) }
+          if (!bad) {
+            prefix(next) = prev; suffix(next) = firstOf; next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        } else bad = true // code beyond the dictionary
+      }
+    }
+    if (bad || emitted < total) return fail()
+    val rw = (width + stride - 1) / stride
+    val rh = (height + stride - 1) / stride
+    MediaInfo("gif", rw, rh, rw.toLong * rh, sum, ok = true)
   }
 }

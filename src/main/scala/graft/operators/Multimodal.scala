@@ -16,6 +16,7 @@ import graft.queries.Tables.documents
   * The decode step is REAL: graft.functions.MediaFormats implements the
   * PNG (chunk walk + CRC32 + inflate + full unfilter), baseline JPEG
   * (marker walk, DQT/DHT, Huffman entropy decode, dequantize, IDCT),
+  * GIF (variable-width LZW, interlace, palette luma),
   * BMP and PCM-WAV container formats, and [[extractFeatures]] sniffs
   * the format from magic bytes and parses actual file structure. What
   * is synthetic — and clearly scoped — is the CORPUS: this container
@@ -85,6 +86,9 @@ object Multimodal {
     (8 * (1 + (d % 3).toInt), 8 * (1 + ((d / 3) % 3).toInt))
   private[operators] def blockVal(d: Long)(bx: Int, by: Int): Int =
     ((bx + 3L * by + d) % 256).toInt
+
+  private[operators] def gifDims(d: Long): (Int, Int) =
+    (8 + (d % 11).toInt, 8 + ((d / 11) % 11).toInt)
 
   private[operators] def renderPayload(d: Long): (String, Array[Byte]) =
     (d % 4) match {
@@ -207,6 +211,35 @@ object Multimodal {
           min(col("ok").cast(IntegerType)).cast(BooleanType).as("all_ok"))
         .orderBy("mime")),
 
+    // GIF (LZW) decode: every doc rendered as a real GIF87a and decoded
+    // at stride 1 AND 2 in one narrow pass — the format is lossless, so
+    // the oracle brute-forces exact pixel sums with no IDCT caveats; a
+    // wrong LZW code width, dictionary entry, sub-block boundary or
+    // palette mapping flips the hash.
+    "q_multimodal_gif" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val (w, h) = gifDims(d)
+          val bytes = MediaFormats.encodeGif(w, h, pixel(d))
+          val full = MediaFormats.decode(bytes)
+          val half = MediaFormats.decode(bytes, 2)
+          (d, full.width, full.height, full.nUnits, full.valueSum,
+            half.nUnits, half.valueSum, full.ok && half.ok)
+        })
+        .toDF("doc_id", "width", "height", "n_units", "value_sum",
+          "r_units", "r_values", "ok")
+        .agg(count(lit(1)).as("n_media"),
+          sum("width").cast(LongType).as("sum_width"),
+          sum("height").cast(LongType).as("sum_height"),
+          sum("n_units").as("sum_units"),
+          sum("value_sum").as("sum_values"),
+          sum("r_units").as("sum_r_units"),
+          sum("r_values").as("sum_r_values"),
+          min(col("ok").cast(IntegerType)).cast(BooleanType).as("all_ok"))
+    }),
+
     // resize / frame-sample (×2 nearest-neighbor decimation during the
     // real decode): the oracle recomputes every resized dimension and
     // even-coordinate pixel / even-index amplitude sum from the
@@ -282,6 +315,32 @@ object Multimodal {
          |       CAST(sum(value_sum) AS BIGINT) AS sum_values,
          |       TRUE AS all_ok
          |FROM m GROUP BY 1 ORDER BY mime""".stripMargin,
+    // lossless GIF: ground truth straight from the generator formulas,
+    // full frame + ×2 decimation in one statement.
+    "q_multimodal_gif" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 11 AS w,
+        |    8 + (doc_id // 11) % 11 AS h,
+        |    (8 + doc_id % 11 + 1) // 2 AS rw,
+        |    (8 + (doc_id // 11) % 11 + 1) // 2 AS rh
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, w, h, rw, rh,
+        |    list_sum(list_transform(range(0, w * h),
+        |      i -> (i % w + 3 * (i // w) + doc_id) % 256)) AS vs,
+        |    list_sum(list_transform(range(0, rw * rh),
+        |      i -> (2 * (i % rw) + 6 * (i // rw) + doc_id) % 256)) AS rv
+        |  FROM m)
+        |SELECT count(*) AS n_media,
+        |       CAST(sum(w) AS BIGINT) AS sum_width,
+        |       CAST(sum(h) AS BIGINT) AS sum_height,
+        |       CAST(sum(w * h) AS BIGINT) AS sum_units,
+        |       CAST(sum(vs) AS BIGINT) AS sum_values,
+        |       CAST(sum(rw * rh) AS BIGINT) AS sum_r_units,
+        |       CAST(sum(rv) AS BIGINT) AS sum_r_values,
+        |       TRUE AS all_ok
+        |FROM v""".stripMargin,
     // ×2 decimation: resized dims are ceil(orig/2) = (orig+1)//2; image
     // pixel (rx, ry) samples original (2rx, 2ry) → (2rx + 6ry + d) % 256;
     // audio keeps every even sample index.

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.MediaFormats
 import graft.operators.Multimodal
 
-/** Multimodal tests: the REAL format codecs (PNG/JPEG/BMP/WAV) are
+/** Multimodal tests: the REAL format codecs (PNG/JPEG/BMP/WAV/GIF) are
   * cross-checked against the JDK's independent ImageIO / AudioSystem
   * implementations in both directions, so a matched encoder/decoder bug
   * pair cannot hide behind a clean round-trip. Plus corruption handling,
@@ -233,6 +233,95 @@ class MultimodalSpec extends SparkSpecBase {
     val badMarker = good.clone()
     badMarker(2) = 0x00 // FF?? marker prefix destroyed
     assert(!MediaFormats.decodeJpeg(badMarker).ok)
+  }
+
+  test("GIF: our encoder is readable by ImageIO, pixel-exact (lossless LZW)") {
+    val (w, h) = (19, 13)
+    val bytes = MediaFormats.encodeGif(w, h, gradient(7))
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO must accept our GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == gradient(7)(x, y),
+        s"pixel ($x,$y)")
+  }
+
+  test("GIF: our decoder reads ImageIO-encoded files (independent producer, GIF89a+GCE)") {
+    val (w, h) = (11, 9)
+    // explicit gray IndexColorModel so the writer's palette is (v,v,v)
+    // and our BT.601 luma is the identity
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    var expected = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      img.getRaster.setSample(x, y, 0, gradient(42)(x, y))
+      expected += gradient(42)(x, y)
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val info = MediaFormats.decodeGif(bos.toByteArray)
+    assert(info.ok && info.width == w && info.height == h &&
+      info.valueSum == expected, info.toString)
+  }
+
+  test("GIF: interlaced files decode through the 4-pass row mapping") {
+    val (w, h) = (10, 17)
+    // build an interlaced file from our own encoder: store rows in
+    // interlace order, then set the descriptor's interlace bit (the
+    // descriptor sits right after header+GCT: 13 + 768 bytes)
+    val order = Array((0, 8), (4, 8), (2, 4), (1, 2))
+      .flatMap { case (s, st) => s until h by st }
+    val bytes = MediaFormats.encodeGif(w, h, (x, r) => gradient(3)(x, order(r)))
+    assert((bytes(13 + 768) & 0xFF) == 0x2C, "descriptor offset")
+    bytes(13 + 768 + 9) = (bytes(13 + 768 + 9) | 0x40).toByte
+    val direct = (for (y <- 0 until h; x <- 0 until w)
+      yield gradient(3)(x, y).toLong).sum
+    val info = MediaFormats.decodeGif(bytes)
+    assert(info.ok && info.valueSum == direct, info.toString)
+    // stride decimation must use FINAL image coordinates, post-mapping
+    val strided = (for (y <- 0 until h by 2; x <- 0 until w by 2)
+      yield gradient(3)(x, y).toLong).sum
+    val half = MediaFormats.decodeGif(bytes, 2)
+    assert(half.ok && half.valueSum == strided && half.width == 5 &&
+      half.height == 9, half.toString)
+    // and ImageIO agrees the interlaced bytes mean the same image
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    var ioSum = 0L
+    for (y <- 0 until h; x <- 0 until w) ioSum += img.getRaster.getSample(x, y, 0)
+    assert(ioSum == direct, s"ImageIO $ioSum != $direct")
+  }
+
+  test("GIF: uniform image exercises the KwKwK code path exactly") {
+    val (w, h) = (16, 16)
+    val bytes = MediaFormats.encodeGif(w, h, (_, _) => 200)
+    val info = MediaFormats.decodeGif(bytes)
+    assert(info.ok && info.valueSum == 200L * w * h, info.toString)
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    var ioSum = 0L
+    for (y <- 0 until h; x <- 0 until w) ioSum += img.getRaster.getSample(x, y, 0)
+    assert(ioSum == 200L * w * h)
+  }
+
+  test("GIF: truncation and early terminator fail loudly, never throw") {
+    val bytes = MediaFormats.encodeGif(12, 12, gradient(9))
+    // cuts: inside magic, header, palette, and mid-LZW-pixel-data (a cut
+    // after the last pixel code is NOT a failure — the decoder stops
+    // once the frame is filled, per the doc)
+    val midLzw = 13 + 768 + 10 + 1 + 20
+    assert(midLzw < bytes.length - 10)
+    for (cut <- Seq(4, 13, 500, midLzw)) {
+      val info = MediaFormats.decodeGif(bytes.take(cut))
+      assert(!info.ok, s"cut=$cut must fail")
+    }
+    // corrupt the first LZW data byte (after minCode + sub-block length):
+    // the initial clear code becomes a forward dictionary reference
+    val broken = bytes.clone()
+    broken(13 + 768 + 10 + 1 + 1) = 0xAA.toByte
+    val r = MediaFormats.decodeGif(broken)
+    assert(!r.ok || r.valueSum != MediaFormats.decodeGif(bytes).valueSum,
+      "either loud failure or a different (honest) decode")
   }
 
   test("decode() sniffs format from magic bytes, not labels") {
