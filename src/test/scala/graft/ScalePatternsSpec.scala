@@ -139,6 +139,23 @@ class ScalePatternsSpec extends SparkSpecBase {
     assert(got == Set((9L, 0L), (5L, 1L), (3L, 2L)))
   }
 
+  test("bucketed pair joins WITHOUT a shuffle and matches the plain join") {
+    import testImplicits._
+    val dir = "/root/testdata/sf0.001"
+    val (o, l) = ScalePatterns.ensureBucketedPair(spark, dir)
+    val joined = o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    // semantics: identical to the plain parquet join
+    val plain = Tables.orders(spark, dir).select("o_orderkey")
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(joined.count() == plain)
+  }
+
   test("contiguousIds plan: no global window anywhere") {
     import testImplicits._
     val docs = (0L until 100L).map(i => (i, i % 3)).toDF("doc_id", "k")
