@@ -51,6 +51,11 @@ def main() -> None:
     if new.get("failed"):
         print("FAIL: new run has failed queries:", new.get("errors"))
         sys.exit(1)
+    # a failed BASELINE is just as disqualifying: its queries dict is
+    # missing the failed entries, so every downstream ratio is fiction
+    if base.get("failed"):
+        print("FAIL: baseline run has failed queries:", base.get("errors"))
+        sys.exit(1)
     if gone:
         print(f"FAIL: {len(gone)} baseline query(ies) missing from the new run:")
         print("  " + ", ".join(gone))

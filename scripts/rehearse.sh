@@ -7,7 +7,10 @@
 #
 # Usage: scripts/rehearse.sh [K]   (K = zipf-ratio gate, default 3.0 —
 # the r8 regression sat at 3.6x; every legitimate query is well under 2x)
-set -e
+# pipefail: Bench exits non-zero when any query fails — without it the
+# pipe into grep swallows the rc and a broken BASELINE records as a
+# green rehearsal artifact (r10 review finding)
+set -eo pipefail
 cd "$(dirname "$0")/.."
 K=${1:-3.0}
 [ -d target/sf1 ]  || python3 scripts/make_sf1.py target/sf1

@@ -38,8 +38,11 @@ import graft.queries.Tables.documents
 object Bpe {
 
   /** One left-to-right merge pass: every adjacent (a, b) unit pair
-    * becomes the single unit a+b; a merged unit immediately merges
-    * again with a following `b` if `a+b` ends in `a` (see object doc). */
+    * becomes the single unit a+b, and the scan continues AFTER the
+    * merged unit — so with merge (a,a), "aaaa" → [aa, aa] (the 3rd and
+    * 4th tokens form a fresh pair). A merged unit never acts as the
+    * LEFT side of another merge within the same pass (`a+b == a` is
+    * impossible for non-empty b); later-ranked passes see it. */
   private[operators] def mergeFold(units: Column, a: String, b: String): Column =
     aggregate(units, array().cast("array<string>"), (acc, x) =>
       when(size(acc) > 0 &&

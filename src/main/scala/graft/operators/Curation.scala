@@ -376,22 +376,28 @@ object Curation {
       regexp_replace(html, "<head>[^\\n]*</head>", ""),
       "<script>[^\\n]*</script>", "")
     val lines = split(sections, "\n")
-    def plainOf(line: Column): Column =
-      regexp_replace(line, "<[^>]*>", "")
-    val kept = filter(lines, line => {
-      val plain = plainOf(line)
-      val anchorChars = length(plain) -
-        length(plainOf(regexp_replace(line, "<a [^>]*>[^<]*</a>", "")))
-      (length(trim(plain)) > 0) && (anchorChars * 2 < length(plain))
-    })
+    // Catalyst does no common-subexpression elimination inside
+    // higher-order-function lambdas, so each tag-strip variant is
+    // computed ONCE per line here and reused through the struct —
+    // plain = visible text, noa = visible text minus anchor elements.
+    val scored = transform(lines, line => struct(
+      regexp_replace(line, "<[^>]*>", "").as("plain"),
+      regexp_replace(regexp_replace(line, "<a [^>]*>[^<]*</a>", ""),
+        "<[^>]*>", "").as("noa")))
+    val kept = filter(scored, s =>
+      (length(trim(s.getField("plain"))) > 0) &&
+        ((length(s.getField("plain")) - length(s.getField("noa"))) * 2 <
+          length(s.getField("plain"))))
+    // tags never span lines, so joining the per-line plains IS the
+    // tag-strip of the joined kept lines — no third regex pass
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(regexp_replace(array_join(kept, " "), "<[^>]*>", "")) {
+      .foldLeft(array_join(transform(kept, s => s.getField("plain")), " ")) {
         case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
       }
     struct(
       trim(regexp_replace(decoded, " +", " ")).as("extracted"),
-      (size(lines) - size(kept)).cast(LongType).as("n_boilerplate_lines"))
+      (size(scored) - size(kept)).cast(LongType).as("n_boilerplate_lines"))
   }
 
   // --- query surface ---------------------------------------------------

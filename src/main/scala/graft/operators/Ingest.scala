@@ -248,24 +248,35 @@ object Ingest {
     * static bucket pruning, same rationale as bm25TopKStored) is ≤ that
     * broadcast bound. */
   private[graft] def bm25BatchTf(s: SparkSession, dir: String,
-      queries: DataFrame): DataFrame = {
-    val (postings, _) = ensureTermIndex(s, dir)
+      queries: DataFrame): DataFrame =
+    bm25BatchParts(s, dir, queries)._1
+
+  /** (tf frame, stats) from ONE index open and ONE evaluation of the
+    * query batch: `queries` is distinct-projected then checkpointed
+    * (two consumers — the driver collect of its terms for static bucket
+    * pruning, and the broadcast probe join), and the stats frame rides
+    * along so [[bm25TopKBatch]] doesn't re-probe the index commit
+    * marker (r10 review finding). */
+  private def bm25BatchParts(s: SparkSession, dir: String,
+      queries: DataFrame): (DataFrame, DataFrame) = {
+    val (postings, stats) = ensureTermIndex(s, dir)
     val q = queries.select(col("q_id"), col("term"),
-      termBucket(col("term")).as("bucket")).distinct()
+      termBucket(col("term")).as("bucket")).distinct().localCheckpoint()
     val batchTerms =
-      queries.select("term").distinct().collect().map(_.getString(0)).toSeq
-    postings
+      q.select("term").distinct().collect().map(_.getString(0)).toSeq
+    val tf = postings
       .filter(col("bucket").isin(termBucketIds(s, batchTerms): _*))
       .join(broadcast(probeBuckets(q, postings)), Seq("bucket", "term"))
       .select("q_id", "doc_id", "term", "tf", "dl")
+    (tf, stats)
   }
 
   def bm25TopKBatch(s: SparkSession, dir: String, queries: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (_, stats) = ensureTermIndex(s, dir)
+    val (tfRaw, stats) = bm25BatchParts(s, dir, queries)
     // two consumers below (dfreq aggregation + the scored join): one
     // postings-join subtree, not two (the multi-consumer rule)
-    val tf = bm25BatchTf(s, dir, queries).localCheckpoint()
+    val tf = tfRaw.localCheckpoint()
     // df per (q_id, term): the tf frame holds one row per matching
     // (doc, term, q_id), so the grouped count IS the term's document
     // frequency — no second postings scan. |Q|·|terms| rows, broadcast.
@@ -1315,6 +1326,11 @@ object Ingest {
   /** Number of probes in the batched evaluation gate. */
   private[graft] val NdcgBatchProbes: Int = 8
 
+  /** Evaluation depth of the batched-nDCG gate — interpolated into BOTH
+    * the Spark chain and the oracle SQL (generate-from-constants rule:
+    * tuning the depth may not silently desynchronize the two sides). */
+  private[graft] val NdcgBatchK: Int = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the ingest step itself: materialize both stored layouts, report
     // row counts (oracle-checked). In the sorted bench order this runs
@@ -1378,20 +1394,22 @@ object Ingest {
       val qmap = probes.select(col("q_id"),
         row_number().over(Window.orderBy("q_id")).cast(LongType).as("eq"))
       // three consumers (fusion + graded relevance + idcg): checkpoint
-      val dense = Similarity.knnJoin(emb, probes, 10)
+      val dense = Similarity.knnJoin(emb, probes, NdcgBatchK)
         .join(broadcast(qmap), "q_id")
         .select(col("eq").as("q_id"), col("vec_id").as("id"),
           col("rnk").as("rank"))
         .localCheckpoint()
       val sparse = bm25TopKBatch(s, dir,
-          NdcgBatchTerms.toDF("q_id", "term"), 10)
+          NdcgBatchTerms.toDF("q_id", "term"), NdcgBatchK)
         .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("rank"))
-      val ranked = Similarity.rrfFuseBatch(Seq(dense, sparse), 10)
+      val ranked = Similarity.rrfFuseBatch(Seq(dense, sparse), NdcgBatchK)
         .select("q_id", "id", "rank")
       // two consumers (mean + final projection): checkpoint the 8 rows
-      val perQ = Similarity.ndcgAtKBatch(ranked, dense, 10).localCheckpoint()
+      val perQ = Similarity.ndcgAtKBatch(ranked, dense, NdcgBatchK)
+        .localCheckpoint()
       perQ.crossJoin(broadcast(
-          perQ.agg(round(avg("ndcg_at_10"), 6).as("mean_ndcg_at_10"))))
+          perQ.agg(round(avg(s"ndcg_at_$NdcgBatchK"), 6)
+            .as(s"mean_ndcg_at_$NdcgBatchK"))))
         .orderBy("q_id")
     }),
 
@@ -1749,12 +1767,12 @@ object Ingest {
         |  SELECT q_id, doc_id AS id,
         |         row_number() OVER (PARTITION BY q_id
         |                            ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored QUALIFY rank <= 10),
+        |  FROM scored QUALIFY rank <= $NdcgBatchK),
         |probes AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS eq,
         |         vec_id, embedding
         |  FROM (SELECT vec_id, embedding FROM embeddings
-        |        ORDER BY vec_id LIMIT 8)),
+        |        ORDER BY vec_id LIMIT $NdcgBatchProbes)),
         |dense AS (
         |  SELECT q_id, id, rank FROM (
         |    SELECT p.eq AS q_id, e.vec_id AS id,
@@ -1762,7 +1780,7 @@ object Ingest {
         |             round(list_cosine_similarity(e.embedding, p.embedding), 6) DESC,
         |             e.vec_id) AS rank
         |    FROM embeddings e, probes p WHERE e.vec_id <> p.vec_id)
-        |  WHERE rank <= 10),
+        |  WHERE rank <= $NdcgBatchK),
         |fused AS (
         |  SELECT q_id, id,
         |         CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib
@@ -1777,21 +1795,24 @@ object Ingest {
         |                            ORDER BY rrf DESC, id) AS rank
         |  FROM (SELECT q_id, id, round(sum(contrib), 6) AS rrf
         |        FROM fused GROUP BY 1, 2)
-        |  QUALIFY rank <= 10),
-        |rel AS (SELECT q_id, id, CAST(11 - rank AS DOUBLE) AS rel FROM dense),
+        |  QUALIFY rank <= $NdcgBatchK),
+        |rel AS (SELECT q_id, id,
+        |        CAST(${NdcgBatchK + 1} - rank AS DOUBLE) AS rel FROM dense),
         |dcg AS (
         |  SELECT ranked.q_id,
         |         sum(COALESCE(rel.rel, CAST(0.0 AS DOUBLE)) /
         |             log2(ranked.rank + 1)) AS dcg
         |  FROM ranked LEFT JOIN rel USING (q_id, id) GROUP BY 1),
         |idcg AS (
-        |  SELECT q_id, sum(CAST(11 - rank AS DOUBLE) / log2(rank + 1)) AS idcg
+        |  SELECT q_id,
+        |         sum(CAST(${NdcgBatchK + 1} - rank AS DOUBLE) / log2(rank + 1)) AS idcg
         |  FROM dense GROUP BY 1),
         |perq AS (
-        |  SELECT q_id, round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_10
+        |  SELECT q_id, round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_$NdcgBatchK
         |  FROM dcg JOIN idcg USING (q_id)),
-        |m AS (SELECT round(avg(ndcg_at_10), 6) AS mean_ndcg_at_10 FROM perq)
-        |SELECT q_id, ndcg_at_10, mean_ndcg_at_10 FROM perq, m
+        |m AS (SELECT round(avg(ndcg_at_$NdcgBatchK), 6)
+        |      AS mean_ndcg_at_$NdcgBatchK FROM perq)
+        |SELECT q_id, ndcg_at_$NdcgBatchK, mean_ndcg_at_$NdcgBatchK FROM perq, m
         |ORDER BY q_id""".stripMargin,
     "q_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_ivf_compact" ->

@@ -22,11 +22,17 @@ import graft.operators.Dedup
   *
   * The per-batch body [[gateBatch]] IS the batch operator chain —
   * `foreachBatch` runs it verbatim on each micro-batch (the standard
-  * Structured Streaming pattern for multi-step admission: the per-doc
-  * reject decision is an anti-join against the batch's own verified
-  * pairs, which inside foreachBatch is ordinary bounded batch work —
-  * no unbounded stream-stream join, no state store). EventStreamSpec
-  * pins composed-stream ≡ chained-batch on the same landing files.
+  * Structured Streaming pattern for multi-step admission). The reject
+  * set is the union of TWO pair sources, both bounded batch work
+  * inside foreachBatch (no unbounded stream-stream join, no state
+  * store): documents with a verified stored duplicate, and the
+  * keep-first rule WITHIN the batch — any document with a verified
+  * smaller-id duplicate in the same batch is rejected, so two copies
+  * arriving together admit exactly one. (Cross-batch novel duplicates
+  * are the stored index's job: production folds admitted sketches back
+  * into the index between triggers — the IvfStream LSM posture.)
+  * EventStreamSpec pins composed-stream ≡ chained-batch on the same
+  * landing files.
   *
   * Scale shape: every model input is a frozen broadcast artifact
   * (df map, centroids) or a stored index probed via stream-static
@@ -42,9 +48,17 @@ object IngestGateStream {
       dlTotal: Long, storedFeatures: DataFrame, tau: Double,
       cents: Array[Float], cids: Array[Long], dim: Int): DataFrame = {
     graft.functions.IvfOps.register(batch.sparkSession)
-    val dupIds = Dedup.admitPairs(storedFeatures,
-        Dedup.minhashFeatures(batch), tau)
-      .select(col("probe_id").as("doc_id")).distinct()
+    // three consumers (stored probe, intra-batch candidates, verify):
+    // one sketch pass, not three (the multi-consumer rule)
+    val feats = Dedup.minhashFeatures(batch).localCheckpoint()
+    val storedDups = Dedup.admitPairs(storedFeatures, feats, tau)
+      .select(col("probe_id").as("doc_id"))
+    // keep-first inside the batch: a verified pair rejects its LARGER id
+    val intraDups = Dedup.verifiedOverlapFromFeatures(feats,
+        Dedup.minhashCandidatesFromFeatures(feats))
+      .filter(col("jaccard") >= tau)
+      .select(greatest(col("doc1"), col("doc2")).as("doc_id"))
+    val dupIds = storedDups.unionByName(intraDups).distinct()
     batch
       .select(col("doc_id"),
         Bm25Stream.bm25ScoreCol(col("text"), df, nDocs, dlTotal).as("score"),
@@ -54,17 +68,23 @@ object IngestGateStream {
   }
 
   /** Run the gate over a landing directory as an AvailableNow stream,
-    * appending admitted (doc_id, score, cell) rows to `outDir`. */
+    * writing admitted (doc_id, score, cell) rows under `outDir`. Each
+    * micro-batch OVERWRITES its own `batch=<id>` subdirectory — a
+    * retried batch (crash between the write and the checkpoint commit)
+    * replaces its partial output instead of appending a duplicate copy;
+    * foreachBatch is at-least-once, so the sink must be idempotent per
+    * batchId. Readers `spark.read.parquet(outDir)` and get `batch` as
+    * an extra partition column after the data columns. */
   def gateStream(s: SparkSession, landingGlob: String, schema: StructType,
       outDir: String, ckptDir: String, df: Map[String, Long], nDocs: Long,
       dlTotal: Long, storedFeatures: DataFrame, tau: Double,
       cents: Array[Float], cids: Array[Long], dim: Int): StreamingQuery =
     s.readStream.schema(schema).parquet(landingGlob)
       .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         gateBatch(b, df, nDocs, dlTotal, storedFeatures, tau,
           cents, cids, dim)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", ckptDir)

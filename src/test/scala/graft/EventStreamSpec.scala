@@ -493,12 +493,16 @@ class EventStreamSpec extends SparkSpecBase {
       .select("doc_id", "text").localCheckpoint()
     val srcText = src.head().getString(1)
     import testImplicits._
+    val novelText = "zebra quantum marmalade turbine elk granite sonata pylon " +
+      "weasel ficus drizzle cobalt yurt paprika glacier mandolin"
     val landing = Seq(
       (920001L, srcText, emb(0)), // exact stored copy → rejected
-      (920002L, "zebra quantum marmalade turbine elk granite sonata pylon " +
-        "weasel ficus drizzle cobalt yurt paprika glacier mandolin", emb(1)),
+      (920002L, novelText, emb(1)),
       (920003L, "table scan join table scan join table scan join pivot " +
-        "quantum granite sonata turbine elk marmalade zebra pylon", emb(2))
+        "quantum granite sonata turbine elk marmalade zebra pylon", emb(2)),
+      // exact copy of 920002 WITHIN the batch: keep-first must admit
+      // only the smaller id even though neither is in the stored index
+      (920004L, novelText, emb(1))
     ).toDF("doc_id", "text", "embedding")
     landing.write.parquet(s"$dir/landing")
     val q = graft.streaming.IngestGateStream.gateStream(spark,
@@ -513,8 +517,11 @@ class EventStreamSpec extends SparkSpecBase {
         stored, 0.5, cents, cids, dim)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(got == batch, s"stream $got != batch $batch")
-    // admission semantics: the stored copy is gone, both novels served
+    // admission semantics: the stored copy AND the intra-batch second
+    // copy are gone; the two distinct novels come through
     assert(!got.exists(_._1 == 920001L), "exact stored copy must be rejected")
+    assert(!got.exists(_._1 == 920004L),
+      "intra-batch duplicate must lose keep-first")
     assert(got.map(_._1) == Set(920002L, 920003L))
     // relevance routing: the term-rich doc outscores the term-free one
     val byId = got.map(t => t._1 -> t).toMap
