@@ -363,6 +363,30 @@ object Dedup {
     * paragraph structure). */
   val ParaBlockLen = 10
 
+  /** (doc_id, t, nb): token array + block count — the blockization's
+    * shared first stage (narrow scan projection). */
+  private[graft] def blockBase(docs: DataFrame, blockLen: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.operators.Curation.gramToks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        ((size(col("t")) + (blockLen - 1)) divide blockLen)
+          .cast(IntegerType).as("nb"))
+
+  /** (doc_id, pos, blk): the consecutive blockLen-token blocks of every
+    * doc — ONE blockization shared by [[paragraphDedup]] and the stored
+    * block index (Ingest.ensureBlockIndex), so the corpus side and the
+    * admission side cannot drift. */
+  private[graft] def blockFrame(base: DataFrame,
+      blockLen: Int = ParaBlockLen): DataFrame = {
+    base.select(col("doc_id"),
+      explode(transform(sequence(lit(0), col("nb") - 1),
+        i => struct(i.as("pos"),
+          array_join(slice(col("t"), i * blockLen + 1, lit(blockLen)), " ")
+            .as("blk")))).as("pb"))
+      .select(col("doc_id"), col("pb.pos").as("pos"), col("pb.blk").as("blk"))
+  }
+
   /** Paragraph-granularity dedup WITH document reconstruction (the C4
     * pipeline's span removal, Raffel et al. 2020 §2.2: "discard all but
     * one of any three-sentence span occurring more than once"): split
@@ -390,18 +414,8 @@ object Dedup {
     *     by the doc's own length.
     */
   def paragraphDedup(docs: DataFrame, blockLen: Int = ParaBlockLen): DataFrame = {
-    val toks = graft.operators.Curation.gramToks(col("text"))
-    val base = docs
-      .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), col("t"),
-        ((size(col("t")) + (blockLen - 1)) divide blockLen)
-          .cast(IntegerType).as("nb"))
-    val blocks = base.select(col("doc_id"),
-      explode(transform(sequence(lit(0), col("nb") - 1),
-        i => struct(i.as("pos"),
-          array_join(slice(col("t"), i * blockLen + 1, lit(blockLen)), " ")
-            .as("blk")))).as("pb"))
-      .select(col("doc_id"), col("pb.pos").as("pos"), col("pb.blk").as("blk"))
+    val base = blockBase(docs, blockLen)
+    val blocks = blockFrame(base, blockLen)
     val kept = blocks.groupBy("blk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
       .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("blk"))

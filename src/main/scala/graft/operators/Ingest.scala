@@ -292,6 +292,56 @@ object Ingest {
       .withColumnRenamed("vec_id", "doc_id")
   }
 
+  // --- stored paragraph-block index (span-level admission) -------------
+
+  /** Distinct block digests of the corpus — the INCREMENTAL form of
+    * [[Dedup.paragraphDedup]] (the stored-sketch/stored-index posture):
+    * a landing batch is span-deduplicated against the corpus WITHOUT
+    * re-reading it. One blockization (the shared [[Dedup.blockFrame]],
+    * so corpus and admission sides cannot drift) + one distinct over
+    * 64-bit hex digests (the SubstrDedup digest rule: collisions only
+    * ever OVER-drop, the harmless direction for dedup), written once
+    * per (app, sf) behind the commit marker. At 100 TB the index is
+    * one digest row per distinct block — a fraction of corpus bytes —
+    * and admission probes it with an anti-join, never a corpus scan. */
+  def ensureBlockIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "block_index")
+    if (!committed(s, path))
+      Dedup.blockFrame(Dedup.blockBase(documents(s, dir), Dedup.ParaBlockLen))
+        .select(substring(md5(col("blk")), 1, 16).as("w"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Span-level ADMISSION: rewrite each incoming doc keeping only
+    * blocks that are (a) first occurrence WITHIN the batch (keep-first
+    * by (doc_id, pos) — paragraphDedup's aggregate rule, no window
+    * over the block key) and (b) absent from the stored corpus index
+    * (anti-join on the digest). Returns (doc_id, n_blocks, n_kept,
+    * admit_text) for every batch doc — the C4 rewrite as an ingest
+    * gate instead of a corpus-wide job. */
+  def paragraphAdmit(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val stored = ensureBlockIndex(s, dir)
+    val base = Dedup.blockBase(batch, Dedup.ParaBlockLen)
+    val kept = Dedup.blockFrame(base)
+      .groupBy("blk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("blk"))
+      .withColumn("w", substring(md5(col("blk")), 1, 16))
+      .join(stored, Seq("w"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("blk")))),
+          pb => pb.getField("blk")), " ").as("admit_text"))
+    base.select(col("doc_id"), col("nb").cast(LongType).as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("admit_text"), lit("")).as("admit_text"))
+  }
+
   /** IVF index tables (centroids + cell-partitioned assignments), written
     * once per (app, sf). Returns (centroids, assignments-reader).
     * nCells ≤ 0 (the default) derives the geometry from corpus size at
@@ -1366,6 +1416,26 @@ object Ingest {
     "q_bm25_topk_stored" -> ((s, dir) =>
       bm25TopKStored(s, dir, Seq("table", "scan", "join"), 10)),
 
+    // span-level ADMISSION against the stored block index: 50 probes,
+    // each = the first 10 tokens of a stored doc (its stored block 0 —
+    // must be DROPPED) + 10 novel tokens (must SURVIVE); probes whose
+    // source doc has <10 tokens form a mixed first block that matches
+    // nothing and survives whole — deterministic either way, and the
+    // oracle replays the same construction.
+    "q_dedup_paragraph_stored" -> ((s, dir) => {
+      val toks = graft.operators.Curation.gramToks(col("text"))
+      val probes = documents(s, dir).orderBy("doc_id").limit(50)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(
+            array_join(slice(toks, 1, Dedup.ParaBlockLen), " "), lit(" "),
+            // lateral column alias: this doc_id is the RE-ID'D probe id
+            // from the first projection (Spark 3.4+ resolution order)
+            array_join(transform(sequence(lit(1), lit(Dedup.ParaBlockLen)),
+              i => concat(lit("nv"), col("doc_id").cast(StringType),
+                lit("x"), i.cast(StringType))), " ")).as("text"))
+      paragraphAdmit(s, dir, probes).orderBy("doc_id")
+    }),
+
     // batched BM25 serving: the whole 4-query probe frame (incl. one
     // term absent from the corpus — the zero-postings edge) answered in
     // ONE pass over the pruned postings; per-query top-5 via the
@@ -1743,6 +1813,50 @@ object Ingest {
     // the stored-index gate shares the fresh gate's oracle VERBATIM —
     // that hash equality IS the fresh-vs-stored differential, pinned 0.
     "q_bm25_topk_stored" -> TextAnalysis.oracles("q_bm25_topk"),
+    // brute-force twin of ensureBlockIndex + paragraphAdmit: corpus
+    // blocks → distinct digests; probes rebuilt by the same keep-first
+    // + anti-membership rules (q_dedup_paragraph's CTE shapes)
+    "q_dedup_paragraph_stored" -> {
+      val L = Dedup.ParaBlockLen
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+         |  FROM documents),
+         |cb AS (
+         |  SELECT unnest(list_transform(range(CAST((len(t) + ${L - 1}) // $L AS INT)),
+         |         i -> array_to_string(t[i*$L+1:i*$L+$L], ' '))) AS blk
+         |  FROM toks),
+         |stored AS (SELECT DISTINCT substr(md5(blk), 1, 16) AS w FROM cb),
+         |probe AS (
+         |  SELECT doc_id + 10000000 AS doc_id,
+         |         array_to_string(t[1:$L], ' ') || ' ' ||
+         |         array_to_string(list_transform(range(1, ${L + 1}),
+         |           i -> 'nv' || (doc_id + 10000000) || 'x' || i), ' ') AS text
+         |  FROM toks
+         |  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)),
+         |pbase AS (
+         |  SELECT doc_id,
+         |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t,
+         |         CAST((len(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) + ${L - 1}) // $L AS INT) AS nb
+         |  FROM probe),
+         |pblocks AS (
+         |  SELECT doc_id, unnest(range(nb)) AS pos,
+         |         unnest(list_transform(range(nb),
+         |                i -> array_to_string(t[i*$L+1:i*$L+$L], ' '))) AS blk
+         |  FROM pbase),
+         |kept AS (
+         |  SELECT f.doc_id AS doc_id, f.pos AS pos, blk FROM (
+         |    SELECT min(struct_pack(doc_id := doc_id, pos := pos)) AS f, blk
+         |    FROM pblocks GROUP BY blk)
+         |  WHERE substr(md5(blk), 1, 16) NOT IN (SELECT w FROM stored)),
+         |rebuilt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(blk, ' ' ORDER BY pos) AS admit_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
+         |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(r.admit_text, '') AS admit_text
+         |FROM pbase b LEFT JOIN rebuilt r USING (doc_id) ORDER BY b.doc_id""".stripMargin
+    },
     // batched BM25: per-query replay of the shared formula — tf/df per
     // (q_id, term), the same (N, Σdl) stats, rounded scores, per-query
     // row_number rank. q_id cast BIGINT (Spark lit(1L)); the absent

@@ -113,6 +113,34 @@ class DedupSpec extends SparkSpecBase {
     assert(got == ((1L, 40L, 40L, text)), got.toString)
   }
 
+  test("paragraphAdmit: stored blocks drop, novel blocks survive, batch keep-first") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val src = docs.orderBy("doc_id").limit(1)
+      .select("text").as[String].collect().head
+    // probe A = exact stored copy (everything drops); probe B = novel
+    // 20-token doc; probe C = same novel text (intra-batch keep-first
+    // loses to B); probe D = one stored block + one novel block
+    val novel = (0 until 20).map(i => s"qq${i}z").mkString(" ")
+    val srcToks = src.split(" ")
+    val mixed = (srcToks.take(10) ++ (0 until 10).map(i => s"ww${i}z")).mkString(" ")
+    val batch = Seq(
+      (800001L, src), (800002L, novel), (800003L, novel), (800004L, mixed)
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Ingest.paragraphAdmit(spark, dir, batch)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(800001L)._3 == 0 && byId(800001L)._4 == "",
+      s"stored copy must lose every block: ${byId(800001L)}")
+    assert(byId(800002L)._3 == 2 && byId(800002L)._4 == novel,
+      s"novel doc survives whole: ${byId(800002L)}")
+    assert(byId(800003L)._3 == 0 && byId(800003L)._4 == "",
+      s"intra-batch duplicate loses keep-first: ${byId(800003L)}")
+    assert(byId(800004L)._3 == 1 &&
+      byId(800004L)._4 == (0 until 10).map(i => s"ww${i}z").mkString(" "),
+      s"mixed doc keeps only the novel block: ${byId(800004L)}")
+  }
+
   test("paragraphDedup plan: keep-first is an aggregate, not a window over blk") {
     // the r5/r6 straggler rule: a mass-duplicate block must partial-
     // aggregate map-side, so the keep decision may not be a Window
