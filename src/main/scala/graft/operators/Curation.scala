@@ -291,6 +291,53 @@ object Curation {
       .orderBy(col("pri").desc, col("doc_id"))
       .limit(k)
 
+  /** KMV sketch size: 128 minima estimate a distinct count with
+    * ~1/√(k−2) ≈ 9 % standard error — the overlap-audit accuracy class;
+    * part of the gate's identity. */
+  val KmvK: Int = 128
+
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) corpus OVERLAP
+    * estimation: how many distinct documents two corpora share, from
+    * two k-hash sketches instead of a corpus×corpus join — the audit a
+    * 100 TB pipeline runs before merging crawls or checking a new dump
+    * against training data, where the exact intersect is a full
+    * shuffle of both sides. Input is pre-fingerprinted membership rows
+    * (h = fixed-width lowercase hex fingerprint, whose LEXICOGRAPHIC
+    * order is its numeric order; a/b = membership flags); k smallest
+    * distinct h per side, union sketch U; D̂(U) = (k−1)/u_k and
+    * overlap ≈ ρ/k · D̂(U) with ρ = |U ∩ A_k ∩ B_k|. When the union
+    * sketch is not full the sketches ARE the sets and both estimates
+    * collapse to exact counts. Everything is deterministic: the only
+    * float work is the final two divisions over integer-exact inputs,
+    * rounded 6 dp.
+    *
+    * 100 TB shape: ONE uniform-digest groupBy collapses the corpus to
+    * distinct fingerprints (map-side combined); each sketch is a k-row
+    * TakeOrdered; every join after that is k×k broadcast work. */
+  def kmvOverlapEstimate(fps: DataFrame, k: Int = KmvK): DataFrame = {
+    // two sketch consumers of the dedup'd fingerprints: one shuffle
+    val dedup = fps.groupBy("h").agg(max("a").as("a"), max("b").as("b"))
+      .localCheckpoint()
+    val skA = dedup.filter(col("a") === 1).select("h").orderBy("h").limit(k)
+    val skB = dedup.filter(col("b") === 1).select("h").orderBy("h").limit(k)
+    // three consumers of the tiny union sketch
+    val skU = skA.unionByName(skB).distinct().orderBy("h").limit(k)
+      .localCheckpoint()
+    val kth = skU
+      .select(conv(col("h"), 16, 10).cast(LongType).as("hv"))
+      .agg(count(lit(1)).as("ku"), max("hv").as("hk"))
+    val rho = skU.join(skA, Seq("h")).join(skB, Seq("h"))
+      .agg(count(lit(1)).as("rho"))
+    val dU = lit((k - 1).toDouble) * lit(4503599627370496.0) / col("hk")
+    kth.crossJoin(rho).select(
+      col("ku"), col("hk"), col("rho"),
+      round(when(col("ku") < k, col("ku").cast(DoubleType)).otherwise(dU), 6)
+        .as("est_union"),
+      round(when(col("ku") < k, col("rho").cast(DoubleType))
+        .otherwise(col("rho").cast(DoubleType) / k * dU), 6)
+        .as("est_overlap"))
+  }
+
   /** Hash-bucket count of the quality classifier — part of the model's
     * identity (the NumTermBuckets rule). */
   val QualityDim: Int = 1024
@@ -460,6 +507,18 @@ object Curation {
     "q_stratified_sample" -> ((s, dir) =>
       stratifiedSample(documents(s, dir), "lang")
         .orderBy("doc_id")),
+
+    // corpus overlap from sketches: corpora A (doc_id%3 ∈ {0,1}) and B
+    // (doc_id%3 ∈ {1,2}) share the %3==1 third plus any planted
+    // cross-stratum exact dups; the gate pins the sketch occupancy,
+    // the exact k-th hash integer, the tri-membership count AND both
+    // estimates — a single mis-hashed fingerprint anywhere flips it.
+    "q_overlap_kmv" -> ((s, dir) =>
+      kmvOverlapEstimate(
+        documents(s, dir).select(
+          substring(md5(col("text")), 1, 13).as("h"),
+          when(col("doc_id") % 3 <= 1, 1).otherwise(0).as("a"),
+          when(col("doc_id") % 3 >= 1, 1).otherwise(0).as("b")))),
 
     // length-weighted sample (token-budget draw): 40 docs with inclusion
     // probability ∝ n_chars. The gate pins exact membership — a single
@@ -791,6 +850,38 @@ object Curation {
         |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same sketches, same estimator: hex order IS numeric order for
+    // the fixed-width fingerprints, the k-th value parses via an exact
+    // integer digit fold (16^12 < 2^63), and the only doubles are the
+    // final divisions over identical integers
+    "q_overlap_kmv" -> {
+      val k = KmvK
+      s"""WITH fp AS (
+         |  SELECT substr(md5(text), 1, 13) AS h,
+         |         max(CASE WHEN doc_id % 3 <= 1 THEN 1 ELSE 0 END) AS a,
+         |         max(CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END) AS b
+         |  FROM documents GROUP BY 1),
+         |ska AS (SELECT h FROM fp WHERE a = 1 ORDER BY h LIMIT $k),
+         |skb AS (SELECT h FROM fp WHERE b = 1 ORDER BY h LIMIT $k),
+         |sku AS (SELECT DISTINCT h FROM (
+         |          SELECT h FROM ska UNION ALL SELECT h FROM skb)
+         |        ORDER BY h LIMIT $k),
+         |hv AS (SELECT list_sum(list_transform(range(13),
+         |         i -> (strpos('0123456789abcdef', substr(h, CAST(i+1 AS INT), 1)) - 1)
+         |              * (CAST(1 AS BIGINT) << CAST(4*(12-i) AS INT)))) AS v
+         |       FROM sku),
+         |kth AS (SELECT CAST(count(*) AS BIGINT) AS ku,
+         |               CAST(max(v) AS BIGINT) AS hk FROM hv),
+         |rho AS (SELECT CAST(count(*) AS BIGINT) AS rho
+         |        FROM sku JOIN ska USING (h) JOIN skb USING (h))
+         |SELECT ku, hk, rho,
+         |  round(CASE WHEN ku < $k THEN CAST(ku AS DOUBLE)
+         |        ELSE CAST(${k - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk END, 6) AS est_union,
+         |  round(CASE WHEN ku < $k THEN CAST(rho AS DOUBLE)
+         |        ELSE CAST(rho AS DOUBLE) / $k *
+         |             (CAST(${k - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk) END, 6) AS est_overlap
+         |FROM kth, rho""".stripMargin
+    },
     // same exponential-race priority: exact-BIGINT scramble, the +0.5
     // added while still DECIMAL (exact for an integer operand) and only
     // THEN cast to DOUBLE, so both engines divide identical doubles;

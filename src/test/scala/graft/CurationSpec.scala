@@ -268,6 +268,34 @@ class CurationSpec extends SparkSpecBase {
     assert(out(2L).getBoolean(5) == (w0 + 50000L >= 0))
   }
 
+  test("kmvOverlapEstimate: known-overlap corpus lands near truth at full sketches") {
+    // A = 0..1999, B = 1000..2999: union 3000, overlap 1000. KMV k=128
+    // has ~9% relative error; 30% bounds are ~3σ and deterministic
+    // (the hash is fixed).
+    val fps = (0L until 3000L).map { i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"item$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13),
+        if (i < 2000) 1 else 0, if (i >= 1000) 1 else 0)
+    }.toDF("h", "a", "b")
+    val r = Curation.kmvOverlapEstimate(fps)
+      .select("ku", "est_union", "est_overlap")
+      .as[(Long, Double, Double)].collect().head
+    assert(r._1 == 128, s"union sketch must be full: $r")
+    assert(math.abs(r._2 - 3000) < 900, s"union est $r")
+    assert(math.abs(r._3 - 1000) < 400, s"overlap est $r")
+  }
+
+  test("kmvOverlapEstimate: below-k sketches collapse to exact counts") {
+    val fps = (0L until 60L).map { i =>
+      (f"${i}%013x", if (i < 40) 1 else 0, if (i >= 20) 1 else 0)
+    }.toDF("h", "a", "b")
+    val r = Curation.kmvOverlapEstimate(fps)
+      .select("ku", "rho", "est_union", "est_overlap")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r == ((60L, 20L, 60.0, 20.0)), r.toString)
+  }
+
   test("weightedSample: ranking matches the hand-computed exponential race") {
     val ids = (0L until 200L).toSeq
     val docs = ids.map(i => (i, i % 7 + 1)).toDF("doc_id", "n_chars")
