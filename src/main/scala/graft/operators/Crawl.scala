@@ -1,0 +1,398 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.documents
+
+/** Crawl-corpus curation operators (SURVEY.md §2.11): the web-specific
+  * layer of a training-data pipeline — URL canonicalization (the
+  * cheapest dedup signal a crawl has), registrable-domain caps (corpus
+  * balance / anti-spam), anchor-text aggregation (the classic link-text
+  * corpus), and link-graph centrality (PageRank as a quality prior).
+  *
+  * The CORPUS is synthetic — `documents` carries no URL column, so
+  * [[syntheticUrl]] renders a deterministic messy URL per doc_id
+  * (scheme/WWW case noise, default ports, trailing slashes, tracking
+  * params in shuffled order, fragments) from the constants below; the
+  * DuckDB oracles replay the same formulas, which is what lets the hash
+  * gate certify every canonicalization rule byte-for-byte. The
+  * OPERATORS, though, consume only the URL STRING column — point
+  * [[canonicalizeUrl]] at a real crawl table and nothing changes.
+  *
+  * 100 TB design notes:
+  *  - Canonicalization is a NARROW per-row expression chain (regexp +
+  *    array ops, all codegen'd builtins — no UDF), so it pipelines
+  *    inside the scan stage; the dedup groupBy shuffles the (short)
+  *    canonical string, not the document.
+  *  - Domain caps partition by registrable domain — the natural skew
+  *    key of a crawl. The rank window shuffles (domain) once;
+  *    production-skew domains (a single host with 10⁹ pages) are
+  *    exactly the rows the cap DISCARDS, so the window's per-key state
+  *    is bounded by the cap after the first spill — and the same
+  *    two-phase pre-filter used by the top-k operators applies if a
+  *    single domain outgrows a partition.
+  *  - PageRank keeps integer micro-unit ranks (BIGINT, no floats):
+  *    addition is order-independent, so a 1000-executor shuffle
+  *    reduces to the same bits in any order — byte-identical reruns,
+  *    and DuckDB replays it exactly. Each iteration is one
+  *    join + one groupBy over the EDGE list; lineage is truncated
+  *    per round (localCheckpoint) so plan depth stays O(1).
+  */
+object Crawl {
+
+  // --- deterministic corpus synthesis (doc_id → messy URL) -------------
+  // Formulas are mirrored in the DuckDB oracles via [[urlSql]]; change
+  // BOTH or neither.
+
+  /** TLD by doc_id % 5 — index 3 is a two-level public suffix, so the
+    * registrable-domain rule has a real multi-suffix case to hit. */
+  val Tlds: Array[String] = Array(".com", ".org", ".net", ".co.uk", ".io")
+
+  /** Two-level public suffixes for registrable-domain extraction (a
+    * bounded broadcast artifact standing in for the full PSL). */
+  val MultiSuffixes: Set[String] = Set("co.uk", "org.uk", "com.au", "co.jp")
+
+  /** Anchor-text vocabulary for the synthetic link graph. */
+  val Anchors: Array[String] =
+    Array("home", "news", "docs", "about", "read more", "next page")
+
+  /** Per-domain document cap for [[q_domain_cap]]. */
+  val DomainCap: Int = 5
+
+  /** PageRank constants: ranks in integer micro-units, 3 fixed
+    * iterations, damping 85/100, per-doc out-degree [[OutDegree]]. */
+  val RankScale: Long = 1000000L
+  val Damping: (Int, Int) = (85, 100)
+  val RankIters: Int = 3
+  val OutDegree: Int = 3
+
+  /** Messy-but-valid URL from doc_id: upper/lower scheme, optional WWW.,
+    * mixed-case host, explicit default port, trailing slash, tracking
+    * params in doc-dependent order, optional fragment. Docs congruent
+    * mod 200 canonicalize to the SAME URL (scheme d%2, site d%40 ⊇ tld
+    * d%5, path d%25, id d%50) — the planted dup structure the dedup
+    * gate pins. */
+  def syntheticUrl(d: Column): Column = {
+    val scheme = when(d % 2 === 0, "HTTP").otherwise("https")
+    val www = when(d % 3 === 0, "WWW.").otherwise("")
+    val site = concat(when(d % 5 === 0, "Site").otherwise("site"),
+      (d % 40).cast(StringType))
+    val tld = element_at(lit(Tlds), (d % 5).cast(IntegerType) + 1)
+    val port = when(d % 7 === 0,
+      when(d % 2 === 0, ":80").otherwise(":443")).otherwise("")
+    val path = concat(lit("/page/"), (d % 25).cast(StringType),
+      when(d % 4 === 0, "/").otherwise(""))
+    val params = filter(array(
+      when(d % 2 === 0, concat(lit("utm_source=feed"), (d % 9).cast(StringType))),
+      concat(lit("id="), (d % 50).cast(StringType)),
+      when(d % 3 === 1, lit("ref=rss")),
+      when(d % 5 < 2, lit("sort=asc"))), p => p.isNotNull)
+    val qs = array_join(when(d % 2 === 1, reverse(params)).otherwise(params), "&")
+    val frag = when(d % 6 === 0, concat(lit("#sec"), (d % 3).cast(StringType)))
+      .otherwise("")
+    concat(scheme, lit("://"), www, site, tld, port, path, lit("?"), qs, frag)
+  }
+
+  /** The same synthesis as DuckDB SQL, generated from the SAME Scala
+    * constants (the bm25BatchCtesSql / Bpe.encodeSqlExpr convention). */
+  def urlSql(d: String): String = {
+    val tldCase = Tlds.zipWithIndex.map { case (t, i) =>
+      s"WHEN $i THEN '$t'"
+    }.mkString(" ")
+    s"""CASE WHEN $d % 2 = 0 THEN 'HTTP' ELSE 'https' END ||
+       |'://' || CASE WHEN $d % 3 = 0 THEN 'WWW.' ELSE '' END ||
+       |CASE WHEN $d % 5 = 0 THEN 'Site' ELSE 'site' END || ($d % 40) ||
+       |CASE $d % 5 $tldCase END ||
+       |CASE WHEN $d % 7 = 0 THEN
+       |  CASE WHEN $d % 2 = 0 THEN ':80' ELSE ':443' END ELSE '' END ||
+       |'/page/' || ($d % 25) || CASE WHEN $d % 4 = 0 THEN '/' ELSE '' END ||
+       |'?' ||
+       |array_to_string(
+       |  CASE WHEN $d % 2 = 1 THEN list_reverse(pl.params) ELSE pl.params END,
+       |  '&') ||
+       |CASE WHEN $d % 6 = 0 THEN '#sec' || ($d % 3) ELSE '' END""".stripMargin
+  }
+
+  /** The params-list CTE fragment shared by [[urlSql]] callers: DuckDB
+    * needs the filtered list built once (lateral alias rules differ from
+    * Spark's). */
+  def paramsSql(d: String): String =
+    s"""list_filter([
+       |  CASE WHEN $d % 2 = 0 THEN 'utm_source=feed' || ($d % 9) END,
+       |  'id=' || ($d % 50),
+       |  CASE WHEN $d % 3 = 1 THEN 'ref=rss' END,
+       |  CASE WHEN $d % 5 < 2 THEN 'sort=asc' END],
+       |  p -> p IS NOT NULL) AS params""".stripMargin
+
+  // --- the operators (URL-string in, no knowledge of the synthesis) ----
+
+  /** RFC-3986-flavored canonicalization as one codegen'd expression
+    * chain: drop fragment; lowercase scheme + host; strip a leading
+    * `www.`; strip the scheme's DEFAULT port only (`:80` ⇔ http,
+    * `:443` ⇔ https — a non-default port is load-bearing and kept);
+    * strip trailing slashes (root `/` survives; empty path becomes
+    * `/`); drop `utm_*` / `ref=` tracking params; sort surviving params
+    * bytewise. Everything is regexp_extract / array builtins — no UDF,
+    * stays inside WholeStageCodegen. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[^:/?#]+://[^/?#]*", "")
+    val noWww = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val rawPath = regexp_extract(rest, "^([^?]*)", 1)
+    val trimmed = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmed === "", "/").otherwise(trimmed)
+    val rawQ = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = array_join(array_sort(filter(split(rawQ, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("ref=") || p === ""))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", "").otherwise(concat(lit("?"), kept)))
+  }
+
+  /** The same canonicalization for DuckDB (oracle side) as a CTE chain:
+    * `src` must expose a column `url` plus the `carry` columns; the
+    * final CTE is `canon(carry…, canon_url)`. DuckDB's regexp_replace is
+    * first-match-only without the 'g' flag; every pattern here is
+    * anchored, so single-match semantics are identical on both
+    * engines. */
+  def canonicalCtesSql(src: String, carry: Seq[String]): String = {
+    val cs = carry.map(_ + ", ").mkString
+    s"""_nf AS (SELECT ${cs}regexp_replace(url, '#.*$$', '') AS nf FROM $src),
+       |_sc AS (SELECT $cs
+       |        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+       |        regexp_replace(lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)),
+       |                       '^www\\.', '') AS hp,
+       |        regexp_replace(nf, '^[^:/?#]+://[^/?#]*', '') AS rest
+       |      FROM _nf),
+       |_pq AS (SELECT $cs sch,
+       |        CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$$', '')
+       |             WHEN sch = 'https' THEN regexp_replace(hp, ':443$$', '')
+       |             ELSE hp END AS host,
+       |        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') AS tp,
+       |        array_to_string(list_sort(list_filter(
+       |          string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+       |          q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'ref=')
+       |                    OR q = ''))), '&') AS kq
+       |      FROM _sc),
+       |canon AS (SELECT $cs sch || '://' || host ||
+       |       CASE WHEN tp = '' THEN '/' ELSE tp END ||
+       |       CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url
+       |FROM _pq)""".stripMargin
+  }
+
+  /** Registrable domain from a canonical URL's host: label + public
+    * suffix, where the suffix is the last label unless the last TWO
+    * labels are a known multi-level suffix ([[MultiSuffixes]]). */
+  def registrableDomain(url: Column): Column = {
+    val host = regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
+    when(n >= 3 && lastTwo.isin(MultiSuffixes.toSeq: _*),
+      concat(element_at(labels, -3), lit("."), lastTwo))
+      .otherwise(lastTwo)
+  }
+
+  /** DuckDB twin of [[registrableDomain]] as a CTE pair over `src`
+    * (must expose `canon_url` + the carry columns); final CTE is
+    * `dom(carry…, domain)`. Generated from the same suffix set. */
+  def registrableDomainCtesSql(src: String, carry: Seq[String]): String = {
+    val cs = carry.map(_ + ", ").mkString
+    val suffixes = MultiSuffixes.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    s"""_ls AS (SELECT ${cs}string_split(
+       |        regexp_extract(canon_url, '^[^:/?#]+://([^/?#]*)', 1), '.') AS ls
+       |      FROM $src),
+       |dom AS (SELECT ${cs}CASE WHEN len(ls) >= 3 AND
+       |              (ls[-2] || '.' || ls[-1]) IN ($suffixes)
+       |            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+       |            ELSE ls[-2] || '.' || ls[-1] END AS domain
+       |FROM _ls)""".stripMargin
+  }
+
+  /** Synthetic outlink targets: [[OutDegree]] links per doc, target =
+    * another doc id modulo corpus size (ids are contiguous from 0, so
+    * every target exists — TESTDATA.md). */
+  def outlinks(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    docs.select(col("doc_id").as("src"),
+        explode(sequence(lit(0), lit(OutDegree - 1))).as("j"))
+      .select(col("src"), col("j"),
+        ((col("src") * 53 + col("j") * 179 + 7) % n).as("dst"))
+  }
+
+  /** Integer-micro-unit PageRank, [[RankIters]] fixed iterations.
+    * rank₀ = [[RankScale]]; rankᵢ₊₁(v) = scale·(1−d) + d·Σ rankᵢ(u)/out(u)
+    * with d = 85/100 and every division an integer floor — all addends
+    * are BIGINTs, so the shuffle order can never change a bit. */
+  def pageRank(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val base = RankScale * (Damping._2 - Damping._1) / Damping._2
+    val e = edges.select("src", "dst").localCheckpoint()
+    var ranks = docs.select(col("doc_id"), lit(RankScale).as("rank_micro"))
+    for (_ <- 1 to RankIters) {
+      val contrib = e.join(ranks, e("src") === ranks("doc_id"))
+        .select(col("dst"), expr(s"rank_micro div $OutDegree").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = docs.select(col("doc_id"))
+        .join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select(col("doc_id"),
+          (lit(base) +
+            expr(s"coalesce(inflow, 0L) * ${Damping._1} div ${Damping._2}"))
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  // --- query surface ----------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL dedup by canonical form: 200 planted collision classes (docs
+    // ≡ mod 200 share a canonical URL). The canonical STRING is in the
+    // output, so any rule slip — a kept fragment, an unsorted param, a
+    // surviving default port — flips the hash, not just the counts.
+    "q_url_canonical" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          canonicalizeUrl(syntheticUrl(col("doc_id"))).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"),
+          sum("doc_id").as("sum_docs"))
+        .orderBy("canon_url")),
+
+    // per-registrable-domain cap: keep each domain's top-N docs by
+    // length (quality stand-in), deterministic tiebreak. The window
+    // shuffles the natural crawl skew key once; output pins exact
+    // membership per domain.
+    "q_domain_cap" -> ((s, dir) => {
+      val withDomain = documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          registrableDomain(
+            canonicalizeUrl(syntheticUrl(col("doc_id")))).as("domain"))
+      val w = Window.partitionBy("domain")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      withDomain
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= DomainCap)
+        .select("domain", "doc_id", "n_chars")
+        .orderBy("domain", "doc_id")
+    }),
+
+    // anchor-text corpus: per target domain, in-degree, distinct
+    // sources, and the sorted distinct anchor texts — the link-text
+    // aggregation every web pretraining corpus builds.
+    "q_anchor_text" -> ((s, dir) => {
+      val d = col("src")
+      val edges = documents(s, dir)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0), lit(2))).as("j"))
+        .select(d, col("j"),
+          concat(lit("site"), ((d * 7 + col("j") * 13 + 3) % 40).cast(StringType),
+            element_at(lit(Tlds),
+              (((d * 7 + col("j") * 13 + 3) % 40) % 5).cast(IntegerType) + 1))
+            .as("target"),
+          element_at(lit(Anchors),
+            ((d + col("j") * 2) % 6).cast(IntegerType) + 1).as("anchor"))
+      val deg = edges.groupBy("target")
+        .agg(count(lit(1)).as("in_degree"),
+          countDistinct("src").as("n_sources"))
+      val texts = edges.select("target", "anchor").distinct()
+        .groupBy("target")
+        .agg(array_join(array_sort(collect_list("anchor")), "|").as("anchors"))
+      deg.join(texts, "target").orderBy("target")
+    }),
+
+    // link-graph centrality: 3 integer-exact PageRank iterations over
+    // the synthetic doc→doc graph. Emits every doc's final rank — one
+    // wrong integer division anywhere in the 3 rounds flips that row.
+    "q_link_rank" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      pageRank(docs, outlinks(docs)).orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = {
+    def rawUrlCtes(carry: Seq[String]): String = {
+      val cs = carry.map(_ + ", ").mkString
+      s"""pl AS (SELECT $cs${paramsSql("doc_id")} FROM documents),
+         |raw AS (SELECT $cs${urlSql("doc_id")} AS url FROM pl)""".stripMargin
+    }
+    Map(
+      "q_url_canonical" ->
+        s"""WITH ${rawUrlCtes(Seq("doc_id"))},
+           |${canonicalCtesSql("raw", Seq("doc_id"))}
+           |SELECT canon_url, count(*) AS n_docs,
+           |       min(doc_id) AS first_doc,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_docs
+           |FROM canon GROUP BY 1 ORDER BY canon_url""".stripMargin,
+      "q_domain_cap" ->
+        s"""WITH ${rawUrlCtes(Seq("doc_id", "n_chars"))},
+           |${canonicalCtesSql("raw", Seq("doc_id", "n_chars"))},
+           |${registrableDomainCtesSql("canon", Seq("doc_id", "n_chars"))}
+           |SELECT domain, doc_id, n_chars FROM dom
+           |QUALIFY row_number() OVER (PARTITION BY domain
+           |  ORDER BY n_chars DESC, doc_id) <= $DomainCap
+           |ORDER BY domain, doc_id""".stripMargin,
+      "q_anchor_text" -> {
+        val tldCase = Tlds.zipWithIndex.map { case (t, i) =>
+          s"WHEN $i THEN '$t'"
+        }.mkString(" ")
+        val anchorCase = Anchors.zipWithIndex.map { case (a, i) =>
+          s"WHEN $i THEN '$a'"
+        }.mkString(" ")
+        s"""WITH e AS (
+           |  SELECT doc_id AS src,
+           |         'site' || ((doc_id * 7 + j * 13 + 3) % 40) ||
+           |           CASE ((doc_id * 7 + j * 13 + 3) % 40) % 5 $tldCase END AS target,
+           |         CASE (doc_id + j * 2) % 6 $anchorCase END AS anchor
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u),
+           |deg AS (
+           |  SELECT target, count(*) AS in_degree,
+           |         count(DISTINCT src) AS n_sources
+           |  FROM e GROUP BY 1),
+           |txt AS (
+           |  SELECT target, string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+           |  FROM e GROUP BY 1)
+           |SELECT deg.target, deg.in_degree, deg.n_sources, txt.anchors
+           |FROM deg JOIN txt USING (target)
+           |ORDER BY target""".stripMargin
+      },
+      "q_link_rank" -> {
+        val base = RankScale * (Damping._2 - Damping._1) / Damping._2
+        def iter(prev: String, next: String): String =
+          s"""$next AS (
+             |  SELECT d.doc_id,
+             |         $base + COALESCE(f.inflow, 0) * ${Damping._1} // ${Damping._2}
+             |           AS rank_micro
+             |  FROM documents d
+             |  LEFT JOIN (
+             |    SELECT e.dst AS doc_id,
+             |           sum(r.rank_micro // $OutDegree) AS inflow
+             |    FROM e JOIN $prev r ON e.src = r.doc_id
+             |    GROUP BY 1) f USING (doc_id))""".stripMargin
+        val iters = (1 to RankIters)
+          .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+        s"""WITH n AS (SELECT count(*) AS c FROM documents),
+           |e AS (
+           |  SELECT doc_id AS src,
+           |         (doc_id * 53 + j * 179 + 7) % (SELECT c FROM n) AS dst
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u),
+           |r0 AS (SELECT doc_id,
+           |         CAST($RankScale AS BIGINT) AS rank_micro FROM documents),
+           |$iters
+           |SELECT doc_id, CAST(rank_micro AS BIGINT) AS rank_micro
+           |FROM r$RankIters
+           |ORDER BY doc_id""".stripMargin
+      }
+    )
+  }
+}

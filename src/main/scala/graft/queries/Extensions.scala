@@ -19,6 +19,7 @@ object Extensions {
       graft.operators.AsOf.queries ++
       graft.operators.Ingest.queries ++
       graft.operators.Curation.queries ++
+      graft.operators.Crawl.queries ++
       graft.operators.Bpe.queries
 
   def oracles: Map[String, String] =
@@ -31,5 +32,6 @@ object Extensions {
       graft.operators.AsOf.oracles ++
       graft.operators.Ingest.oracles ++
       graft.operators.Curation.oracles ++
+      graft.operators.Crawl.oracles ++
       graft.operators.Bpe.oracles
 }

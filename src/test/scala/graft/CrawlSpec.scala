@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Crawl
+
+/** Crawl-curation tests: canonicalization rules on literal URLs the
+  * synthetic corpus never renders (non-default ports, case-heavy paths,
+  * bare hosts, fragment-with-query), registrable-domain suffix logic,
+  * and PageRank on a hand-computed graph. */
+class CrawlSpec extends SparkSpecBase {
+
+  import testImplicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url")
+      .select(Crawl.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("canonicalizeUrl: scheme/host lowered, path case preserved") {
+    assert(canon("HTTPS://ExAmPle.COM/Some/Path") ==
+      Seq("https://example.com/Some/Path"))
+  }
+
+  test("canonicalizeUrl: default port stripped only for its own scheme") {
+    assert(canon(
+      "http://a.com:80/x", "https://a.com:443/x",
+      "http://a.com:443/x", "https://a.com:80/x",
+      "http://a.com:8080/x") ==
+      Seq("http://a.com/x", "https://a.com/x",
+        "http://a.com:443/x", "https://a.com:80/x",
+        "http://a.com:8080/x"))
+  }
+
+  test("canonicalizeUrl: www stripped, but only as a full first label") {
+    assert(canon("http://www.site.org/p", "http://wwwsite.org/p",
+      "http://www.www.site.org/p") ==
+      Seq("http://site.org/p", "http://wwwsite.org/p",
+        "http://www.site.org/p"))
+  }
+
+  test("canonicalizeUrl: trailing slashes collapse; root and bare host → /") {
+    assert(canon("http://a.com/x/", "http://a.com/x///",
+      "http://a.com/", "http://a.com") ==
+      Seq("http://a.com/x", "http://a.com/x", "http://a.com/", "http://a.com/"))
+  }
+
+  test("canonicalizeUrl: tracking params dropped, survivors sorted, fragment gone") {
+    assert(canon(
+      "http://a.com/p?utm_source=x&b=2&a=1&ref=rss#frag",
+      "http://a.com/p?ref=abc&utm_campaign=z",
+      "http://a.com/p?z=1&&a=2") ==
+      Seq("http://a.com/p?a=1&b=2", "http://a.com/p",
+        "http://a.com/p?a=2&z=1"))
+  }
+
+  test("canonicalizeUrl: planted mod-200 classes collide, neighbors do not") {
+    val df = Seq(7L, 207L, 407L, 8L).toDF("doc_id")
+      .select(Crawl.canonicalizeUrl(Crawl.syntheticUrl(col("doc_id"))).as("c"))
+    val cs = df.collect().map(_.getString(0))
+    assert(cs(0) == cs(1) && cs(1) == cs(2), s"mod-200 twins differ: ${cs.toSeq}")
+    assert(cs(0) != cs(3), "distinct classes must not collide")
+  }
+
+  test("registrableDomain: multi-level public suffixes keep three labels") {
+    val df = Seq(
+      "http://a.b.site9.co.uk/p", "http://site9.co.uk/p",
+      "http://deep.sub.site1.com/p", "http://site1.com/p")
+      .toDF("url")
+      .select(Crawl.registrableDomain(col("url")).as("d"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("site9.co.uk", "site9.co.uk", "site1.com", "site1.com"))
+  }
+
+  test("pageRank: hand-computed 3-node cycle with self-reinforcement") {
+    // nodes 0,1,2; OutDegree=3 edges each: 0→{1,1,2}, 1→{2,2,0}, 2→{0,0,1}
+    val docs = Seq(0L, 1L, 2L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 2L), (1L, 2L),
+      (1L, 0L), (2L, 0L), (2L, 0L), (2L, 1L)).toDF("src", "dst")
+    val r = Crawl.pageRank(docs, edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // iter1: every node: base 150000 + 85% of (2/3 + 1/3 + ...) — by
+    // symmetry each node receives exactly one full rank (3 thirds):
+    // 150000 + 1000000/3*... replay the integer arithmetic precisely:
+    def it(prev: Map[Long, Long]): Map[Long, Long] = {
+      val inflow = Map(
+        0L -> (prev(1L) / 3 + 2 * (prev(2L) / 3)),
+        1L -> (2 * (prev(0L) / 3) + prev(2L) / 3),
+        2L -> (prev(0L) / 3 + 2 * (prev(1L) / 3)))
+      inflow.map { case (k, v) => k -> (150000L + v * 85 / 100) }
+    }
+    val expect = it(it(it(Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))))
+    assert(r == expect, s"got $r, want $expect")
+  }
+
+  test("pageRank: sink-free graph conserves bounded total mass") {
+    val docs = (0L until 50L).toDF("doc_id")
+    val edges = Crawl.outlinks(docs)
+    assert(edges.count() == 150)
+    val total = Crawl.pageRank(docs, edges)
+      .agg(sum("rank_micro")).head().getLong(0)
+    // total ∈ (N·scale·(1-d) , N·scale]: damping leaks only integer-floor dust
+    assert(total > 50L * 150000 && total <= 50L * 1000000,
+      s"total mass $total out of range")
+  }
+
+  test("q_anchor_text aggregates sorted distinct anchors per target") {
+    val out = graft.SparkEntry.queries("q_anchor_text")(spark, TestSpark.Sf0001)
+    val rows = out.collect()
+    assert(rows.length == 40, s"expected 40 target domains, got ${rows.length}")
+    val anchors = rows.map(_.getAs[String]("anchors"))
+    assert(anchors.forall(a => a.split('|').toSeq == a.split('|').toSeq.sorted))
+    val deg = rows.map(_.getAs[Long]("in_degree")).sum
+    assert(deg == 1500, s"3 outlinks x 500 docs must land 1500 edges, got $deg")
+  }
+}
