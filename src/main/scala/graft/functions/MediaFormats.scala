@@ -824,8 +824,54 @@ object MediaFormats {
     out.write(0x2C) // image descriptor
     le16(0); le16(0); le16(width); le16(height)
     out.write(0)    // no local table, not interlaced
-    out.write(8)    // LZW minimum code size
-    // LZW compress the index stream (index == gray value)
+    lzwEncodeTo(out, width * height, p => pixel(p % width, p / width))
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Encode an animated GIF89a: N full-frame images over one 256-entry
+    * gray global palette, a NETSCAPE2.0 loop extension, and a Graphic
+    * Control Extension (delay, disposal) before every frame — the block
+    * layout every animation decoder expects. Frame f's pixel (x,y) is
+    * `pixel(f)(x, y)`. Lossless like the single-frame path, so a SQL
+    * oracle can brute-force per-frame pixel sums. */
+  def encodeGifAnim(width: Int, height: Int, nFrames: Int,
+      pixel: Int => (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "encodeGifAnim: empty video")
+    val out = new ByteArrayOutputStream
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    le16(width); le16(height)
+    out.write(0xF7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xFF); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); le16(0); out.write(0)
+    var f = 0
+    while (f < nFrames) {
+      // GCE: no disposal, 4/100 s delay, no transparency
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); le16(4); out.write(0); out.write(0)
+      out.write(0x2C)
+      le16(0); le16(0); le16(width); le16(height)
+      out.write(0)
+      val pf = pixel(f)
+      lzwEncodeTo(out, width * height, p => pf(p % width, p / width))
+      f += 1
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** REAL variable-width LZW (9→12 bits, dictionary growth,
+    * KwKwK-producing) over `total` indices, written as min-code-size
+    * byte + ≤255-byte sub-blocks + terminator — the per-frame data
+    * block shared by [[encodeGif]] and [[encodeGifAnim]]. */
+  private def lzwEncodeTo(out: ByteArrayOutputStream, total: Int,
+      pixAt: Int => Int): Unit = {
+    out.write(8) // LZW minimum code size
     val lzw = new ByteArrayOutputStream
     var bitBuf = 0; var bitCnt = 0
     def emit(code: Int, size: Int): Unit = {
@@ -836,11 +882,10 @@ object MediaFormats {
     var codeSize = 9; var next = 258
     val dict = scala.collection.mutable.LongMap.empty[Int] // (prefix << 8 | byte) → code
     emit(Clear, codeSize)
-    var cur = pixel(0, 0) & 0xFF
+    var cur = pixAt(0) & 0xFF
     var p = 1
-    val total = width * height
     while (p < total) {
-      val k = pixel(p % width, p / width) & 0xFF
+      val k = pixAt(p) & 0xFF
       val key = (cur.toLong << 8) | k
       val hit = dict.getOrElse(key, -1)
       if (hit >= 0) cur = hit
@@ -866,9 +911,7 @@ object MediaFormats {
       val n = math.min(255, data.length - o)
       out.write(n); out.write(data, o, n); o += n
     }
-    out.write(0)    // block terminator
-    out.write(0x3B) // trailer
-    out.toByteArray
+    out.write(0) // block terminator
   }
 
   /** GIF interlace pass structure: (first row, row step) per pass. */
@@ -925,16 +968,46 @@ object MediaFormats {
     }
     if (palette == null || width <= 0 || height <= 0) return fail()
     val interlaced = (ipacked & 0x40) != 0
-    if (off >= bytes.length) return fail()
-    val minCode = bytes(off) & 0xFF; off += 1
-    if (minCode < 2 || minCode > 8) return fail()
-    // luma per palette index
-    val nPal = palette.length / 3
-    val luma = Array.tabulate(nPal) { j =>
+    val (sum, _, okFrame) =
+      lzwDecodeFrame(bytes, off, width, height, gifLuma(palette), interlaced, stride)
+    if (!okFrame) return fail()
+    val rw = (width + stride - 1) / stride
+    val rh = (height + stride - 1) / stride
+    MediaInfo("gif", rw, rh, rw.toLong * rh, sum, ok = true)
+  }
+
+  /** Integer BT.601 luma per palette entry ((299r+587g+114b)/1000 —
+    * the identity for gray palettes). */
+  private def gifLuma(palette: Array[Byte]): Array[Int] =
+    Array.tabulate(palette.length / 3) { j =>
       (299 * (palette(3 * j) & 0xFF) + 587 * (palette(3 * j + 1) & 0xFF) +
         114 * (palette(3 * j + 2) & 0xFF)) / 1000
     }
-    // LZW decode over the concatenated sub-blocks
+
+  /** Walk a sub-block chain (len byte + payload, 0-terminated) without
+    * decoding — the skip path for unsampled frames. Returns the offset
+    * past the terminator, or -1 on truncation. */
+  private def skipSubBlocks(bytes: Array[Byte], start: Int): Int = {
+    var off = start
+    while (off < bytes.length && bytes(off) != 0) off += 1 + (bytes(off) & 0xFF)
+    if (off >= bytes.length) -1 else off + 1
+  }
+
+  /** Full LZW decode of ONE image data block (min-code-size byte +
+    * sub-blocks): variable code width, clear/EOI, the KwKwK case,
+    * interlace row mapping, ×`stride` decimation in display
+    * coordinates. Returns (decimated luma sum, offset past the block
+    * terminator, ok); shared by the single-frame and animation
+    * decoders. */
+  private def lzwDecodeFrame(bytes: Array[Byte], start: Int,
+      width: Int, height: Int, luma: Array[Int], interlaced: Boolean,
+      stride: Int): (Long, Int, Boolean) = {
+    var off = start
+    def bad0: (Long, Int, Boolean) = (0L, off, false)
+    if (off >= bytes.length) return bad0
+    val minCode = bytes(off) & 0xFF; off += 1
+    if (minCode < 2 || minCode > 8) return bad0
+    val nPal = luma.length
     val Clear = 1 << minCode; val Eoi = Clear + 1
     var codeSize = minCode + 1; var next = Eoi + 1
     val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
@@ -949,8 +1022,8 @@ object MediaFormats {
     val rowMap = new Array[Int](height)
     if (interlaced) {
       var r = 0
-      for ((start, step) <- GifInterlace) {
-        var y = start
+      for ((st, step) <- GifInterlace) {
+        var y = st
         while (y < height) { rowMap(r) = y; r += 1; y += step }
       }
     } else { var r = 0; while (r < height) { rowMap(r) = r; r += 1 } }
@@ -1022,9 +1095,85 @@ object MediaFormats {
         } else bad = true // code beyond the dictionary
       }
     }
-    if (bad || emitted < total) return fail()
-    val rw = (width + stride - 1) / stride
-    val rh = (height + stride - 1) / stride
-    MediaInfo("gif", rw, rh, rw.toLong * rh, sum, ok = true)
+    if (bad || emitted < total) return (0L, off, false)
+    // drain the rest of the data block so the caller lands on the next
+    // top-level block (the encoder may pad after EOI; the frame may
+    // also fill before EOI is read)
+    off += blockLeft
+    val end = skipSubBlocks(bytes, off)
+    if (end < 0) (0L, off, false) else (sum, end, true)
+  }
+
+  /** Decoded animation structure: logical-screen dims, total frame
+    * count, the frames actually decoded under the frame stride, and the
+    * decimated luma sum over those frames. */
+  final case class VideoInfo(
+      width: Int, height: Int, nFrames: Int, nSampled: Int,
+      valueSum: Long, ok: Boolean)
+
+  /** Frame-sampling decode of an animated GIF: every `frameStride`-th
+    * frame is fully LZW-decoded (with ×`pixStride` spatial decimation);
+    * the frames in between are SKIPPED at sub-block granularity — a
+    * length-byte walk, no LZW work — so the cost of a 1-in-N sample is
+    * ~1/N of the decode, the property that makes frame sampling viable
+    * on a 100 TB video corpus. Handles GCE/comment/application
+    * extensions, per-frame local palettes, interlace, and partial-frame
+    * placement (a frame smaller than the logical screen still decodes;
+    * its sum is its own pixels). */
+  def decodeGifFrames(bytes: Array[Byte], frameStride: Int,
+      pixStride: Int): VideoInfo = {
+    def fail(w: Int, h: Int): VideoInfo = VideoInfo(w, h, 0, 0, 0L, ok = false)
+    if (bytes.length < 13 || bytes(0) != 'G' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != '8' ||
+      (bytes(4) != '7' && bytes(4) != '9') || bytes(5) != 'a') return fail(0, 0)
+    def le16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    val sw = le16(6); val sh = le16(8)
+    var off = 10
+    val packed = bytes(off) & 0xFF; off += 3
+    var global: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (off + 3 * n > bytes.length) return fail(sw, sh)
+      global = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+      off += 3 * n
+    }
+    val globalLuma = if (global == null) null else gifLuma(global)
+    var frames = 0; var sampled = 0; var sum = 0L
+    var done = false
+    while (!done) {
+      if (off >= bytes.length) return fail(sw, sh) // no trailer
+      (bytes(off) & 0xFF) match {
+        case 0x21 => // extension: introducer + label + sub-blocks
+          off = skipSubBlocks(bytes, off + 2)
+          if (off < 0) return fail(sw, sh)
+        case 0x2C =>
+          if (off + 10 > bytes.length) return fail(sw, sh)
+          val fw = le16(off + 5); val fh = le16(off + 7)
+          val ipacked = bytes(off + 9) & 0xFF
+          off += 10
+          var luma = globalLuma
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (off + 3 * n > bytes.length) return fail(sw, sh)
+            luma = gifLuma(java.util.Arrays.copyOfRange(bytes, off, off + 3 * n))
+            off += 3 * n
+          }
+          if (luma == null || fw <= 0 || fh <= 0) return fail(sw, sh)
+          if (frames % frameStride == 0) {
+            val (s, end, ok) = lzwDecodeFrame(bytes, off, fw, fh, luma,
+              (ipacked & 0x40) != 0, pixStride)
+            if (!ok) return fail(sw, sh)
+            sum += s; sampled += 1; off = end
+          } else {
+            off = skipSubBlocks(bytes, off + 1) // min-code byte + data
+            if (off < 0) return fail(sw, sh)
+          }
+          frames += 1
+        case 0x3B => done = true
+        case _ => return fail(sw, sh)
+      }
+    }
+    if (frames == 0) fail(sw, sh)
+    else VideoInfo(sw, sh, frames, sampled, sum, ok = true)
   }
 }

@@ -90,6 +90,12 @@ object Multimodal {
   private[operators] def gifDims(d: Long): (Int, Int) =
     (8 + (d % 11).toInt, 8 + ((d / 11) % 11).toInt)
 
+  private[operators] def vidDims(d: Long): (Int, Int) =
+    (8 + (d % 10).toInt, 8 + ((d / 10) % 10).toInt)
+  private[operators] def vidFrames(d: Long): Int = 2 + (d % 5).toInt
+  private[operators] def vidPixel(d: Long, f: Int)(x: Int, y: Int): Int =
+    ((x + 3L * y + 17L * f + d) % 256).toInt
+
   private[operators] def renderPayload(d: Long): (String, Array[Byte]) =
     (d % 4) match {
       case 0 =>
@@ -240,6 +246,37 @@ object Multimodal {
           min(col("ok").cast(IntegerType)).cast(BooleanType).as("all_ok"))
     }),
 
+    // VIDEO frame sampling: every doc rendered as a real multi-frame
+    // animated GIF89a (GCE + NETSCAPE loop blocks) and decoded twice —
+    // all frames at full resolution, and every 2nd frame at ×2 spatial
+    // decimation where the skipped frames are walked at sub-block
+    // granularity with NO LZW work (the 1-in-N-cost property that makes
+    // frame sampling viable on a 100 TB video corpus). The oracle
+    // brute-forces both per-frame pixel-sum series, so a wrong frame
+    // count, a GCE mis-skip, or an off-by-one in the sampled frame set
+    // flips the hash.
+    "q_video_frames" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val (w, h) = vidDims(d)
+          val nf = vidFrames(d)
+          val bytes = MediaFormats.encodeGifAnim(w, h, nf, f => vidPixel(d, f))
+          val full = MediaFormats.decodeGifFrames(bytes, 1, 1)
+          val samp = MediaFormats.decodeGifFrames(bytes, 2, 2)
+          (d, full.nFrames, full.valueSum, samp.nSampled, samp.valueSum,
+            full.ok && samp.ok && full.nFrames == nf)
+        })
+        .toDF("doc_id", "n_frames", "value_sum", "s_frames", "s_values", "ok")
+        .agg(count(lit(1)).as("n_videos"),
+          sum("n_frames").cast(LongType).as("sum_frames"),
+          sum("value_sum").as("sum_values"),
+          sum("s_frames").cast(LongType).as("sum_s_frames"),
+          sum("s_values").as("sum_s_values"),
+          min(col("ok").cast(IntegerType)).cast(BooleanType).as("all_ok"))
+    }),
+
     // resize / frame-sample (×2 nearest-neighbor decimation during the
     // real decode): the oracle recomputes every resized dimension and
     // even-coordinate pixel / even-index amplitude sum from the
@@ -339,6 +376,36 @@ object Multimodal {
         |       CAST(sum(vs) AS BIGINT) AS sum_values,
         |       CAST(sum(rw * rh) AS BIGINT) AS sum_r_units,
         |       CAST(sum(rv) AS BIGINT) AS sum_r_values,
+        |       TRUE AS all_ok
+        |FROM v""".stripMargin,
+    // animated GIF is lossless → exact per-frame pixel sums from the
+    // generator formulas. Full pass: frame f pixel (x,y) = (x + 3y +
+    // 17f + d) % 256 over nf = 2 + d%5 frames; sampled pass keeps even
+    // frames (g = f/2) at even coordinates.
+    "q_video_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 10 AS w,
+        |    8 + (doc_id // 10) % 10 AS h,
+        |    2 + doc_id % 5 AS nf,
+        |    (8 + doc_id % 10 + 1) // 2 AS rw,
+        |    (8 + (doc_id // 10) % 10 + 1) // 2 AS rh,
+        |    (2 + doc_id % 5 + 1) // 2 AS sf
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, nf, sf,
+        |    list_sum(list_transform(range(0, nf * w * h),
+        |      k -> ((k % (w * h)) % w + 3 * ((k % (w * h)) // w) +
+        |            17 * (k // (w * h)) + doc_id) % 256)) AS vs,
+        |    list_sum(list_transform(range(0, sf * rw * rh),
+        |      k -> (2 * ((k % (rw * rh)) % rw) + 6 * ((k % (rw * rh)) // rw) +
+        |            34 * (k // (rw * rh)) + doc_id) % 256)) AS sv
+        |  FROM m)
+        |SELECT count(*) AS n_videos,
+        |       CAST(sum(nf) AS BIGINT) AS sum_frames,
+        |       CAST(sum(vs) AS BIGINT) AS sum_values,
+        |       CAST(sum(sf) AS BIGINT) AS sum_s_frames,
+        |       CAST(sum(sv) AS BIGINT) AS sum_s_values,
         |       TRUE AS all_ok
         |FROM v""".stripMargin,
     // ×2 decimation: resized dims are ceil(orig/2) = (orig+1)//2; image

@@ -324,6 +324,88 @@ class MultimodalSpec extends SparkSpecBase {
       "either loud failure or a different (honest) decode")
   }
 
+  test("animated GIF: ImageIO reads every frame pixel-exact") {
+    val (w, h, nf) = (14, 11, 4)
+    def pix(f: Int)(x: Int, y: Int): Int = ((x + 3 * y + 17 * f + 5) % 256)
+    val bytes = MediaFormats.encodeGifAnim(w, h, nf, pix)
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    assert(it.hasNext, "JDK gif reader present")
+    val reader = it.next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) == nf, "frame count")
+    for (f <- 0 until nf) {
+      val img = reader.read(f)
+      assert(img.getWidth == w && img.getHeight == h, s"frame $f dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == pix(f)(x, y),
+          s"frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("animated GIF: frame/pixel strides match brute force; skip path is real") {
+    val (w, h, nf) = (13, 9, 5)
+    def pix(f: Int)(x: Int, y: Int): Int = ((x + 3 * y + 17 * f + 8) % 256)
+    val bytes = MediaFormats.encodeGifAnim(w, h, nf, pix)
+    def brute(frameStride: Int, pixStride: Int): (Int, Long) = {
+      val fs = (0 until nf).filter(_ % frameStride == 0)
+      (fs.size, fs.map { f =>
+        (for (y <- 0 until h if y % pixStride == 0;
+              x <- 0 until w if x % pixStride == 0)
+          yield pix(f)(x, y).toLong).sum
+      }.sum)
+    }
+    for ((fs, ps) <- Seq((1, 1), (2, 2), (3, 1), (5, 4))) {
+      val v = MediaFormats.decodeGifFrames(bytes, fs, ps)
+      val (en, es) = brute(fs, ps)
+      assert(v.ok && v.width == w && v.height == h && v.nFrames == nf &&
+        v.nSampled == en && v.valueSum == es,
+        s"stride ($fs,$ps): $v vs ($en,$es)")
+    }
+    // single-frame decodeGif agrees with frame 0 of the animation walker
+    val one = MediaFormats.encodeGif(w, h, pix(0))
+    assert(MediaFormats.decodeGif(one).valueSum ==
+      MediaFormats.decodeGifFrames(bytes, nf, 1).valueSum)
+  }
+
+  test("animated GIF: ImageIO-written sequences decode (independent producer)") {
+    val (w, h, nf) = (10, 8, 3)
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val wit = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    assert(wit.hasNext, "JDK gif writer present")
+    val writer = wit.next()
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var expected = 0L
+    for (f <- 0 until nf) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = gradient(11 + 17 * f)(x, y)
+        img.getRaster.setSample(x, y, 0, v)
+        expected += v
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close()
+    val v = MediaFormats.decodeGifFrames(bos.toByteArray, 1, 1)
+    assert(v.ok && v.nFrames == nf && v.valueSum == expected, v.toString)
+  }
+
+  test("animated GIF: truncation and corruption fail loudly, never throw") {
+    val bytes = MediaFormats.encodeGifAnim(12, 10, 3, f => gradient(17 * f + 2))
+    for (cut <- Seq(4, 13, 500, bytes.length - 3)) {
+      val v = MediaFormats.decodeGifFrames(bytes.take(cut), 1, 1)
+      assert(!v.ok, s"cut=$cut must fail")
+    }
+    // missing trailer after the last frame's terminator
+    val v2 = MediaFormats.decodeGifFrames(bytes.dropRight(1), 2, 1)
+    assert(!v2.ok, "missing trailer must fail even when last frame is skipped")
+  }
+
   test("decode() sniffs format from magic bytes, not labels") {
     assert(MediaFormats.decode(MediaFormats.encodePng(8, 8, gradient(0))).format == "png")
     assert(MediaFormats.decode(MediaFormats.encodeBmp(8, 8, gradient(0))).format == "bmp")
