@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Tables.documents
+
+/** Corpus-frequency analytics (SURVEY.md §2.11): a mergeable Count-Min
+  * sketch for heavy-hitter queries, and document-level PMI co-occurrence
+  * — the association statistics an embedding / phrase pipeline computes
+  * before training.
+  *
+  * 100 TB design notes:
+  *  - The CMS is built from per-term partial counts (one map-side
+  *    combined groupBy), then folded to D×W = [[CmsDepth]]·[[CmsWidth]]
+  *    rows — a bounded broadcast artifact no matter the corpus size,
+  *    and MERGEABLE: sketches of two corpora add cell-wise, so shards /
+  *    days / crawls combine without re-reading tokens. Point estimates
+  *    are a ≤D-row lookup each.
+  *  - All CMS arithmetic is integer (bucket = exact base-16 fold of an
+  *    md5 prefix, estimate = min of BIGINT sums) — bit-identical on any
+  *    executor count, and replayable by the SQL oracle.
+  *  - PMI expands per-document DISTINCT-term pairs. The expansion is
+  *    quadratic in per-doc vocabulary, NOT corpus vocabulary — bounded
+  *    by [[PmiMaxDocTerms]] (drop-excess, loud in the doc count) so a
+  *    pathological mega-doc cannot blow the join; the pair groupBy is
+  *    map-side combined and the majority-support cut is an integer
+  *    cross-multiplication (2·df_ab ≥ N), never a float threshold.
+  */
+object CorpusStats {
+
+  /** Count-Min geometry: depth = independent hash rows, width = 256
+    * buckets so one md5 hex byte IS the bucket (exact fold, no modulo
+    * bias, identical in any engine). */
+  val CmsDepth: Int = 4
+  val CmsWidth: Int = 256
+
+  /** Heavy-hitter probes reported by the gate. */
+  val CmsTopK: Int = 10
+
+  /** Per-document distinct-term cap for the PMI pair expansion. */
+  val PmiMaxDocTerms: Int = 64
+
+  /** The corpus tokenizer — same whitespace normalization as the BM25 /
+    * term-stats family so frequency surfaces agree across operators. */
+  private def toks(text: Column): Column =
+    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+
+  /** Row-r CMS bucket of a term: the first md5 hex byte of
+    * `r || '#' || term`, folded to 0..255 exactly (two base-16
+    * digits — [[CmsWidth]] is 16², so the fold IS the bucket). */
+  def cmsBucket(r: Column, term: Column): Column =
+    conv(substring(md5(concat(r.cast(StringType), lit("#"), term)), 1, 2), 16, 10)
+      .cast(IntegerType)
+
+  /** DuckDB twin of [[cmsBucket]] (exact integer digit fold — DuckDB
+    * has no conv()). */
+  def cmsBucketSql(r: String, term: String): String =
+    s"""list_sum(list_transform(range(2),
+       |  i -> (strpos('0123456789abcdef',
+       |          substr(md5(CAST($r AS VARCHAR) || '#' || $term),
+       |                 CAST(i + 1 AS INT), 1)) - 1)
+       |       * (CAST(1 AS BIGINT) << CAST(4 * (1 - i) AS INT))))""".stripMargin
+
+  /** Build the D×W sketch from a (term, c) count table: explode each
+    * term into its [[CmsDepth]] (row, bucket) cells and sum — at most
+    * D·W output rows regardless of vocabulary. */
+  def cmsBuild(termCounts: DataFrame): DataFrame =
+    termCounts
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"),
+        col("term"), col("c"))
+      .select(col("r"), cmsBucket(col("r"), col("term")).as("b"), col("c"))
+      .groupBy("r", "b").agg(sum("c").as("cnt"))
+
+  /** Point-estimate each probe term against the sketch: min over the
+    * term's D cells. Estimates are ≥ the true count by construction
+    * (collisions only add). */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame): DataFrame =
+    probes
+      .select(col("term"), col("c"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("term"), col("c"), col("r"),
+        cmsBucket(col("r"), col("term")).as("b"))
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy("term", "c")
+      .agg(min("cnt").as("tf_est"))
+
+  // --- query surface ----------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // heavy hitters through the sketch: exact top-10 terms with their
+    // exact counts AND their CMS estimates. The estimate of every probe
+    // is a min over bucket sums that include every colliding term in
+    // the corpus, so the gate pins the whole sketch construction (hash,
+    // fold, cell sums), not just the probe rows.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val cnt = documents(s, dir)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // two consumers: sketch build + probe top-k
+      val probes = cnt.orderBy(desc("c"), asc("term")).limit(CmsTopK)
+      cmsEstimate(cmsBuild(cnt), probes)
+        .select(col("term"), col("c").as("tf_exact"), col("tf_est"))
+        .orderBy("term")
+    }),
+
+    // document-level PMI: for term pairs co-occurring in a majority of
+    // documents (integer cut 2·df_ab ≥ N), the pointwise mutual
+    // information ln(N·df_ab / (df_a·df_b)), rounded 6 dp before the
+    // hash compare (the round-before-rank convention).
+    "q_pmi_pairs" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val terms = docs
+        .select(col("doc_id"),
+          explode(slice(array_sort(array_distinct(toks(col("text")))),
+            1, PmiMaxDocTerms)).as("term"))
+        .localCheckpoint() // three consumers: df + both pair sides
+      val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      val pairs = terms.as("x")
+        .join(terms.as("y"),
+          col("x.doc_id") === col("y.doc_id") && col("x.term") < col("y.term"))
+        .groupBy(col("x.term").as("t1"), col("y.term").as("t2"))
+        .agg(count(lit(1)).as("df_ab"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      pairs.crossJoin(broadcast(n))
+        .filter(col("df_ab") * 2 >= col("n_docs"))
+        .join(df.withColumnRenamed("term", "t1").withColumnRenamed("df", "df_a"), "t1")
+        .join(df.withColumnRenamed("term", "t2").withColumnRenamed("df", "df_b"), "t2")
+        .select(col("t1"), col("t2"), col("df_ab"),
+          round(log((col("n_docs") * col("df_ab")).cast(DoubleType) /
+            (col("df_a") * col("df_b")).cast(DoubleType)), 6).as("pmi"))
+        .orderBy("t1", "t2")
+    })
+  )
+
+  private val TokCte =
+    """SELECT doc_id,
+      |       unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+      |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      s"""WITH tok AS ($TokCte),
+         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |cms AS (
+         |  SELECT r, ${cmsBucketSql("r", "term")} AS b,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM cnt CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) u
+         |  GROUP BY 1, 2),
+         |probe AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT $CmsTopK),
+         |cells AS (
+         |  SELECT p.term, p.c, u.r, ${cmsBucketSql("u.r", "p.term")} AS b
+         |  FROM probe p CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) u)
+         |SELECT cells.term, CAST(max(cells.c) AS BIGINT) AS tf_exact,
+         |       min(cms.cnt) AS tf_est
+         |FROM cells JOIN cms ON cells.r = cms.r AND cells.b = cms.b
+         |GROUP BY 1 ORDER BY term""".stripMargin,
+    "q_pmi_pairs" ->
+      s"""WITH tok0 AS ($TokCte),
+         |tok AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT DISTINCT doc_id, term FROM tok0)
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY term)
+         |          <= $PmiMaxDocTerms),
+         |dfc AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+         |p AS (
+         |  SELECT a.term AS t1, b.term AS t2, count(*) AS df_ab
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT p.t1, p.t2, p.df_ab,
+         |       round(ln(CAST(n.n_docs * p.df_ab AS DOUBLE) /
+         |                CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+         |FROM p
+         |JOIN dfc da ON da.term = p.t1
+         |JOIN dfc db ON db.term = p.t2
+         |CROSS JOIN n
+         |WHERE 2 * p.df_ab >= n.n_docs
+         |ORDER BY t1, t2""".stripMargin
+  )
+}

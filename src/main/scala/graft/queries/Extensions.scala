@@ -20,6 +20,7 @@ object Extensions {
       graft.operators.Ingest.queries ++
       graft.operators.Curation.queries ++
       graft.operators.Crawl.queries ++
+      graft.operators.CorpusStats.queries ++
       graft.operators.Bpe.queries
 
   def oracles: Map[String, String] =
@@ -33,5 +34,6 @@ object Extensions {
       graft.operators.Ingest.oracles ++
       graft.operators.Curation.oracles ++
       graft.operators.Crawl.oracles ++
+      graft.operators.CorpusStats.oracles ++
       graft.operators.Bpe.oracles
 }
