@@ -21,6 +21,7 @@ object Extensions {
       graft.operators.Curation.queries ++
       graft.operators.Crawl.queries ++
       graft.operators.CorpusStats.queries ++
+      graft.operators.Spectral.queries ++
       graft.operators.Bpe.queries
 
   def oracles: Map[String, String] =
@@ -35,5 +36,6 @@ object Extensions {
       graft.operators.Curation.oracles ++
       graft.operators.Crawl.oracles ++
       graft.operators.CorpusStats.oracles ++
+      graft.operators.Spectral.oracles ++
       graft.operators.Bpe.oracles
 }
