@@ -127,6 +127,45 @@ object Crawl {
        |  CASE WHEN $d % 5 < 2 THEN 'sort=asc' END],
        |  p -> p IS NOT NULL) AS params""".stripMargin
 
+  /** Docs per synthesized WARC file (file = unit of read parallelism). */
+  val WarcDocsPerFile: Long = 50L
+
+  /** The lifted raw-URL CTE pair shared by every oracle that replays
+    * the synthesis: `pl(params)` then `raw(carry…, url)`. */
+  def rawUrlCtesSql(carry: Seq[String]): String = {
+    val cs = carry.map(_ + ", ").mkString
+    s"""pl AS (SELECT $cs${paramsSql("doc_id")} FROM documents),
+       |raw AS (SELECT $cs${urlSql("doc_id")} AS url FROM pl)""".stripMargin
+  }
+
+  /** The crawl-archive corpus written ONCE per (app, corpus): each doc's
+    * page (the SAME htmlWrap derivation q_html_extract pins) wrapped in
+    * an HTTP/1.1 response inside a real per-record-gzipped WARC file,
+    * [[WarcDocsPerFile]] records per file — the CommonCrawl layout where
+    * Spark parallelism is across archive files. */
+  def ensureWarcFiles(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
+    val path = s"$root/${s.sparkContext.applicationId}/warc_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    import s.implicits._
+    documents(s, dir)
+      .select(col("doc_id"),
+        syntheticUrl(col("doc_id")).as("url"),
+        Curation.htmlWrap(col("doc_id"), col("text")).as("html"))
+      .withColumn("file_id", expr(s"doc_id div $WarcDocsPerFile"))
+      .groupBy("file_id")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("url"),
+        col("html")))).as("recs"))
+      .as[(Long, Seq[(Long, String, String)])]
+      .map { case (fid, recs) =>
+        (fid, graft.sources.WarcFile.encodeWarcGz(recs.map { case (d, u, h) =>
+          graft.sources.WarcFile.WarcRecord(u, s"urn:graft:doc-$d", 200, h)
+        }))
+      }.toDF("file_id", "warc")
+      .write.mode("ignore").parquet(path)
+    s.read.parquet(path)
+  }
+
   // --- the operators (URL-string in, no knowledge of the synthesis) ----
 
   /** RFC-3986-flavored canonicalization as one codegen'd expression
@@ -315,25 +354,46 @@ object Crawl {
     "q_link_rank" -> ((s, dir) => {
       val docs = documents(s, dir)
       pageRank(docs, outlinks(docs)).orderBy("doc_id")
+    }),
+
+    // WARC ingestion: the stored .warc.gz archives (real gzip members,
+    // real record framing, real HTTP messages) re-framed in a narrow
+    // mapPartitions pass, then the SAME canonicalization and extraction
+    // chains the other gates pin. The oracle never sees WARC — it
+    // replays URL + page formulas straight from `documents` — so the
+    // hash equality certifies the whole container round-trip: gzip
+    // member boundaries, Content-Length framing, header parse, HTTP
+    // status/body split.
+    "q_warc_extract" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val recs = ensureWarcFiles(s, dir)
+        .select("warc").as[Array[Byte]]
+        .flatMap(bytes => graft.sources.WarcFile.decodeWarcGz(bytes).map(r =>
+          (r.recordId.stripPrefix("urn:graft:doc-").toLong,
+            r.targetUri, r.status, r.body)))
+        .toDF("doc_id", "uri", "status", "html")
+      recs.select(col("doc_id"), col("status"),
+          canonicalizeUrl(col("uri")).as("canon_url"),
+          Curation.extractHtmlText(col("html")).as("x"))
+        .select(col("doc_id"), col("status"), col("canon_url"),
+          col("x.extracted").as("extracted"),
+          col("x.n_boilerplate_lines").as("n_boilerplate_lines"))
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = {
-    def rawUrlCtes(carry: Seq[String]): String = {
-      val cs = carry.map(_ + ", ").mkString
-      s"""pl AS (SELECT $cs${paramsSql("doc_id")} FROM documents),
-         |raw AS (SELECT $cs${urlSql("doc_id")} AS url FROM pl)""".stripMargin
-    }
     Map(
       "q_url_canonical" ->
-        s"""WITH ${rawUrlCtes(Seq("doc_id"))},
+        s"""WITH ${rawUrlCtesSql(Seq("doc_id"))},
            |${canonicalCtesSql("raw", Seq("doc_id"))}
            |SELECT canon_url, count(*) AS n_docs,
            |       min(doc_id) AS first_doc,
            |       CAST(sum(doc_id) AS BIGINT) AS sum_docs
            |FROM canon GROUP BY 1 ORDER BY canon_url""".stripMargin,
       "q_domain_cap" ->
-        s"""WITH ${rawUrlCtes(Seq("doc_id", "n_chars"))},
+        s"""WITH ${rawUrlCtesSql(Seq("doc_id", "n_chars"))},
            |${canonicalCtesSql("raw", Seq("doc_id", "n_chars"))},
            |${registrableDomainCtesSql("canon", Seq("doc_id", "n_chars"))}
            |SELECT domain, doc_id, n_chars FROM dom
@@ -365,6 +425,14 @@ object Crawl {
            |FROM deg JOIN txt USING (target)
            |ORDER BY target""".stripMargin
       },
+      "q_warc_extract" ->
+        s"""WITH ${rawUrlCtesSql(Seq("doc_id"))},
+           |${canonicalCtesSql("raw", Seq("doc_id"))},
+           |${graft.operators.Curation.HtmlExtractCtesSql}
+           |SELECT xt.doc_id, 200 AS status, canon.canon_url,
+           |       xt.extracted, xt.n_boilerplate_lines
+           |FROM xt JOIN canon USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "q_link_rank" -> {
         val base = RankScale * (Damping._2 - Damping._1) / Damping._2
         def iter(prev: String, next: String): String =

@@ -396,7 +396,7 @@ object Curation {
     * entity-decoding are actually exercised), and a link-heavy footer.
     * Head and script sections are single lines by construction, keeping
     * the section-strip regexes line-local on both engines. */
-  private def htmlWrap(docId: Column, text: Column): Column =
+  private[operators] def htmlWrap(docId: Column, text: Column): Column =
     concat(
       lit("<html><head><title>doc "), docId,
       lit("</title><style>p{margin:0}</style></head><body>\n" +
@@ -446,6 +446,49 @@ object Curation {
       trim(regexp_replace(decoded, " +", " ")).as("extracted"),
       (size(scored) - size(kept)).cast(LongType).as("n_boilerplate_lines"))
   }
+
+  /** Shared oracle CTE block — the brute-force twin of htmlWrap +
+    * extractHtmlText (same page skeleton built with ||, same regex
+    * chain with RE2 'g' ≡ Java global, same lambda link-density filter,
+    * same entity replace order with &amp; decoded LAST so injected
+    * entities never double-decode). Ends in
+    * `xt(doc_id, extracted, n_boilerplate_lines)`; spliced into
+    * q_html_extract and Crawl's q_warc_extract (the Bm25CtesSql rule:
+    * one string, every gate that replays the extraction). */
+  val HtmlExtractCtesSql: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>doc ' || doc_id || '</title><style>p{margin:0}</style></head><body>' || chr(10) ||
+      |    '<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>' || chr(10) ||
+      |    '<script>var page = ' || doc_id || ';</script>' || chr(10) ||
+      |    '<p>' || replace(replace(text, ' the ', ' <b>the</b> '), ' a ', ' &amp; ') || '</p>' || chr(10) ||
+      |    '<div class="footer"><a href="/terms">terms</a> | <a href="/privacy">privacy</a></div>' || chr(10) ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(regexp_replace(html,
+      |           '<head>[^\n]*</head>', '', 'g'),
+      |           '<script>[^\n]*</script>', '', 'g'), chr(10)) AS lines
+      |  FROM h),
+      |hk AS (
+      |  SELECT doc_id, len(lines) AS n_lines,
+      |         list_filter(lines, line ->
+      |           len(trim(regexp_replace(line, '<[^>]*>', '', 'g'))) > 0 AND
+      |           2 * (len(regexp_replace(line, '<[^>]*>', '', 'g')) -
+      |                len(regexp_replace(regexp_replace(line, '<a [^>]*>[^<]*</a>', '', 'g'),
+      |                    '<[^>]*>', '', 'g')))
+      |             < len(regexp_replace(line, '<[^>]*>', '', 'g'))) AS kept
+      |  FROM hs),
+      |xt AS (
+      |  SELECT doc_id,
+      |       trim(regexp_replace(
+      |         replace(replace(replace(replace(replace(
+      |           regexp_replace(array_to_string(kept, ' '), '<[^>]*>', '', 'g'),
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      |         ' +', ' ', 'g')) AS extracted,
+      |       CAST(n_lines - len(kept) AS BIGINT) AS n_boilerplate_lines
+      |  FROM hk)""".stripMargin
 
   // --- query surface ---------------------------------------------------
 
@@ -899,38 +942,9 @@ object Curation {
     // same lambda link-density filter, same entity replace order
     // (&amp; decoded LAST so injected entities never double-decode)
     "q_html_extract" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>doc ' || doc_id || '</title><style>p{margin:0}</style></head><body>' || chr(10) ||
-        |    '<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>' || chr(10) ||
-        |    '<script>var page = ' || doc_id || ';</script>' || chr(10) ||
-        |    '<p>' || replace(replace(text, ' the ', ' <b>the</b> '), ' a ', ' &amp; ') || '</p>' || chr(10) ||
-        |    '<div class="footer"><a href="/terms">terms</a> | <a href="/privacy">privacy</a></div>' || chr(10) ||
-        |    '</body></html>' AS html
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |         string_split(regexp_replace(regexp_replace(html,
-        |           '<head>[^\n]*</head>', '', 'g'),
-        |           '<script>[^\n]*</script>', '', 'g'), chr(10)) AS lines
-        |  FROM h),
-        |k AS (
-        |  SELECT doc_id, len(lines) AS n_lines,
-        |         list_filter(lines, line ->
-        |           len(trim(regexp_replace(line, '<[^>]*>', '', 'g'))) > 0 AND
-        |           2 * (len(regexp_replace(line, '<[^>]*>', '', 'g')) -
-        |                len(regexp_replace(regexp_replace(line, '<a [^>]*>[^<]*</a>', '', 'g'),
-        |                    '<[^>]*>', '', 'g')))
-        |             < len(regexp_replace(line, '<[^>]*>', '', 'g'))) AS kept
-        |  FROM s)
-        |SELECT doc_id,
-        |       trim(regexp_replace(
-        |         replace(replace(replace(replace(replace(
-        |           regexp_replace(array_to_string(kept, ' '), '<[^>]*>', '', 'g'),
-        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-        |         ' +', ' ', 'g')) AS extracted,
-        |       CAST(n_lines - len(kept) AS BIGINT) AS n_boilerplate_lines
-        |FROM k ORDER BY doc_id""".stripMargin,
+      s"""WITH $HtmlExtractCtesSql
+         |SELECT doc_id, extracted, n_boilerplate_lines
+         |FROM xt ORDER BY doc_id""".stripMargin,
     "q_dup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.allPairsJaccardCtes},
          |edges AS (
