@@ -289,6 +289,22 @@ object Crawl {
     ranks
   }
 
+  /** URL-level admission of a landing batch against a stored canonical
+    * index: canonicalize once (localCheckpoint — two consumers),
+    * keep-first WITHIN the batch via groupBy+min (aggregate, never a
+    * window over a mass-duplicate key — the r5/r6 straggler rule), then
+    * anti-join the stored canon set. The cheapest dedup signal a crawl
+    * has: no text is read, only the URL column. */
+  def urlAdmit(batch: DataFrame, storedCanon: DataFrame): DataFrame = {
+    val canon = batch
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
+      .localCheckpoint()
+    val keepFirst = canon.groupBy("canon_url").agg(min("doc_id").as("doc_id"))
+    canon.join(keepFirst, Seq("canon_url", "doc_id"))
+      .join(storedCanon.select("canon_url"), Seq("canon_url"), "left_anti")
+      .select("doc_id", "canon_url")
+  }
+
   // --- query surface ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

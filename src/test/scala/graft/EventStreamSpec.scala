@@ -529,4 +529,37 @@ class EventStreamSpec extends SparkSpecBase {
     // every admitted doc landed in a REAL cell of the frozen geometry
     assert(got.forall(t => cids.contains(t._3)))
   }
+
+  test("streamed URL admission (CrawlStream) == batch urlAdmit chain") {
+    // the crawl front gate: canonical-URL dedup before any page fetch.
+    // Landing batch: one URL whose canonical form is already stored
+    // (rejected), one novel (admitted), and two messy variants of the
+    // SAME novel canonical (keep-first admits only the smaller id).
+    import testImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_url").toString
+    val stored = Seq("https://old.site/a?id=1").toDF("url")
+      .select(graft.operators.Crawl.canonicalizeUrl(col("url")).as("canon_url"))
+      .localCheckpoint()
+    val landing = Seq(
+      (930001L, "HTTPS://OLD.site:443/a/?utm_source=x&id=1"), // stored dup
+      (930002L, "http://fresh.org/p?b=2&a=1"),                // novel
+      (930003L, "http://WWW.brand.new/x?id=9&ref=rss"),       // novel, first
+      (930004L, "http://brand.new:80/x/?id=9#frag")           // same canonical
+    ).toDF("doc_id", "url")
+    landing.write.parquet(s"$dir/landing")
+    val q = graft.streaming.CrawlStream.admitUrlStream(spark,
+      s"$dir/landing", landing.schema, s"$dir/out", s"$dir/ckpt", stored)
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "canon_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchSet = graft.operators.Crawl.urlAdmit(
+        spark.read.parquet(s"$dir/landing"), stored)
+      .select("doc_id", "canon_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batchSet, s"stream $got != batch $batchSet")
+    assert(got.map(_._1) == Set(930002L, 930003L),
+      s"stored dup and intra-batch loser must be rejected: $got")
+    assert(got.find(_._1 == 930003L).get._2 == "http://brand.new/x?id=9")
+  }
 }
