@@ -422,4 +422,44 @@ class PlanSpec extends SparkSpecBase {
       s"token counting must partially aggregate before the exchange:\n$p")
     assert(p.contains("Window"), p)
   }
+
+  test("URL canonicalization is pure codegen'd expressions — no UDF, no typed map") {
+    val p = plan(SparkEntry.queries("q_url_canonical")(spark, TestSpark.Sf0001))
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions") &&
+      !p.contains("BatchEvalPython"),
+      s"canonicalization must stay in expression land:\n$p")
+    // one shuffle total: the dedup groupBy over the canonical string
+    assert("Exchange".r.findAllIn(p).size <= 2, // partial/final agg pair shares one exchange
+      s"canonicalize+dedup needs exactly the groupBy exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"dedup counts must map-side combine:\n$p")
+  }
+
+  test("PMI pair expansion never plans a window; pair counts combine map-side") {
+    val p = plan(SparkEntry.queries("q_pmi_pairs")(spark, TestSpark.Sf0001))
+    assert(!p.contains("Window"), s"per-doc cap must be slice, not window:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"pair counts must partially aggregate before the exchange:\n$p")
+  }
+
+  test("CMS sketch build is one exchange over D x W cells") {
+    val cnt = Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // isolate the sketch build's own plan
+    val p = plan(graft.operators.CorpusStats.cmsBuild(cnt))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"sketch build is one (r,b) aggregation:\n$p")
+    assert(p.contains("partial_sum"), s"cells must combine map-side:\n$p")
+  }
+
+  test("gramian is one shuffle after the coordinate self-join") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Spectral.gramian(emb))
+    // checkpointed coords join in-partition (same partitioning both
+    // sides); the (i,j) aggregation is the single exchange
+    assert(p.contains("partial_sum"), s"gramian must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"coordinate pairing must be an equi-join on vec_id:\n$p")
+  }
 }
