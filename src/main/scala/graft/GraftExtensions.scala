@@ -58,6 +58,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => WordGramHashes(es(0), es(1))),
     (FunctionIdentifier("graft_lm_nll"), info("graft_lm_nll", classOf[LmNll]),
       (es: Seq[Expression]) => LmNll(es(0), es(1), es(2), es(3), es(4))),
+    (FunctionIdentifier("graft_canonical_url"),
+      info("graft_canonical_url", classOf[CanonicalUrl]),
+      (es: Seq[Expression]) => CanonicalUrl(es.head)),
     (FunctionIdentifier("graft_l2sq"), info("graft_l2sq", classOf[L2Sq]),
       (es: Seq[Expression]) => L2Sq(es(0), es(1))),
     (FunctionIdentifier("graft_cosine_pairs"),

@@ -62,6 +62,32 @@ class CrawlSpec extends SparkSpecBase {
     assert(cs(0) != cs(3), "distinct classes must not collide")
   }
 
+  test("canonicalizeUrl kernel == declarative regexp chain (property)") {
+    // messy-URL generator: valid-ish and degenerate shapes alike —
+    // missing scheme, bare ://, repeated ?, odd ports, empty params
+    import org.scalacheck.Gen
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp", "", "1bad")
+    val host = Gen.oneOf("A.b.C", "www.Site7.co.uk", "WWW.x.IO", "host",
+      "www.", "x:80", "y:443", "z:8080", "")
+    val path = Gen.oneOf("", "/", "/A/B", "/a/", "/a//", "///", "/p?x")
+    val params = Gen.listOfN(3, Gen.oneOf("id=1", "utm_source=x", "ref=rss",
+      "", "b=2", "a=10", "a=2", "sort=asc")).map(_.mkString("&"))
+    val frag = Gen.oneOf("", "#f", "#a#b", "#?q=1")
+    val gen = for {
+      s <- scheme; h <- host; p <- path; q <- params; f <- frag
+      sep <- Gen.oneOf("://", ":/", "", "//")
+    } yield s"$s$sep$h$p?$q$f"
+    val urls = samples(gen, 400).distinct
+    val df = urls.toDF("url")
+      .select(col("url"),
+        Crawl.canonicalizeUrl(col("url")).as("k"),
+        Crawl.canonicalizeUrlRef(col("url")).as("r"))
+    val bad = df.filter(col("k") =!= col("r")).collect()
+    assert(bad.isEmpty, "kernel/chain divergence: " +
+      bad.take(5).map(b => s"'${b.getString(0)}' -> '${b.getString(1)}' vs '${b.getString(2)}'")
+        .mkString("; "))
+  }
+
   test("registrableDomain: multi-level public suffixes keep three labels") {
     val df = Seq(
       "http://a.b.site9.co.uk/p", "http://site9.co.uk/p",

@@ -50,7 +50,9 @@ class SqlSurfaceSpec extends SparkSpecBase {
         |       size(graft_hamming_pairs(
         |         array(named_struct('doc_id', 1L, 'simhash', 5L),
         |               named_struct('doc_id', 2L, 'simhash', 4L),
-        |               named_struct('doc_id', 3L, 'simhash', -1L)), 1)) AS hp
+        |               named_struct('doc_id', 3L, 'simhash', -1L)), 1)) AS hp,
+        |       graft_canonical_url(
+        |         'HTTPS://WWW.Ex.COM:443/a/?utm_source=x&b=2&a=1#f') AS cu
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("cos") == 1.0)
     assert(r.getAs[String]("rt") == "€ räksmörgås")
@@ -63,6 +65,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
     // only (1,2) is within hamming 1 (5^4=1); pairs with the -1 sketch
     // are 62-63 bits apart
     assert(r.getAs[Int]("hp") == 1)
+    assert(r.getAs[String]("cu") == "https://ex.com/a?a=1&b=2")
     // dim-2 vector (1,0) split into 2 sub-spaces of 1 dim; codebook per
     // sub-space is {1.0, 0.0} / {0.0, 1.0} -> codes (0, 0); ADC =
     // (0.9 + 0.2) / sqrt(1 + 1)
