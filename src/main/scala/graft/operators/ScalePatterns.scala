@@ -208,6 +208,49 @@ object ScalePatterns {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Per-shard token budget for [[q_shard_assign]]. */
+  val ShardBudget: Long = 4096L
+
+  /** Distributed EXCLUSIVE prefix sums over a totally ordered frame —
+    * the scalable form of `sum(w) OVER (ORDER BY … ROWS UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` without serializing the corpus through
+    * one partition: range-repartition + in-partition sort, ONE bounded
+    * collect of per-partition totals (≤ #partitions rows), broadcast
+    * offsets, then a narrow per-partition running accumulator. The
+    * primitive behind size-balanced shard export, sequence packing and
+    * curriculum byte budgeting. */
+  def prefixSums(df: DataFrame, order: Seq[Column], w: Column,
+      outCol: String = "cum_before"): DataFrame = {
+    val sorted = df.withColumn("__w", w.cast(LongType))
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val totals = sorted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum("__w").as("t"))
+      .orderBy("pid")
+      .collect() // bounded: one row per partition
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] =
+      totals.scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, t)) =>
+        (pid, acc + t, acc)
+      }.drop(1).map { case (pid, _, off) => pid -> off }.toMap
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    val base = sorted.drop("__w")
+    val schema = base.schema.add(outCol, LongType, nullable = false)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = bc.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val wv = r.getLong(r.fieldIndex("__w"))
+        val out = org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(1) :+ acc)
+        acc += wv
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Write the orders/lineitem join pair ONCE as co-bucketed tables
     * (8 buckets on the join key, bucket-sorted) — the layout decision
     * that turns every subsequent equi-join or aggregation on that key
@@ -284,6 +327,18 @@ object ScalePatterns {
         Seq(col("n_chars").desc, col("doc_id").asc))
         .orderBy("doc_id")),
 
+    // size-balanced shard export: docs in doc_id order packed into
+    // shards of ShardBudget chars via the distributed exclusive
+    // prefix sum — the oracle's running-sum window IS the
+    // single-partition anti-pattern the two-phase form replaces.
+    "q_shard_assign" -> ((s, dir) =>
+      prefixSums(
+        documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq(col("doc_id").asc), col("n_chars"))
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"cum_before div $ShardBudget").as("shard_id"))
+        .orderBy("doc_id")),
+
     // merge/upsert: deterministic update batch (keys %97 get a price
     // bump, keys %193 arrive as new orders) merged into orders; the
     // per-status aggregate pins both the survivor set and the arithmetic.
@@ -326,6 +381,12 @@ object ScalePatterns {
       """SELECT doc_id, n_chars,
         |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS row_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_shard_assign" ->
+      s"""SELECT doc_id, n_chars,
+         |       CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         // $ShardBudget AS BIGINT) AS shard_id
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_upsert" ->
       """WITH ord AS (
         |  SELECT o_orderkey, o_orderstatus,

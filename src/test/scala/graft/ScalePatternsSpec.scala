@@ -139,6 +139,28 @@ class ScalePatternsSpec extends SparkSpecBase {
     assert(got == Set((9L, 0L), (5L, 1L), (3L, 2L)))
   }
 
+  test("prefixSums == exclusive running-sum window, shuffled input, dup keys") {
+    import testImplicits._
+    val docs = scala.util.Random.shuffle((0L until 3000L).toList)
+      .map(i => (i, 1L + i % 23))
+      .toDF("doc_id", "w")
+    val got = ScalePatterns.prefixSums(docs, Seq(col("doc_id").asc), col("w"))
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val expected = (0L until 3000L).map { i =>
+      val r = i -> acc; acc += 1L + i % 23; r
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("prefixSums survives more partitions than rows") {
+    import testImplicits._
+    val docs = Seq((5L, 10L), (3L, 20L), (9L, 30L)).toDF("doc_id", "w")
+    val got = ScalePatterns.prefixSums(docs, Seq(col("doc_id").asc), col("w"))
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 0L), (5L, 20L), (9L, 30L)))
+  }
+
   test("bucketed pair joins WITHOUT a shuffle and matches the plain join") {
     import testImplicits._
     val dir = "/root/testdata/sf0.001"
