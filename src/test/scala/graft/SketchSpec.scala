@@ -117,7 +117,7 @@ class SketchSpec extends SparkSpecBase {
       "graft_word_gram_hashes", "graft_lm_nll", "graft_pq_encode",
       "graft_pq_adc", "graft_bloom_agg", "graft_might_contain",
       "graft_hamming_pairs", "graft_cosine_pairs", "graft_cosine_pairs_cross",
-      "graft_pq_adc_cols"))
+      "graft_pq_adc_cols", "graft_canonical_url"))
     // and the builders produce working expressions
     val e = GraftExtensions.functions.head._3(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
