@@ -349,6 +349,22 @@ object Crawl {
         .orderBy("domain", "doc_id")
     }),
 
+    // the SAME domain cap through the custom bounded-heap operator
+    // (graft.plans.TopK: LogicalPlan + Strategy + two-phase physical
+    // exec) instead of the window — the oracle is shared VERBATIM with
+    // q_domain_cap, so the hash equality proves the custom operator
+    // row-for-row against both the window form and DuckDB.
+    "q_domain_cap_topk" -> ((s, dir) => {
+      val withDomain = documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          registrableDomain(
+            canonicalizeUrl(syntheticUrl(col("doc_id")))).as("domain"))
+      graft.plans.TopK.topKPerKey(withDomain, Seq(col("domain")),
+          Seq(col("n_chars").desc, col("doc_id").asc), DomainCap)
+        .select("domain", "doc_id", "n_chars")
+        .orderBy("domain", "doc_id")
+    }),
+
     // anchor-text corpus: per target domain, in-degree, distinct
     // sources, and the sorted distinct anchor texts — the link-text
     // aggregation every web pretraining corpus builds.
@@ -408,6 +424,18 @@ object Crawl {
     })
   )
 
+  /** One oracle, two gates: the window form (q_domain_cap) and the
+    * custom bounded-heap operator (q_domain_cap_topk) must both hash
+    * to this QUALIFY replay. */
+  val DomainCapOracleSql: String =
+    s"""WITH ${rawUrlCtesSql(Seq("doc_id", "n_chars"))},
+       |${canonicalCtesSql("raw", Seq("doc_id", "n_chars"))},
+       |${registrableDomainCtesSql("canon", Seq("doc_id", "n_chars"))}
+       |SELECT domain, doc_id, n_chars FROM dom
+       |QUALIFY row_number() OVER (PARTITION BY domain
+       |  ORDER BY n_chars DESC, doc_id) <= $DomainCap
+       |ORDER BY domain, doc_id""".stripMargin
+
   val oracles: Map[String, String] = {
     Map(
       "q_url_canonical" ->
@@ -417,14 +445,9 @@ object Crawl {
            |       min(doc_id) AS first_doc,
            |       CAST(sum(doc_id) AS BIGINT) AS sum_docs
            |FROM canon GROUP BY 1 ORDER BY canon_url""".stripMargin,
-      "q_domain_cap" ->
-        s"""WITH ${rawUrlCtesSql(Seq("doc_id", "n_chars"))},
-           |${canonicalCtesSql("raw", Seq("doc_id", "n_chars"))},
-           |${registrableDomainCtesSql("canon", Seq("doc_id", "n_chars"))}
-           |SELECT domain, doc_id, n_chars FROM dom
-           |QUALIFY row_number() OVER (PARTITION BY domain
-           |  ORDER BY n_chars DESC, doc_id) <= $DomainCap
-           |ORDER BY domain, doc_id""".stripMargin,
+      "q_domain_cap" -> DomainCapOracleSql,
+      // shared VERBATIM: hash equality = custom operator ≡ window form
+      "q_domain_cap_topk" -> DomainCapOracleSql,
       "q_anchor_text" -> {
         val tldCase = Tlds.zipWithIndex.map { case (t, i) =>
           s"WHEN $i THEN '$t'"

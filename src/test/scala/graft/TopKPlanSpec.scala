@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+
+/** Custom bounded-heap top-k operator: row-set equivalence with the
+  * window form (ties, skew, small groups), physical plan shape
+  * (two-phase, one exchange, no Window/Sort), and edge cases. */
+class TopKPlanSpec extends SparkSpecBase {
+
+  import testImplicits._
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("key", "id", "v")
+  }
+
+  test("custom operator == window rank on skewed data with duplicate sort keys") {
+    // one mega-key (80% of rows), many small keys, heavy v ties
+    val rows = (0L until 20000L).map { i =>
+      val key = if (i % 5 != 0) "hot" else s"k${i % 97}"
+      (key, i, (i % 7).toInt)
+    }
+    val df = rows.toDF("key", "id", "v").repartition(8).localCheckpoint()
+    val got = TopK.topKPerKey(df, Seq(col("key")),
+        Seq(col("v").desc, col("id").asc), 5)
+      .select("key", "id", "v")
+    val want = windowTopK(df, 5)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "custom top-k must reproduce the window row set exactly")
+  }
+
+  test("k larger than every group returns all rows; k=1 returns per-key max") {
+    val df = Seq(("a", 1L, 10), ("a", 2L, 20), ("b", 3L, 5)).toDF("key", "id", "v")
+    val all = TopK.topKPerKey(df, Seq(col("key")),
+      Seq(col("v").desc, col("id").asc), 100)
+    assert(all.count() == 3)
+    val top1 = TopK.topKPerKey(df, Seq(col("key")),
+        Seq(col("v").desc, col("id").asc), 1)
+      .select("key", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top1 == Set(("a", 2L), ("b", 3L)))
+  }
+
+  test("empty input yields empty output") {
+    val df = Seq.empty[(String, Long, Int)].toDF("key", "id", "v")
+    assert(TopK.topKPerKey(df, Seq(col("key")),
+      Seq(col("v").desc), 3).count() == 0)
+  }
+
+  test("plan: two TopKPerKey phases, one exchange between, no Window/Sort") {
+    val df = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("n_chars"), (col("doc_id") % 13).as("key"))
+    val plan = TopK.topKPerKey(df, Seq(col("key")),
+        Seq(col("n_chars").desc, col("doc_id").asc), 3)
+      .queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2,
+      s"partial AND final phases expected:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"final phase must cluster on the key:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"the whole point: no full per-partition sort, no window:\n$plan")
+  }
+
+  test("q_domain_cap_topk == q_domain_cap row-for-row") {
+    val a = SparkEntry.queries("q_domain_cap_topk")(spark, TestSpark.Sf0001)
+    val b = SparkEntry.queries("q_domain_cap")(spark, TestSpark.Sf0001)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
