@@ -292,6 +292,76 @@ object Ingest {
       .withColumnRenamed("vec_id", "doc_id")
   }
 
+  // --- stored positional index (exact phrase search) -------------------
+
+  /** POSITIONAL postings over `documents` — (doc_id, term, pos)
+    * partitioned by the SAME 64-way term-hash bucket as the BM25 index
+    * (one [[termBucket]] derivation, so a phrase query and a BM25 query
+    * prune identically). Kept as a separate artifact from
+    * [[ensureTermIndex]]: the BM25 warm path reads one row per
+    * (doc, term) and must not pay |positions| row inflation on every
+    * ranked query; the phrase path needs every occurrence. `pos` is the
+    * 0-based token offset from the shared [[TextAnalysis.bm25Toks]]
+    * tokenizer — the same split the index build, the fresh scorer and
+    * the oracle replay, so positions cannot drift from terms. */
+  def ensurePhraseIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, dir, "term_positions")
+    if (!committed(s, path))
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.bm25Toks(col("text"))).as(Seq("pos", "term")))
+        .withColumn("bucket", termBucket(col("term")))
+        // partition-column-first repartition (the ensureTermIndex
+        // file-count rule): ≤ NumTermBuckets files, not buckets × tasks
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** BATCHED exact phrase search from the stored positional index: every
+    * phrase in the batch answered in ONE pass over the pruned postings.
+    * The classic adjacency form — each (phrase_id, term, off) spec row
+    * joins its term's postings, a posting at `pos` votes for a phrase
+    * START at `pos - off`, and a start with ALL |phrase| distinct
+    * offsets present is an occurrence (repeated phrase terms work
+    * because the vote key is the offset, not the term; overlapping
+    * occurrences each get their own start row, so "batch batch batch"
+    * contains "batch batch" twice). Returns (phrase_id, doc_id, n_hits)
+    * — phrases with an out-of-vocabulary term simply produce no rows.
+    *
+    * Scale: the spec and per-phrase lengths are the bounded broadcast
+    * query batch; the postings scan is pruned to the phrases' bucket
+    * directories by the static literal IN-list ([[termBucketIds]], the
+    * bm25TopKStored rationale); the one shuffle groups by
+    * (phrase_id, doc_id, start) — keys at least as fine as doc_id, so a
+    * hot document spreads and a hot TERM ('the') spreads across all the
+    * documents containing it. No corpus scan, no tokenize. */
+  def phraseMatchBatch(s: SparkSession, dir: String,
+      phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    val postings = ensurePhraseIndex(s, dir)
+    import s.implicits._
+    val spec = phrases.flatMap { case (pid, toks) =>
+      toks.zipWithIndex.map { case (t, i) => (pid, t, i) } }
+    val specDf = spec.toDF("phrase_id", "term", "off")
+      .withColumn("bucket", termBucket(col("term")))
+    // offsets 0..|phrase|-1 are distinct by construction, so the full
+    // house is |phrase| votes — even when the TERMS repeat
+    val lens = phrases.map { case (pid, toks) =>
+      (pid, toks.length.toLong) }.toDF("phrase_id", "n_off")
+    val starts = postings
+      .filter(col("bucket").isin(
+        termBucketIds(s, spec.map(_._2).distinct): _*))
+      .join(broadcast(probeBuckets(specDf, postings)), Seq("bucket", "term"))
+      .groupBy(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"))
+      .agg(count_distinct(col("off")).as("got"))
+    starts
+      .join(broadcast(lens), "phrase_id")
+      .filter(col("got") === col("n_off"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   // --- stored paragraph-block index (span-level admission) -------------
 
   /** Distinct block digests of the corpus — the INCREMENTAL form of
@@ -1359,6 +1429,16 @@ object Ingest {
     3L -> "stream", 3L -> "window", 3L -> "state",
     4L -> "vector", 4L -> "query", 4L -> "fast")
 
+  /** Fixed probe set of the batched phrase gate: a repeated-term phrase
+    * (its occurrences OVERLAP — "batch batch batch" contains "batch
+    * batch" at two starts, both must count), a common bigram, and a
+    * phrase whose second term ('state') occurs nowhere in the corpus —
+    * the zero-occurrence edge that must yield no rows, not an error. */
+  private[graft] val PhraseBatch: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("batch", "batch"),
+    2L -> Seq("table", "scan"),
+    3L -> Seq("scan", "state"))
+
   /** Probe set of the batched retrieval-EVALUATION gate (ADVICE r9 #5):
     * 8 sparse term-set queries, q_ids 1..8 aligned with the 8 dense
     * probes (rank of the 8 smallest vec_ids). q6 carries the
@@ -1445,6 +1525,14 @@ object Ingest {
       bm25TopKBatch(s, dir, BatchQueryTerms.toDF("q_id", "term"), 5)
         .orderBy("q_id", "rnk")
     }),
+
+    // batched EXACT PHRASE search from the stored positional index:
+    // the three-phrase probe set answered in one pass over the pruned
+    // positional postings — adjacency votes keyed by (doc, start), a
+    // full house of offsets = one occurrence.
+    "q_phrase_search" -> ((s, dir) =>
+      phraseMatchBatch(s, dir, PhraseBatch)
+        .orderBy("phrase_id", "doc_id")),
 
     // BATCHED retrieval evaluation (ADVICE r9 #5): mean nDCG@10 over 8
     // probes, each probe = RRF fusion of its dense (exact kNN) and
@@ -1857,6 +1945,32 @@ object Ingest {
          |       COALESCE(r.admit_text, '') AS admit_text
          |FROM pbase b LEFT JOIN rebuilt r USING (doc_id) ORDER BY b.doc_id""".stripMargin
     },
+    // batched phrase search: the oracle replays the SAME adjacency
+    // algorithm over the SAME tokenizer (spec VALUES generated from
+    // PhraseBatch — the bm25BatchCtesSql rule, no hand-copied phrase
+    // list to drift). generate_subscripts is 1-based where posexplode
+    // is 0-based: `start` shifts by a constant but is grouping-only.
+    "q_phrase_search" -> {
+      val spec = PhraseBatch.flatMap { case (pid, toks) =>
+        toks.zipWithIndex.map { case (t, i) => s"($pid, '$t', $i)" } }
+        .mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+         |  FROM documents),
+         |pos AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM toks),
+         |spec(phrase_id, term, off) AS (VALUES $spec),
+         |lens AS (SELECT phrase_id, count(*) AS n_off FROM spec GROUP BY 1),
+         |starts AS (
+         |  SELECT phrase_id, doc_id, pos - off AS start,
+         |         count(DISTINCT off) AS got
+         |  FROM pos JOIN spec USING (term) GROUP BY 1, 2, 3)
+         |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_hits
+         |FROM starts JOIN lens USING (phrase_id)
+         |WHERE got = n_off
+         |GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin
+    },
+
     // batched BM25: per-query replay of the shared formula — tf/df per
     // (q_id, term), the same (N, Σdl) stats, rounded scores, per-query
     // row_number rank. q_id cast BIGINT (Spark lit(1L)); the absent

@@ -279,7 +279,115 @@ object ScalePatterns {
     (s.table(oName), s.table(lName))
   }
 
+  // --- Z-order clustering + file-level skipping manifest ---------------
+
+  /** Bit-spread of a non-negative 32-bit value into the even bit
+    * positions of a 64-bit word — the classic Morton mask chain, pure
+    * column arithmetic (whole-stage codegen, no UDF). */
+  private def spreadBits(v: Column): Column = {
+    val a = v.bitwiseAND(lit(0xFFFFFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val c = b.bitwiseOR(shiftleft(b, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val d = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x3333333333333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 2-D Morton (Z-order) code: interleaves the low 32 bits of `x`
+    * (even positions) and `y` (odd positions). Nearby (x, y) points get
+    * nearby codes, so range-partitioning on the code clusters BOTH
+    * dimensions at once — the layout that makes a 2-D range predicate
+    * skippable at file granularity (the write-side analog of the
+    * reference's secondary indexes, SURVEY §2.8 D2). */
+  def zValue(x: Column, y: Column): Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** Write `df` Z-order-clustered on (x, y) into `nFiles` range slices
+    * of the Morton code. repartitionByRange gives each output file a
+    * tight contiguous z-interval (≈ a small rectangle stack), so the
+    * per-file (min, max) stats of BOTH dims are narrow — that is the
+    * entire skipping win; an unclustered write has every file spanning
+    * the whole key space and no predicate ever skips anything. */
+  def zorderWrite(df: DataFrame, x: String, y: String, path: String,
+      nFiles: Int): Unit =
+    df.withColumn("__z", zValue(col(x), col(y)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file (min, max, rows) manifest over the clustering dims — the
+    * file-level skipping index consulted BEFORE any table I/O. One scan
+    * at build time (at 100 TB this folds into the writer's task-commit
+    * stats); one tiny parquet beside the table. Written AFTER the table
+    * so its _SUCCESS is the generation marker (the ensureTermIndex
+    * torn-build rule). */
+  def writeSkipManifest(s: SparkSession, tablePath: String, x: String,
+      y: String): Unit =
+    s.read.parquet(tablePath)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(x).as("min_x"), max(x).as("max_x"),
+        min(y).as("min_y"), max(y).as("max_y"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tablePath + "_manifest")
+
+  /** Manifest-pruned read: keep only files whose (min, max) envelope
+    * intersects the query rectangle, then apply the exact predicate to
+    * the surviving rows. Returns (result, files read, files total) so
+    * callers (and the spec) can see the skip rate. The manifest filter
+    * is itself a Spark job over the tiny manifest; the driver collects
+    * only the SURVIVING file names (bounded by the match, not the
+    * table). Correctness never depends on the clustering: a file the
+    * envelope admits but the predicate empties just contributes zero
+    * rows — the manifest only ever REMOVES provably-empty I/O. */
+  def skipRead(s: SparkSession, tablePath: String, x: String, y: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): (DataFrame, Long, Long) = {
+    val m = s.read.parquet(tablePath + "_manifest").localCheckpoint()
+    val files = m
+      .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
+        col("max_y") >= yLo && col("min_y") <= yHi)
+      .select("file").collect().map(_.getString(0))
+    val pred = col(x).between(xLo, xHi) && col(y).between(yLo, yHi)
+    val res =
+      if (files.isEmpty) s.read.parquet(tablePath).where(lit(false))
+      else s.read.parquet(files.toSeq: _*).filter(pred)
+    (res, files.length.toLong, m.count())
+  }
+
+  /** The Z-ordered lineitem projection (l_orderkey, l_partkey,
+    * l_linenumber) + its skip manifest, materialized once per
+    * (app, corpus) behind the manifest's _SUCCESS marker. */
+  def ensureZorderedLineitem(s: SparkSession, dir: String): String = {
+    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
+    val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val path = s"$root/${s.sparkContext.applicationId}/zorder_lineitem_$tag"
+    val marker = new org.apache.hadoop.fs.Path(tablePathManifest(path), "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      zorderWrite(
+        lineitem(s, dir).select("l_orderkey", "l_partkey", "l_linenumber"),
+        "l_orderkey", "l_partkey", path, nFiles = 16)
+      writeSkipManifest(s, path, "l_orderkey", "l_partkey")
+    }
+    path
+  }
+
+  private def tablePathManifest(tablePath: String): String =
+    tablePath + "_manifest"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order clustered rectangle read: the manifest prunes files
+    // BEFORE any table I/O; the oracle is the PLAIN filter over the
+    // raw table — a hash match proves the clustered layout + manifest
+    // pruning is semantics-preserving (the saltedJoin rule); the spec
+    // proves files were actually skipped.
+    "q_zorder_skip" -> ((s, dir) => {
+      val path = ensureZorderedLineitem(s, dir)
+      skipRead(s, path, "l_orderkey", "l_partkey", 100L, 400L, 50L, 300L)._1
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+    }),
+
     // salted fact⋈dim aggregation — the oracle is the PLAIN join, so a
     // hash match proves the salting is semantics-preserving.
     "q_salted_join" -> ((s, dir) =>
@@ -360,6 +468,11 @@ object ScalePatterns {
   )
 
   val oracles: Map[String, String] = Map(
+    // the plain full-scan filter: file skipping must be invisible here
+    "q_zorder_skip" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 400 AND l_partkey BETWEEN 50 AND 300
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS sum_qty

@@ -116,6 +116,21 @@ class PlanSpec extends SparkSpecBase {
       s"batched postings scan must carry the static bucket IN-list:\n$tfPlan")
   }
 
+  test("batched phrase search stays on the pruned positional postings") {
+    graft.operators.Ingest.ensurePhraseIndex(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.phraseMatchBatch(
+      spark, TestSpark.Sf0001, graft.operators.Ingest.PhraseBatch))
+    // warm path: positional postings only — no corpus text, no
+    // tokenize; the scan is pruned to the phrases' bucket directories
+    // by the same static literal IN-list as the stored BM25 path
+    assert(!p.contains("documents.parquet") && !p.contains("text#"),
+      s"phrase warm path must not scan the corpus:\n$p")
+    assert(bucketInListPruned(p),
+      s"positional scan must carry the static bucket IN-list:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"spec and per-phrase lengths are broadcast-small:\n$p")
+  }
+
   test("minhash candidates run the bucket-local pair kernel, not a band self-join") {
     val p = plan(graft.operators.Dedup.minhashCandidates(
       Tables.documents(spark, TestSpark.Sf0001)))

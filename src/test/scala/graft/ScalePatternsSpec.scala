@@ -184,4 +184,49 @@ class ScalePatternsSpec extends SparkSpecBase {
     val out = ScalePatterns.contiguousIds(docs, Seq(col("k").asc, col("doc_id").asc))
     assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("zValue matches a bit-by-bit driver reference") {
+    import testImplicits._
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 32) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xFFFFFFFFL, 0xFFFFFFFFL)) ++
+      Seq.fill(200)((rnd.nextInt(Int.MaxValue).toLong,
+        rnd.nextInt(Int.MaxValue).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ScalePatterns.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"z($x, $y)")
+    }
+  }
+
+  test("skipRead skips files and still returns exactly the filter rows") {
+    val path = ScalePatterns.ensureZorderedLineitem(spark, TestSpark.Sf0001)
+    val (res, read, total) = ScalePatterns.skipRead(spark, path,
+      "l_orderkey", "l_partkey", 100L, 400L, 50L, 300L)
+    assert(total == 16L, s"16 z-range files expected, got $total")
+    assert(read < total,
+      s"manifest must prune some files: read $read of $total")
+    val expected = Tables.lineitem(spark, TestSpark.Sf0001)
+      .filter(col("l_orderkey").between(100, 400) &&
+        col("l_partkey").between(50, 300))
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = res.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length == expected.length && got.sameElements(expected))
+    // a rectangle touching nothing: zero files read, empty result
+    val (none, nread, _) = ScalePatterns.skipRead(spark, path,
+      "l_orderkey", "l_partkey", 100000L, 100001L, 0L, 10L)
+    assert(nread == 0L && none.count() == 0L)
+  }
 }

@@ -198,4 +198,31 @@ class TextAnalysisSpec extends SparkSpecBase {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("phrase search == brute-force sliding window, incl. overlaps") {
+    // driver-side replay of the exact algorithm over the raw corpus:
+    // tokenize like bm25Toks, slide a |phrase| window, count every
+    // start — overlapping starts of a repeated-term phrase included
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def brute(phrase: Seq[String]): Map[Long, Long] =
+      docs.map { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+").toSeq
+        id -> (0 to t.length - phrase.length)
+          .count(i => t.slice(i, i + phrase.length) == phrase).toLong
+      }.filter(_._2 > 0).toMap
+    val expected = graft.operators.Ingest.PhraseBatch
+      .flatMap { case (pid, p) =>
+        brute(p).map { case (id, n) => (pid, id) -> n } }.toMap
+    // the corpus must actually exercise the overlap edge ("batch batch
+    // batch" ⇒ two starts) and the OOV edge (phrase 3 ⇒ zero rows)
+    assert(expected.exists { case ((pid, _), n) => pid == 1L && n == 2L })
+    assert(!expected.exists { case ((pid, _), _) => pid == 3L })
+    val got = graft.operators.Ingest.phraseMatchBatch(
+      spark, TestSpark.Sf0001, graft.operators.Ingest.PhraseBatch)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
 }
