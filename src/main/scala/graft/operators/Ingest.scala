@@ -292,6 +292,120 @@ object Ingest {
       .withColumnRenamed("vec_id", "doc_id")
   }
 
+  // --- sparse-index LSM lifecycle (append / compact) -------------------
+
+  /** Re-identification offset of the sparse append batch — the
+    * [[AppendOffset]] pattern on the documents axis: appended docs are
+    * exact TEXT COPIES of every `doc_id % 101 == 0` base document,
+    * re-identified at +DocAppendOffset. A copy has identical tf/dl per
+    * term, so after the corpus stats shift (N, Σdl, df all grow) its
+    * score still equals its source's score EXACTLY — the canary
+    * argument IngestSpec pins pairwise. */
+  val DocAppendOffset: Long = 10000000L
+
+  private def docAppendBatch(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .filter(col("doc_id") % 101 === 0)
+      .select((col("doc_id") + lit(DocAppendOffset)).as("doc_id"), col("text"))
+
+  /** DELTA half of the inverted index's LSM posture: tokenize ONLY the
+    * append batch (never the base corpus), write its postings as their
+    * own bucket-partitioned table NEXT TO the base (same [[termBucket]]
+    * derivation, so one static IN-list prunes base and delta alike),
+    * plus a 1-row delta stats frame. The base index files are never
+    * touched — concurrent readers keep their snapshot. Same commit
+    * protocol as [[ensureTermIndex]]: postings first, stats directory
+    * last as the generation marker. */
+  def ensureTermIndexDelta(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (postings, stats) = ensureTermIndex(s, dir)
+    val pPath = scratch(s, dir, "term_postings_delta")
+    val sPath = scratch(s, dir, "term_stats_delta")
+    if (!committed(s, sPath)) {
+      // two consumers (postings + stats): tokenize the batch once
+      val toks = docAppendBatch(s, dir)
+        .select(col("doc_id"), TextAnalysis.bm25Toks(col("text")).as("t"))
+        .localCheckpoint()
+      toks
+        .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        .withColumn("bucket", termBucket(col("term")))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(pPath)
+      toks.select(size(col("t")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_total"))
+        .write.mode("overwrite").parquet(sPath)
+    }
+    (postings, stats, s.read.parquet(pPath), s.read.parquet(sPath))
+  }
+
+  /** Combined (N, Σdl) of base ∪ delta — two 1-row frames summed, so
+    * the ranker's idf and length normalization see the GROWN corpus
+    * (a stale N would deflate every appended score asymmetrically). */
+  private def mergedTermStats(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .agg(sum("n_docs").as("n_docs"), sum("dl_total").as("dl_total"))
+
+  /** Warm BM25 top-k over base ∪ delta postings — the sparse analog of
+    * [[ivfTopKAppended]]: each side gets its OWN static bucket IN-list
+    * prune + broadcast term join, and the union runs over
+    * already-pruned scans, so neither side ever reads a non-query
+    * bucket directory. df falls out of the unioned tf frame (one row
+    * per matching (doc, term) across BOTH generations), so the idf
+    * automatically reflects appended documents. */
+  def bm25TopKAppended(s: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, stats, dPostings, dStats) = ensureTermIndexDelta(s, dir)
+    import s.implicits._
+    val q = queryTerms.toDF("term").select(col("term"),
+      termBucket(col("term")).as("bucket"))
+    val ids = termBucketIds(s, queryTerms)
+    def pruned(p: DataFrame): DataFrame = p
+      .filter(col("bucket").isin(ids: _*))
+      .join(broadcast(probeBuckets(q, p)), Seq("bucket", "term"))
+      .select("doc_id", "term", "tf", "dl")
+    TextAnalysis.bm25Rank(pruned(postings).unionByName(pruned(dPostings)),
+      mergedTermStats(stats, dStats), k, k1, b)
+  }
+
+  /** COMPACTION — merge base ∪ delta postings into the next index
+    * GENERATION under a new path (bucket-partitioned like the base)
+    * with merged stats. Old generation untouched (snapshot isolation);
+    * serving flips to gen2 once its stats marker exists. At production
+    * scale this is the scheduled job that keeps per-query file counts
+    * bounded as deltas accumulate — the [[compactIvfIndex]] posture on
+    * the sparse axis. */
+  def compactTermIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (postings, stats, dPostings, dStats) = ensureTermIndexDelta(s, dir)
+    val pPath = scratch(s, dir, "term_postings_gen2")
+    val sPath = scratch(s, dir, "term_stats_gen2")
+    if (!committed(s, sPath)) {
+      postings.unionByName(dPostings)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(pPath)
+      mergedTermStats(stats, dStats)
+        .write.mode("overwrite").parquet(sPath)
+    }
+    (s.read.parquet(pPath), s.read.parquet(sPath))
+  }
+
+  /** Warm BM25 top-k from the COMPACTED generation — the single-scan
+    * serving shape of [[bm25TopKStored]], over gen2. q_bm25_compact
+    * shares q_bm25_append's oracle verbatim, so appended-serving ≡
+    * compacted-serving ≡ the DuckDB replay is pinned by one hash. */
+  def bm25TopKCompacted(s: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (gen2, stats2) = compactTermIndex(s, dir)
+    import s.implicits._
+    val q = queryTerms.toDF("term").select(col("term"),
+      termBucket(col("term")).as("bucket"))
+    val tf = gen2
+      .filter(col("bucket").isin(termBucketIds(s, queryTerms): _*))
+      .join(broadcast(probeBuckets(q, gen2)), Seq("bucket", "term"))
+      .select("doc_id", "term", "tf", "dl")
+    TextAnalysis.bm25Rank(tf, stats2, k, k1, b)
+  }
+
   // --- stored positional index (exact phrase search) -------------------
 
   /** POSITIONAL postings over `documents` — (doc_id, term, pos)
@@ -1496,6 +1610,19 @@ object Ingest {
     "q_bm25_topk_stored" -> ((s, dir) =>
       bm25TopKStored(s, dir, Seq("table", "scan", "join"), 10)),
 
+    // inverted-index LSM: warm BM25 over base ∪ delta — the corpus grew
+    // by the append batch, so N, Σdl and every df shift, and an appended
+    // exact copy scores identically to its source. The oracle replays
+    // fresh BM25 over the AUGMENTED corpus (same shared CTE block).
+    "q_bm25_append" -> ((s, dir) =>
+      bm25TopKAppended(s, dir, Seq("table", "scan", "join"), 10)),
+
+    // compacted generation serves the same augmented corpus from ONE
+    // bucket-pruned scan; shares q_bm25_append's oracle VERBATIM, so
+    // appended ≡ compacted ≡ DuckDB is pinned by the hash.
+    "q_bm25_compact" -> ((s, dir) =>
+      bm25TopKCompacted(s, dir, Seq("table", "scan", "join"), 10)),
+
     // span-level ADMISSION against the stored block index: 50 probes,
     // each = the first 10 tokens of a stored doc (its stored block 0 —
     // must be DROPPED) + 10 novel tokens (must SURVIVE); probes whose
@@ -1890,6 +2017,27 @@ object Ingest {
       |    FROM qtf JOIN dfreq d USING (q_id, term), stats)
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Fresh BM25 replayed over the AUGMENTED corpus (base ∪ append
+    * batch) — shared by q_bm25_append and q_bm25_compact. Derived from
+    * [[TextAnalysis.Bm25CtesSql]] by rewriting the toks CTE's source
+    * from `documents` to the union with the `% 101` copies at
+    * +[[DocAppendOffset]] — the formula, tokenization, rounding and tie
+    * order stay the ONE shared string, and the append-batch definition
+    * is generated from the same Scala constants the Spark delta build
+    * uses (the bm25BatchCtesSql rule). */
+  private val Bm25AppendOracleSql: String = {
+    val src = "FROM documents)"
+    require(TextAnalysis.Bm25CtesSql.contains(src),
+      "Bm25CtesSql drifted: toks source not found for append rewrite")
+    val augmented =
+      s"""FROM (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + $DocAppendOffset AS doc_id, text
+         |        FROM documents WHERE doc_id % 101 = 0))""".stripMargin
+    s"""WITH ${TextAnalysis.Bm25CtesSql.replace(src, augmented)}
+       |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // ivf_assign = corpus + the 8 planted canary rows (see TwinOffset)
     "q_ingest_sketches" ->
@@ -1901,6 +2049,15 @@ object Ingest {
     // the stored-index gate shares the fresh gate's oracle VERBATIM —
     // that hash equality IS the fresh-vs-stored differential, pinned 0.
     "q_bm25_topk_stored" -> TextAnalysis.oracles("q_bm25_topk"),
+    // LSM append gate: fresh BM25 replayed over the AUGMENTED corpus —
+    // the toks CTE's source is rewritten from the shared Bm25CtesSql
+    // string (no second copy of the formula to drift), and the append
+    // batch VALUES nothing: it's the same `% 101` predicate the Spark
+    // delta build uses, so a batch-definition change edits one constant.
+    "q_bm25_append" -> Bm25AppendOracleSql,
+    // shares the append oracle VERBATIM (the q_bm25_topk_stored rule):
+    // the hash equality IS the appended-vs-compacted differential.
+    "q_bm25_compact" -> Bm25AppendOracleSql,
     // brute-force twin of ensureBlockIndex + paragraphAdmit: corpus
     // blocks → distinct digests; probes rebuilt by the same keep-first
     // + anti-membership rules (q_dedup_paragraph's CTE shapes)

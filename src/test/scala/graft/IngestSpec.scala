@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Ingest
+
+/** LSM lifecycle of the stored inverted index (append → serve base∪delta
+  * → compact → serve gen2), pinned by the exact-copy canary argument:
+  * every appended document is an exact text copy of its `% 101` source,
+  * so tf/dl per term are identical and — because BOTH docs are scored
+  * under the same grown (N, Σdl, df) — the copy's BM25 score must equal
+  * its source's EXACTLY. A stale-stats bug (old N for old docs, new N
+  * for new) breaks that equality; so does any drift between the delta
+  * build's tokenizer and the base index's. */
+class IngestSpec extends SparkSpecBase {
+
+  private val Terms = Seq("table", "scan", "join")
+  // k past any plausible match count: the full ranked list, so every
+  // scoring (source, copy) pair is present for the pairwise assert
+  private val AllK = 100000
+
+  test("appended exact copies score EXACTLY their source's score") {
+    val all = Ingest.bm25TopKAppended(spark, TestSpark.Sf0001, Terms, AllK)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val copies = all.keys.filter(_ >= Ingest.DocAppendOffset).toSeq
+    assert(copies.nonEmpty,
+      "append batch must contribute scoring documents at sf0.001")
+    copies.foreach { id =>
+      val src = id - Ingest.DocAppendOffset
+      assert(all.contains(src), s"copy $id surfaced without its source")
+      assert(all(id) == all(src),
+        s"copy $id scored ${all(id)} but source $src scored ${all(src)}: " +
+          "stats/df must reflect ONE grown corpus for both generations")
+    }
+  }
+
+  test("compacted generation serves base∪delta results row-for-row") {
+    val a = Ingest.bm25TopKAppended(spark, TestSpark.Sf0001, Terms, AllK)
+      .collect().map(_.toSeq).toSeq
+    val c = Ingest.bm25TopKCompacted(spark, TestSpark.Sf0001, Terms, AllK)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == c,
+      "gen2 must be a pure layout rewrite: same rows, same total order")
+  }
+
+  test("delta stats carry exactly the append batch; merged stats grow") {
+    val (_, stats, _, dStats) = Ingest.ensureTermIndexDelta(spark, TestSpark.Sf0001)
+    val base = stats.collect()(0)
+    val delta = dStats.collect()(0)
+    // sf0.001: doc_ids 0..499, so the % 101 batch is {0,101,202,303,404}
+    assert(delta.getLong(0) == 5L, s"append batch size: $delta")
+    assert(delta.getLong(1) > 0L, "delta Σdl must be positive")
+    assert(base.getLong(0) == 500L, s"base corpus size: $base")
+  }
+}

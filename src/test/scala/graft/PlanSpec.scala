@@ -100,6 +100,47 @@ class PlanSpec extends SparkSpecBase {
       (l.contains("bucket#") || l.contains("bucket:")) &&
       (l.contains(" IN (") || l.contains(" INSET ")))
 
+  /** Every postings FileScan line in the plan, asserted bucket-pruned;
+    * returns the lines so callers can pin WHICH index directories the
+    * plan touches (the node count is an implementation detail — bm25Rank
+    * derives df from the tf frame, so each postings source plans twice,
+    * the second time column-pruned to `term` only). */
+  private def prunedPostingsScans(p: String): Seq[String] = {
+    val pf = p.linesIterator.filter(l => l.contains("PartitionFilters:") &&
+      (l.contains("bucket#") || l.contains("bucket:"))).toSeq
+    assert(pf.nonEmpty, s"expected bucket-partitioned postings scans:\n$p")
+    assert(pf.forall(l => l.contains(" IN (") || l.contains(" INSET ")),
+      s"EVERY postings scan must carry the static bucket IN-list:\n$p")
+    pf
+  }
+
+  test("appended BM25 prunes base AND delta buckets; touches no other generation") {
+    graft.operators.Ingest.ensureTermIndexDelta(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.bm25TopKAppended(
+      spark, TestSpark.Sf0001, Seq("table", "scan", "join"), 10))
+    assert(!p.contains("documents.parquet") && !p.contains("text#"),
+      s"warm append path must stay on the postings:\n$p")
+    val pf = prunedPostingsScans(p)
+    // scratch paths: base = term_postings__<sf>, delta = term_postings_delta__
+    assert(pf.exists(_.contains("term_postings__")) &&
+      pf.exists(_.contains("term_postings_delta__")),
+      s"serving must read BOTH generations:\n$p")
+    assert(!p.contains("term_postings_gen2__"),
+      s"append serving must not depend on compaction:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("compacted BM25 serves from the gen2 directories alone, pruned") {
+    graft.operators.Ingest.compactTermIndex(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.bm25TopKCompacted(
+      spark, TestSpark.Sf0001, Seq("table", "scan", "join"), 10))
+    assert(!p.contains("documents.parquet") && !p.contains("text#"),
+      s"warm compacted path must stay on the postings:\n$p")
+    val pf = prunedPostingsScans(p)
+    assert(pf.forall(_.contains("term_postings_gen2__")),
+      s"compaction must collapse serving onto gen2 only:\n$p")
+  }
+
   test("batched BM25 serves the whole query frame without a corpus scan") {
     import spark.implicits._
     graft.operators.Ingest.ensureTermIndex(spark, TestSpark.Sf0001)
