@@ -86,6 +86,82 @@ object CorpusStats {
       .groupBy("term", "c")
       .agg(min("cnt").as("tf_est"))
 
+  // --- stored sketch maintenance (the LSM posture on the stats axis) ---
+
+  /** Fixed probe list for the stored-sketch serving gate — template
+    * vocabulary present at every SF, plus one certainly-absent term so
+    * the empty-cell edge (a probe whose cell has no stored row) is
+    * pinned cross-engine. A literal list, NOT a derived top-k: the warm
+    * serving path must touch no corpus-derived frame at all. */
+  val CmsProbeTerms: Seq[String] =
+    Seq("agg", "column", "join", "merge", "query", "scan", "window",
+      "zzz_absent_probe")
+
+  private def scratch(s: SparkSession, dir: String, name: String): String = {
+    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
+    s"$root/${s.sparkContext.applicationId}/${name}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+  }
+
+  /** Commit-marker gate (the [[graft.operators.Ingest]] rule): an
+    * artifact is live only once `_SUCCESS` exists; gated writes are
+    * OVERWRITE so a torn directory is repaired, never served. */
+  private def committed(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Stored corpus-stats artifacts: the BASE sketch over `documents` and
+    * the DELTA sketch over the append batch (the same `% 101` exact-copy
+    * batch as [[graft.operators.Ingest.DocAppendOffset]] — doc ids are
+    * irrelevant to a token sketch, so the batch is just the re-tokenized
+    * copies). Each build is one map-side-combined count + a D×W fold;
+    * each artifact is ≤ [[CmsDepth]]·[[CmsWidth]] rows no matter the
+    * corpus size. The base is NEVER rebuilt on append — at 100 TB that
+    * is the whole point: per-shard/per-crawl sketches are built once by
+    * the ingest that produced the shard, and every later reader pays
+    * only the cell-wise merge. */
+  def ensureCmsArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bPath = scratch(s, dir, "cms_base")
+    val dPath = scratch(s, dir, "cms_delta")
+    def counts(docs: DataFrame): DataFrame = docs
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    if (!committed(s, bPath))
+      cmsBuild(counts(documents(s, dir)))
+        .write.mode("overwrite").parquet(bPath)
+    if (!committed(s, dPath))
+      cmsBuild(counts(documents(s, dir).filter(col("doc_id") % 101 === 0)))
+        .write.mode("overwrite").parquet(dPath)
+    (s.read.parquet(bPath), s.read.parquet(dPath))
+  }
+
+  /** Warm heavy-hitter estimates over the GROWN corpus, served from the
+    * stored sketches alone: cell-wise merge (sum is associative, so
+    * merged-from-parts IS the fresh sketch over base ∪ batch — the
+    * oracle pins that equality by replaying the fresh build over the
+    * augmented corpus), then a min-over-depth point estimate per probe.
+    * Absent cells count 0 (LEFT join + coalesce): a probe term the
+    * corpus never saw estimates as its true collision mass, not as a
+    * dropped row. Everything after the stored scans is ≤ 2·D·W rows —
+    * broadcast-scale at any corpus size. */
+  def cmsEstimateStored(s: SparkSession, dir: String,
+      probeTerms: Seq[String] = CmsProbeTerms): DataFrame = {
+    val (base, delta) = ensureCmsArtifacts(s, dir)
+    import s.implicits._
+    val merged = base.unionByName(delta)
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+    probeTerms.toDF("term")
+      .select(col("term"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
+      .select(col("term"), col("r"),
+        cmsBucket(col("r"), col("term")).as("b"))
+      .join(broadcast(merged), Seq("r", "b"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("tf_est"))
+      .orderBy("term")
+  }
+
   // --- query surface ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -104,6 +180,14 @@ object CorpusStats {
         .select(col("term"), col("c").as("tf_exact"), col("tf_est"))
         .orderBy("term")
     }),
+
+    // stats-axis LSM: heavy-hitter estimates over base ∪ append batch,
+    // served from the two STORED sketches via cell-wise merge — no
+    // corpus scan, no tokenize in the warm path. The oracle replays the
+    // FRESH build over the augmented corpus, so the hash pins
+    // merged-from-parts ≡ fresh-over-union (sum associativity made
+    // observable), plus the absent-probe zero-cell edge.
+    "q_cms_merge" -> ((s, dir) => cmsEstimateStored(s, dir)),
 
     // document-level PMI: for term pairs co-occurring in a majority of
     // documents (integer cut 2·df_ab ≥ N), the pointwise mutual
@@ -156,6 +240,32 @@ object CorpusStats {
          |       min(cms.cnt) AS tf_est
          |FROM cells JOIN cms ON cells.r = cms.r AND cells.b = cms.b
          |GROUP BY 1 ORDER BY term""".stripMargin,
+    // fresh CMS over the AUGMENTED corpus (base ∪ the % 101 copies) —
+    // the probe list and the zero-cell COALESCE mirror cmsEstimateStored;
+    // cell-sum associativity makes merged-stored ≡ fresh-replayed exact.
+    "q_cms_merge" ->
+      s"""WITH doc2 AS (
+         |  SELECT text FROM documents
+         |  UNION ALL
+         |  SELECT text FROM documents WHERE doc_id % 101 = 0),
+         |tok AS (
+         |  SELECT unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+         |  FROM doc2),
+         |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |cms AS (
+         |  SELECT r, ${cmsBucketSql("r", "term")} AS b,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM cnt CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) u
+         |  GROUP BY 1, 2),
+         |probe AS (SELECT unnest([${CmsProbeTerms.map("'" + _ + "'").mkString(", ")}]) AS term),
+         |cells AS (
+         |  SELECT p.term, u.r, ${cmsBucketSql("u.r", "p.term")} AS b
+         |  FROM probe p CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) u)
+         |SELECT cells.term,
+         |       CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS tf_est
+         |FROM cells LEFT JOIN cms ON cells.r = cms.r AND cells.b = cms.b
+         |GROUP BY 1 ORDER BY term""".stripMargin,
+
     "q_pmi_pairs" ->
       s"""WITH tok0 AS ($TokCte),
          |tok AS (

@@ -51,6 +51,32 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(sameEverywhere < 10, s"$sameEverywhere of 300 terms collide across all rows")
   }
 
+  test("stored CMS merge: estimates dominate exact augmented counts; absent probe kept") {
+    val dir = TestSpark.Sf0001
+    val est = CorpusStats.cmsEstimateStored(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == CorpusStats.CmsProbeTerms.toSet,
+      "every probe must survive the left-joined estimate, absent ones included")
+    // exact counts over the augmented corpus (base ∪ the % 101 batch):
+    // the stored merged estimate must keep the CMS over-estimate
+    // invariant against the GROWN truth, not the base truth — a stale
+    // base-only artifact would underestimate the batch's heavy terms
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val aug = docs.select(col("text"))
+      .unionByName(docs.filter(col("doc_id") % 101 === 0).select(col("text")))
+    val exact = aug
+      .select(explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!exact.contains("zzz_absent_probe"), "probe must truly be absent")
+    CorpusStats.CmsProbeTerms.foreach { t =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est(t) >= truth, s"$t: stored-merged estimate ${est(t)} < exact $truth")
+      if (t != "zzz_absent_probe")
+        assert(truth > 0L, s"probe $t missing from the corpus — probe list stale")
+    }
+  }
+
   test("PMI: independent-ish and perfectly-correlated pairs order correctly") {
     // 4 docs: p and q always together; p and r half the time
     val docs = Seq(

@@ -76,6 +76,22 @@ class PlanSpec extends SparkSpecBase {
       s"stored path must scan the sketched table, not the corpus:\n$p")
   }
 
+  test("stored-sketch heavy hitters serve from the CMS artifacts alone") {
+    graft.operators.CorpusStats.ensureCmsArtifacts(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.CorpusStats.cmsEstimateStored(
+      spark, TestSpark.Sf0001))
+    // warm path = the two stored D×W sketches cell-merged: no corpus
+    // scan, no tokenizer, and the merge side rides a broadcast join
+    assert(!p.contains("documents.parquet"),
+      s"warm path must not scan the corpus:\n$p")
+    assert(!p.contains("text#") && !p.contains("regexp_replace"),
+      s"warm path must not re-tokenize:\n$p")
+    assert(p.contains("cms_base__") && p.contains("cms_delta__"),
+      s"serving must read BOTH stored sketch generations:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the D×W merge must broadcast into the probe cells:\n$p")
+  }
+
   test("stored BM25 reads only the query terms' posting buckets — no text scan") {
     graft.operators.Ingest.ensureTermIndex(spark, TestSpark.Sf0001)
     val p = plan(graft.operators.Ingest.bm25TopKStored(
