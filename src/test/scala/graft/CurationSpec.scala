@@ -11,6 +11,33 @@ class CurationSpec extends SparkSpecBase {
 
   import testImplicits._
 
+  test("incremental scores ≡ full fresh classify over v2; provenance partitions exactly") {
+    val dir = TestSpark.Sf0001
+    val inc = Curation.incrementalScores(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val fresh = Curation.qualityClassify(Curation.corpusV2(spark, dir),
+        Curation.QualityWeights, Curation.QualityBiasMicro)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc.map(_._1).toSet == fresh.keySet,
+      "incremental output must cover exactly the v2 snapshot (deletes dropped)")
+    inc.foreach { case (id, score, _) =>
+      assert(score == fresh(id), s"doc $id: incremental $score != fresh ${fresh(id)}")
+    }
+    // provenance: fresh ⟺ edited-in-place or newly added; everything
+    // else must have been served from the stored artifact
+    inc.foreach { case (id, _, src) =>
+      val expectFresh = id >= graft.operators.Ingest.DocAppendOffset ||
+        id % Curation.V2EditEvery == 0
+      assert((src == "fresh") == expectFresh, s"doc $id provenance $src")
+    }
+    // deletions really deleted; the snapshot really grew
+    assert(inc.forall(_._1 % Curation.V2DeleteEvery != 0 ||
+      inc.exists(_._1 >= graft.operators.Ingest.DocAppendOffset)))
+    assert(!inc.map(_._1).contains(89L) && !inc.map(_._1).contains(178L))
+    assert(inc.count(_._3 == "fresh") > 0 && inc.count(_._3 == "stored") > 0)
+  }
+
   test("connectedComponents: chain collapses to one min-labeled cluster") {
     // path graph 5-4, 4-3, 3-2, 2-1: diameter forces multiple iterations
     val edges = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)).toDF("doc1", "doc2")

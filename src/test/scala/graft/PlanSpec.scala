@@ -475,6 +475,24 @@ class PlanSpec extends SparkSpecBase {
       s"inference must be one narrow projection over the scan:\n$p")
   }
 
+  test("incremental scoring reads the stored artifact; the kernel runs post-diff only") {
+    graft.operators.Curation.ensureScoreArtifact(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Curation.incrementalScores(spark, TestSpark.Sf0001))
+    // the diff join (v2 snapshot × stored artifact) is paid ONCE into a
+    // checkpoint; the serving plan re-reads neither parquet side
+    assert(!p.contains("FileScan"),
+      s"serving must reuse the one checkpointed diff pass, no re-scan:\n$p")
+    assert(p.contains("graft_quality_score"),
+      s"the fresh branch must score through the compiled kernel:\n$p")
+    assert(p.contains("Union"), p)
+    // the kernel's branch is gated by the digest-diff predicate — the
+    // model never runs over unchanged documents
+    assert(p.linesIterator.exists(l => l.contains("Filter") &&
+      l.contains("old_digest") &&
+      (l.contains("NOT ") || l.contains("isnull"))),
+      s"fresh branch must filter to changed/new docs before the kernel:\n$p")
+  }
+
   test("BM25 top-k: term filter precedes the tf aggregation; top-k never global-sorts") {
     val p = plan(SparkEntry.queries("q_bm25_topk")(spark, TestSpark.Sf0001))
     assert(p.contains("TakeOrderedAndProject"),
