@@ -375,6 +375,39 @@ object Similarity {
         col("n_votes"), (col("true_label") === col("pred_label")).as("correct"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR / SimCSE
+    * batch-construction step): for each anchor, the k most similar
+    * corpus vectors with a DIFFERENT label — the negatives closest to
+    * the decision boundary, which carry nearly all the gradient signal
+    * in a contrastive loss. Scale shape = [[knnClassify]]'s broadcast
+    * pattern: anchors are a bounded deterministic slice (broadcast),
+    * the corpus is never shuffled before the (q_id, pid)-keyed local
+    * top-k, and the label-mismatch filter runs INSIDE the scoring pass
+    * (no same-label pair ever reaches the rank). Scores rounded 6 dp
+    * before ranking (the round-before-rank rule). */
+  def hardNegatives(emb: DataFrame, k: Int, maxQueries: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorOps.register(emb.sparkSession)
+    val anchors = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .orderBy("vec_id").limit(maxQueries) // TakeOrderedAndProject
+    val scored = emb
+      .crossJoin(broadcast(anchors.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("label").as("q_label"))))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
+    val local = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(desc("score"), asc("vec_id"))
+    val global = Window.partitionBy(col("q_id"))
+      .orderBy(desc("score"), asc("vec_id"))
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
+      .withColumn("rnk", row_number().over(global)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("rnk"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): merge ranked
     * retrieval lists by `Σ_lists 1/(c + rank)` — the standard hybrid
     * (sparse ⊕ dense) combiner, robust to incomparable score scales
@@ -986,6 +1019,13 @@ object Similarity {
         .agg((count(lit(1)).cast(DoubleType) / 10.0).as("recall_at_10"))
     }),
 
+    // contrastive hard-negative mining: top-5 cross-label neighbors per
+    // anchor (the % 7 slice, budget-bounded). Oracle = brute-force
+    // replay with the identical slice, label filter, rounding and tie
+    // order — recall is pinned 1.0 BY the hash, not sampled.
+    "q_hard_negatives" -> ((s, dir) =>
+      hardNegatives(embeddings(s, dir), 5).orderBy("q_id", "rnk")),
+
     // per-label corpus stats (int-only: oracle-safe).
     "q_embed_stats" -> ((s, dir) =>
       embeddings(s, dir)
@@ -1120,6 +1160,21 @@ object Similarity {
         |       CAST(p.n_votes AS BIGINT) AS n_votes,
         |       (u.true_label = p.pred_label) AS correct
         |FROM u JOIN pred p USING (q_id) ORDER BY vec_id""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id % 7 = 0
+        |           ORDER BY vec_id LIMIT 200),
+        |scored AS (
+        |  SELECT a.q_id, a.q_label, e.vec_id, e.label,
+        |         round(list_cosine_similarity(e.embedding, a.q_emb), 6) AS score
+        |  FROM embeddings e, a WHERE e.label <> a.q_label)
+        |SELECT q_id, q_label, CAST(rnk AS INT) AS rnk,
+        |       vec_id AS neg_id, label AS neg_label
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                   ORDER BY score DESC, vec_id) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
     "q_embed_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |       CAST(sum(len(embedding)) AS BIGINT) AS total_dims

@@ -431,6 +431,20 @@ class PlanSpec extends SparkSpecBase {
       s"local top-k must partition by (q_id, pid):\n$p")
   }
 
+  test("hard-negative mining: broadcast anchors, label filter inside the scan pass") {
+    val p = plan(SparkEntry.queries("q_hard_negatives")(spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(q_id#") && p.contains(", pid#"),
+      s"local top-k must partition by (q_id, pid):\n$p")
+    // the cross-label condition must sit in the join/scan pass, before
+    // any exchange — same-label pairs never reach the rank windows
+    val joinIdx = p.linesIterator.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("NOT (label#") || p.contains("!= q_label") ||
+      p.linesIterator.exists(l => l.contains("label#") && l.contains("NOT")),
+      s"label-mismatch filter missing from the scoring pass:\n$p")
+    assert(joinIdx >= 0 && !p.contains("SortMergeJoin"), p)
+  }
+
   test("kNN classify: broadcast scoring + broadcast label joins, no sort-merge") {
     val p = plan(SparkEntry.queries("q_knn_classify")(spark, TestSpark.Sf0001))
     // same two-phase shape as knnJoin; the label/true-label joins ride

@@ -176,6 +176,31 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("hardNegatives: cross-label only, per-anchor brute-force agreement") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val hn = Similarity.hardNegatives(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(hn.nonEmpty)
+    // no same-label pair ever surfaces, ranks are contiguous 1..5
+    assert(hn.forall { case (_, ql, _, _, nl) => ql != nl },
+      "a same-label vector leaked into the negatives")
+    hn.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5), s"anchor $q ranks broken")
+    }
+    // brute-force agreement for one anchor (the smallest % 7 id)
+    val qid = hn.map(_._1).min
+    val q = emb.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_emb"), col("label").as("q_label"))
+    val bf = emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("s"))
+      .orderBy(desc("s"), asc("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hn.filter(_._1 == qid).sortBy(_._3).map(_._4).toSeq == bf)
+  }
+
   test("rrfFuse: consensus beats single-list rank-1; ranks only, no scores") {
     import org.apache.spark.sql.functions._
     // id 1: rank 2 on BOTH lists (2/62) beats id 2: rank 3 on one list
