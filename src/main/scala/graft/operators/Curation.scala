@@ -45,6 +45,24 @@ object Curation {
       .otherwise("train")
   }
 
+  /** Cross-split near-duplicate LEAKAGE check — the audit every
+    * benchmark-bearing corpus needs after splitting: a near-duplicate
+    * pair straddling train/valid/test inflates eval scores without any
+    * training bug. Pairs come from the EXACT prefix-filter join
+    * ([[Dedup.jaccardPairsExact]], recall 1.0 by theorem — an audit
+    * must not hedge on banding probability), splits are the pure
+    * [[splitColumn]] function of each endpoint (no join: the split is
+    * derivable in the same projection), and only straddling pairs
+    * survive. Output order (doc1, doc2) total. */
+  def splitLeakage(docs: DataFrame, tauP: Int = 4, tauQ: Int = 5): DataFrame =
+    Dedup.jaccardPairsExact(docs, tauP, tauQ)
+      .select(col("doc1"), col("doc2"),
+        splitColumn(col("doc1")).as("split1"),
+        splitColumn(col("doc2")).as("split2"),
+        col("jaccard"))
+      .filter(col("split1") =!= col("split2"))
+      .orderBy("doc1", "doc2")
+
   /** ASCII-safe PII patterns — identical semantics under Java regex and
     * RE2 (no \w/\s dialect divergence; see the verify-skill notes). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -604,6 +622,12 @@ object Curation {
     // scores AND which docs were never recomputed.
     "q_score_incremental" -> ((s, dir) => incrementalScores(s, dir)),
 
+    // cross-split leakage audit: every exact-Jaccard ≥ 0.8 pair that
+    // straddles two splits, with both split labels. The oracle replays
+    // the shared all-pairs CTE + the shared split CASE — recall-1.0
+    // leak detection pinned by the hash.
+    "q_split_leakage" -> ((s, dir) => splitLeakage(documents(s, dir))),
+
     // deterministic hash split: membership is bound by sum(doc_id), not
     // just counts, so a single doc landing in the wrong split flips the
     // gate even if totals balance.
@@ -946,6 +970,13 @@ object Curation {
     })
   )
 
+  /** The split CASE over any id expression — ONE string for
+    * q_train_test_split and q_split_leakage (mirrors [[splitColumn]]). */
+  private[operators] def splitCaseSql(id: String): String =
+    s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
+       |            WHEN substr(md5(CAST($id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+       |            ELSE 'train' END""".stripMargin
+
   /** Classifier-replay CTE block over any (doc_id, lang, text) source —
     * shared by q_quality_classify and q_score_incremental (the
     * Bm25CtesSql rule: ONE copy of the tokenize/hash/weight/dot replay,
@@ -1026,12 +1057,23 @@ object Curation {
         |FROM scored s ORDER BY s.doc_id""".stripMargin,
 
     "q_train_test_split" ->
-      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'valid'
-        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
-        |            ELSE 'train' END AS split,
+      s"""SELECT ${splitCaseSql("doc_id")} AS split,
         |       count(*) AS n_docs,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // shared all-pairs CTE (recall 1.0 by construction) + shared split
+    // CASE; only straddling pairs survive, ordered totally.
+    "q_split_leakage" ->
+      s"""WITH ${Dedup.allPairsJaccardCtes},
+        |lp AS (
+        |  SELECT doc1, doc2,
+        |         ${splitCaseSql("doc1")} AS split1,
+        |         ${splitCaseSql("doc2")} AS split2,
+        |         ni::DOUBLE / nu::DOUBLE AS jaccard
+        |  FROM jpairs WHERE ni * 5 >= nu * 4)
+        |SELECT doc1, doc2, split1, split2, jaccard FROM lp
+        |WHERE split1 <> split2 ORDER BY doc1, doc2""".stripMargin,
     "q_redact_pii" ->
       """SELECT doc_id,
         |       md5(regexp_replace(

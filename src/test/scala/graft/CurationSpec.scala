@@ -11,6 +11,20 @@ class CurationSpec extends SparkSpecBase {
 
   import testImplicits._
 
+  test("splitLeakage: only straddling near-dup pairs surface; same-split dups do not") {
+    // split(0)=valid, split(4)=split(6)=train (md5 nibble): 4≡6 is a
+    // same-split duplicate (MUST NOT surface), 0≡4 and 0≡6 straddle
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, t), (4L, t), (6L, t),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val leaks = Curation.splitLeakage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(leaks.toSet == Set((0L, 4L, "valid", "train"), (0L, 6L, "valid", "train")),
+      s"got ${leaks.mkString(", ")}")
+  }
+
   test("incremental scores ≡ full fresh classify over v2; provenance partitions exactly") {
     val dir = TestSpark.Sf0001
     val inc = Curation.incrementalScores(spark, dir).collect()
