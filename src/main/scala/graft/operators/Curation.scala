@@ -472,6 +472,29 @@ object Curation {
     s.read.parquet(path)
   }
 
+  /** Change-data-capture report between corpus snapshots: FULL OUTER
+    * digest-diff of v1 × v2, classed added / removed / changed /
+    * unchanged, aggregated with id sums so a single misclassified
+    * document flips the gate. One doc_id-keyed join — at 100 TB this
+    * is the report that sizes the incremental work BEFORE committing
+    * to it (the [[incrementalScores]] planning twin), and the id-sum
+    * binding means the gate pins membership, not just counts. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("d1"))
+    val v2 = corpusV2(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("d2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("d1").isNull, "added")
+          .when(col("d2").isNull, "removed")
+          .when(col("d1") =!= col("d2"), "changed")
+          .otherwise("unchanged").as("class"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+      .orderBy("class")
+  }
+
   /** Incremental view maintenance of per-doc quality scores across a
     * corpus snapshot: digest-diff v2 against the stored v1 artifact,
     * run the inference kernel ONLY over changed/new documents, serve
@@ -613,6 +636,11 @@ object Curation {
     "q_quality_classify" -> ((s, dir) =>
       qualityClassify(documents(s, dir), QualityWeights, QualityBiasMicro)
         .orderBy("doc_id")),
+
+    // CDC report v1 → v2: added/removed/changed/unchanged with id-sum
+    // membership binding — the sizing pass an incremental pipeline runs
+    // before committing to the diff work.
+    "q_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
 
     // IVM across a corpus snapshot: scores over v2 (deletes + edits +
     // additions) served incrementally — the model kernel runs ONLY on
@@ -1042,6 +1070,21 @@ object Curation {
         |       (s.sum_micro + $QualityBiasMicro * s.n_features >= 0) AS kept
         |FROM scored s JOIN toks t USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    // the same v2 CTE, full-outer digest diff, identical class rules —
+    // md5 never enters (text equality is what digests proxy), so the
+    // oracle compares text directly.
+    "q_snapshot_diff" ->
+      s"""WITH $corpusV2CteSql,
+        |d AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |         CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN a.text <> b.text THEN 'changed'
+        |              ELSE 'unchanged' END AS class
+        |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT class, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM d GROUP BY 1 ORDER BY class""".stripMargin,
 
     // full fresh classify over the v2 snapshot CTE (same shared block)
     // + closed-form provenance: stored ⟺ the doc existed in v1 with an

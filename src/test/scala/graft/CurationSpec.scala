@@ -25,6 +25,24 @@ class CurationSpec extends SparkSpecBase {
       s"got ${leaks.mkString(", ")}")
   }
 
+  test("snapshotDiff: classes partition exactly by the v2 predicates") {
+    val d = Curation.snapshotDiff(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ids = 0L until 500L // sf0.001 corpus
+    val removed = ids.filter(_ % Curation.V2DeleteEvery == 0)
+    val changed = ids.filter(i =>
+      i % Curation.V2DeleteEvery != 0 && i % Curation.V2EditEvery == 0)
+    val added = ids.filter(i =>
+      i % Curation.V2DeleteEvery != 0 && i % Curation.V2AddEvery == 0)
+      .map(_ + graft.operators.Ingest.DocAppendOffset)
+    val unchanged = ids.filter(i =>
+      i % Curation.V2DeleteEvery != 0 && i % Curation.V2EditEvery != 0)
+    assert(d("removed") == ((removed.size.toLong, removed.sum)))
+    assert(d("changed") == ((changed.size.toLong, changed.sum)))
+    assert(d("added") == ((added.size.toLong, added.sum)))
+    assert(d("unchanged") == ((unchanged.size.toLong, unchanged.sum)))
+  }
+
   test("incremental scores ≡ full fresh classify over v2; provenance partitions exactly") {
     val dir = TestSpark.Sf0001
     val inc = Curation.incrementalScores(spark, dir).collect()
