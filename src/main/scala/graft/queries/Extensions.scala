@@ -22,7 +22,8 @@ object Extensions {
       graft.operators.Crawl.queries ++
       graft.operators.CorpusStats.queries ++
       graft.operators.Spectral.queries ++
-      graft.operators.Bpe.queries
+      graft.operators.Bpe.queries ++
+      graft.operators.Formats.queries
 
   def oracles: Map[String, String] =
     graft.operators.TextAnalysis.oracles ++
@@ -37,5 +38,6 @@ object Extensions {
       graft.operators.Crawl.oracles ++
       graft.operators.CorpusStats.oracles ++
       graft.operators.Spectral.oracles ++
-      graft.operators.Bpe.oracles
+      graft.operators.Bpe.oracles ++
+      graft.operators.Formats.oracles
 }
