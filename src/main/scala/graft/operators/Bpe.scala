@@ -149,9 +149,37 @@ object Bpe {
     }
   }
 
+  /** Per-lang word/unit totals of a corpus under the FROZEN pinned
+    * merge table — one narrow pass, map-side-combined groupBy over
+    * |langs| keys. */
+  private def fertilityStats(docs: DataFrame, tag: String): DataFrame =
+    docs
+      .select(col("lang"), Curation.gramToks(col("text")).as("t"))
+      .select(col("lang"), size(col("t")).cast(LongType).as("nw"),
+        size(flatten(transform(col("t"),
+          w => encodeUnits(w, PinnedMerges)))).cast(LongType).as("nu"))
+      .groupBy("lang")
+      .agg(sum("nw").as(s"n_words_$tag"), sum("nu").as(s"n_units_$tag"))
+
+  /** Tokenizer-fertility monitoring across corpus snapshots: per lang,
+    * words and BPE units of v1 vs v2 under the SAME frozen merges —
+    * the drift check a production pipeline runs on every new crawl (a
+    * fertility jump means the tokenizer fits the new data worse: more
+    * units per word = longer sequences = higher training cost). All
+    * integers; fertility ratios are the consumer's division. */
+  def tokenizerDrift(s: SparkSession, dir: String): DataFrame =
+    fertilityStats(documents(s, dir), "v1")
+      .join(fertilityStats(Curation.corpusV2(s, dir), "v2"), Seq("lang"))
+      .orderBy("lang")
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // frozen-tokenizer fertility over v1 vs v2 per lang — exact integer
+    // totals; the oracle replays both encodes from the same pinned
+    // merge constants and the shared v2 CTE.
+    "q_tokenizer_drift" -> ((s, dir) => tokenizerDrift(s, dir)),
+
     // BPE encoding of every doc with the pinned merge table: the gate
     // hashes the '|'-joined unit sequence of the WHOLE doc, so a single
     // unit boundary differing anywhere flips the row.
@@ -166,7 +194,29 @@ object Bpe {
           md5(array_join(col("units"), "|")).as("units_fp"))
         .orderBy("doc_id")))
 
+  /** Per-lang fertility CTE over a docs source (drift-gate twin of
+    * [[fertilityStats]], generated from the same merge constants). */
+  private def fertilityCteSql(src: String, tag: String): String =
+    s"""f_$tag AS (
+       |  SELECT lang,
+       |         CAST(sum(len(t)) AS BIGINT) AS n_words_$tag,
+       |         CAST(sum(len(flatten(list_transform(t, w ->
+       |           CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+       |                ELSE ${encodeSqlExpr("w", PinnedMerges)} END)))) AS BIGINT)
+       |           AS n_units_$tag
+       |  FROM (SELECT lang,
+       |          string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+       |        FROM $src)
+       |  GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_tokenizer_drift" ->
+      s"""WITH ${Curation.corpusV2CteSql},
+         |${fertilityCteSql("documents", "v1")},
+         |${fertilityCteSql("v2", "v2")}
+         |SELECT lang, n_words_v1, n_units_v1, n_words_v2, n_units_v2
+         |FROM f_v1 JOIN f_v2 USING (lang) ORDER BY lang""".stripMargin,
+
     "q_bpe_encode" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

@@ -1044,7 +1044,7 @@ object Curation {
 
   /** Snapshot v2 as two CTEs (`v2base`, `v2`) — generated from the SAME
     * constants [[corpusV2]] uses, the bm25BatchCtesSql rule. */
-  private def corpusV2CteSql: String =
+  private[operators] def corpusV2CteSql: String =
     s"""v2base AS (
        |  SELECT doc_id, lang,
        |         CASE WHEN doc_id % $V2EditEvery = 0 THEN text || '$V2RevisionSuffix'

@@ -72,6 +72,32 @@ class BpeSpec extends SparkSpecBase {
     assert(row._1 >= row._2, s"units=${row._1} words=${row._2}")
   }
 
+  test("tokenizerDrift: v2 word total matches the closed-form snapshot delta") {
+    import org.apache.spark.sql.functions._
+    val d = Bpe.tokenizerDrift(spark, TestSpark.Sf0001)
+      .agg(sum("n_words_v1"), sum("n_units_v1"),
+        sum("n_words_v2"), sum("n_units_v2")).head()
+    val (w1, u1, w2, u2) = (d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3))
+    // closed-form word delta from the snapshot predicates: deletions
+    // leave, added copies arrive (none of them edited at this SF), and
+    // each in-place edit appends exactly 2 words (' v2 revision')
+    val per = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"),
+        size(graft.operators.Curation.gramToks(col("text"))).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val del = per.keys.filter(_ % graft.operators.Curation.V2DeleteEvery == 0)
+    val add = per.keys.filter(i =>
+      i % graft.operators.Curation.V2DeleteEvery != 0 && i % graft.operators.Curation.V2AddEvery == 0)
+    val edited = per.keys.count(i =>
+      i % graft.operators.Curation.V2DeleteEvery != 0 && i % graft.operators.Curation.V2EditEvery == 0)
+    assert(add.forall(_ % graft.operators.Curation.V2EditEvery != 0), "SF assumption broken")
+    val expectedW2 = w1 - del.map(per).sum + add.map(per).sum + 2L * edited
+    assert(w2 == expectedW2, s"v2 words $w2 != closed form $expectedW2")
+    // a word encodes to ≥ 1 unit under any merge table, and merges only
+    // ever shrink the char split — per-snapshot invariant
+    assert(u1 >= w1 && u2 >= w2, s"unit totals below word totals: $d")
+  }
+
   test("encode plan: narrow projection only — no exchange, no UDF") {
     val p = Seq((1L, "sort order window")).toDF("doc_id", "text")
       .select(flatten(transform(
