@@ -426,8 +426,14 @@ object Curation {
   /** Corpus snapshot v2: deletes, in-place edits, additions — the shape
     * of a re-crawl. Edits happen BEFORE the additions are copied, so an
     * added doc carries the v2 text of its source. */
-  def corpusV2(s: SparkSession, dir: String): DataFrame = {
-    val v2base = documents(s, dir)
+  def corpusV2(s: SparkSession, dir: String): DataFrame =
+    corpusV2Frame(documents(s, dir))
+
+  /** [[corpusV2]] over any (doc_id, lang, text) frame — streaming-safe
+    * (filters + a self-union, no state), so the stream twin can apply
+    * the same snapshot to arriving files. */
+  def corpusV2Frame(docs: DataFrame): DataFrame = {
+    val v2base = docs
       .filter(col("doc_id") % V2DeleteEvery =!= 0)
       .select(col("doc_id"), col("lang"),
         when(col("doc_id") % V2EditEvery === 0,
@@ -506,14 +512,23 @@ object Curation {
     * the v2 scan + digest is unavoidable (change detection must read
     * the snapshot), but the expensive model pass shrinks from |corpus|
     * to |diff| — the entire point of IVM on a petabyte corpus. */
-  def incrementalScores(s: SparkSession, dir: String): DataFrame = {
-    val stored = ensureScoreArtifact(s, dir)
-      .withColumnRenamed("digest", "old_digest")
-    // two consumers (stored-serve + fresh-score): one join pass
-    val joined = corpusV2(s, dir)
+  def incrementalScores(s: SparkSession, dir: String): DataFrame =
+    incrementalScoresBody(corpusV2(s, dir), ensureScoreArtifact(s, dir))
+      .orderBy("doc_id")
+
+  /** The diff/serve body over any v2 frame — shared verbatim with the
+    * streaming twin ([[graft.streaming.ScoreStream]]), so streamed ≡
+    * batch is structural. Batch callers get the one-join-pass
+    * localCheckpoint (two consumers); a streaming v2 keeps the lazy
+    * plan (checkpointing a stream is illegal, and the micro-batch plans
+    * the join once per trigger anyway). Unordered — batch gates sort. */
+  private[graft] def incrementalScoresBody(v2: DataFrame,
+      storedArtifact: DataFrame): DataFrame = {
+    val stored = storedArtifact.withColumnRenamed("digest", "old_digest")
+    val joined0 = v2
       .withColumn("digest", md5(col("text")))
       .join(stored, Seq("doc_id"), "left")
-      .localCheckpoint()
+    val joined = if (joined0.isStreaming) joined0 else joined0.localCheckpoint()
     val unchanged = joined
       .filter(col("old_digest") === col("digest"))
       .select(col("doc_id"),
@@ -525,7 +540,7 @@ object Curation {
           .select("doc_id", "lang", "text"),
         QualityWeights, QualityBiasMicro)
       .select(col("doc_id"), col("score"), lit("fresh").as("src"))
-    unchanged.unionByName(fresh).orderBy("doc_id")
+    unchanged.unionByName(fresh)
   }
 
   /** Deterministic HTML wrapper for the extraction gate: the corpus has

@@ -123,6 +123,20 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming incremental scoring (ScoreStream) == batch IVM, row-for-row") {
+    val stream = graft.streaming.ScoreStream.incrementalStream(spark, TestSpark.Sf0001)
+    val q = EventStream.runToMemory(stream, "score_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    val streamed = spark.table("score_stream_test")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curation.incrementalScores(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the stream really exercised both provenance branches
+    val srcs = streamed.map(_(2)).toSet
+    assert(srcs == Set("stored", "fresh"), s"branches seen: $srcs")
+  }
+
   test("streaming BM25 scoring (Bm25Stream) top-k == batch bm25TopK") {
     val stream = graft.streaming.Bm25Stream.bm25Stream(
       spark, TestSpark.Sf0001, Seq("table", "scan", "join"))
