@@ -211,6 +211,9 @@ object ScalePatterns {
   /** Per-shard token budget for [[q_shard_assign]]. */
   val ShardBudget: Long = 4096L
 
+  /** Docs per padded batch for the length-bucketed batching gate. */
+  val LengthBatchSize: Int = 32
+
   /** Distributed EXCLUSIVE prefix sums over a totally ordered frame —
     * the scalable form of `sum(w) OVER (ORDER BY … ROWS UNBOUNDED
     * PRECEDING AND 1 PRECEDING)` without serializing the corpus through
@@ -447,6 +450,28 @@ object ScalePatterns {
           expr(s"cum_before div $ShardBudget").as("shard_id"))
         .orderBy("doc_id")),
 
+    // length-bucketed batching: rank docs by (token count, doc_id)
+    // through the same two-phase prefix-sum machinery (no
+    // single-partition window), cut into fixed-size batches of
+    // LengthBatchSize, report per-batch padding waste — the dynamic
+    // batching step every padded-training/inference loader runs, where
+    // length-sorted batches cut the Σ(B·max−Σlen) padding tax to near
+    // zero vs arrival order.
+    "q_length_batching" -> ((s, dir) =>
+      prefixSums(
+        documents(s, dir).select(col("doc_id"),
+          graft.operators.TextAnalysis.wsTokens(col("text"))
+            .cast(LongType).as("toks")),
+        Seq(col("toks").asc, col("doc_id").asc), lit(1L), "rk")
+        .select(col("doc_id"), col("toks"),
+          expr(s"rk div $LengthBatchSize").as("batch_id"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"), max("toks").as("max_toks"),
+          sum("toks").as("sum_toks"))
+        .withColumn("padding_waste",
+          col("n_docs") * col("max_toks") - col("sum_toks"))
+        .orderBy("batch_id")),
+
     // merge/upsert: deterministic update batch (keys %97 get a price
     // bump, keys %193 arrive as new orders) merged into orders; the
     // per-status aggregate pins both the survivor set and the arithmetic.
@@ -500,6 +525,25 @@ object ScalePatterns {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |         // $ShardBudget AS BIGINT) AS shard_id
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // rank by (toks, doc_id) via row_number − 1 (≡ the exclusive count
+    // prefix sum), batches of LengthBatchSize, same waste arithmetic.
+    "q_length_batching" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, toks,
+         |         (row_number() OVER (ORDER BY toks, doc_id) - 1)
+         |           // $LengthBatchSize AS batch_id
+         |  FROM d)
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+         |       count(*) AS n_docs,
+         |       CAST(max(toks) AS BIGINT) AS max_toks,
+         |       CAST(sum(toks) AS BIGINT) AS sum_toks,
+         |       CAST(count(*) * max(toks) - sum(toks) AS BIGINT) AS padding_waste
+         |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin,
+
     "q_merge_upsert" ->
       """WITH ord AS (
         |  SELECT o_orderkey, o_orderstatus,

@@ -9,6 +9,28 @@ import graft.queries.Tables
   * result set. */
 class ScalePatternsSpec extends SparkSpecBase {
 
+  test("length batching: full batches, and less padding than arrival order") {
+    val out = graft.SparkEntry.queries("q_length_batching")(spark, TestSpark.Sf0001)
+      .collect()
+    val b = ScalePatterns.LengthBatchSize.toLong
+    assert(out.init.forall(_.getLong(1) == b), "only the LAST batch may be partial")
+    assert(out.last.getLong(1) <= b && out.last.getLong(1) > 0)
+    val sortedWaste = out.map(_.getLong(4)).sum
+    // arrival-order (doc_id) batching — the baseline the operator beats
+    val lens = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.wsTokens(col("text")).cast("long").as("t"))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    val arrivalWaste = lens.grouped(ScalePatterns.LengthBatchSize)
+      .map(g => g.length * g.max - g.sum).sum
+    assert(sortedWaste < arrivalWaste,
+      s"sorted $sortedWaste must beat arrival $arrivalWaste")
+    // waste arithmetic is internally consistent
+    out.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) * r.getLong(2) - r.getLong(3))
+    }
+  }
+
   test("saltedJoin == plain join, row for row") {
     val li = Tables.lineitem(spark, TestSpark.Sf0001)
       .select("l_orderkey", "l_linenumber", "l_suppkey")
