@@ -128,6 +128,21 @@ object Ingest {
     s.read.parquet(path)
   }
 
+  /** DELTA half of the sketch index's LSM posture — the third stored
+    * index family to get the append lifecycle (dense IVF and sparse
+    * BM25 already have it): sketch ONLY the append batch, store it next
+    * to the frozen base, serve dedup over base ∪ delta. The base sketch
+    * files are never touched, so in-flight readers keep their
+    * snapshot. */
+  def ensureSketchedDelta(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val stored = ensureSketchedDocs(s, dir)
+    val path = scratch(s, dir, "docs_sketched_delta")
+    if (!committed(s, path))
+      sketchProjection(docAppendBatch(s, dir))
+        .write.mode("overwrite").parquet(path)
+    (stored, s.read.parquet(path))
+  }
+
   // --- stored inverted index (sparse / BM25 retrieval) -----------------
 
   /** Term-hash partition count of the stored inverted index. 64 here
@@ -1601,6 +1616,22 @@ object Ingest {
         .orderBy("doc1", "doc2")
     }),
 
+    // sketch-index LSM: near-dup pairs over base ∪ delta served from
+    // the TWO stored sketch tables (base never re-sketched, batch
+    // sketched alone). Every appended exact copy must pair with its
+    // source at jaccard 1.0 — the oracle is the brute-force all-pairs
+    // twin over the augmented corpus, so recall through the grown index
+    // is pinned BY the hash.
+    "q_near_dup_append" -> ((s, dir) => {
+      val (base, delta) = ensureSketchedDelta(s, dir)
+      val all = base.unionByName(delta)
+      Dedup.verifiedOverlapFromFeatures(all,
+          Dedup.minhashCandidatesFromFeatures(all))
+        .filter(col("n_common") * 2 >= col("n_union"))
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    }),
+
     // BM25 from the STORED inverted index: identical query, identical
     // oracle (the shared Bm25CtesSql string) as q_bm25_topk — the gate
     // IS the fresh-vs-stored differential, pinned 0 by the hash compare
@@ -2025,6 +2056,25 @@ object Ingest {
     * order stay the ONE shared string, and the append-batch definition
     * is generated from the same Scala constants the Spark delta build
     * uses (the bm25BatchCtesSql rule). */
+  /** Brute-force all-pairs Jaccard replayed over the AUGMENTED corpus —
+    * the q_near_dup_minhash oracle with its toks CTE's source rewritten
+    * to the union with the `% 101` copies (the Bm25AppendOracleSql
+    * rule: one shared CTE string, the batch definition generated from
+    * the same constants the Spark delta build uses). */
+  private val NearDupAppendOracleSql: String = {
+    val src = "FROM documents),"
+    require(Dedup.allPairsJaccardCtes.contains(src),
+      "allPairsJaccardCtes drifted: toks source not found for append rewrite")
+    val augmented =
+      s"""FROM (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + $DocAppendOffset AS doc_id, text
+         |        FROM documents WHERE doc_id % 101 = 0)),""".stripMargin
+    s"""WITH ${Dedup.allPairsJaccardCtes.replace(src, augmented)}
+       |SELECT doc1, doc2, ni::DOUBLE / nu::DOUBLE AS jaccard
+       |FROM jpairs ORDER BY doc1, doc2""".stripMargin
+  }
+
   private val Bm25AppendOracleSql: String = {
     val src = "FROM documents)"
     require(TextAnalysis.Bm25CtesSql.contains(src),
@@ -2046,6 +2096,10 @@ object Ingest {
         |SELECT 'ivf_assign', count(*) + 8 FROM embeddings
         |ORDER BY stored_table""".stripMargin,
     "q_near_dup_minhash_stored" -> Dedup.oracles("q_near_dup_minhash"),
+    // the sketch-LSM gate: brute force over the augmented corpus —
+    // appended-copy pairs (J = 1.0) and their cross-neighbor pairs are
+    // all in the replay, so grown-index recall is the hash equality.
+    "q_near_dup_append" -> NearDupAppendOracleSql,
     // the stored-index gate shares the fresh gate's oracle VERBATIM —
     // that hash equality IS the fresh-vs-stored differential, pinned 0.
     "q_bm25_topk_stored" -> TextAnalysis.oracles("q_bm25_topk"),

@@ -41,6 +41,23 @@ class IngestSpec extends SparkSpecBase {
       "gen2 must be a pure layout rewrite: same rows, same total order")
   }
 
+  test("sketch-index append: every appended copy pairs with its source at J = 1.0") {
+    val pairs = graft.SparkEntry.queries("q_near_dup_append")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // sf0.001 append batch = copies of {0, 101, 202, 303, 404}
+    val batch = Seq(0L, 101L, 202L, 303L, 404L)
+    batch.foreach { src =>
+      val copy = src + Ingest.DocAppendOffset
+      assert(pairs.exists(p => p._1 == src && p._2 == copy && p._3 == 1.0),
+        s"copy of $src missing from the grown-index pairs")
+    }
+    // the base pair set is still there: append only ADDS pairs
+    val basePairs = graft.SparkEntry.queries("q_near_dup_minhash")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grown = pairs.map(p => (p._1, p._2)).toSet
+    assert(basePairs.subsetOf(grown), "append must never lose a base pair")
+  }
+
   test("delta stats carry exactly the append batch; merged stats grow") {
     val (_, stats, _, dStats) = Ingest.ensureTermIndexDelta(spark, TestSpark.Sf0001)
     val base = stats.collect()(0)

@@ -92,6 +92,20 @@ class PlanSpec extends SparkSpecBase {
       s"the D×W merge must broadcast into the probe cells:\n$p")
   }
 
+  test("sketch-index append serves base ∪ delta without re-sketching or text") {
+    graft.operators.Ingest.ensureSketchedDelta(spark, TestSpark.Sf0001)
+    val (base, delta) = graft.operators.Ingest.ensureSketchedDelta(spark, TestSpark.Sf0001)
+    val all = base.unionByName(delta)
+    val p = plan(graft.operators.Dedup.verifiedOverlapFromFeatures(all,
+      graft.operators.Dedup.minhashCandidatesFromFeatures(all)))
+    assert(!p.toLowerCase.contains("minhashshingle"),
+      s"warm grown-index path must not re-sketch:\n$p")
+    assert(!p.contains("text#") && !p.contains("documents.parquet"),
+      s"warm path must stay on the stored sketches:\n$p")
+    assert(p.contains("docs_sketched__") && p.contains("docs_sketched_delta__"),
+      s"serving must read BOTH sketch generations:\n$p")
+  }
+
   test("stored BM25 reads only the query terms' posting buckets — no text scan") {
     graft.operators.Ingest.ensureTermIndex(spark, TestSpark.Sf0001)
     val p = plan(graft.operators.Ingest.bm25TopKStored(
