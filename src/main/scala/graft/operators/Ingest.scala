@@ -1590,6 +1590,35 @@ object Ingest {
     * tuning the depth may not silently desynchronize the two sides). */
   private[graft] val NdcgBatchK: Int = 10
 
+  /** The hybrid evaluation suite's two lists — fused (RRF over dense ⊕
+    * batched stored-index BM25) and dense ideal — shared by the nDCG
+    * and MRR gates so both metrics always judge the SAME ranking.
+    * dense: q_id = probe vec_id through the kNN join (self-exclusion
+    * stays vec_id ≠ probe), relabeled 1..8 by vec_id rank to align with
+    * the sparse q_ids (an 8-row window); checkpointed — three consumers
+    * (fusion + relevance + idcg/rel-set). */
+  private def hybridRankedLists(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val probes = emb.orderBy("vec_id").limit(NdcgBatchProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qmap = probes.select(col("q_id"),
+      row_number().over(Window.orderBy("q_id")).cast(LongType).as("eq"))
+    val dense = Similarity.knnJoin(emb, probes, NdcgBatchK)
+      .join(broadcast(qmap), "q_id")
+      .select(col("eq").as("q_id"), col("vec_id").as("id"),
+        col("rnk").as("rank"))
+      .localCheckpoint()
+    val sparse = bm25TopKBatch(s, dir,
+        NdcgBatchTerms.toDF("q_id", "term"), NdcgBatchK)
+      .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("rank"))
+    val ranked = Similarity.rrfFuseBatch(Seq(dense, sparse), NdcgBatchK)
+      .select("q_id", "id", "rank")
+    (ranked, dense)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the ingest step itself: materialize both stored layouts, report
     // row counts (oracle-checked). In the sorted bench order this runs
@@ -1698,28 +1727,19 @@ object Ingest {
     // against the dense ideal — the q_ndcg_rrf pipeline generalized to
     // q_id-keyed frames so a whole evaluation suite runs as ONE batch
     // (one corpus pass per side) instead of |Q| single-query jobs.
+    // MRR over the SAME hybrid suite (shared list construction AND
+    // shared oracle CTE chain with q_ndcg_batch — the two metrics can
+    // never judge different rankings).
+    "q_mrr_batch" -> ((s, dir) => {
+      val (ranked, dense) = hybridRankedLists(s, dir)
+      val perQ = Similarity.mrrBatch(ranked, dense).localCheckpoint()
+      perQ.crossJoin(broadcast(
+          perQ.agg(round(avg("mrr"), 6).as("mean_mrr"))))
+        .orderBy("q_id")
+    }),
+
     "q_ndcg_batch" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import s.implicits._
-      val emb = embeddings(s, dir)
-      // dense side: q_id = probe vec_id through the kNN join (so the
-      // self-exclusion stays vec_id ≠ probe), then relabeled 1..8 by
-      // vec_id rank to align with the sparse q_ids — an 8-row window.
-      val probes = emb.orderBy("vec_id").limit(NdcgBatchProbes)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val qmap = probes.select(col("q_id"),
-        row_number().over(Window.orderBy("q_id")).cast(LongType).as("eq"))
-      // three consumers (fusion + graded relevance + idcg): checkpoint
-      val dense = Similarity.knnJoin(emb, probes, NdcgBatchK)
-        .join(broadcast(qmap), "q_id")
-        .select(col("eq").as("q_id"), col("vec_id").as("id"),
-          col("rnk").as("rank"))
-        .localCheckpoint()
-      val sparse = bm25TopKBatch(s, dir,
-          NdcgBatchTerms.toDF("q_id", "term"), NdcgBatchK)
-        .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("rank"))
-      val ranked = Similarity.rrfFuseBatch(Seq(dense, sparse), NdcgBatchK)
-        .select("q_id", "id", "rank")
+      val (ranked, dense) = hybridRankedLists(s, dir)
       // two consumers (mean + final projection): checkpoint the 8 rows
       val perQ = Similarity.ndcgAtKBatch(ranked, dense, NdcgBatchK)
         .localCheckpoint()
@@ -2048,6 +2068,47 @@ object Ingest {
       |    FROM qtf JOIN dfreq d USING (q_id, term), stats)
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** The full hybrid-retrieval ranking replay (sparse BM25 top-k +
+    * dense exact-kNN top-k + RRF fusion) for the batched evaluation
+    * gates — ONE generated chain ending in `dense` (the ideal list) and
+    * `ranked` (the fused list), shared by q_ndcg_batch and q_mrr_batch
+    * so the two metrics can never disagree about what was ranked. */
+  private def hybridRankedCtesSql: String =
+    s"""${bm25BatchCtesSql(NdcgBatchTerms)},
+      |sparse AS (
+      |  SELECT q_id, doc_id AS id,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored QUALIFY rank <= $NdcgBatchK),
+      |probes AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS eq,
+      |         vec_id, embedding
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT $NdcgBatchProbes)),
+      |dense AS (
+      |  SELECT q_id, id, rank FROM (
+      |    SELECT p.eq AS q_id, e.vec_id AS id,
+      |           row_number() OVER (PARTITION BY p.eq ORDER BY
+      |             round(list_cosine_similarity(e.embedding, p.embedding), 6) DESC,
+      |             e.vec_id) AS rank
+      |    FROM embeddings e, probes p WHERE e.vec_id <> p.vec_id)
+      |  WHERE rank <= $NdcgBatchK),
+      |fused AS (
+      |  SELECT q_id, id,
+      |         CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib
+      |  FROM dense
+      |  UNION ALL
+      |  SELECT q_id, id,
+      |         CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib
+      |  FROM sparse),
+      |ranked AS (
+      |  SELECT q_id, id,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY rrf DESC, id) AS rank
+      |  FROM (SELECT q_id, id, round(sum(contrib), 6) AS rrf
+      |        FROM fused GROUP BY 1, 2)
+      |  QUALIFY rank <= $NdcgBatchK)""".stripMargin
+
   /** Fresh BM25 replayed over the AUGMENTED corpus (base ∪ append
     * batch) — shared by q_bm25_append and q_bm25_compact. Derived from
     * [[TextAnalysis.Bm25CtesSql]] by rewriting the toks CTE's source
@@ -2200,41 +2261,24 @@ object Ingest {
     // Bm25CtesSql rule), dense = the q_knn_join oracle's rounded
     // ranking relabeled 1..8 by probe vec_id rank, RRF and nDCG
     // arithmetic identical to q_rrf_fusion / q_ndcg_rrf, DOUBLE-cast.
+    // same CTE chain as q_ndcg_batch through `ranked`/`dense`; MRR =
+    // 1/min rank of a relevant hit, 0 on a miss, mean over queries.
+    "q_mrr_batch" ->
+      s"""WITH $hybridRankedCtesSql,
+        |hits AS (
+        |  SELECT ranked.q_id, min(ranked.rank) AS first_rel
+        |  FROM ranked JOIN dense USING (q_id, id) GROUP BY 1),
+        |perq AS (
+        |  SELECT q.q_id,
+        |         round(COALESCE(CAST(1.0 AS DOUBLE) / h.first_rel,
+        |                        CAST(0.0 AS DOUBLE)), 6) AS mrr
+        |  FROM (SELECT DISTINCT q_id FROM dense) q
+        |  LEFT JOIN hits h USING (q_id)),
+        |m AS (SELECT round(avg(mrr), 6) AS mean_mrr FROM perq)
+        |SELECT q_id, mrr, mean_mrr FROM perq, m ORDER BY q_id""".stripMargin,
+
     "q_ndcg_batch" ->
-      s"""WITH ${bm25BatchCtesSql(NdcgBatchTerms)},
-        |sparse AS (
-        |  SELECT q_id, doc_id AS id,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored QUALIFY rank <= $NdcgBatchK),
-        |probes AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS eq,
-        |         vec_id, embedding
-        |  FROM (SELECT vec_id, embedding FROM embeddings
-        |        ORDER BY vec_id LIMIT $NdcgBatchProbes)),
-        |dense AS (
-        |  SELECT q_id, id, rank FROM (
-        |    SELECT p.eq AS q_id, e.vec_id AS id,
-        |           row_number() OVER (PARTITION BY p.eq ORDER BY
-        |             round(list_cosine_similarity(e.embedding, p.embedding), 6) DESC,
-        |             e.vec_id) AS rank
-        |    FROM embeddings e, probes p WHERE e.vec_id <> p.vec_id)
-        |  WHERE rank <= $NdcgBatchK),
-        |fused AS (
-        |  SELECT q_id, id,
-        |         CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib
-        |  FROM dense
-        |  UNION ALL
-        |  SELECT q_id, id,
-        |         CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS contrib
-        |  FROM sparse),
-        |ranked AS (
-        |  SELECT q_id, id,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY rrf DESC, id) AS rank
-        |  FROM (SELECT q_id, id, round(sum(contrib), 6) AS rrf
-        |        FROM fused GROUP BY 1, 2)
-        |  QUALIFY rank <= $NdcgBatchK),
+      s"""WITH $hybridRankedCtesSql,
         |rel AS (SELECT q_id, id,
         |        CAST(${NdcgBatchK + 1} - rank AS DOUBLE) AS rel FROM dense),
         |dcg AS (

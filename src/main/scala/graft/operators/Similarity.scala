@@ -470,6 +470,22 @@ object Similarity {
         round(col("dcg") / col("idcg"), 6).as(s"ndcg_at_$k"))
   }
 
+  /** Per-query MRR over q_id-keyed lists: 1 / rank of the FIRST ranked
+    * id that appears in the ideal (relevant) list, 0 when no relevant
+    * id surfaces in the top-k — the metric that grades "did anything
+    * right show up early", complementing nDCG's graded depth. Both
+    * inputs are per-query top-k frames, so every step is ≤ k rows per
+    * q_id; exact rational rounded 6 dp. */
+  def mrrBatch(ranked: DataFrame, ideal: DataFrame): DataFrame = {
+    val hits = ranked
+      .join(broadcast(ideal.select("q_id", "id")), Seq("q_id", "id"))
+      .groupBy("q_id").agg(min("rank").as("first_rel"))
+    ideal.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"))
+  }
+
   /** nDCG@k of a retrieval list against an ideal ranking — retrieval
     * EVALUATION as a first-class operator (the metric a pipeline runs
     * after every index build / fusion change). Graded relevance

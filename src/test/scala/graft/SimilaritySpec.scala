@@ -235,6 +235,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ndcg(disjoint) == 0.0)
   }
 
+  test("mrrBatch: reciprocal of the first relevant rank, zero on a miss") {
+    import testImplicits._
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("q_id", "id", "rank")
+    val ideal = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 99L, 1))
+      .toDF("q_id", "id", "rank")
+    val got = Similarity.mrrBatch(ranked, ideal).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.0), got.toString)
+  }
+
   test("batched RRF + nDCG ≡ the single-query operators, per q_id") {
     import org.apache.spark.sql.functions._
     // two queries with deliberately different shapes: q1 = the rrfFuse
