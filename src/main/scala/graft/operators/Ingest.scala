@@ -143,6 +143,19 @@ object Ingest {
     (stored, s.read.parquet(path))
   }
 
+  /** Sketch-index COMPACTION: merge base ∪ delta into the next
+    * generation under a new path (snapshot isolation, the
+    * [[compactTermIndex]] posture on the sketch axis) — a pure layout
+    * rewrite, no re-sketching, bounding per-query file counts as deltas
+    * accumulate. */
+  def compactSketchIndex(s: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = ensureSketchedDelta(s, dir)
+    val path = scratch(s, dir, "docs_sketched_gen2")
+    if (!committed(s, path))
+      base.unionByName(delta).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   // --- stored inverted index (sparse / BM25 retrieval) -----------------
 
   /** Term-hash partition count of the stored inverted index. 64 here
@@ -1661,6 +1674,19 @@ object Ingest {
         .orderBy("doc1", "doc2")
     }),
 
+    // compacted generation serves the same grown corpus from ONE sketch
+    // table; shares q_near_dup_append's oracle VERBATIM, so appended ≡
+    // compacted ≡ brute force is pinned by the hash (the q_bm25_compact
+    // rule).
+    "q_near_dup_compact" -> ((s, dir) => {
+      val gen2 = compactSketchIndex(s, dir)
+      Dedup.verifiedOverlapFromFeatures(gen2,
+          Dedup.minhashCandidatesFromFeatures(gen2))
+        .filter(col("n_common") * 2 >= col("n_union"))
+        .select("doc1", "doc2", "jaccard")
+        .orderBy("doc1", "doc2")
+    }),
+
     // BM25 from the STORED inverted index: identical query, identical
     // oracle (the shared Bm25CtesSql string) as q_bm25_topk — the gate
     // IS the fresh-vs-stored differential, pinned 0 by the hash compare
@@ -2161,6 +2187,8 @@ object Ingest {
     // appended-copy pairs (J = 1.0) and their cross-neighbor pairs are
     // all in the replay, so grown-index recall is the hash equality.
     "q_near_dup_append" -> NearDupAppendOracleSql,
+    // shares the append oracle VERBATIM: appended ≡ compacted pinned.
+    "q_near_dup_compact" -> NearDupAppendOracleSql,
     // the stored-index gate shares the fresh gate's oracle VERBATIM —
     // that hash equality IS the fresh-vs-stored differential, pinned 0.
     "q_bm25_topk_stored" -> TextAnalysis.oracles("q_bm25_topk"),

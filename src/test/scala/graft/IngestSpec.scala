@@ -58,6 +58,15 @@ class IngestSpec extends SparkSpecBase {
     assert(basePairs.subsetOf(grown), "append must never lose a base pair")
   }
 
+  test("sketch compaction is a pure layout rewrite: appended ≡ compacted pairs") {
+    val a = graft.SparkEntry.queries("q_near_dup_append")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val c = graft.SparkEntry.queries("q_near_dup_compact")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == c,
+      "gen2 must serve the identical pair set in the identical order")
+  }
+
   test("delta stats carry exactly the append batch; merged stats grow") {
     val (_, stats, _, dStats) = Ingest.ensureTermIndexDelta(spark, TestSpark.Sf0001)
     val base = stats.collect()(0)

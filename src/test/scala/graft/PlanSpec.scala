@@ -106,6 +106,17 @@ class PlanSpec extends SparkSpecBase {
       s"serving must read BOTH sketch generations:\n$p")
   }
 
+  test("compacted sketch index serves from gen2 alone, still no re-sketch") {
+    val gen2 = graft.operators.Ingest.compactSketchIndex(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Dedup.verifiedOverlapFromFeatures(gen2,
+      graft.operators.Dedup.minhashCandidatesFromFeatures(gen2)))
+    assert(!p.toLowerCase.contains("minhashshingle") && !p.contains("text#"),
+      s"compacted path must not re-sketch or read text:\n$p")
+    assert(p.contains("docs_sketched_gen2__"), s"must read gen2:\n$p")
+    assert(!p.contains("docs_sketched__") && !p.contains("docs_sketched_delta__"),
+      s"compaction must collapse serving onto gen2 only:\n$p")
+  }
+
   test("stored BM25 reads only the query terms' posting buckets — no text scan") {
     graft.operators.Ingest.ensureTermIndex(spark, TestSpark.Sf0001)
     val p = plan(graft.operators.Ingest.bm25TopKStored(
