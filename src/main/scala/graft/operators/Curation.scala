@@ -525,9 +525,15 @@ object Curation {
   private[graft] def incrementalScoresBody(v2: DataFrame,
       storedArtifact: DataFrame): DataFrame = {
     val stored = storedArtifact.withColumnRenamed("digest", "old_digest")
+    val changed = col("old_digest").isNull || col("old_digest") =!= col("digest")
     val joined0 = v2
       .withColumn("digest", md5(col("text")))
       .join(stored, Seq("doc_id"), "left")
+      // null out unchanged rows' text BEFORE the checkpoint: the held
+      // state shrinks from |corpus|·text to |diff|·text + metadata —
+      // at 100 TB the difference between materializing the snapshot
+      // and materializing the diff
+      .withColumn("text", when(changed, col("text")))
     val joined = if (joined0.isStreaming) joined0 else joined0.localCheckpoint()
     val unchanged = joined
       .filter(col("old_digest") === col("digest"))
@@ -536,8 +542,7 @@ object Curation {
           .as("score"),
         lit("stored").as("src"))
     val fresh = qualityClassify(
-        joined.filter(col("old_digest").isNull || col("old_digest") =!= col("digest"))
-          .select("doc_id", "lang", "text"),
+        joined.filter(changed).select("doc_id", "lang", "text"),
         QualityWeights, QualityBiasMicro)
       .select(col("doc_id"), col("score"), lit("fresh").as("src"))
     unchanged.unionByName(fresh)
