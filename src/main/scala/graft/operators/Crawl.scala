@@ -63,11 +63,15 @@ object Crawl {
   val DomainCap: Int = 5
 
   /** PageRank constants: ranks in integer micro-units, 3 fixed
-    * iterations, damping 85/100, per-doc out-degree [[OutDegree]]. */
+    * iterations, damping 85/100. Out-degree is NEVER a constant — it is
+    * derived per node from the edge list inside [[pageRank]]. */
   val RankScale: Long = 1000000L
   val Damping: (Int, Int) = (85, 100)
   val RankIters: Int = 3
-  val OutDegree: Int = 3
+
+  /** Maximum synthetic out-degree (the fixture j-range 0..MaxOutDegree-1
+    * is filtered down per doc by [[outDegree]]). */
+  val MaxOutDegree: Int = 5
 
   /** Messy-but-valid URL from doc_id: upper/lower scheme, optional WWW.,
     * mixed-case host, explicit default port, trailing slash, tracking
@@ -264,34 +268,65 @@ object Crawl {
        |FROM _ls)""".stripMargin
   }
 
-  /** Synthetic outlink targets: [[OutDegree]] links per doc, target =
-    * another doc id modulo corpus size (ids are contiguous from 0, so
-    * every target exists — TESTDATA.md). */
+  /** Synthetic per-doc out-degree: HETEROGENEOUS by construction so no
+    * constant can masquerade as the real degree — docs ≡ 0 (mod 7) are
+    * DANGLING (zero outlinks), the rest fan out 1 + d%5 ∈ 1..5. */
+  def outDegree(d: Column): Column =
+    when(d % 7 === 0, lit(0L)).otherwise(d % 5 + 1)
+
+  /** Synthetic outlink targets: [[outDegree]] links per doc (0..5,
+    * degree-varying, with dangling nodes), target = another doc id
+    * modulo corpus size (ids are contiguous from 0, so every target
+    * exists — TESTDATA.md). */
   def outlinks(docs: DataFrame): DataFrame = {
     val n = docs.count()
     docs.select(col("doc_id").as("src"),
-        explode(sequence(lit(0), lit(OutDegree - 1))).as("j"))
+        explode(sequence(lit(0), lit(MaxOutDegree - 1))).as("j"))
+      .filter(col("j") < outDegree(col("src")))
       .select(col("src"), col("j"),
         ((col("src") * 53 + col("j") * 179 + 7) % n).as("dst"))
   }
 
   /** Integer-micro-unit PageRank, [[RankIters]] fixed iterations.
-    * rank₀ = [[RankScale]]; rankᵢ₊₁(v) = scale·(1−d) + d·Σ rankᵢ(u)/out(u)
-    * with d = 85/100 and every division an integer floor — all addends
-    * are BIGINTs, so the shuffle order can never change a bit. */
+    * rank₀ = [[RankScale]];
+    * rankᵢ₊₁(v) = scale·(1−d) + d·(Σ_{u→v} rankᵢ(u)/out(u) + dangling/N)
+    * with d = 85/100, out(u) the node's REAL out-degree (derived from
+    * the edge list itself, never assumed), `dangling` the total rank
+    * sitting on zero-out-degree nodes (redistributed uniformly — the
+    * standard dangling-mass term), and every division an integer
+    * floor — all addends are BIGINTs, so the shuffle order can never
+    * change a bit.
+    *
+    * 100 TB: the degree join is edge-keyed (src) and computed once
+    * outside the loop; the dangling term is a 1-row aggregate broadcast
+    * (never a driver value); each iteration is one join + one groupBy
+    * over the edge list with lineage truncated per round. */
   def pageRank(docs: DataFrame, edges: DataFrame): DataFrame = {
     val base = RankScale * (Damping._2 - Damping._1) / Damping._2
+    val nDocs = docs.count()
     val e = edges.select("src", "dst").localCheckpoint()
+    // real per-src out-degree, carried on the edge (one join, reused by
+    // every iteration)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val eDeg = e.join(deg, "src").localCheckpoint()
+    val srcSet = deg.select(col("src").as("doc_id")).localCheckpoint()
     var ranks = docs.select(col("doc_id"), lit(RankScale).as("rank_micro"))
     for (_ <- 1 to RankIters) {
-      val contrib = e.join(ranks, e("src") === ranks("doc_id"))
-        .select(col("dst"), expr(s"rank_micro div $OutDegree").as("c"))
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("doc_id"))
+        .select(col("dst"), expr("rank_micro div out_deg").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
+      // dangling mass: rank held by nodes with no outgoing edge, shared
+      // uniformly (integer floor) across all N nodes
+      val share = ranks.join(srcSet, Seq("doc_id"), "left_anti")
+        .agg(expr(s"coalesce(sum(rank_micro), 0L) div ${nDocs}L")
+          .as("dangling_share"))
       ranks = docs.select(col("doc_id"))
         .join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .crossJoin(broadcast(share))
         .select(col("doc_id"),
-          (lit(base) +
-            expr(s"coalesce(inflow, 0L) * ${Damping._1} div ${Damping._2}"))
+          (lit(base) + expr(
+            s"(coalesce(inflow, 0L) + dangling_share) * ${Damping._1}" +
+              s" div ${Damping._2}"))
             .as("rank_micro"))
         .localCheckpoint()
     }
@@ -483,25 +518,38 @@ object Crawl {
            |ORDER BY doc_id""".stripMargin,
       "q_link_rank" -> {
         val base = RankScale * (Damping._2 - Damping._1) / Damping._2
+        // each iteration replays the Spark formula exactly: per-src REAL
+        // out-degree division, dangling-mass share, integer floors
         def iter(prev: String, next: String): String =
-          s"""$next AS (
+          s"""d$next AS (
+             |  SELECT COALESCE(sum(r.rank_micro), 0) // (SELECT c FROM n)
+             |           AS share
+             |  FROM $prev r LEFT JOIN deg ON r.doc_id = deg.src
+             |  WHERE deg.src IS NULL),
+             |$next AS (
              |  SELECT d.doc_id,
-             |         $base + COALESCE(f.inflow, 0) * ${Damping._1} // ${Damping._2}
-             |           AS rank_micro
+             |         $base + (COALESCE(f.inflow, 0) + (SELECT share FROM d$next))
+             |           * ${Damping._1} // ${Damping._2} AS rank_micro
              |  FROM documents d
              |  LEFT JOIN (
-             |    SELECT e.dst AS doc_id,
-             |           sum(r.rank_micro // $OutDegree) AS inflow
-             |    FROM e JOIN $prev r ON e.src = r.doc_id
+             |    SELECT e2.dst AS doc_id,
+             |           sum(r.rank_micro // e2.out_deg) AS inflow
+             |    FROM ed e2 JOIN $prev r ON e2.src = r.doc_id
              |    GROUP BY 1) f USING (doc_id))""".stripMargin
         val iters = (1 to RankIters)
           .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+        val js = (0 until MaxOutDegree).mkString(", ")
         s"""WITH n AS (SELECT count(*) AS c FROM documents),
            |e AS (
            |  SELECT doc_id AS src,
            |         (doc_id * 53 + j * 179 + 7) % (SELECT c FROM n) AS dst
            |  FROM documents
-           |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) u),
+           |  CROSS JOIN (SELECT unnest([$js]) AS j) u
+           |  WHERE j < CASE WHEN doc_id % 7 = 0 THEN 0
+           |                 ELSE doc_id % 5 + 1 END),
+           |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+           |ed AS (SELECT e.src, e.dst, deg.out_deg
+           |       FROM e JOIN deg USING (src)),
            |r0 AS (SELECT doc_id,
            |         CAST($RankScale AS BIGINT) AS rank_micro FROM documents),
            |$iters

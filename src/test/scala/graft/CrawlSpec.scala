@@ -98,34 +98,51 @@ class CrawlSpec extends SparkSpecBase {
       Seq("site9.co.uk", "site9.co.uk", "site1.com", "site1.com"))
   }
 
-  test("pageRank: hand-computed 3-node cycle with self-reinforcement") {
-    // nodes 0,1,2; OutDegree=3 edges each: 0→{1,1,2}, 1→{2,2,0}, 2→{0,0,1}
-    val docs = Seq(0L, 1L, 2L).toDF("doc_id")
-    val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 2L), (1L, 2L),
-      (1L, 0L), (2L, 0L), (2L, 0L), (2L, 1L)).toDF("src", "dst")
+  test("pageRank: hand-computed heterogeneous-degree graph with dangling node") {
+    // nodes 0..3 with REAL out-degrees {1, 2, 3, 0}:
+    //   0→1; 1→{0,2}; 2→{0,1,3}; 3 dangling.
+    // A constant-out-degree implementation CANNOT reproduce this: node
+    // 0's full rank flows to 1 undivided, node 2's splits three ways,
+    // and node 3's mass only re-enters through the dangling share.
+    val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L),
+      (2L, 0L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
     val r = Crawl.pageRank(docs, edges).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
-    // iter1: every node: base 150000 + 85% of (2/3 + 1/3 + ...) — by
-    // symmetry each node receives exactly one full rank (3 thirds):
-    // 150000 + 1000000/3*... replay the integer arithmetic precisely:
+    // replay the integer arithmetic precisely (floors everywhere):
     def it(prev: Map[Long, Long]): Map[Long, Long] = {
+      val share = prev(3L) / 4 // dangling mass ÷ N, integer floor
       val inflow = Map(
-        0L -> (prev(1L) / 3 + 2 * (prev(2L) / 3)),
-        1L -> (2 * (prev(0L) / 3) + prev(2L) / 3),
-        2L -> (prev(0L) / 3 + 2 * (prev(1L) / 3)))
-      inflow.map { case (k, v) => k -> (150000L + v * 85 / 100) }
+        0L -> (prev(1L) / 2 + prev(2L) / 3),
+        1L -> (prev(0L) / 1 + prev(2L) / 3),
+        2L -> (prev(1L) / 2),
+        3L -> (prev(2L) / 3))
+      inflow.map { case (k, v) => k -> (150000L + (v + share) * 85 / 100) }
     }
-    val expect = it(it(it(Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))))
+    val init = Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L)
+    val expect = it(it(it(init)))
     assert(r == expect, s"got $r, want $expect")
+    // sanity: the heterogeneous degrees actually produce distinct ranks
+    assert(r.values.toSet.size >= 3, s"degenerate rank spread: $r")
   }
 
-  test("pageRank: sink-free graph conserves bounded total mass") {
+  test("pageRank: synthetic graph conserves bounded total mass") {
     val docs = (0L until 50L).toDF("doc_id")
     val edges = Crawl.outlinks(docs)
-    assert(edges.count() == 150)
+    // degree-varying fixture: d%7==0 dangles, else 1 + d%5 outlinks
+    val expectEdges = (0L until 50L)
+      .map(d => if (d % 7 == 0) 0L else 1L + d % 5).sum
+    assert(edges.count() == expectEdges,
+      s"expected $expectEdges heterogeneous-degree edges")
+    val degrees = edges.groupBy("src").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(degrees == Set(1L, 2L, 3L, 4L, 5L),
+      s"out-degrees must vary 1..5, got $degrees")
     val total = Crawl.pageRank(docs, edges)
       .agg(sum("rank_micro")).head().getLong(0)
-    // total ∈ (N·scale·(1-d) , N·scale]: damping leaks only integer-floor dust
+    // total ∈ (N·scale·(1-d) , N·scale]: damping + dangling redistribution
+    // leak only integer-floor dust
     assert(total > 50L * 150000 && total <= 50L * 1000000,
       s"total mass $total out of range")
   }
