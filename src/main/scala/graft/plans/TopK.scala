@@ -32,12 +32,23 @@ import org.apache.spark.sql.graft.Bridge
   *  - FINAL phase (after the hash exchange on the keys): re-heap the
   *    ≤ #partitions·k survivors per key.
   *
-  * Per-task state is |keys in task| · k row copies — bounded by the
-  * cap, never by the skew. Output row SET is exact whenever the
-  * ordering is total (the repo's tiebreaker rule); intra-group order
-  * is unspecified (callers order, as they already must for the gate).
+  * Per-task state is min(|keys in task|, [[TopK.PartialMaxKeysConf]])
+  * · k row copies — bounded by the cap in BOTH dimensions: skew can't
+  * grow a heap past k, and near-unique keys can't grow the map past
+  * the key budget (overflow emits-and-resets; the FINAL phase
+  * re-heaps, so a multi-segment partial is merely a superset). Output
+  * row SET is exact whenever the ordering is total (the repo's
+  * tiebreaker rule); intra-group order is unspecified (callers order,
+  * as they already must for the gate).
   */
 object TopK {
+
+  /** Cap on distinct keys held by one PARTIAL-phase task before it
+    * emits its heaps downstream and resets (spill-safety for
+    * near-unique keys). 64k keys · k rows is the worst-case resident
+    * set; at k=5 and ~100 B rows that is ~32 MB per task. */
+  val PartialMaxKeysConf: String = "graft.topk.partialMaxKeys"
+  val PartialMaxKeysDefault: Int = 65536
 
   /** Per-session registration for sessions built without
     * `spark.sql.extensions=graft.GraftExtensions`. */
@@ -107,6 +118,21 @@ case class TopKPerKeyExec(
     val groupLocal = groupExprs
     val orderLocal = order
     val childOutput = child.output
+    // Spill safety: the PARTIAL phase's heap map would otherwise grow
+    // with the number of distinct keys in the task — for near-unique
+    // keys that approaches the whole input partition held as UnsafeRow
+    // copies (the regime where Spark's partial hash aggregate falls
+    // back to sort-based spill). Cap the map; on overflow, EMIT the
+    // accumulated heaps downstream and reset — partial output is merely
+    // a superset of the answer, the FINAL phase re-heaps, so
+    // correctness is unaffected and memory is cap·k rows, never
+    // data-shaped. The FINAL phase is uncapped by design: it is
+    // clustered on the keys and its map holds exactly the output rows.
+    val maxKeys =
+      if (partial) conf.getConfString(TopK.PartialMaxKeysConf,
+        TopK.PartialMaxKeysDefault.toString).toInt
+      else Int.MaxValue
+    require(maxKeys > 0, s"${TopK.PartialMaxKeysConf} must be positive")
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupLocal, childOutput)
       val ord = GenerateOrdering.generate(orderLocal, childOutput)
@@ -116,24 +142,52 @@ case class TopKPerKeyExec(
         override def compare(a: InternalRow, b: InternalRow): Int =
           ord.compare(b, a)
       }
-      val heaps =
-        new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kCap, worstFirst)
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        import scala.jdk.CollectionConverters._
+        private var heaps =
+          new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+
+        private def drain(): Iterator[InternalRow] = {
+          val full = heaps
+          heaps = new java.util.LinkedHashMap[UnsafeRow,
+            java.util.PriorityQueue[InternalRow]]
+          full.values.asScala.iterator.flatMap(_.iterator().asScala)
         }
-        if (heap.size < kCap) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+
+        override def hasNext: Boolean = {
+          while (!out.hasNext && !inputDone) {
+            var flushed = false
+            while (!flushed && it.hasNext) {
+              val row = it.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                if (heaps.size >= maxKeys) {
+                  // emit-and-reset BEFORE admitting the new key
+                  out = drain()
+                  flushed = true
+                }
+                heap = new java.util.PriorityQueue[InternalRow](kCap, worstFirst)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap.size < kCap) heap.add(row.copy())
+              else if (ord.compare(row, heap.peek()) < 0) {
+                heap.poll()
+                heap.add(row.copy())
+              }
+            }
+            if (!it.hasNext && !flushed) {
+              inputDone = true
+              out = drain()
+            }
+          }
+          out.hasNext
         }
+
+        override def next(): InternalRow = out.next()
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
 

@@ -64,6 +64,38 @@ class TopKPlanSpec extends SparkSpecBase {
       s"the whole point: no full per-partition sort, no window:\n$plan")
   }
 
+  test("partial-phase key cap: emit-and-reset keeps near-unique keys exact") {
+    // near-unique keys (every key has 1-2 rows) with the partial map
+    // capped far below the key count: each task flushes its heaps many
+    // times; the FINAL phase must still produce the exact row set. This
+    // is the regime the uncapped map would hold the whole partition in.
+    val prev = spark.conf.getOption(TopK.PartialMaxKeysConf)
+    spark.conf.set(TopK.PartialMaxKeysConf, "64")
+    try {
+      val n = 50000L
+      val df = spark.range(n).select(
+          concat(lit("k"), (col("id") % (n / 2)).cast("string")).as("key"),
+          col("id"), (col("id") % 1000).cast("int").as("v"))
+        .repartition(8).localCheckpoint()
+      val got = TopK.topKPerKey(df, Seq(col("key")),
+          Seq(col("v").desc, col("id").asc), 2)
+        .select("key", "id", "v")
+      val want = windowTopK(df, 2)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "capped partial phase must still reproduce the window row set")
+      // plan shape unchanged by the cap: still two phases, one exchange
+      val plan = TopK.topKPerKey(df, Seq(col("key")),
+          Seq(col("v").desc), 2).queryExecution.executedPlan.toString
+      assert("TopKPerKey".r.findAllIn(plan).size >= 2 &&
+        plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(TopK.PartialMaxKeysConf, v)
+        case None => spark.conf.unset(TopK.PartialMaxKeysConf)
+      }
+    }
+  }
+
   test("q_domain_cap_topk == q_domain_cap row-for-row") {
     val a = SparkEntry.queries("q_domain_cap_topk")(spark, TestSpark.Sf0001)
     val b = SparkEntry.queries("q_domain_cap")(spark, TestSpark.Sf0001)
