@@ -3,13 +3,46 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints the summary JSON line FIRST, then the
+  * per-query JSON line.
   *
   * An untimed warmup pass first touches each input table and runs one
   * tiny query so JVM/codegen/FileSystem initialization is not billed to
   * whichever query happens to run first (round 1 lost ~50 s to that).
+  *
+  * Build vs serve (VERDICT r10 #3): every stored-index `ensure*` /
+  * `compact*` builder and train-on-serve model fit meters its wall time
+  * through [[BuildTimer]]; the per-query headline numbers ("queries")
+  * are SERVE seconds (wall − build), with the build cost reported
+  * separately in "build" — so q_pq_topk's codebook training no longer
+  * inflates its serve number and round-over-round comparison compares
+  * like with like.
+  *
+  * JVM attribution (VERDICT r10 #4): the artifact records GC time and
+  * heap occupancy (gc_ms per pass + totals), so a uniform all-queries
+  * drift is attributable to the shared JVM from the artifact alone; a
+  * System.gc() settle runs between query FAMILIES (outside any timed
+  * region) to keep 155 queries + index builds in one JVM from billing
+  * one family's garbage to the next.
   */
 object Bench {
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def heapUsedMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed >> 20
+
+  /** Query family for the GC settle: the shared prefix up to the second
+    * underscore (q_bm25_*, q_ivf_*, …) — the granularity at which the
+    * stored-index builds cluster. */
+  private def family(name: String): String =
+    name.split('_').take(2).mkString("_")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,28 +77,57 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
-    // Per-query time = MIN over two full passes, the passes minutes apart.
-    // This container is a multi-tenant VM guest that intermittently loses
-    // the CPU for 30-90 s bursts (measured: the same query swings 1.6 s ↔
-    // 58 s across runs with GC total <2 s and zero plan change, and the
-    // slow queries in any run are alphabetically CONTIGUOUS — a stall
-    // window, not a query property). A single sample under such a burst
-    // measures the neighbor's workload, not this engine; the min of two
-    // time-separated samples is the engine's throughput unless a burst
-    // spans both passes. Every query still executes (and can fail) in
-    // BOTH passes.
-    def pass(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Per-query serve time = MIN over two full passes, the passes minutes
+    // apart. This container is a multi-tenant VM guest that
+    // intermittently loses the CPU for 30-90 s bursts (measured: the same
+    // query swings 1.6 s ↔ 58 s across runs with GC total <2 s and zero
+    // plan change, and the slow queries in any run are alphabetically
+    // CONTIGUOUS — a stall window, not a query property). A single
+    // sample under such a burst measures the neighbor's workload, not
+    // this engine; the min of two time-separated samples is the engine's
+    // throughput unless a burst spans both passes. Every query still
+    // executes (and can fail) in BOTH passes. Build time is drained from
+    // BuildTimer per query: pass 1 carries the one-time stored-index
+    // builds, train-on-serve fits recur in both — max() keeps the
+    // representative build cost either way.
+    case class Sample(name: String, serve: Double, build: Double,
+        err: Option[String])
+    // the settle's own (forced) collections are metered apart from the
+    // organic GC total, so gc_ms − settle_gc_ms is what the queries
+    // actually paid — otherwise the settle would drown the very signal
+    // it exists to clean up
+    var settleGcMs = 0L
+    def pass(): (Seq[Sample], Long) = {
+      val gc0 = gcMillis()
+      var lastFamily = ""
+      val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        if (family(name) != lastFamily) {
+          // settle between families, OUTSIDE the timed region
+          if (lastFamily.nonEmpty) {
+            val g0 = gcMillis()
+            System.gc()
+            settleGcMs += gcMillis() - g0
+          }
+          lastFamily = family(name)
+        }
+        BuildTimer.drainSeconds() // discard anything accrued outside queries
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
-            Some(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160))
+            Some(e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).take(160))
         }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val build = BuildTimer.drainSeconds()
+        Sample(name, math.max(wall - build, 0.0), build, err)
       }
-    val p1 = pass(); val p2 = pass()
-    val results = p1.zip(p2).map { case ((n, t1, e1), (_, t2, e2)) =>
-      (n, math.min(t1, t2), e1.orElse(e2))
+      (rows, gcMillis() - gc0)
+    }
+    val (p1, gc1) = pass()
+    val (p2, gc2) = pass()
+    val results = p1.zip(p2).map { case (a, b) =>
+      Sample(a.name, math.min(a.serve, b.serve),
+        math.max(a.build, b.build), a.err.orElse(b.err))
     }
     // 3-decimal seconds (ms resolution — below run-to-run noise): full
     // 17-digit doubles made the 102-query line overflow the driver's
@@ -74,19 +136,31 @@ object Bench {
     // self-contained.
     def sec3(v: Double): String = // Locale.ROOT: a comma decimal point is not JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec3(v) }
+    val qs = results.map(r => s"\"" + r.name + "\":" + sec3(r.serve))
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, Some(m)) => k -> m }
+    val builds = results.filter(_.build >= 0.0005)
+      .map(r => s"\"" + r.name + "\":" + sec3(r.build))
+      .mkString("{", ",", "}")
+    val errors = results.collect { case Sample(k, _, _, Some(m)) => k -> m }
     val errJson = errors.map { case (k, m) => s"\"$k\":\"${jsonEscape(m)}\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","agg":"min_of_2_passes","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
-    // summary-only line LAST: the driver records only the tail of stdout,
-    // and the per-query line above outgrew the 2000-char capture (r8/r9
-    // artifacts lost total/failed — VERDICT r9 #3). This short line is
-    // always inside any tail window and carries the verdict-bearing
-    // fields on its own.
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","agg":"min_of_2_passes","n_queries":${results.size},"failed":${errors.size},"sf":"$sfDir"}""")
+    val total = results.map(_.serve).sum
+    val buildTotal = results.map(_.build).sum
+    val jvm = s""""gc_ms":${gc1 + gc2},"gc_ms_pass1":$gc1,"gc_ms_pass2":$gc2,""" +
+      s""""settle_gc_ms":$settleGcMs,"heap_used_mb":${heapUsedMb()},""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory >> 20}"""
+    val head = s""""metric":"total","value":${sec3(total)},"unit":"sec",""" +
+      s""""agg":"min_of_2_passes","build_total":${sec3(buildTotal)}"""
+    // summary-only line FIRST: the driver's tail capture truncated the
+    // END of the long per-query line in r10 (BENCH_r10 "parsed": null),
+    // so the short verdict-bearing line must precede it; a second copy
+    // prints LAST for tail-window captures. Both are self-contained.
+    val summary = s"""{$head,"n_queries":${results.size},""" +
+      s""""failed":${errors.size},$jvm,"sf":"$sfDir"}"""
+    println(summary)
+    println(s"""{$head,"queries":$qs,"build":$builds,""" +
+      s""""failed":${errors.size},"errors":$errJson,$jvm,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }

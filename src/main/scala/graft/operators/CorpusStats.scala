@@ -121,7 +121,7 @@ object CorpusStats {
     * is the whole point: per-shard/per-crawl sketches are built once by
     * the ingest that produced the shard, and every later reader pays
     * only the cell-wise merge. */
-  def ensureCmsArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def ensureCmsArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
     val bPath = scratch(s, dir, "cms_base")
     val dPath = scratch(s, dir, "cms_delta")
     def counts(docs: DataFrame): DataFrame = docs

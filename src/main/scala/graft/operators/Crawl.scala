@@ -147,7 +147,7 @@ object Crawl {
     * an HTTP/1.1 response inside a real per-record-gzipped WARC file,
     * [[WarcDocsPerFile]] records per file — the CommonCrawl layout where
     * Spark parallelism is across archive files. */
-  def ensureWarcFiles(s: SparkSession, dir: String): DataFrame = {
+  def ensureWarcFiles(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
     val path = s"$root/${s.sparkContext.applicationId}/warc_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_")

@@ -462,7 +462,7 @@ object Curation {
     * 2-flop sigmoid is recomputed at serve time, so the artifact is
     * engine-exact and the serving score can never drift from a stale
     * stored float. Commit-marker-gated like every stored index. */
-  def ensureScoreArtifact(s: SparkSession, dir: String): DataFrame = {
+  def ensureScoreArtifact(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val path = scratch(s, dir, "doc_scores")
     if (!committed(s, path)) {
       graft.functions.QualityModel.register(s)

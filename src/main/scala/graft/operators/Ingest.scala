@@ -120,7 +120,7 @@ object Ingest {
         col("f.sh_set").as("sh_set"), col("simhash"))
   }
 
-  def ensureSketchedDocs(s: SparkSession, dir: String): DataFrame = {
+  def ensureSketchedDocs(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val path = scratch(s, dir, "docs_sketched")
     if (!committed(s, path))
       sketchProjection(documents(s, dir))
@@ -134,7 +134,7 @@ object Ingest {
     * to the frozen base, serve dedup over base ∪ delta. The base sketch
     * files are never touched, so in-flight readers keep their
     * snapshot. */
-  def ensureSketchedDelta(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def ensureSketchedDelta(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
     val stored = ensureSketchedDocs(s, dir)
     val path = scratch(s, dir, "docs_sketched_delta")
     if (!committed(s, path))
@@ -148,7 +148,7 @@ object Ingest {
     * [[compactTermIndex]] posture on the sketch axis) — a pure layout
     * rewrite, no re-sketching, bounding per-query file counts as deltas
     * accumulate. */
-  def compactSketchIndex(s: SparkSession, dir: String): DataFrame = {
+  def compactSketchIndex(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val (base, delta) = ensureSketchedDelta(s, dir)
     val path = scratch(s, dir, "docs_sketched_gen2")
     if (!committed(s, path))
@@ -201,7 +201,7 @@ object Ingest {
     * — its `_SUCCESS` is the generation marker (the multi-directory
     * rule above), so a torn build recomputes rather than serving a
     * partial index. */
-  def ensureTermIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def ensureTermIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
     val pPath = scratch(s, dir, "term_postings")
     val sPath = scratch(s, dir, "term_stats")
     if (!committed(s, sPath)) {
@@ -345,7 +345,7 @@ object Ingest {
     * protocol as [[ensureTermIndex]]: postings first, stats directory
     * last as the generation marker. */
   def ensureTermIndexDelta(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = graft.BuildTimer.time {
     val (postings, stats) = ensureTermIndex(s, dir)
     val pPath = scratch(s, dir, "term_postings_delta")
     val sPath = scratch(s, dir, "term_stats_delta")
@@ -403,7 +403,7 @@ object Ingest {
     * scale this is the scheduled job that keeps per-query file counts
     * bounded as deltas accumulate — the [[compactIvfIndex]] posture on
     * the sparse axis. */
-  def compactTermIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def compactTermIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
     val (postings, stats, dPostings, dStats) = ensureTermIndexDelta(s, dir)
     val pPath = scratch(s, dir, "term_postings_gen2")
     val sPath = scratch(s, dir, "term_stats_gen2")
@@ -446,7 +446,7 @@ object Ingest {
     * 0-based token offset from the shared [[TextAnalysis.bm25Toks]]
     * tokenizer — the same split the index build, the fresh scorer and
     * the oracle replay, so positions cannot drift from terms. */
-  def ensurePhraseIndex(s: SparkSession, dir: String): DataFrame = {
+  def ensurePhraseIndex(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val path = scratch(s, dir, "term_positions")
     if (!committed(s, path))
       documents(s, dir)
@@ -516,7 +516,7 @@ object Ingest {
     * per (app, sf) behind the commit marker. At 100 TB the index is
     * one digest row per distinct block — a fraction of corpus bytes —
     * and admission probes it with an anti-join, never a corpus scan. */
-  def ensureBlockIndex(s: SparkSession, dir: String): DataFrame = {
+  def ensureBlockIndex(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val path = scratch(s, dir, "block_index")
     if (!committed(s, path))
       Dedup.blockFrame(Dedup.blockBase(documents(s, dir), Dedup.ParaBlockLen))
@@ -561,7 +561,7 @@ object Ingest {
     * fixed constant that would leave cells 10⁶× oversized at production
     * scale (VERDICT r4 #5). */
   def ensureIvfIndex(s: SparkSession, dir: String,
-      nCells: Int = 0): (DataFrame, DataFrame) = {
+      nCells: Int = 0): (DataFrame, DataFrame) = graft.BuildTimer.time {
     val cells =
       if (nCells > 0) nCells
       else Similarity.ivfNumCells(embeddingCount(s, dir))
@@ -709,7 +709,7 @@ object Ingest {
     * centroids (loaded, never retrained) and write partitioned by cell.
     * Returns (centroids, base assignments, delta assignments). */
   def ensureIvfDelta(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = graft.BuildTimer.time {
     val (centroids, assign) = ensureIvfIndex(s, dir)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val dPath = scratch(s, dir, s"ivf_delta_c$cells")
@@ -756,7 +756,7 @@ object Ingest {
     * scale this is the nightly job that keeps per-probe file counts
     * bounded as deltas accumulate. */
   def compactIvfIndex(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = graft.BuildTimer.time {
     val (centroids, assign, delta) = ensureIvfDelta(s, dir)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val gPath = scratch(s, dir, s"ivf_assign_gen2_c$cells")
@@ -808,7 +808,7 @@ object Ingest {
     .empty[(String, String), (Array[Float], Int)]
 
   def ensurePqCodebook(s: SparkSession, dir: String, m: Int = 8,
-      kCent: Int = 256): (Array[Float], Int) = {
+      kCent: Int = 256): (Array[Float], Int) = graft.BuildTimer.time {
     val cbPath = scratch(s, dir, s"pq_codebook_m${m}_k$kCent")
     cbCache.getOrElseUpdate((s.sparkContext.applicationId, cbPath), {
       graft.functions.PqOps.register(s)
@@ -829,7 +829,7 @@ object Ingest {
   }
 
   def ensurePqIndex(s: SparkSession, dir: String, m: Int = 8,
-      kCent: Int = 256): (Array[Float], Int, DataFrame) = {
+      kCent: Int = 256): (Array[Float], Int, DataFrame) = graft.BuildTimer.time {
     // (m, kCent) are part of the index identity: the flat-codebook
     // length check alone is m-invariant (m*k*(dim/m) == k*dim), so a
     // stored m=8 codebook would silently decode as m=4 garbage if the
@@ -872,7 +872,7 @@ object Ingest {
     * k-means there is no iterative fit to bound). Model and codes are
     * committed-marker-gated like every other stored artifact.
     * Returns (mins, steps, code frame). */
-  def ensureSqModel(s: SparkSession, dir: String): (Array[Float], Array[Float]) = {
+  def ensureSqModel(s: SparkSession, dir: String): (Array[Float], Array[Float]) = graft.BuildTimer.time {
     val modelPath = scratch(s, dir, "sq8_model")
     graft.functions.SqOps.register(s)
     if (committed(s, modelPath)) {
@@ -905,7 +905,7 @@ object Ingest {
     }
   }
 
-  def ensureSqIndex(s: SparkSession, dir: String): (Array[Float], Array[Float], DataFrame) = {
+  def ensureSqIndex(s: SparkSession, dir: String): (Array[Float], Array[Float], DataFrame) = graft.BuildTimer.time {
     val codePath = scratch(s, dir, "sq8_codes")
     val (mins, steps) = ensureSqModel(s, dir)
     val emb = embeddings(s, dir)
@@ -948,7 +948,7 @@ object Ingest {
     * narrow kernels, so ingest's only exchange is the partitionBy(cell)
     * write. Returns (mins, steps, centroids, cell-partitioned codes). */
   def ensureIvfSqIndex(s: SparkSession, dir: String,
-      nCells: Int = 0): (Array[Float], Array[Float], DataFrame, DataFrame) = {
+      nCells: Int = 0): (Array[Float], Array[Float], DataFrame, DataFrame) = graft.BuildTimer.time {
     val cells =
       if (nCells > 0) nCells
       else Similarity.ivfNumCells(embeddingCount(s, dir))
@@ -987,7 +987,7 @@ object Ingest {
     * batch lands as its own cell-partitioned byte-code table next to
     * the base (same LSM posture as [[ensureIvfPqDelta]]). */
   def ensureIvfSqDelta(s: SparkSession, dir: String)
-      : (Array[Float], Array[Float], DataFrame, DataFrame, DataFrame) = {
+      : (Array[Float], Array[Float], DataFrame, DataFrame, DataFrame) = graft.BuildTimer.time {
     val (mins, steps, centroids, codes) = ensureIvfSqIndex(s, dir)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val dPath = scratch(s, dir, s"ivfsq_delta_c$cells")
@@ -1019,7 +1019,7 @@ object Ingest {
     * path — a pure layout job (dim bytes/row read and written, no
     * re-encode, no embedding I/O). Old generation files untouched. */
   def compactIvfSqIndex(s: SparkSession, dir: String)
-      : (Array[Float], Array[Float], DataFrame, DataFrame) = {
+      : (Array[Float], Array[Float], DataFrame, DataFrame) = graft.BuildTimer.time {
     val (mins, steps, centroids, codes, delta) = ensureIvfSqDelta(s, dir)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val gPath = scratch(s, dir, s"ivfsq_codes_gen2_c$cells")
@@ -1106,7 +1106,7 @@ object Ingest {
     * Returns (codebook, dim, centroids, cell-partitioned codes). */
   def ensureIvfPqIndex(s: SparkSession, dir: String, m: Int = 8,
       kCent: Int = 256,
-      nCells: Int = 0): (Array[Float], Int, DataFrame, DataFrame) = {
+      nCells: Int = 0): (Array[Float], Int, DataFrame, DataFrame) = graft.BuildTimer.time {
     val cells =
       if (nCells > 0) nCells
       else Similarity.ivfNumCells(embeddingCount(s, dir))
@@ -1136,7 +1136,7 @@ object Ingest {
     * the landing batch plus the partitionBy(cell) write. */
   def ensureIvfPqDelta(s: SparkSession, dir: String, m: Int = 8,
       kCent: Int = 256)
-      : (Array[Float], Int, DataFrame, DataFrame, DataFrame) = {
+      : (Array[Float], Int, DataFrame, DataFrame, DataFrame) = graft.BuildTimer.time {
     val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val dPath = scratch(s, dir, s"ivfpq_delta_m${m}_k${kCent}_c$cells")
@@ -1187,7 +1187,7 @@ object Ingest {
     * of a 10⁹-vector index is cheap enough to amortize. Old generation
     * files are never touched; serving switches when gen2 exists. */
   def compactIvfPqIndex(s: SparkSession, dir: String, m: Int = 8,
-      kCent: Int = 256): (Array[Float], Int, DataFrame, DataFrame) = {
+      kCent: Int = 256): (Array[Float], Int, DataFrame, DataFrame) = graft.BuildTimer.time {
     val (cb, dim, centroids, codes, delta) = ensureIvfPqDelta(s, dir, m, kCent)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val gPath = scratch(s, dir, s"ivfpq_codes_gen2_m${m}_k${kCent}_c$cells")
@@ -1245,7 +1245,7 @@ object Ingest {
     * served generation returns untouched. */
   def ensureRetrainedIvfPq(s: SparkSession, dir: String,
       skewThreshold: Double = 4.0, m: Int = 8, kCent: Int = 256)
-      : (Array[Float], Int, DataFrame, DataFrame, Boolean) = {
+      : (Array[Float], Int, DataFrame, DataFrame, Boolean) = graft.BuildTimer.time {
     val (cb, dim, centroids, codes, delta) = ensureIvfPqDelta(s, dir, m, kCent)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val cPath = scratch(s, dir, s"ivfpq_centroids_gen3_m${m}_k${kCent}_c$cells")
@@ -1354,7 +1354,7 @@ object Ingest {
     * generations and returned; otherwise the old generation keeps
     * serving. Old files are never touched either way. */
   def ensureRetrainedIvf(s: SparkSession, dir: String,
-      skewThreshold: Double = 4.0): (DataFrame, DataFrame, Boolean) = {
+      skewThreshold: Double = 4.0): (DataFrame, DataFrame, Boolean) = graft.BuildTimer.time {
     val (centroids, assign, delta) = ensureIvfDelta(s, dir)
     val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val cPath = scratch(s, dir, s"ivf_centroids_gen3_c$cells")

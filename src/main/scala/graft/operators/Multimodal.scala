@@ -131,7 +131,7 @@ object Multimodal {
     * a single time and every metadata / decode / resize query reads the
     * STORED binary column. The decode gates still parse real bytes —
     * they just come off parquet, as they would in production. */
-  def ensureMediaFrame(s: SparkSession, dir: String): DataFrame = {
+  def ensureMediaFrame(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
     val path = s"$root/${s.sparkContext.applicationId}/media_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_")

@@ -264,7 +264,7 @@ object ScalePatterns {
     * knows the layout and drops the Exchange). External-path tables
     * under the app scratch, name+path keyed by the corpus dir; mode
     * `ignore` + a catalog probe keep it idempotent per session. */
-  def ensureBucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def ensureBucketedPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
     val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
     val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
     val base = s"$root/${s.sparkContext.applicationId}/bucketed"
@@ -361,7 +361,7 @@ object ScalePatterns {
   /** The Z-ordered lineitem projection (l_orderkey, l_partkey,
     * l_linenumber) + its skip manifest, materialized once per
     * (app, corpus) behind the manifest's _SUCCESS marker. */
-  def ensureZorderedLineitem(s: SparkSession, dir: String): String = {
+  def ensureZorderedLineitem(s: SparkSession, dir: String): String = graft.BuildTimer.time {
     val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
     val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
     val path = s"$root/${s.sparkContext.applicationId}/zorder_lineitem_$tag"

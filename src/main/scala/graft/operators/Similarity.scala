@@ -168,7 +168,7 @@ object Similarity {
     * the recall gate (assignment flips require two centroids equidistant
     * to ~1e-15) but the reason centroids are STORED, not recomputed, in
     * any reproducibility-critical pipeline. */
-  def kmeansCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 3): DataFrame = {
+  def kmeansCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 3): DataFrame = graft.BuildTimer.time {
     VectorOps.register(emb.sparkSession)
     var centroids = ivfCentroids(emb, nCells)
     var it = 0
@@ -695,7 +695,8 @@ object Similarity {
     * production pipeline trains once on a sample and ships the codebook
     * to every encode/probe job. */
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 256,
-      iters: Int = 1, sampleCap: Int = 1024): (Array[Float], Int, Int) = {
+      iters: Int = 1, sampleCap: Int = 1024): (Array[Float], Int, Int) =
+    graft.BuildTimer.time {
     VectorOps.register(emb.sparkSession)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val sub = dim / m
