@@ -1042,6 +1042,54 @@ object Ingest {
       queriesDf, k, expand, nProbe)
   }
 
+  /** IVF-SQ8 RETRAIN-ON-DRIFT — generation-3 parity for the third code
+    * family (the IVF and IVF-PQ retrain twins exist since r9/r10): when
+    * [[retrainOnDrift]] trips on the served base ∪ delta, gen3 is the
+    * live corpus re-assigned against the NEW centroids and re-encoded
+    * with the FROZEN SQ model. The (min, step) model is cell-independent
+    * exactly like the PQ codebook — cell geometry changes where a code
+    * LIVES, never what it IS — so per-vec_id codes must carry over
+    * verbatim (the gate pins n_code_diverging = 0). Monotone
+    * generations: the centroid marker commits LAST, after the code
+    * payload, and a committed gen3 is served without re-deciding. */
+  def ensureRetrainedIvfSq(s: SparkSession, dir: String,
+      skewThreshold: Double = 4.0)
+      : (Array[Float], Array[Float], DataFrame, DataFrame, Boolean) = graft.BuildTimer.time {
+    val (mins, steps, centroids, codes, delta) = ensureIvfSqDelta(s, dir)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val cPath = scratch(s, dir, s"ivfsq_centroids_gen3_c$cells")
+    val gPath = scratch(s, dir, s"ivfsq_codes_gen3_c$cells")
+    if (committed(s, cPath))
+      return (mins, steps, s.read.parquet(cPath), s.read.parquet(gPath), true)
+    val live = indexedCorpus(s, dir)
+      .unionByName(appendBatch(embeddings(s, dir)))
+    val (newCents, _, retrained) = retrainOnDrift(live, centroids, skewThreshold)
+    if (!retrained) (mins, steps, centroids, codes.unionByName(delta), false)
+    else {
+      graft.functions.SqOps.register(s)
+      Similarity.ivfAssignKernel(live, newCents)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.SqOps.encode(col("embedding"), mins, steps).as("code"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(gPath)
+      newCents.write.mode("overwrite").parquet(cPath)
+      (mins, steps, s.read.parquet(cPath), s.read.parquet(gPath), true)
+    }
+  }
+
+  /** Batched IVF-SQ8 kNN through the RETRAINED generation (probe plan
+    * against the gen3 centroids, single DPP-pruned gen3 code scan;
+    * rescore corpus is the same live base ∪ delta set gen3 indexes). */
+  def knnJoinIvfSqRetrained(s: SparkSession, dir: String,
+      queriesDf: DataFrame, k: Int, skewThreshold: Double = 4.0,
+      expand: Int = 8, nProbe: Int = 0): DataFrame = {
+    val (mins, steps, centroids, gen3, _) =
+      ensureRetrainedIvfSq(s, dir, skewThreshold)
+    knnJoinSqSides(s, dir, Seq(gen3), centroids, mins, steps,
+      indexedCorpus(s, dir).unionByName(appendBatch(embeddings(s, dir))),
+      queriesDf, k, expand, nProbe)
+  }
+
   /** Shared generation-spanning batched-kNN serving scaffold for the
     * CODE-table index families (PQ and SQ8 differ only in their
     * per-query lookup-table schema and their score kernel): per-side
@@ -1866,6 +1914,32 @@ object Ingest {
           .as("n_diverging")))
     }),
 
+    // IVF-SQ8 RETRAIN: skewThreshold = 0 forces the drift response
+    // deterministically (same forced-drift fixture as q_ivfpq_retrain);
+    // cold runs k-means the live sample, re-assign under the new
+    // centroids, re-encode with the FROZEN (min, step) model; warm runs
+    // serve the monotone gen3. Pinned every run: per-vec_id gen3 codes
+    // ≡ served base ∪ delta codes (model frozen ⇒ re-encode
+    // deterministic; n_code_diverging 0), and the 8 delta-only append
+    // canaries surface through the retrained geometry (1.0).
+    "q_ivfsq_retrain" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val (_, _, _, gen3, _) = ensureRetrainedIvfSq(s, dir, skewThreshold = 0.0)
+      val (_, _, _, codes, delta) = ensureIvfSqDelta(s, dir)
+      val served = codes.select("vec_id", "code")
+        .unionByName(delta.select("vec_id", "code"))
+      val g3 = gen3.select("vec_id", "code")
+      val diverging = g3.exceptAll(served).unionByName(served.exceptAll(g3))
+      val qs = emb.orderBy("vec_id").offset(NumCanaries).limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      knnJoinIvfSqRetrained(s, dir, qs, 10, skewThreshold = 0.0)
+        .filter(col("vec_id") === col("q_id") + lit(AppendOffset))
+        .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
+          .as("recall_at_10"))
+        .crossJoin(diverging.agg(count(lit(1)).cast(LongType)
+          .as("n_code_diverging")))
+    }),
+
     "q_knn_ivfpq_stored" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val qs = emb.orderBy("vec_id").limit(NumCanaries)
@@ -2354,6 +2428,8 @@ object Ingest {
     "q_knn_ivfsq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfsq_compact" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_diverging",
+    "q_ivfsq_retrain" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_code_diverging",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
