@@ -349,6 +349,70 @@ object Crawl {
       .select("doc_id", "canon_url")
   }
 
+  /** The full crawl-to-training-batch spine as ONE declarative plan —
+    * every stage is an operator its own gate already pins, composed
+    * with nothing recomputed between stages:
+    *
+    *   WARC decode → HTML extract + URL canonicalization (narrow, one
+    *   pass over the archive scan) → URL-canonical dedup (keep-first BY
+    *   AGGREGATE: the payload rides the min-struct, no join-back) →
+    *   per-domain cap through the custom bounded-heap top-k operator →
+    *   quality-classifier admission (narrow kernel, integer keep-cut)
+    *   → paragraph dedup (keep-first aggregate + positional rebuild;
+    *   docs that lose every block drop out — this stage REWRITES the
+    *   corpus) → BPE token count under the frozen merges (narrow).
+    *
+    * Exactly four exchanges end to end (canon_url, domain, blk,
+    * doc_id — PlanSpec counts them): everything else pipelines inside
+    * scan stages. Returns (doc_id, n_units) — the admitted, deduped,
+    * tokenized corpus ready for batching. */
+  def crawlPipelineDocs(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    graft.functions.QualityModel.register(s)
+    val recs = ensureWarcFiles(s, dir)
+      .select("warc").as[Array[Byte]]
+      .flatMap(bytes => graft.sources.WarcFile.decodeWarcGz(bytes).map(r =>
+        (r.recordId.stripPrefix("urn:graft:doc-").toLong, r.targetUri, r.body)))
+      .toDF("doc_id", "uri", "html")
+    val extracted = recs.select(col("doc_id"),
+      canonicalizeUrl(col("uri")).as("canon_url"),
+      Curation.extractHtmlText(col("html")).getField("extracted")
+        .as("extracted"))
+    val urlDeduped = extracted
+      .groupBy("canon_url")
+      .agg(min(struct(col("doc_id"), col("extracted"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("canon_url"),
+        col("f.extracted").as("extracted"))
+    val withDomain = urlDeduped.select(col("doc_id"),
+      registrableDomain(col("canon_url")).as("domain"),
+      col("extracted"), length(col("extracted")).as("x_len"))
+    val capped = graft.plans.TopK.topKPerKey(withDomain, Seq(col("domain")),
+      Seq(col("x_len").desc, col("doc_id").asc), DomainCap)
+    val bias = Curation.QualityBiasMicro
+    val admitted = capped
+      .withColumn("f", graft.functions.QualityModel.qualityScore(
+        TextAnalysis.bm25Toks(col("extracted")), Curation.QualityWeights))
+      .filter(when(col("f.n_features") > 0,
+        col("f.sum_micro") + lit(bias) * col("f.n_features") >= 0)
+        .otherwise(lit(bias >= 0L)))
+      .select(col("doc_id"), col("extracted").as("text"))
+    val base = Dedup.blockBase(admitted, Dedup.ParaBlockLen)
+    val kept = Dedup.blockFrame(base, Dedup.ParaBlockLen)
+      .groupBy("blk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"),
+        col("blk"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("blk")))),
+        pb => pb.getField("blk")), " ").as("dedup_text"))
+    rebuilt.select(col("doc_id"),
+      size(flatten(transform(Curation.gramToks(col("dedup_text")),
+        w => Bpe.encodeUnits(w, Bpe.PinnedMerges))))
+        .cast(LongType).as("n_units"))
+  }
+
   // --- query surface ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -456,7 +520,32 @@ object Crawl {
           col("x.extracted").as("extracted"),
           col("x.n_boilerplate_lines").as("n_boilerplate_lines"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // END-TO-END crawl pipeline: WARC → extract → URL dedup → domain
+    // cap (custom top-k operator) → quality admit → paragraph dedup →
+    // BPE count → length-batched packing, one declarative plan. The
+    // oracle chains the SAME pinned CTE generators the per-stage gates
+    // use (rawUrl/canonical/HtmlExtract/registrableDomain/classify/
+    // paragraph + the frozen-merge encode expression) in one statement,
+    // so the hash certifies the COMPOSITION: batch membership (sum_ids)
+    // and padding arithmetic shift if any stage drops, admits, or
+    // tokenizes one doc differently anywhere in the chain.
+    "q_crawl_pipeline_e2e" -> ((s, dir) =>
+      graft.operators.ScalePatterns.prefixSums(
+        crawlPipelineDocs(s, dir),
+        Seq(col("n_units").asc, col("doc_id").asc), lit(1L), "rk")
+        .select(col("doc_id"), col("n_units"),
+          expr(s"rk div ${graft.operators.ScalePatterns.LengthBatchSize}")
+            .as("batch_id"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          max("n_units").as("max_units"),
+          sum("n_units").as("sum_units"))
+        .withColumn("padding_waste",
+          col("n_docs") * col("max_units") - col("sum_units"))
+        .orderBy("batch_id"))
   )
 
   /** One oracle, two gates: the window form (q_domain_cap) and the
@@ -516,6 +605,54 @@ object Crawl {
            |       xt.extracted, xt.n_boilerplate_lines
            |FROM xt JOIN canon USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+      // the composed pipeline, replayed as ONE statement from the SAME
+      // generators each stage gate uses — nothing re-derived, nothing
+      // trusted from the Spark side
+      "q_crawl_pipeline_e2e" -> {
+        val bias = Curation.QualityBiasMicro
+        val bs = graft.operators.ScalePatterns.LengthBatchSize
+        s"""WITH ${rawUrlCtesSql(Seq("doc_id"))},
+           |${canonicalCtesSql("raw", Seq("doc_id"))},
+           |${Curation.HtmlExtractCtesSql},
+           |u AS (SELECT canon_url, min(doc_id) AS doc_id FROM canon GROUP BY 1),
+           |t0 AS (SELECT u.doc_id, u.canon_url, xt.extracted
+           |       FROM u JOIN xt USING (doc_id)),
+           |${registrableDomainCtesSql("t0", Seq("doc_id", "extracted"))},
+           |capped AS (
+           |  SELECT doc_id, domain, extracted FROM dom
+           |  QUALIFY row_number() OVER (PARTITION BY domain
+           |    ORDER BY len(extracted) DESC, doc_id) <= $DomainCap),
+           |${Curation.classifyCtesSql(
+              "(SELECT doc_id, 'x' AS lang, extracted AS text FROM capped)")},
+           |admitted AS (
+           |  SELECT c.doc_id, c.extracted AS text
+           |  FROM capped c JOIN scored s USING (doc_id)
+           |  WHERE CASE WHEN s.n_features > 0
+           |             THEN s.sum_micro + $bias * s.n_features >= 0
+           |             ELSE $bias >= 0 END),
+           |${Dedup.paragraphCtesSql("admitted", "pd_")},
+           |enc AS (
+           |  SELECT doc_id,
+           |         flatten(list_transform(
+           |           string_split(lower(regexp_replace(trim(dedup_text), '\\s+', ' ', 'g')), ' '),
+           |           w -> CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+           |                     ELSE ${graft.operators.Bpe.encodeSqlExpr("w",
+                                  graft.operators.Bpe.PinnedMerges)} END)) AS units
+           |  FROM pd_rebuilt),
+           |r AS (
+           |  SELECT doc_id, CAST(len(units) AS BIGINT) AS n_units,
+           |         (row_number() OVER (ORDER BY len(units), doc_id) - 1) // $bs
+           |           AS batch_id
+           |  FROM enc)
+           |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           |       count(*) AS n_docs,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           |       CAST(max(n_units) AS BIGINT) AS max_units,
+           |       CAST(sum(n_units) AS BIGINT) AS sum_units,
+           |       CAST(count(*) * max(n_units) - sum(n_units) AS BIGINT)
+           |         AS padding_waste
+           |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin
+      },
       "q_link_rank" -> {
         val base = RankScale * (Damping._2 - Damping._1) / Damping._2
         // each iteration replays the Spark formula exactly: per-src REAL

@@ -1030,7 +1030,7 @@ object Curation {
     * Bm25CtesSql rule: ONE copy of the tokenize/hash/weight/dot replay,
     * no second formula to drift). Model constants interpolated from the
     * same Scala values the kernel compiles in. */
-  private def classifyCtesSql(docsSrc: String): String =
+  private[operators] def classifyCtesSql(docsSrc: String): String =
     s"""toks AS (
        |  SELECT doc_id, lang,
        |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t

@@ -875,31 +875,44 @@ object Dedup {
     // brute-force twin of paragraphDedup: same tokenization, same
     // blockization (1-based inclusive list slices = Spark's slice), the
     // keep-first rule as a min() over (doc_id, pos) per block text, and
-    // the reconstruction as an ordered string_agg
+    // the reconstruction as an ordered string_agg — the CTE chain is the
+    // shared [[paragraphCtesSql]] generator (one copy, also spliced into
+    // Crawl's end-to-end pipeline oracle)
     "q_dedup_paragraph" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
-         |  FROM documents),
-         |base AS (
-         |  SELECT doc_id, t,
-         |         CAST((len(t) + ${ParaBlockLen - 1}) // $ParaBlockLen AS INT) AS nb
-         |  FROM toks),
-         |blocks AS (
-         |  SELECT doc_id,
-         |         unnest(range(nb)) AS pos,
-         |         unnest(list_transform(range(nb),
-         |                i -> array_to_string(t[i*$ParaBlockLen+1:i*$ParaBlockLen+$ParaBlockLen], ' '))) AS blk
-         |  FROM base),
-         |kept AS (
-         |  SELECT min(struct_pack(doc_id := doc_id, pos := pos)) AS f, blk
-         |  FROM blocks GROUP BY blk),
-         |rebuilt AS (
-         |  SELECT f.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-         |         string_agg(blk, ' ' ORDER BY f.pos) AS dedup_text
-         |  FROM kept GROUP BY f.doc_id)
+      s"""WITH ${paragraphCtesSql("documents")}
          |SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
          |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
          |       COALESCE(r.dedup_text, '') AS dedup_text
          |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY b.doc_id""".stripMargin
   )
+
+  /** The paragraph-dedup replay as a reusable CTE chain over any
+    * (doc_id, text) source — ends in `${p}rebuilt(doc_id, n_kept,
+    * dedup_text)` (docs that lose every block are absent; the
+    * q_dedup_paragraph gate LEFT-joins `${p}base` to re-admit them as
+    * empty rows). `p` prefixes every CTE name so the chain can be
+    * spliced into a statement whose other fragments already use
+    * toks/base (the Bm25CtesSql one-copy rule, parameterized the same
+    * way as classifyCtesSql's source). */
+  private[operators] def paragraphCtesSql(src: String, p: String = ""): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+       |  FROM $src),
+       |${p}base AS (
+       |  SELECT doc_id, t,
+       |         CAST((len(t) + ${ParaBlockLen - 1}) // $ParaBlockLen AS INT) AS nb
+       |  FROM ${p}toks),
+       |${p}blocks AS (
+       |  SELECT doc_id,
+       |         unnest(range(nb)) AS pos,
+       |         unnest(list_transform(range(nb),
+       |                i -> array_to_string(t[i*$ParaBlockLen+1:i*$ParaBlockLen+$ParaBlockLen], ' '))) AS blk
+       |  FROM ${p}base),
+       |${p}kept AS (
+       |  SELECT min(struct_pack(doc_id := doc_id, pos := pos)) AS f, blk
+       |  FROM ${p}blocks GROUP BY blk),
+       |${p}rebuilt AS (
+       |  SELECT f.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(blk, ' ' ORDER BY f.pos) AS dedup_text
+       |  FROM ${p}kept GROUP BY f.doc_id)""".stripMargin
 }

@@ -564,6 +564,24 @@ class PlanSpec extends SparkSpecBase {
       s"dedup counts must map-side combine:\n$p")
   }
 
+  test("crawl e2e pipeline: 4 exchanges, custom top-k, one WARC scan, no window") {
+    val df = graft.operators.Crawl.crawlPipelineDocs(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // exactly the four stage boundaries shuffle: URL dedup (canon_url),
+    // domain cap (domain), block keep-first (blk), doc rebuild (doc_id);
+    // extraction/classify/BPE pipeline inside scan stages
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"the composed pipeline must not add shuffles beyond its four stage keys:\n$p")
+    assert(!p.contains("Window"),
+      s"neither the cap nor the batching rank may plan a window:\n$p")
+    assert("TopKPerKey".r.findAllIn(p).size >= 2,
+      s"the domain cap must be served by the custom bounded-heap operator:\n$p")
+    // ONE WARC container scan feeds the whole chain — no stage re-reads
+    // the archive or the documents table
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"no re-derivation between stages — one source scan only:\n$p")
+  }
+
   test("PMI pair expansion never plans a window; pair counts combine map-side") {
     val p = plan(SparkEntry.queries("q_pmi_pairs")(spark, TestSpark.Sf0001))
     assert(!p.contains("Window"), s"per-doc cap must be slice, not window:\n$p")
