@@ -487,6 +487,125 @@ class JetFileSpec extends SparkSpecBase {
     }
   }
 
+  test("property fuzz (db_test.go:548 TODO): random cp1252 rows, ALL tables, mdb → db → mdb, ≥200 cases") {
+    // The reference's own open TODO — "test special characters in
+    // strings" — closed as a ScalaCheck property over every table at
+    // once: cp1252 specials (€, å/ö/É/ß, quotes, newlines, commas),
+    // MEMO payloads spanning multiple LVAL pages, rows whose var
+    // section crosses the 255-byte boundary, NULLs, negative money,
+    // both BIT values — written to a real .mdb, converted through a
+    // real SQLite .db, converted BACK to a real .mdb, and compared
+    // cell-by-cell. Documented divergences only: Transaktioner.Saldo
+    // is NULLed by the forward pass (F7), and empty strings read back
+    // NULL (F6) — everything else must be byte-exact.
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+
+    val charGen = Gen.frequency(
+      (10, Gen.alphaNumChar),
+      (2, Gen.oneOf('å', 'ä', 'ö', 'É', '€', 'ß', 'ñ', 'Ü')),
+      (2, Gen.oneOf(' ', '\'', '"', ',', ';', '\n', '(', ')', '%', '-')))
+    def strGen(max: Int): Gen[String] =
+      Gen.chooseNum(0, max).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val strPool = samples(strGen(38), 1500).toIndexedSeq
+    val memoPool = samples(Gen.frequency((2, strGen(60)), (2, strGen(3000)),
+      (1, strGen(9000))), 40).toIndexedSeq
+    val moneyPool = samples(Gen.chooseNum(-10000000L, 10000000L), 300)
+      .map(v => new BigDecimal(java.math.BigInteger.valueOf(v), 4)).toIndexedSeq
+    val floatPool = samples(Gen.chooseNum(-1000000, 1000000), 300)
+      .map(_ / 16f).toIndexedSeq
+    val datePool = samples(for {
+      y <- Gen.chooseNum(1990, 2049)
+      m <- Gen.chooseNum(1, 12)
+      d <- Gen.chooseNum(1, 28)
+    } yield f"$y%04d-$m%02d-$d%02d", 300).toIndexedSeq
+
+    def jetLen(c: graft.schema.Col): Int =
+      if (c.jetType.startsWith("Text("))
+        c.jetType.stripPrefix("Text(").stripSuffix(")").toInt
+      else 38
+
+    def rowsFor(t: graft.schema.HogiaTable, n: Int, iter: Int): Seq[Row] = {
+      val unique = (t.indexes.filter(_.unique).flatMap(_.columns) ++ t.pk).toSet
+      var k = iter * 7919 + t.name.hashCode.abs % 1000
+      (1 to n).map { i =>
+        val vals: Array[Any] = t.cols.map { c =>
+          k += 1
+          c.spark match {
+            case LongType => i.toLong
+            case IntegerType =>
+              if ((i + k) % 7 == 0) null
+              else Int.box(((k * 31 + i) % 100000) - 50000)
+            case ShortType => Short.box((((k * 17 + i) % 2000) - 1000).toShort)
+            case FloatType => Float.box(floatPool(k.abs % floatPool.size))
+            case BooleanType => Boolean.box((k + i) % 2 == 0)
+            case _: DecimalType => moneyPool(k.abs % moneyPool.size)
+            case StringType =>
+              val len = jetLen(c)
+              if (c.name == "VerNum") s"$iter${f"$i%03d"}".take(4)
+              else if (unique.contains(c.name))
+                (s"u$i-" + strPool(k.abs % strPool.size)).take(len)
+              else if (c.jetType == "Memo") memoPool(k.abs % memoPool.size)
+              else if (len == 10 && c.name.contains("Datum"))
+                datePool(k.abs % datePool.size)
+              else if ((i + k) % 11 == 0) null
+              else strPool(k.abs % strPool.size).take(len)
+            case other => fail(s"unhandled type $other")
+          }
+        }.toArray
+        new GenericRowWithSchema(vals, t.schema): Row
+      }
+    }
+
+    var cases = 0
+    for (iter <- 1 to 2) {
+      val dir = Files.createTempDirectory(s"graft_jet_fuzz$iter").toString
+      val srcIo = new JetTableIO(s"$dir/fuzz.mdb")
+      val expected = HogiaSchema.copyOrder.map { t =>
+        val n = if (t.name == "DtbVer") 2 else 15
+        val rows = rowsFor(t, n, iter)
+        srcIo.truncateLoad(spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+          t.schema), t)
+        t -> rows
+      }
+      Convert.konvertera(spark, srcIo, new SqliteTableIO(s"$dir/fuzz.db"))
+      val backIo = new JetTableIO(s"$dir/back.mdb")
+      Convert.konvertera(spark, new SqliteTableIO(s"$dir/fuzz.db"), backIo,
+        reverse = true)
+      expected.foreach { case (t, exp) =>
+        val got = backIo.read(spark, t).orderBy(t.pk.head).collect()
+        assert(got.length == exp.length, s"${t.name}: row count after round trip")
+        exp.zip(got).foreach { case (e, g) =>
+          t.cols.zipWithIndex.foreach { case (c, ci) =>
+            val ev = e.get(ci)
+            val gv = g.get(ci)
+            val expectNull = ev == null ||
+              (t.name == "Transaktioner" && c.name == "Saldo") || // F7
+              (ev.isInstanceOf[String] && ev.asInstanceOf[String].isEmpty) // F6
+            if (expectNull)
+              assert(gv == null || gv == "",
+                s"${t.name}.${c.name} row ${e.get(0)}: expected NULL, got '$gv'")
+            else c.spark match {
+              case _: DecimalType =>
+                assert(gv.asInstanceOf[BigDecimal]
+                  .compareTo(ev.asInstanceOf[BigDecimal]) == 0,
+                  s"${t.name}.${c.name} row ${e.get(0)}: $gv != $ev")
+              case _ =>
+                assert(gv == ev,
+                  s"${t.name}.${c.name} row ${e.get(0)}: '$gv' != '$ev'")
+            }
+          }
+          cases += 1
+        }
+      }
+    }
+    assert(cases >= 200, s"fuzz coverage: only $cases row cases")
+  }
+
   test("FULL ROUND TRIP (db_test.go:83-140): GOTEST1.MDB → .db → .mdb, checkDB1 replayed") {
     assume(available)
     val dir = Files.createTempDirectory("graft_jet_rt").toString
