@@ -32,4 +32,51 @@ object CrawlStream {
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The same admission gate fed by ARRIVING `.warc.gz` ARCHIVES — the
+    * true crawl front door: raw container files land in a directory
+    * (the CommonCrawl delivery shape), each micro-batch decodes its
+    * members in a narrow pass (gzip member walk + WARC framing — the
+    * one place a codec walk beats an expression) and runs the identical
+    * [[Crawl.urlAdmit]] body over the extracted (doc_id, url) rows.
+    * The `binaryFile` source streams whole files, so a half-written
+    * archive is never split mid-member; decode failures are LOUD
+    * (WarcFile's contract), poisoning the batch rather than
+    * undercounting the crawl. Admission reads ONLY the URL column of
+    * the decode — no page text ever leaves the batch. */
+  /** The `binaryFile` source's fixed schema, spelled out because a file
+    * STREAM source requires one explicitly (the [d]ocuments-glob rule:
+    * file streams never infer). */
+  private val BinaryFileSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  def admitWarcStream(s: SparkSession, warcGlob: String, outDir: String,
+      ckptDir: String, storedCanon: DataFrame): StreamingQuery =
+    s.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(warcGlob)
+      .select("content")
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val sp = b.sparkSession
+        import sp.implicits._
+        val urls = b.select("content").as[Array[Byte]]
+          .flatMap(bytes => graft.sources.WarcFile.decodeWarcGz(bytes).map(r =>
+            (r.recordId.stripPrefix("urn:graft:doc-").toLong, r.targetUri)))
+          .toDF("doc_id", "url")
+        Crawl.urlAdmit(urls, storedCanon)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

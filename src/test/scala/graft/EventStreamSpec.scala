@@ -576,4 +576,42 @@ class EventStreamSpec extends SparkSpecBase {
       s"stored dup and intra-batch loser must be rejected: $got")
     assert(got.find(_._1 == 930003L).get._2 == "http://brand.new/x?id=9")
   }
+
+  test("streamed WARC front gate: .warc.gz lands, dup URL rejected, novel admitted") {
+    // the admission gate fed by the raw CONTAINER: a 2-member .warc.gz
+    // arrives in the landing directory; member 1's canonical URL is
+    // already in the stored index (rejected), member 2 is novel
+    // (admitted in canonical form). Streamed ≡ the batch decode+admit
+    // chain on the same archive bytes.
+    import testImplicits._
+    import graft.sources.WarcFile
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_warc").toString
+    val stored = Seq("https://old.site/a?id=1").toDF("url")
+      .select(graft.operators.Crawl.canonicalizeUrl(col("url")).as("canon_url"))
+      .localCheckpoint()
+    val warc = WarcFile.encodeWarcGz(Seq(
+      WarcFile.WarcRecord("HTTPS://OLD.site:443/a/?utm_source=x&id=1",
+        "urn:graft:doc-940001", 200, "<html><p>dup</p></html>"),
+      WarcFile.WarcRecord("http://WWW.fresh.org:80/p/?b=2&ref=rss&a=1",
+        "urn:graft:doc-940002", 200, "<html><p>novel</p></html>")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/landing"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/landing/seg-00001.warc.gz"), warc)
+    val q = graft.streaming.CrawlStream.admitWarcStream(spark,
+      s"$dir/landing", s"$dir/out", s"$dir/ckpt", stored)
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "canon_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // batch twin: decode the same archive bytes, run the same admit body
+    val batchUrls = WarcFile.decodeWarcGz(warc)
+      .map(r => (r.recordId.stripPrefix("urn:graft:doc-").toLong, r.targetUri))
+      .toDF("doc_id", "url")
+    val batchSet = graft.operators.Crawl.urlAdmit(batchUrls, stored)
+      .select("doc_id", "canon_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batchSet, s"stream $got != batch $batchSet")
+    assert(got == Set((940002L, "http://fresh.org/p?a=1&b=2")),
+      s"dup must be rejected, novel admitted canonicalized: $got")
+  }
 }
