@@ -333,6 +333,66 @@ object Crawl {
     ranks
   }
 
+  /** The integer PageRank replay as ONE reusable CTE chain — edge
+    * synthesis with heterogeneous degrees, real per-src out-degree,
+    * dangling share, [[RankIters]] iterations — ending in
+    * `r{RankIters}(doc_id, rank_micro)`. Shared verbatim by q_link_rank
+    * and q_frontier_schedule (the Bm25CtesSql rule). */
+  def linkRankCtesSql: String = {
+    val base = RankScale * (Damping._2 - Damping._1) / Damping._2
+    // each iteration replays the Spark formula exactly: per-src REAL
+    // out-degree division, dangling-mass share, integer floors
+    def iter(prev: String, next: String): String =
+      s"""d$next AS (
+         |  SELECT COALESCE(sum(r.rank_micro), 0) // (SELECT c FROM n)
+         |           AS share
+         |  FROM $prev r LEFT JOIN deg ON r.doc_id = deg.src
+         |  WHERE deg.src IS NULL),
+         |$next AS (
+         |  SELECT d.doc_id,
+         |         $base + (COALESCE(f.inflow, 0) + (SELECT share FROM d$next))
+         |           * ${Damping._1} // ${Damping._2} AS rank_micro
+         |  FROM documents d
+         |  LEFT JOIN (
+         |    SELECT e2.dst AS doc_id,
+         |           sum(r.rank_micro // e2.out_deg) AS inflow
+         |    FROM ed e2 JOIN $prev r ON e2.src = r.doc_id
+         |    GROUP BY 1) f USING (doc_id))""".stripMargin
+    val iters = (1 to RankIters)
+      .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    val js = (0 until MaxOutDegree).mkString(", ")
+    s"""n AS (SELECT count(*) AS c FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src,
+       |         (doc_id * 53 + j * 179 + 7) % (SELECT c FROM n) AS dst
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest([$js]) AS j) u
+       |  WHERE j < CASE WHEN doc_id % 7 = 0 THEN 0
+       |                 ELSE doc_id % 5 + 1 END),
+       |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, deg.out_deg
+       |       FROM e JOIN deg USING (src)),
+       |r0 AS (SELECT doc_id,
+       |         CAST($RankScale AS BIGINT) AS rank_micro FROM documents),
+       |$iters""".stripMargin
+  }
+
+  /** Site indexes (of the 40 synthetic sites) that carry a robots
+    * disallow rule — every third site, prefix `/page/<i % 7>`. */
+  val RobotsRuleSites: Seq[Int] = (0 until 40).filter(_ % 3 == 0)
+
+  /** The parsed robots.txt rule table, (registrable domain, disallowed
+    * path prefix) — generated from the same constants the oracle
+    * interpolates. A real crawl loads its parsed robots corpus as
+    * exactly this bounded broadcast frame; the OPERATOR below consumes
+    * only the two columns. */
+  def robotsRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RobotsRuleSites
+      .map(i => (s"site$i${Tlds(i % 5)}", s"/page/${i % 7}"))
+      .toDF("domain", "prefix")
+  }
+
   /** URL-level admission of a landing batch against a stored canonical
     * index: canonicalize once (localCheckpoint — two consumers),
     * keep-first WITHIN the batch via groupBy+min (aggregate, never a
@@ -496,6 +556,47 @@ object Crawl {
       pageRank(docs, outlinks(docs)).orderBy("doc_id")
     }),
 
+    // robots-rule audit: every distinct canonical URL flagged against
+    // the per-domain disallow table (broadcast — the rule set is
+    // bounded by the domain count, never the corpus). A crawl runs this
+    // filter BEFORE fetching; the per-URL blocked flag rides the hash.
+    "q_robots_filter" -> ((s, dir) => {
+      val canon = documents(s, dir)
+        .select(col("doc_id"),
+          canonicalizeUrl(syntheticUrl(col("doc_id"))).as("canon_url"))
+        .groupBy("canon_url").agg(min("doc_id").as("first_doc"))
+      val withPath = canon.select(col("canon_url"), col("first_doc"),
+        registrableDomain(col("canon_url")).as("domain"),
+        regexp_extract(col("canon_url"),
+          "^[^:/?#]+://[^/?#]*([^?]*)", 1).as("path"))
+      withPath.join(broadcast(robotsRules(s)), Seq("domain"), "left")
+        .groupBy(col("domain"), col("canon_url"), col("first_doc"))
+        .agg(coalesce(bool_or(col("path").startsWith(col("prefix"))),
+          lit(false)).as("blocked"))
+        .orderBy("domain", "canon_url")
+    }),
+
+    // frontier scheduling: per registrable domain, fetch order by
+    // PageRank priority with a politeness budget of ONE fetch per
+    // domain per tick — fetch_tick is the URL's position in its
+    // domain's queue. The window partitions on the politeness key
+    // itself, so its per-key state is the domain's queue (what a
+    // frontier shard holds anyway); rank and domain reuse the exact
+    // derivations their own gates pin.
+    "q_frontier_schedule" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val ranks = pageRank(docs, outlinks(docs))
+      val dom = docs.select(col("doc_id"),
+        registrableDomain(
+          canonicalizeUrl(syntheticUrl(col("doc_id")))).as("domain"))
+      val w = Window.partitionBy("domain")
+        .orderBy(desc("rank_micro"), asc("doc_id"))
+      ranks.join(dom, "doc_id")
+        .withColumn("fetch_tick", row_number().over(w).cast(LongType))
+        .select("domain", "fetch_tick", "doc_id", "rank_micro")
+        .orderBy("domain", "fetch_tick")
+    }),
+
     // WARC ingestion: the stored .warc.gz archives (real gzip members,
     // real record framing, real HTTP messages) re-framed in a narrow
     // mapPartitions pass, then the SAME canonicalization and extraction
@@ -653,47 +754,54 @@ object Crawl {
            |         AS padding_waste
            |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin
       },
-      "q_link_rank" -> {
-        val base = RankScale * (Damping._2 - Damping._1) / Damping._2
-        // each iteration replays the Spark formula exactly: per-src REAL
-        // out-degree division, dangling-mass share, integer floors
-        def iter(prev: String, next: String): String =
-          s"""d$next AS (
-             |  SELECT COALESCE(sum(r.rank_micro), 0) // (SELECT c FROM n)
-             |           AS share
-             |  FROM $prev r LEFT JOIN deg ON r.doc_id = deg.src
-             |  WHERE deg.src IS NULL),
-             |$next AS (
-             |  SELECT d.doc_id,
-             |         $base + (COALESCE(f.inflow, 0) + (SELECT share FROM d$next))
-             |           * ${Damping._1} // ${Damping._2} AS rank_micro
-             |  FROM documents d
-             |  LEFT JOIN (
-             |    SELECT e2.dst AS doc_id,
-             |           sum(r.rank_micro // e2.out_deg) AS inflow
-             |    FROM ed e2 JOIN $prev r ON e2.src = r.doc_id
-             |    GROUP BY 1) f USING (doc_id))""".stripMargin
-        val iters = (1 to RankIters)
-          .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
-        val js = (0 until MaxOutDegree).mkString(", ")
-        s"""WITH n AS (SELECT count(*) AS c FROM documents),
-           |e AS (
-           |  SELECT doc_id AS src,
-           |         (doc_id * 53 + j * 179 + 7) % (SELECT c FROM n) AS dst
-           |  FROM documents
-           |  CROSS JOIN (SELECT unnest([$js]) AS j) u
-           |  WHERE j < CASE WHEN doc_id % 7 = 0 THEN 0
-           |                 ELSE doc_id % 5 + 1 END),
-           |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
-           |ed AS (SELECT e.src, e.dst, deg.out_deg
-           |       FROM e JOIN deg USING (src)),
-           |r0 AS (SELECT doc_id,
-           |         CAST($RankScale AS BIGINT) AS rank_micro FROM documents),
-           |$iters
+      "q_link_rank" ->
+        s"""WITH $linkRankCtesSql
            |SELECT doc_id, CAST(rank_micro AS BIGINT) AS rank_micro
            |FROM r$RankIters
-           |ORDER BY doc_id""".stripMargin
-      }
+           |ORDER BY doc_id""".stripMargin,
+
+      // robots disallow audit: distinct canonical URLs joined against
+      // the rules table rebuilt from the SAME constants; the per-URL
+      // blocked flag is in the hash, so one wrong prefix match or
+      // domain attribution flips a row.
+      "q_robots_filter" -> {
+        val rules = RobotsRuleSites
+          .map(i => s"($i, 'site$i${Tlds(i % 5)}', '/page/${i % 7}')")
+          .mkString(", ")
+        s"""WITH ${rawUrlCtesSql(Seq("doc_id"))},
+           |${canonicalCtesSql("raw", Seq("doc_id"))},
+           |u AS (SELECT canon_url, min(doc_id) AS first_doc
+           |      FROM canon GROUP BY 1),
+           |${registrableDomainCtesSql("u", Seq("canon_url", "first_doc"))},
+           |wp AS (SELECT canon_url, first_doc, domain,
+           |         regexp_extract(canon_url,
+           |           '^[^:/?#]+://[^/?#]*([^?]*)', 1) AS path
+           |       FROM dom),
+           |rules(site_i, domain, prefix) AS (VALUES $rules)
+           |SELECT wp.domain, wp.canon_url,
+           |       CAST(wp.first_doc AS BIGINT) AS first_doc,
+           |       COALESCE(bool_or(starts_with(wp.path, rules.prefix)), false)
+           |         AS blocked
+           |FROM wp LEFT JOIN rules ON wp.domain = rules.domain
+           |GROUP BY 1, 2, 3
+           |ORDER BY wp.domain, wp.canon_url""".stripMargin
+      },
+
+      // frontier schedule: the rank CTE chain (shared verbatim with
+      // q_link_rank) joined to the domain derivation, politeness
+      // replayed as the same per-domain row_number.
+      "q_frontier_schedule" ->
+        s"""WITH $linkRankCtesSql,
+           |${rawUrlCtesSql(Seq("doc_id"))},
+           |${canonicalCtesSql("raw", Seq("doc_id"))},
+           |${registrableDomainCtesSql("canon", Seq("doc_id"))}
+           |SELECT d.domain,
+           |       CAST(row_number() OVER (PARTITION BY d.domain
+           |         ORDER BY r.rank_micro DESC, r.doc_id) AS BIGINT)
+           |         AS fetch_tick,
+           |       r.doc_id, CAST(r.rank_micro AS BIGINT) AS rank_micro
+           |FROM r$RankIters r JOIN dom d USING (doc_id)
+           |ORDER BY domain, fetch_tick""".stripMargin
     )
   }
 }

@@ -147,6 +147,38 @@ class CrawlSpec extends SparkSpecBase {
       s"total mass $total out of range")
   }
 
+  test("robots filter: rule domains block exactly their prefix, others pass") {
+    val out = graft.SparkEntry.queries("q_robots_filter")(spark, TestSpark.Sf0001)
+      .collect()
+    val byUrl = out.map(r => r.getAs[String]("canon_url") ->
+      (r.getAs[String]("domain"), r.getAs[Boolean]("blocked"))).toMap
+    // every blocked URL must belong to a rule domain AND match its prefix
+    val rules = graft.operators.Crawl.robotsRules(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    byUrl.foreach { case (url, (dom, blocked)) =>
+      val path = url.replaceAll("^[^:/?#]+://[^/?#]*", "").takeWhile(_ != '?')
+      val expect = rules.get(dom).exists(path.startsWith)
+      assert(blocked == expect, s"$url (domain $dom, path $path)")
+    }
+    assert(out.exists(_.getAs[Boolean]("blocked")), "some URLs must be blocked")
+    assert(out.exists(!_.getAs[Boolean]("blocked")), "some URLs must pass")
+  }
+
+  test("frontier schedule: per-domain ticks contiguous, priority non-increasing") {
+    val rows = graft.SparkEntry.queries("q_frontier_schedule")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("fetch_tick"),
+        r.getAs[Long]("rank_micro")))
+    rows.groupBy(_._1).foreach { case (dom, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rs.length).toSeq,
+        s"$dom: ticks must be the contiguous politeness schedule")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
+        s"$dom: higher-rank URLs must fetch first")
+    }
+    assert(rows.length == 500, "every doc URL gets a slot")
+  }
+
   test("q_anchor_text aggregates sorted distinct anchors per target") {
     val out = graft.SparkEntry.queries("q_anchor_text")(spark, TestSpark.Sf0001)
     val rows = out.collect()
