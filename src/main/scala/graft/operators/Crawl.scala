@@ -377,6 +377,9 @@ object Crawl {
        |$iters""".stripMargin
   }
 
+  /** Frontier wave depth: the next fetches scheduled per domain. */
+  val FrontierDepth: Int = 8
+
   /** Site indexes (of the 40 synthetic sites) that carry a robots
     * disallow rule — every third site, prefix `/page/<i % 7>`. */
   val RobotsRuleSites: Seq[Int] = (0 until 40).filter(_ % 3 == 0)
@@ -576,22 +579,27 @@ object Crawl {
         .orderBy("domain", "canon_url")
     }),
 
-    // frontier scheduling: per registrable domain, fetch order by
-    // PageRank priority with a politeness budget of ONE fetch per
-    // domain per tick — fetch_tick is the URL's position in its
-    // domain's queue. The window partitions on the politeness key
-    // itself, so its per-key state is the domain's queue (what a
-    // frontier shard holds anyway); rank and domain reuse the exact
-    // derivations their own gates pin.
+    // frontier scheduling: per registrable domain, the NEXT
+    // [[FrontierDepth]] fetches ordered by PageRank priority with a
+    // politeness budget of ONE fetch per domain per tick — fetch_tick
+    // is the URL's position in its domain's queue. Scale shape: the
+    // custom bounded-heap top-k CAPS each domain's wave first (the
+    // shuffle carries ≤ domains·depth rows, a billion-page domain
+    // contributes depth rows, not its corpus), and only then does the
+    // tick window run — over ≤ depth rows per key by construction.
+    // Rank and domain reuse the exact derivations their own gates pin.
     "q_frontier_schedule" -> ((s, dir) => {
       val docs = documents(s, dir)
       val ranks = pageRank(docs, outlinks(docs))
       val dom = docs.select(col("doc_id"),
         registrableDomain(
           canonicalizeUrl(syntheticUrl(col("doc_id")))).as("domain"))
+      val wave = graft.plans.TopK.topKPerKey(ranks.join(dom, "doc_id"),
+        Seq(col("domain")),
+        Seq(col("rank_micro").desc, col("doc_id").asc), FrontierDepth)
       val w = Window.partitionBy("domain")
         .orderBy(desc("rank_micro"), asc("doc_id"))
-      ranks.join(dom, "doc_id")
+      wave
         .withColumn("fetch_tick", row_number().over(w).cast(LongType))
         .select("domain", "fetch_tick", "doc_id", "rank_micro")
         .orderBy("domain", "fetch_tick")
@@ -801,6 +809,8 @@ object Crawl {
            |         AS fetch_tick,
            |       r.doc_id, CAST(r.rank_micro AS BIGINT) AS rank_micro
            |FROM r$RankIters r JOIN dom d USING (doc_id)
+           |QUALIFY row_number() OVER (PARTITION BY d.domain
+           |  ORDER BY r.rank_micro DESC, r.doc_id) <= $FrontierDepth
            |ORDER BY domain, fetch_tick""".stripMargin
     )
   }

@@ -175,8 +175,13 @@ class CrawlSpec extends SparkSpecBase {
         s"$dom: ticks must be the contiguous politeness schedule")
       assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
         s"$dom: higher-rank URLs must fetch first")
+      assert(rs.length <= graft.operators.Crawl.FrontierDepth,
+        s"$dom: wave must be capped at FrontierDepth")
     }
-    assert(rows.length == 500, "every doc URL gets a slot")
+    // 40 domains × depth-8 waves on the 500-doc corpus
+    assert(rows.length ==
+      40 * graft.operators.Crawl.FrontierDepth,
+      s"expected a full depth-8 wave per domain, got ${rows.length}")
   }
 
   test("q_anchor_text aggregates sorted distinct anchors per target") {
