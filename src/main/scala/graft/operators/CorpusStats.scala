@@ -162,6 +162,77 @@ object CorpusStats {
       .orderBy("term")
   }
 
+  // --- mergeable histogram quantiles (the CMS posture, quantile axis) --
+
+  /** Histogram geometry: fixed-width integer buckets over `n_chars`,
+    * built PER SHARD — the artifact any ingest job can emit for its own
+    * shard and any reader can merge, giving corpus quantiles with no
+    * global sort and no full re-scan. */
+  val HistBucketWidth: Int = 16
+  val HistShards: Int = 8
+
+  /** Percentiles the quantile gate reports. */
+  val QuantilePcts: Seq[Int] = Seq(25, 50, 75, 90, 99)
+
+  /** Per-shard fixed-width histogram of a (doc_id, n_chars) frame — one
+    * map-side-combined groupBy; ≤ shards · buckets output rows no
+    * matter the corpus size. */
+  def histBuild(docs: DataFrame): DataFrame = docs
+    .select((col("doc_id") % HistShards).cast(IntegerType).as("shard"),
+      expr(s"n_chars div $HistBucketWidth").cast(LongType).as("bucket"))
+    .groupBy("shard", "bucket").agg(count(lit(1)).as("n"))
+
+  /** Stored quantile artifacts: BASE per-shard histogram over
+    * `documents`, DELTA over the `% 101` append copies (the CMS
+    * convention). Bucket counts add cell-wise on BOTH axes — across
+    * shards and across base/delta — so quantiles of the grown corpus
+    * come from bounded stored rows alone. */
+  def ensureHistArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
+    val bPath = scratch(s, dir, "hist_base")
+    val dPath = scratch(s, dir, "hist_delta")
+    if (!committed(s, bPath))
+      histBuild(documents(s, dir))
+        .write.mode("overwrite").parquet(bPath)
+    if (!committed(s, dPath))
+      histBuild(documents(s, dir).filter(col("doc_id") % 101 === 0))
+        .write.mode("overwrite").parquet(dPath)
+    (s.read.parquet(bPath), s.read.parquet(dPath))
+  }
+
+  /** Exact histogram quantiles of the GROWN corpus served from the
+    * stored per-shard artifacts: cell-wise merge (shards ∪ delta in one
+    * groupBy over ≤ 2·shards·buckets rows), bounded cumulative window,
+    * then for each percentile the smallest bucket whose cumulative
+    * count covers it (integer cross-multiplication — no float
+    * boundary). Every frame after the stored scans is ≤ buckets rows:
+    * quantiles over 100 TB with no sort of the corpus and no re-read.
+    * The bucket answer is exact FOR THE HISTOGRAM (value resolution =
+    * [[HistBucketWidth]]), which is the trade every production
+    * quantile sketch makes — made honest here by reporting the bucket
+    * bounds, not an interpolated point. */
+  def histQuantilesStored(s: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = ensureHistArtifacts(s, dir)
+    import s.implicits._
+    val merged = base.unionByName(delta)
+      .groupBy("bucket").agg(sum("n").as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("cum_n", sum("n").over(w).cast(LongType))
+      .crossJoin(broadcast(
+        merged.agg(sum("n").cast(LongType).as("total_n"))))
+    QuantilePcts.toDF("q_pct")
+      .join(cum, col("cum_n") * 100 >= col("q_pct") * col("total_n"))
+      .groupBy("q_pct", "total_n")
+      .agg(min(struct(col("bucket"), col("cum_n"))).as("f"))
+      .select(col("q_pct"),
+        col("f.bucket").as("bucket"),
+        (col("f.bucket") * HistBucketWidth).cast(LongType).as("lo_chars"),
+        col("f.cum_n").as("cum_n"),
+        col("total_n"))
+      .orderBy("q_pct")
+  }
+
   // --- query surface ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,6 +259,14 @@ object CorpusStats {
     // merged-from-parts ≡ fresh-over-union (sum associativity made
     // observable), plus the absent-probe zero-cell edge.
     "q_cms_merge" -> ((s, dir) => cmsEstimateStored(s, dir)),
+
+    // quantile-axis LSM: exact histogram quantiles of base ∪ append
+    // batch from the STORED per-shard artifacts — cell-wise merge on
+    // both axes (shards, generations), bounded cumulative window,
+    // integer coverage cut. The oracle replays a FRESH histogram over
+    // the augmented corpus with no shard axis at all, so the hash pins
+    // merged-from-parts ≡ fresh-over-union on the quantile surface.
+    "q_quantile_merge" -> ((s, dir) => histQuantilesStored(s, dir)),
 
     // document-level PMI: for term pairs co-occurring in a majority of
     // documents (integer cut 2·df_ab ≥ N), the pointwise mutual
@@ -265,6 +344,31 @@ object CorpusStats {
          |       CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS tf_est
          |FROM cells LEFT JOIN cms ON cells.r = cms.r AND cells.b = cms.b
          |GROUP BY 1 ORDER BY term""".stripMargin,
+
+    // fresh histogram over the augmented corpus, shard axis absent —
+    // equality with the stored-merge serve IS the associativity proof
+    "q_quantile_merge" ->
+      s"""WITH doc2 AS (
+         |  SELECT n_chars FROM documents
+         |  UNION ALL
+         |  SELECT n_chars FROM documents WHERE doc_id % 101 = 0),
+         |h AS (
+         |  SELECT CAST(n_chars // $HistBucketWidth AS BIGINT) AS bucket,
+         |         count(*) AS n
+         |  FROM doc2 GROUP BY 1),
+         |c AS (
+         |  SELECT bucket, n,
+         |         CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+         |         CAST((SELECT sum(n) FROM h) AS BIGINT) AS total_n
+         |  FROM h),
+         |q AS (SELECT unnest([${QuantilePcts.mkString(", ")}]) AS q_pct)
+         |SELECT CAST(q.q_pct AS INT) AS q_pct,
+         |       min(c.bucket) AS bucket,
+         |       CAST(min(c.bucket) * $HistBucketWidth AS BIGINT) AS lo_chars,
+         |       CAST(min_by(c.cum_n, c.bucket) AS BIGINT) AS cum_n,
+         |       max(c.total_n) AS total_n
+         |FROM q JOIN c ON c.cum_n * 100 >= q.q_pct * c.total_n
+         |GROUP BY 1 ORDER BY q_pct""".stripMargin,
 
     "q_pmi_pairs" ->
       s"""WITH tok0 AS ($TokCte),

@@ -135,12 +135,18 @@ object Crawl {
   val WarcDocsPerFile: Long = 50L
 
   /** The lifted raw-URL CTE pair shared by every oracle that replays
-    * the synthesis: `pl(params)` then `raw(carry…, url)`. */
-  def rawUrlCtesSql(carry: Seq[String]): String = {
+    * the synthesis: `pl(params)` then `raw(carry…, url)`. `src` is any
+    * CTE/table exposing `doc_id` (the classifyCtesSql source-param
+    * convention) — the recrawl gate points it at the v2 snapshot. */
+  def rawUrlCtesSql(carry: Seq[String], src: String = "documents"): String = {
     val cs = carry.map(_ + ", ").mkString
-    s"""pl AS (SELECT $cs${paramsSql("doc_id")} FROM documents),
+    s"""pl AS (SELECT $cs${paramsSql("doc_id")} FROM $src),
        |raw AS (SELECT $cs${urlSql("doc_id")} AS url FROM pl)""".stripMargin
   }
+
+  /** Priority decay divisor for unchanged documents in the recrawl
+    * schedule (integer — replayed by the oracle). */
+  val RecrawlDecay: Int = 4
 
   /** The crawl-archive corpus written ONCE per (app, corpus): each doc's
     * page (the SAME htmlWrap derivation q_html_extract pins) wrapped in
@@ -304,6 +310,10 @@ object Crawl {
   def pageRank(docs: DataFrame, edges: DataFrame): DataFrame = {
     val base = RankScale * (Damping._2 - Damping._1) / Damping._2
     val nDocs = docs.count()
+    // empty graph: no iteration can change anything, and the dangling
+    // share's `div nDocs` would be an ANSI divide-by-zero
+    if (nDocs == 0)
+      return docs.select(col("doc_id"), lit(RankScale).as("rank_micro"))
     val e = edges.select("src", "dst").localCheckpoint()
     // real per-src out-degree, carried on the edge (one join, reused by
     // every iteration)
@@ -605,6 +615,43 @@ object Crawl {
         .orderBy("domain", "fetch_tick")
     }),
 
+    // recrawl scheduling: the CDC → crawl loop closed. Snapshot-v2
+    // docs classified (added / changed / unchanged — deleted docs have
+    // nothing to recrawl), prioritized by PageRank with class policy
+    // (changed → full rank, added → fresh-page default, unchanged →
+    // rank/decay), then the same capped politeness wave as
+    // q_frontier_schedule. Three established derivations compose:
+    // corpusV2's mutation classes, the link-graph rank, the URL→domain
+    // chain — each already pinned by its own gate, the hash here pins
+    // their COMPOSITION.
+    "q_recrawl_priority" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val ranks = pageRank(docs, outlinks(docs))
+      val off = graft.operators.Ingest.DocAppendOffset
+      val cls = Curation.corpusV2(s, dir).select(col("doc_id"))
+        .withColumn("change_class",
+          when(col("doc_id") >= off, "added")
+            .when(col("doc_id") % Curation.V2EditEvery === 0, "changed")
+            .otherwise("unchanged"))
+        .withColumn("domain", registrableDomain(
+          canonicalizeUrl(syntheticUrl(col("doc_id")))))
+      val pri = cls.join(ranks, Seq("doc_id"), "left")
+        .withColumn("priority_micro",
+          when(col("change_class") === "added", lit(RankScale))
+            .when(col("change_class") === "changed", col("rank_micro"))
+            .otherwise(expr(s"rank_micro div $RecrawlDecay")))
+        .select("doc_id", "domain", "change_class", "priority_micro")
+      val wave = graft.plans.TopK.topKPerKey(pri, Seq(col("domain")),
+        Seq(col("priority_micro").desc, col("doc_id").asc), FrontierDepth)
+      val w = Window.partitionBy("domain")
+        .orderBy(desc("priority_micro"), asc("doc_id"))
+      wave
+        .withColumn("fetch_tick", row_number().over(w).cast(LongType))
+        .select("domain", "fetch_tick", "doc_id", "change_class",
+          "priority_micro")
+        .orderBy("domain", "fetch_tick")
+    }),
+
     // WARC ingestion: the stored .warc.gz archives (real gzip members,
     // real record framing, real HTTP messages) re-framed in a narrow
     // mapPartitions pass, then the SAME canonicalization and extraction
@@ -794,6 +841,43 @@ object Crawl {
            |GROUP BY 1, 2, 3
            |ORDER BY wp.domain, wp.canon_url""".stripMargin
       },
+
+      // the CDC → crawl loop: v2 CTE (shared with the snapshot gates) +
+      // rank chain (shared with q_link_rank) + URL/domain chain over the
+      // v2 ids, class policy and capped wave replayed.
+      "q_recrawl_priority" ->
+        s"""WITH ${Curation.corpusV2CteSql},
+           |$linkRankCtesSql,
+           |cls AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id >= ${graft.operators.Ingest.DocAppendOffset}
+           |                THEN 'added'
+           |              WHEN doc_id % ${Curation.V2EditEvery} = 0
+           |                THEN 'changed'
+           |              ELSE 'unchanged' END AS change_class
+           |  FROM v2),
+           |${rawUrlCtesSql(Seq("doc_id"), "v2")},
+           |${canonicalCtesSql("raw", Seq("doc_id"))},
+           |${registrableDomainCtesSql("canon", Seq("doc_id"))},
+           |pri AS (
+           |  SELECT c.doc_id, d.domain, c.change_class,
+           |         CASE c.change_class
+           |           WHEN 'added' THEN $RankScale
+           |           WHEN 'changed' THEN r.rank_micro
+           |           ELSE r.rank_micro // $RecrawlDecay END AS priority_micro
+           |  FROM cls c
+           |  JOIN dom d USING (doc_id)
+           |  LEFT JOIN r$RankIters r USING (doc_id))
+           |SELECT domain,
+           |       CAST(row_number() OVER (PARTITION BY domain
+           |         ORDER BY priority_micro DESC, doc_id) AS BIGINT)
+           |         AS fetch_tick,
+           |       doc_id, change_class,
+           |       CAST(priority_micro AS BIGINT) AS priority_micro
+           |FROM pri
+           |QUALIFY row_number() OVER (PARTITION BY domain
+           |  ORDER BY priority_micro DESC, doc_id) <= $FrontierDepth
+           |ORDER BY domain, fetch_tick""".stripMargin,
 
       // frontier schedule: the rank CTE chain (shared verbatim with
       // q_link_rank) joined to the domain derivation, politeness

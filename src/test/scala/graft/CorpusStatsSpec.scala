@@ -103,4 +103,31 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.length == CorpusStats.CmsTopK)
     assert(out.forall(r => r.getAs[Long]("tf_est") >= r.getAs[Long]("tf_exact")))
   }
+
+  test("histogram merge is associative: shard-split halves sum to the whole") {
+    val docs = (0L until 100L).map(i => (i, (i * 7 % 300).toInt))
+      .toDF("doc_id", "n_chars")
+    val whole = CorpusStats.histBuild(docs)
+      .groupBy("bucket").agg(sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val halves = CorpusStats.histBuild(docs.filter(col("doc_id") < 50))
+      .unionByName(CorpusStats.histBuild(docs.filter(col("doc_id") >= 50)))
+      .groupBy("bucket").agg(sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(whole == halves, "cell-wise merge must equal the fresh build")
+    assert(whole.values.sum == 100)
+  }
+
+  test("q_quantile_merge: coverage holds and buckets are monotone in q") {
+    val rows = graft.SparkEntry.queries("q_quantile_merge")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getAs[Int]("q_pct"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("cum_n"), r.getAs[Long]("total_n")))
+    assert(rows.map(_._1).toSeq == CorpusStats.QuantilePcts)
+    rows.foreach { case (q, _, cum, total) =>
+      assert(cum * 100 >= q * total, s"p$q bucket must cover its mass")
+    }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      "higher percentiles cannot land in lower buckets")
+  }
 }

@@ -184,6 +184,37 @@ class CrawlSpec extends SparkSpecBase {
       s"expected a full depth-8 wave per domain, got ${rows.length}")
   }
 
+  test("recrawl priority: class policy applied, waves capped and ordered") {
+    val rows = graft.SparkEntry.queries("q_recrawl_priority")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("fetch_tick"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("change_class"),
+        r.getAs[Long]("priority_micro")))
+    val off = graft.operators.Ingest.DocAppendOffset
+    rows.foreach { case (_, _, id, cls, pri) =>
+      val expect =
+        if (id >= off) "added"
+        else if (id % graft.operators.Curation.V2EditEvery == 0) "changed"
+        else "unchanged"
+      assert(cls == expect, s"doc $id classed $cls, expected $expect")
+      if (cls == "added")
+        assert(pri == Crawl.RankScale, s"added doc $id must get the fresh-page default")
+    }
+    rows.groupBy(_._1).foreach { case (dom, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rs.length).toSeq,
+        s"$dom: ticks must be the contiguous politeness schedule")
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(-_).toSeq,
+        s"$dom: higher-priority docs must recrawl first")
+      assert(rs.length <= Crawl.FrontierDepth, s"$dom: wave must be capped")
+    }
+    // unchanged docs carry decayed rank: strictly below any changed doc's
+    // full rank of the same magnitude — spot the decay actually applied
+    val unchanged = rows.filter(_._4 == "unchanged").map(_._5)
+    assert(unchanged.nonEmpty && unchanged.forall(_ < Crawl.RankScale),
+      "decayed unchanged priorities must sit below the fresh-page default")
+  }
+
   test("q_anchor_text aggregates sorted distinct anchors per target") {
     val out = graft.SparkEntry.queries("q_anchor_text")(spark, TestSpark.Sf0001)
     val rows = out.collect()
