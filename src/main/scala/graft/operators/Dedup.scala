@@ -431,6 +431,50 @@ object Dedup {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** Corpus-frequency cut for boilerplate stripping: a block whose
+    * corpus-wide occurrence count exceeds this is boilerplate and is
+    * removed EVERYWHERE (vs [[paragraphDedup]]'s keep-first). CCNet-
+    * style thresholds are corpus-relative; a small constant keeps the
+    * gate meaningful at every test SF. */
+  val BoilerplateDf = 2
+
+  /** Boilerplate line/block stripping (the CCNet §4.1 / RefinedWeb
+    * line-wise filter, distinct from [[paragraphDedup]]): a block whose
+    * corpus-wide duplicate frequency exceeds [[BoilerplateDf]] is
+    * navigation chrome / cookie banners / footer text — remove EVERY
+    * occurrence (keep-first would still leave one copy of the banner in
+    * the corpus); blocks at or under the cut keep ALL their occurrences
+    * (an ordinary duplicated sentence is near-dup's business, not
+    * boilerplate's). Docs are rebuilt from surviving blocks in position
+    * order. Returns (doc_id, n_blocks, n_kept, clean_text) for every
+    * doc.
+    *
+    * Shape at 100 TB — the substringDupCoverage posture, not a window:
+    * df is groupBy(blk).count() (map-side combine collapses a 10⁷-copy
+    * banner to one row per map partition), and the verdict comes back
+    * via an equi-join of the 1-row-per-blk df frame — never a window
+    * partitioned by blk, which would ship every copy of the hottest
+    * block to one reducer (the r5/r6 straggler rule). Reconstruction
+    * reuses paragraphDedup's per-doc bounded groupBy. */
+  def boilerplateStrip(docs: DataFrame, blockLen: Int = ParaBlockLen,
+      maxDf: Long = BoilerplateDf): DataFrame = {
+    val base = blockBase(docs, blockLen)
+    val blocks = blockFrame(base, blockLen)
+    val df = blocks.groupBy("blk").agg(count(lit(1)).as("df"))
+    val rebuilt = blocks.join(df, Seq("blk"))
+      .filter(col("df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("blk")))),
+          pb => pb.getField("blk")), " ").as("clean_text"))
+    base.select(col("doc_id"), col("nb").cast(LongType).as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Span-level exact-substring duplicate coverage: for every doc,
     * `n_dup_tokens` = the number of token positions covered by at least
     * one k-token window whose text also occurs verbatim in a DIFFERENT
@@ -540,6 +584,13 @@ object Dedup {
     // the output is the deduplicated corpus itself, not a measurement.
     "q_dedup_paragraph" -> ((s, dir) =>
       paragraphDedup(documents(s, dir))
+        .orderBy("doc_id")),
+
+    // boilerplate strip (CCNet line-wise filter): blocks whose corpus
+    // df exceeds the cut are removed EVERYWHERE (keep-first keeps one
+    // banner copy; this keeps none), rare blocks keep every occurrence.
+    "q_boilerplate_strip" -> ((s, dir) =>
+      boilerplateStrip(documents(s, dir))
         .orderBy("doc_id")),
 
     // MinHash LSH near-dup: ALL pairs with exact word-3-gram Jaccard
@@ -883,6 +934,22 @@ object Dedup {
          |SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
          |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
          |       COALESCE(r.dedup_text, '') AS dedup_text
+         |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    // the same blockization prefix, frequency-cut semantics: every
+    // occurrence of an over-the-cut block removed, rare blocks all kept
+    "q_boilerplate_strip" ->
+      s"""WITH ${blockCtesSql("documents")},
+         |df AS (SELECT blk, count(*) AS df FROM blocks GROUP BY blk),
+         |rebuilt AS (
+         |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(b.blk, ' ' ORDER BY b.pos) AS clean_text
+         |  FROM blocks b JOIN df USING (blk)
+         |  WHERE df.df <= $BoilerplateDf
+         |  GROUP BY b.doc_id)
+         |SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
+         |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(r.clean_text, '') AS clean_text
          |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY b.doc_id""".stripMargin
   )
 
@@ -894,7 +961,11 @@ object Dedup {
     * spliced into a statement whose other fragments already use
     * toks/base (the Bm25CtesSql one-copy rule, parameterized the same
     * way as classifyCtesSql's source). */
-  private[operators] def paragraphCtesSql(src: String, p: String = ""): String =
+  /** The shared blockization prefix (toks → base → blocks) — ONE copy
+    * of the tokenizer + block geometry spliced into both the keep-first
+    * chain ([[paragraphCtesSql]]) and the boilerplate-strip oracle, so
+    * the two rewrites cannot drift on what a "block" is. */
+  private[operators] def blockCtesSql(src: String, p: String = ""): String =
     s"""${p}toks AS (
        |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
        |  FROM $src),
@@ -907,7 +978,10 @@ object Dedup {
        |         unnest(range(nb)) AS pos,
        |         unnest(list_transform(range(nb),
        |                i -> array_to_string(t[i*$ParaBlockLen+1:i*$ParaBlockLen+$ParaBlockLen], ' '))) AS blk
-       |  FROM ${p}base),
+       |  FROM ${p}base)""".stripMargin
+
+  private[operators] def paragraphCtesSql(src: String, p: String = ""): String =
+    s"""${blockCtesSql(src, p)},
        |${p}kept AS (
        |  SELECT min(struct_pack(doc_id := doc_id, pos := pos)) AS f, blk
        |  FROM ${p}blocks GROUP BY blk),

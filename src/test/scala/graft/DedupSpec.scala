@@ -113,6 +113,34 @@ class DedupSpec extends SparkSpecBase {
     assert(got == ((1L, 40L, 40L, text)), got.toString)
   }
 
+  test("boilerplateStrip: over-cut blocks vanish everywhere, rare blocks all kept") {
+    // blockLen=3, maxDf=2. "a b c" occurs 3× (> cut) → removed from
+    // EVERY doc, including the first (keep-first would keep one). "d e
+    // f" occurs 2× (= cut) → both occurrences survive. doc 23 is pure
+    // boilerplate → empty. Contrast with paragraphDedup, where doc 20
+    // would keep "a b c".
+    val docs = Seq(
+      (20L, "a b c d e f"),
+      (21L, "a b c x y z"),
+      (22L, "d e f a b c"),
+      (23L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(docs, blockLen = 3, maxDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (20L, 2L, 1L, "d e f"),
+      (21L, 2L, 1L, "x y z"),
+      (22L, 2L, 1L, "d e f"),
+      (23L, 1L, 0L, "")), got.toString)
+  }
+
+  test("boilerplateStrip plan: df verdict via aggregate+join, no window over blk") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val p = Dedup.boilerplateStrip(docs, blockLen = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "block-keyed window is the straggler shape")
+  }
+
   test("paragraphAdmit: stored blocks drop, novel blocks survive, batch keep-first") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.queries.Tables.documents(spark, dir)
