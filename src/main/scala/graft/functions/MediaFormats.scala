@@ -141,7 +141,54 @@ object MediaFormats {
     * rather than throwing (pipeline stages skip, not crash). */
   def decodePng(bytes: Array[Byte]): MediaInfo = decodePng(bytes, 1)
 
-  def decodePng(bytes: Array[Byte], stride: Int): MediaInfo = {
+  def decodePng(bytes: Array[Byte], stride: Int): MediaInfo =
+    grayInfo("png", decodeGrayPng(bytes), stride)
+
+  /** Fully decoded gray pixel grid of a lossless image (row-major).
+    * `width`/`height` carry the header dims even when `ok` is false (a
+    * CRC or inflate failure after a valid IHDR), mirroring MediaInfo's
+    * failure reporting; `px` is empty unless `ok`. One transient
+    * w*h-int buffer per image -- per-row work inside a narrow
+    * mapPartitions stage, freed before the next record. */
+  final case class GrayImage(width: Int, height: Int, px: Array[Int], ok: Boolean)
+
+  private def grayFail(w: Int, h: Int): GrayImage =
+    GrayImage(w, h, Array.emptyIntArray, ok = false)
+
+  /** MediaInfo view of a decoded pixel grid: nearest-neighbor decimated
+    * dims + gray sum -- decodePng/decodeBmp's contract, now derived
+    * from the one shared pixel walk so the sum path and the pixel path
+    * cannot disagree. */
+  private def grayInfo(format: String, g: GrayImage, stride: Int): MediaInfo = {
+    if (!g.ok)
+      return MediaInfo(format, g.width, g.height,
+        g.width.toLong * math.max(g.height, 0), 0L, ok = false)
+    var sum = 0L
+    var y = 0
+    while (y < g.height) {
+      var x = 0
+      while (x < g.width) {
+        if (y % stride == 0 && x % stride == 0) sum += g.px(y * g.width + x)
+        x += 1
+      }
+      y += 1
+    }
+    val rw = (g.width + stride - 1) / stride
+    val rh = (g.height + stride - 1) / stride
+    MediaInfo(format, rw, rh, rw.toLong * rh, sum, ok = true)
+  }
+
+  /** Sniff a lossless image container from magic bytes and decode to
+    * the full gray pixel grid — the perceptual-hash entry point. */
+  def decodeGray(bytes: Array[Byte]): GrayImage =
+    if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') decodeGrayPng(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeGrayBmp(bytes)
+    else grayFail(0, 0)
+
+  /** Decode an 8-bit grayscale PNG to its full pixel grid (chunk CRCs
+    * verified, IDAT inflated, all five filters reconstructed). */
+  def decodeGrayPng(bytes: Array[Byte]): GrayImage = {
     var ok = bytes.length > 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i))
     var off = 8
     var width = 0; var height = 0; var bitDepth = 0; var colorType = -1
@@ -170,7 +217,7 @@ object MediaFormats {
     }
     ok &&= sawEnd && width > 0 && height > 0
     if (!ok || bitDepth != 8 || colorType != 0)
-      return MediaInfo("png", width, height, width.toLong * height, 0L, ok = false)
+      return grayFail(width, height)
     // inflate the concatenated IDAT stream
     val inflater = new Inflater
     inflater.setInput(idat.toByteArray)
@@ -181,21 +228,21 @@ object MediaFormats {
       while (got < rawLen && !inflater.finished()) {
         val n = inflater.inflate(raw, got, rawLen - got)
         if (n == 0 && inflater.needsInput()) got = -1
-        if (got < 0) return MediaInfo("png", width, height, width.toLong * height, 0L, ok = false)
+        if (got < 0) return grayFail(width, height)
         got += n
       }
     } finally inflater.end()
     if (got != rawLen)
-      return MediaInfo("png", width, height, width.toLong * height, 0L, ok = false)
+      return grayFail(width, height)
     // unfilter scanlines in place (prev = reconstructed previous row)
+    val px = new Array[Int](width * height)
     val prev = new Array[Int](width)
     val cur = new Array[Int](width)
-    var sum = 0L
     var y = 0
     while (y < height) {
       val base = y * (width + 1)
       val f = raw(base) & 0xFF
-      if (f > 4) return MediaInfo("png", width, height, width.toLong * height, 0L, ok = false)
+      if (f > 4) return grayFail(width, height)
       var x = 0
       while (x < width) {
         val v = raw(base + 1 + x) & 0xFF
@@ -209,15 +256,13 @@ object MediaFormats {
           case 3 => (v + (left + up) / 2) & 0xFF
           case 4 => (v + paeth(left, up, ul)) & 0xFF
         }
-        if (y % stride == 0 && x % stride == 0) sum += cur(x)
+        px(y * width + x) = cur(x)
         x += 1
       }
       System.arraycopy(cur, 0, prev, 0, width)
       y += 1
     }
-    val rw = (width + stride - 1) / stride
-    val rh = (height + stride - 1) / stride
-    MediaInfo("png", rw, rh, rw.toLong * rh, sum, ok = true)
+    GrayImage(width, height, px, ok = true)
   }
 
   // --- BMP -------------------------------------------------------------
@@ -276,9 +321,15 @@ object MediaFormats {
     * (h < 0) row order. */
   def decodeBmp(bytes: Array[Byte]): MediaInfo = decodeBmp(bytes, 1)
 
-  def decodeBmp(bytes: Array[Byte], stride: Int): MediaInfo = {
+  def decodeBmp(bytes: Array[Byte], stride: Int): MediaInfo =
+    grayInfo("bmp", decodeGrayBmp(bytes), stride)
+
+  /** Decode an uncompressed 24-bit BMP to its full gray pixel grid (R
+    * channel; equal to B and G for our grayscale frames). Handles both
+    * bottom-up (h > 0) and top-down (h < 0) row order. */
+  def decodeGrayBmp(bytes: Array[Byte]): GrayImage = {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
-      return MediaInfo("bmp", 0, 0, 0L, 0L, ok = false)
+      return grayFail(0, 0)
     val dataOff = readLe32(bytes, 10)
     val hdrSize = readLe32(bytes, 14)
     val width = readLe32(bytes, 18)
@@ -290,23 +341,20 @@ object MediaFormats {
     val ok = hdrSize >= 40 && width > 0 && height > 0 && bpp == 24 &&
       compression == 0 && dataOff + rowBytes.toLong * height <= bytes.length
     if (!ok)
-      return MediaInfo("bmp", width, height, width.toLong * math.max(height, 0), 0L, ok = false)
-    var sum = 0L
+      return grayFail(width, height)
+    val px = new Array[Int](width * height)
     var y = 0 // IMAGE row; bottom-up storage puts it at stored row h-1-y
     while (y < height) {
       val storedRow = if (rawH > 0) height - 1 - y else y
       val base = dataOff + storedRow * rowBytes
       var x = 0
       while (x < width) {
-        if (y % stride == 0 && x % stride == 0)
-          sum += bytes(base + x * 3 + 2) & 0xFF // R channel
+        px(y * width + x) = bytes(base + x * 3 + 2) & 0xFF // R channel
         x += 1
       }
       y += 1
     }
-    val rw = (width + stride - 1) / stride
-    val rh = (height + stride - 1) / stride
-    MediaInfo("bmp", rw, rh, rw.toLong * rh, sum, ok = true)
+    GrayImage(width, height, px, ok = true)
   }
 
   // --- JPEG (baseline DCT, SOF0) --------------------------------------

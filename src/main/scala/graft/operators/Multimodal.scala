@@ -186,6 +186,42 @@ object Multimodal {
       })
   }
 
+  // --- perceptual hash (image dedup) -----------------------------------
+
+  /** dHash sample grid: 8 rows × 8 nearest-neighbor sample columns → 7
+    * horizontal gradient bits per row = 56 bits, packed LSB-first into
+    * a BIGINT (bit 55 max — never the sign bit, so the packed hash
+    * compares and groups identically in Spark and the oracle). */
+  val DHashGrid: Int = 8
+
+  /** Difference hash over a decoded gray grid (Krawetz's dHash with
+    * integer nearest-neighbor sampling instead of area interpolation —
+    * every sampled coordinate is `i*dim div grid`, so the value is
+    * bit-reproducible from the pixel formulas alone and the oracle can
+    * replay it without touching a container). Size-normalizing the
+    * sample grid is what makes the hash perceptual: the same scene
+    * rendered at different dimensions or in a different lossless
+    * container lands in the same bucket. Returns 0 for undecodable
+    * payloads (callers carry `ok` alongside). */
+  def dHash(g: MediaFormats.GrayImage): Long = {
+    if (!g.ok || g.px.isEmpty) return 0L
+    var h = 0L
+    var j = 0
+    while (j < DHashGrid) {
+      val y = j * g.height / DHashGrid
+      var i = 0
+      while (i < DHashGrid - 1) {
+        val x0 = i * g.width / DHashGrid
+        val x1 = (i + 1) * g.width / DHashGrid
+        if (g.px(y * g.width + x1) > g.px(y * g.width + x0))
+          h |= 1L << (j * (DHashGrid - 1) + i)
+        i += 1
+      }
+      j += 1
+    }
+    h
+  }
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -282,6 +318,38 @@ object Multimodal {
     // even-coordinate pixel / even-index amplitude sum from the
     // generator formulas, so a half-pixel indexing slip (e.g. sampling
     // odd rows, or forgetting BMP's bottom-up storage) flips the hash.
+    // perceptual image dedup: every stored lossless image (PNG + BMP)
+    // decoded to its pixel grid, dHashed over the size-normalizing
+    // sample grid, clustered by exact hash — the candidate stage of
+    // image near-dup at 100 TB (one narrow decode pass + one groupBy on
+    // a uniform 8-byte key; Hamming-refinement would reuse the simhash
+    // band join). n_mimes > 1 rows are CROSS-CONTAINER clusters: the
+    // same scene found through two different binary formats, which is
+    // what payload-checksum dedup (q_multimodal_meta's checksum) can
+    // never see. The oracle computes every hash from the dims + pixel
+    // FORMULAS only — never the container — so the hash compare
+    // certifies decode + sampling + packing end to end; all_ok pins
+    // CRC-verified decode of every member.
+    "q_image_dedup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      ensureMediaFrame(s, dir)
+        .filter(col("mime").isin("image/png", "image/bmp"))
+        .select(col("media_id"), col("mime"), col("payload")).as[MediaRecord]
+        .mapPartitions(_.map { r =>
+          val g = MediaFormats.decodeGray(
+            Option(r.payload).getOrElse(Array.emptyByteArray))
+          (r.media_id, r.mime, dHash(g), g.ok)
+        }).toDF("media_id", "mime", "dhash", "ok")
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_images"),
+          countDistinct("mime").cast(LongType).as("n_mimes"),
+          min("media_id").as("keep_id"),
+          sum("media_id").as("id_sum"),
+          min(col("ok").cast(IntegerType)).cast(BooleanType).as("all_ok"))
+        .orderBy("dhash")
+    }),
+
     "q_multimodal_resize" -> ((s, dir) =>
       resizeFeatures(ensureMediaFrame(s, dir), 2).toDF()
         .groupBy("mime")
@@ -352,6 +420,34 @@ object Multimodal {
          |       CAST(sum(value_sum) AS BIGINT) AS sum_values,
          |       TRUE AS all_ok
          |FROM m GROUP BY 1 ORDER BY mime""".stripMargin,
+    // dHash replayed from the dims + pixel formulas alone (the
+    // container never appears — that's the point): y_j = j*h//8,
+    // x_i = i*w//8, bit (j*7+i) set iff g(x_{i+1},y_j) > g(x_i,y_j).
+    "q_image_dedup" ->
+      s"""WITH img AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 9
+         |         ELSE 8 + doc_id % 7 END AS w,
+         |    CASE WHEN doc_id % 4 = 0 THEN 8 + (doc_id // 9) % 9
+         |         ELSE 8 + (doc_id // 7) % 7 END AS h
+         |  FROM documents WHERE doc_id % 4 IN (0, 2)),
+         |hashed AS (
+         |  SELECT media_id,
+         |    CAST(sum(CASE WHEN
+         |        (((i + 1) * w // $DHashGrid) + 3 * (j * h // $DHashGrid) + media_id) % 256
+         |      > ((i * w // $DHashGrid) + 3 * (j * h // $DHashGrid) + media_id) % 256
+         |      THEN 1::BIGINT << (j * ${DHashGrid - 1} + i) ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM img,
+         |    range($DHashGrid) AS tj(j),
+         |    range(${DHashGrid - 1}) AS ti(i)
+         |  GROUP BY media_id)
+         |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+         |       CAST(count(DISTINCT media_id % 4) AS BIGINT) AS n_mimes,
+         |       min(media_id) AS keep_id,
+         |       CAST(sum(media_id) AS BIGINT) AS id_sum,
+         |       TRUE AS all_ok
+         |FROM hashed GROUP BY dhash ORDER BY dhash""".stripMargin,
+
     // lossless GIF: ground truth straight from the generator formulas,
     // full frame + ×2 decimation in one statement.
     "q_multimodal_gif" ->

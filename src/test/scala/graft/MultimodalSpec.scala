@@ -406,6 +406,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!v2.ok, "missing trailer must fail even when last frame is skipped")
   }
 
+  test("dHash: gradient all-ascending, flat zero, wrap flips exactly its bits") {
+    // monotone gradient: every horizontal comparison ascends → all 56 bits
+    val px = Array.tabulate(8 * 8)(i => i % 8)
+    val asc = Multimodal.dHash(MediaFormats.GrayImage(8, 8, px, ok = true))
+    assert(asc == (1L << 56) - 1, asc.toString)
+    // flat image: no comparison strictly greater → 0
+    val flat = Multimodal.dHash(
+      MediaFormats.GrayImage(8, 8, Array.fill(64)(7), ok = true))
+    assert(flat == 0L)
+    // one descending step at sampled column 3 of row 0 clears bit 3 only
+    val dip = px.clone(); dip(4) = 0
+    val got = Multimodal.dHash(MediaFormats.GrayImage(8, 8, dip, ok = true))
+    assert(got == (((1L << 56) - 1) & ~(1L << 3) | (1L << 4)), got.toString)
+    // undecodable input hashes to 0 with ok=false carried by the caller
+    assert(Multimodal.dHash(MediaFormats.decodeGray(Array[Byte](1, 2, 3))) == 0L)
+  }
+
+  test("dHash: same scene, different container AND different size, same bucket") {
+    // the perceptual property: (x + 3y) % 256 rendered 8×8 as PNG and
+    // 16×16 as BMP must collide — payload checksums never would
+    val scene = (x: Int, y: Int) => (x + 3 * y) % 256
+    val png = MediaFormats.decodeGray(MediaFormats.encodePng(8, 8, scene))
+    val bmp = MediaFormats.decodeGray(MediaFormats.encodeBmp(16, 16, scene))
+    assert(png.ok && bmp.ok)
+    assert(Multimodal.dHash(png) == Multimodal.dHash(bmp))
+  }
+
+  test("decodeGray agrees with the summing decoders on dims and pixel sum") {
+    val bytes = MediaFormats.encodePng(13, 7, gradient(9))
+    val g = MediaFormats.decodeGray(bytes)
+    val info = MediaFormats.decode(bytes)
+    assert(g.ok && g.width == info.width && g.height == info.height)
+    assert(g.px.map(_.toLong).sum == info.valueSum)
+    val bbytes = MediaFormats.encodeBmp(10, 6, gradient(3))
+    val gb = MediaFormats.decodeGray(bbytes)
+    assert(gb.ok && gb.px.map(_.toLong).sum == MediaFormats.decode(bbytes).valueSum)
+  }
+
   test("decode() sniffs format from magic bytes, not labels") {
     assert(MediaFormats.decode(MediaFormats.encodePng(8, 8, gradient(0))).format == "png")
     assert(MediaFormats.decode(MediaFormats.encodeBmp(8, 8, gradient(0))).format == "bmp")
