@@ -101,6 +101,24 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming histogram build (HistStream, Complete) == batch histBuild cells") {
+    val stream = graft.streaming.HistStream.histStream(spark, TestSpark.Sf0001)
+    val q = EventStream.runToMemory(stream, "hist_stream_test", OutputMode.Complete)
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "bucket", "n").orderBy("shard", "bucket")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = canon(spark.table("hist_stream_test"))
+    val batch = canon(graft.operators.CorpusStats.histBuild(
+      graft.queries.Tables.documents(spark, TestSpark.Sf0001)))
+    assert(streamed.nonEmpty && streamed == batch)
+    // the streamed cells alone must reproduce the corpus row count —
+    // the property any quantile cut over the artifact depends on
+    val total = streamed.map(_._3).sum
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(total == docs)
+  }
+
   test("streaming LM scoring (LmStream) == batch stateless scorer") {
     val stream = graft.streaming.LmStream.lmScoreStream(spark, TestSpark.Sf0001)
     val q = EventStream.runToMemory(stream, "lm_stream_test", OutputMode.Append)
