@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // declarative row_number()<=k idiom → bounded-heap top-k operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 

@@ -236,6 +236,25 @@ object Parity {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Same idiom as q_rank_per_group but with the rank column DROPPED —
+    // the shape graft.plans.TopKRewrite rewrites into the bounded-heap
+    // operator. The SPARK SIDE is written entirely in the plain window
+    // API (no explicit TopK call); PlanSpec pins that the executed plan
+    // contains TopKPerKeyExec and no WindowExec, and this gate pins
+    // that the rewritten plan's rows still hash-match the window
+    // semantics DuckDB computes.
+    "q_topk_rewrite" -> ((s, dir) => {
+      graft.plans.TopKRewrite.register(s)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // GROUP BY extension: ROLLUP with exact decimal sums; NULL subtotal
     // keys ordered NULLS FIRST on both engines.
     "q_rollup_status" -> ((s, dir) =>
@@ -508,6 +527,13 @@ object Parity {
         |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_rewrite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup_status" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(19,4)) AS DOUBLE) AS sum_qty

@@ -39,4 +39,16 @@ object Bridge {
     if (!cs.experimental.extraStrategies.contains(strategy))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
+
+  /** The session's experimental post-hoc optimizer-rule hook — rules
+    * run AFTER Spark's own batches, so a graft rewrite sees the final
+    * optimized shape (filters already pushed/split, projects
+    * collapsed). */
+  def addOptimization(s: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ rule
+  }
 }

@@ -44,6 +44,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_topk_rewrite: the DECLARATIVE window form plans as the bounded-heap operator") {
+    // the gate query is written purely in the window API; the optimizer
+    // rule (TopKRewrite) must have replaced the Window+Filter with the
+    // two-phase custom operator — no window, no full per-key sort
+    val p = plan(SparkEntry.queries("q_topk_rewrite")(spark, TestSpark.Sf0001))
+    assert("TopKPerKey".r.findAllIn(p).size >= 2,
+      s"declarative row_number()<=k must rewrite to the heap operator:\n$p")
+    assert(!p.contains("Window"),
+      s"the window must be gone from the rewritten plan:\n$p")
+  }
+
   test("sketch computation stays in the scan stage (no shuffle below the LSH join)") {
     val p = plan(graft.operators.Dedup.minhashFeatures(
       Tables.documents(spark, TestSpark.Sf0001)))

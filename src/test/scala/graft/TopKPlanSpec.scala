@@ -101,4 +101,77 @@ class TopKPlanSpec extends SparkSpecBase {
     val b = SparkEntry.queries("q_domain_cap")(spark, TestSpark.Sf0001)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  // --- TopKRewrite: the optimizer rule that makes the declarative
+  // window idiom plan as the bounded-heap operator ---------------------
+
+  private def declarativeForm(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  test("TopKRewrite: plain row_number()<=k with rank dropped plans as the heap operator") {
+    graft.plans.TopKRewrite.register(spark)
+    val df = (0L until 5000L).map(i => (s"k${i % 37}", i, (i % 11).toInt))
+      .toDF("key", "id", "v").repartition(4).localCheckpoint()
+    val rewritten = declarativeForm(df, 3)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2,
+      s"the declarative form must plan as the two-phase heap operator:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the window (and its full per-key sort) must be GONE:\n$plan")
+    // row set ≡ the un-rewritten window semantics: keep the rank column
+    // in the plan (which blocks the rule by construction) and discard
+    // it only at collect time
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+    val wantDf = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(wantDf.queryExecution.executedPlan.toString.contains("Window"),
+      "control: keeping the rank column must keep the window")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("key", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val want = wantDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(rows(rewritten) == want,
+      "rewritten plan must reproduce the window row set exactly")
+  }
+
+  test("TopKRewrite: extra post-rank conjuncts survive above the heap; bound still applies") {
+    graft.plans.TopKRewrite.register(spark)
+    val df = (0L until 4000L).map(i => (s"k${i % 23}", i, (i % 9).toInt))
+      .toDF("key", "id", "v").localCheckpoint()
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+    val got = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4 && col("id") % 2 === 0).drop("rn")
+    val plan = got.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2 && !plan.contains("Window"),
+      s"conjunction with a rank bound must still rewrite:\n$plan")
+    // reference keeps rn (blocking the rule) and discards it at collect
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).filter(col("id") % 2 === 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val gotRows = got.select("key", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(gotRows == want,
+      "post-rank residual filter must apply AFTER the per-key cut")
+  }
+
+  test("TopKRewrite: rank(), kept-rank, and rank-consuming plans are left untouched") {
+    graft.plans.TopKRewrite.register(spark)
+    val df = (0L until 1000L).map(i => (s"k${i % 7}", i, (i % 5).toInt))
+      .toDF("key", "id", "v").localCheckpoint()
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+    // rank() has keep-all-peers tie semantics a heap cannot represent
+    val rankPlan = df.withColumn("r", rank().over(w)).filter(col("r") <= 3)
+      .drop("r").queryExecution.executedPlan.toString
+    assert(rankPlan.contains("Window") && !rankPlan.contains("TopKPerKey"),
+      s"rank() must NOT rewrite:\n$rankPlan")
+    // rank column consumed downstream → the heap can't supply it
+    val keptPlan = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).queryExecution.executedPlan.toString
+    assert(keptPlan.contains("Window") && !keptPlan.contains("TopKPerKey"),
+      s"a consumed rank column must NOT rewrite:\n$keptPlan")
+  }
 }
