@@ -434,6 +434,135 @@ object Ingest {
     TextAnalysis.bm25Rank(tf, stats2, k, k1, b)
   }
 
+  // --- deletion lifecycle: tombstones as a NEGATIVE delta + purge ------
+
+  /** Deterministic retraction set (~1/13 of the base corpus) — the
+    * documents a takedown/right-to-be-forgotten request removes. The
+    * predicate is the gates' fixture; production passes an id frame. */
+  val ForgetMod: Long = 13L
+  val ForgetRem: Long = 7L
+
+  private def forgetBatch(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).filter(col("doc_id") % ForgetMod === ForgetRem)
+
+  /** Tombstone artifact: the retracted doc_ids plus the NEGATIVE corpus
+    * statistics (n_docs, dl_total of the retracted docs alone). The
+    * build tokenizes ONLY the retracted documents — bounded by the
+    * retraction size, never a corpus re-scan — which is what makes
+    * deletion the mirror image of [[ensureTermIndexDelta]]'s append: an
+    * append is a positive delta (new postings + added stats), a
+    * deletion is a negative one (an id anti-set + subtracted stats).
+    * Without the stats half, serving after a large takedown would rank
+    * with a stale N and Σdl — idf and length normalization both skew,
+    * silently, for every surviving document. Commit protocol as always:
+    * ids payload first, the stats directory last as the marker. */
+  def ensureForgetSet(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
+    val iPath = scratch(s, dir, "forget_ids")
+    val sPath = scratch(s, dir, "forget_stats")
+    if (!committed(s, sPath)) {
+      // two consumers (ids + stats): tokenize the retraction once
+      val toks = forgetBatch(s, dir)
+        .select(col("doc_id"), TextAnalysis.bm25Toks(col("text")).as("t"))
+        .localCheckpoint()
+      toks.select("doc_id").write.mode("overwrite").parquet(iPath)
+      toks.select(size(col("t")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_total"))
+        .write.mode("overwrite").parquet(sPath)
+    }
+    (s.read.parquet(iPath), s.read.parquet(sPath))
+  }
+
+  /** Corpus stats with the retraction SUBTRACTED — the negated
+    * [[mergedTermStats]], so append and forget share one merge body. */
+  private def subtractedStats(stats: DataFrame, neg: DataFrame): DataFrame =
+    mergedTermStats(stats,
+      neg.select((-col("n_docs")).as("n_docs"),
+        (-col("dl_total")).as("dl_total")))
+
+  /** Warm BM25 with the retraction MASKED AT SERVE TIME: the stored
+    * index is untouched (readers keep their snapshot; the takedown is
+    * effective the instant the tombstone marker commits), the pruned tf
+    * frame anti-joins the broadcast tombstone ids, and the ranker gets
+    * the subtracted stats. df needs no correction path of its own — it
+    * falls out of the anti-joined tf frame ([[TextAnalysis.bm25Rank]]'s
+    * df-from-tf rule), so a term whose only occurrences were retracted
+    * simply vanishes. Oracle = fresh BM25 over `documents` minus the
+    * retraction predicate: the hash pins the anti-join AND both stat
+    * corrections (a stale N shifts every idf → every score). */
+  def bm25TopKForgotten(s: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, stats) = ensureTermIndex(s, dir)
+    val (dead, negStats) = ensureForgetSet(s, dir)
+    import s.implicits._
+    val q = queryTerms.toDF("term").select(col("term"),
+      termBucket(col("term")).as("bucket"))
+    val tf = postings
+      .filter(col("bucket").isin(termBucketIds(s, queryTerms): _*))
+      .join(broadcast(probeBuckets(q, postings)), Seq("bucket", "term"))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .select("doc_id", "term", "tf", "dl")
+    TextAnalysis.bm25Rank(tf, subtractedStats(stats, negStats), k, k1, b)
+  }
+
+  /** PURGE — the physical half of deletion: rewrite the postings minus
+    * the tombstoned docs as the next index GENERATION (same bucket
+    * partitioning, corrected stats), after which the retracted bytes
+    * are genuinely gone from the serving artifact — the step a
+    * compliance deletion requires and serve-time masking alone cannot
+    * provide. Old generation untouched until the new marker commits
+    * (snapshot isolation, the [[compactTermIndex]] posture); at
+    * production scale this folds into the scheduled compaction that
+    * already rewrites the postings anyway. */
+  def purgeTermIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
+    val (postings, stats) = ensureTermIndex(s, dir)
+    val (dead, negStats) = ensureForgetSet(s, dir)
+    val pPath = scratch(s, dir, "term_postings_purged")
+    val sPath = scratch(s, dir, "term_stats_purged")
+    if (!committed(s, sPath)) {
+      postings.join(broadcast(dead), Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(pPath)
+      subtractedStats(stats, negStats)
+        .write.mode("overwrite").parquet(sPath)
+    }
+    (s.read.parquet(pPath), s.read.parquet(sPath))
+  }
+
+  /** Warm BM25 from the PURGED generation — single pruned scan, no
+    * anti-join left in the serve path. Shares q_bm25_forget's oracle
+    * VERBATIM, so masked-serving ≡ purged-serving ≡ the DuckDB replay
+    * is pinned by one hash (the append/compact pairing, on deletion). */
+  def bm25TopKPurged(s: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (purged, statsP) = purgeTermIndex(s, dir)
+    import s.implicits._
+    val q = queryTerms.toDF("term").select(col("term"),
+      termBucket(col("term")).as("bucket"))
+    val tf = purged
+      .filter(col("bucket").isin(termBucketIds(s, queryTerms): _*))
+      .join(broadcast(probeBuckets(q, purged)), Seq("bucket", "term"))
+      .select("doc_id", "term", "tf", "dl")
+    TextAnalysis.bm25Rank(tf, statsP, k, k1, b)
+  }
+
+  /** Near-dup pairs over the stored sketch index with the retraction
+    * masked — the dedup axis of the same tombstone artifact: one
+    * broadcast anti-join on the 8-byte-key sketch table, then the
+    * identical band → bucket-pair → exact-verify chain. A pair whose
+    * either side was retracted must vanish; pairs between survivors
+    * must be untouched — the oracle (brute force over the filtered
+    * corpus) pins both directions. */
+  def nearDupForgotten(s: SparkSession, dir: String): DataFrame = {
+    val (dead, _) = ensureForgetSet(s, dir)
+    val live = ensureSketchedDocs(s, dir)
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+    Dedup.verifiedOverlapFromFeatures(live,
+        Dedup.minhashCandidatesFromFeatures(live))
+      .filter(col("n_common") * 2 >= col("n_union"))
+      .select("doc1", "doc2", "jaccard")
+      .orderBy("doc1", "doc2")
+  }
+
   // --- stored positional index (exact phrase search) -------------------
 
   /** POSITIONAL postings over `documents` — (doc_id, term, pos)
@@ -1757,6 +1886,27 @@ object Ingest {
     "q_bm25_compact" -> ((s, dir) =>
       bm25TopKCompacted(s, dir, Seq("table", "scan", "join"), 10)),
 
+    // deletion, logical half: warm BM25 with the tombstoned docs masked
+    // at serve time — anti-join on the pruned tf frame + SUBTRACTED
+    // (N, Σdl). Oracle = fresh BM25 over the corpus minus the
+    // retraction predicate, so the hash pins the mask AND both stat
+    // corrections (a stale N shifts every surviving idf).
+    "q_bm25_forget" -> ((s, dir) =>
+      bm25TopKForgotten(s, dir, Seq("table", "scan", "join"), 10)),
+
+    // deletion, physical half: the purged generation serves the same
+    // reduced corpus from one pruned scan with no anti-join left;
+    // shares q_bm25_forget's oracle VERBATIM (masked ≡ purged ≡ DuckDB
+    // pinned by one hash — the append/compact pairing, on deletion).
+    "q_bm25_purge" -> ((s, dir) =>
+      bm25TopKPurged(s, dir, Seq("table", "scan", "join"), 10)),
+
+    // deletion on the dedup axis: near-dup pairs over the stored sketch
+    // index with retracted docs masked — pairs touching a retracted doc
+    // vanish, survivor pairs untouched (brute-force oracle over the
+    // filtered corpus pins both directions).
+    "q_near_dup_forget" -> ((s, dir) => nearDupForgotten(s, dir)),
+
     // span-level ADMISSION against the stored block index: 50 probes,
     // each = the first 10 tokens of a stored doc (its stored block 0 —
     // must be DROPPED) + 10 novel tokens (must SURVIVE); probes whose
@@ -2249,6 +2399,37 @@ object Ingest {
        |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin
   }
 
+  /** Fresh BM25 replayed over the corpus MINUS the retraction set —
+    * shared by q_bm25_forget and q_bm25_purge. Same source-rewrite
+    * mechanism as [[Bm25AppendOracleSql]]: the toks CTE's `documents`
+    * becomes the filtered subquery, with the retraction predicate
+    * generated from the SAME Scala constants the tombstone build uses. */
+  private val Bm25ForgetOracleSql: String = {
+    val src = "FROM documents)"
+    require(TextAnalysis.Bm25CtesSql.contains(src),
+      "Bm25CtesSql drifted: toks source not found for forget rewrite")
+    val reduced =
+      s"""FROM (SELECT doc_id, text FROM documents
+         |        WHERE NOT (doc_id % $ForgetMod = $ForgetRem)))""".stripMargin
+    s"""WITH ${TextAnalysis.Bm25CtesSql.replace(src, reduced)}
+       |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  /** Brute-force all-pairs Jaccard over the corpus minus the retraction
+    * set — the [[NearDupAppendOracleSql]] mechanism on the deletion
+    * axis. */
+  private val NearDupForgetOracleSql: String = {
+    val src = "FROM documents),"
+    require(Dedup.allPairsJaccardCtes.contains(src),
+      "allPairsJaccardCtes drifted: toks source not found for forget rewrite")
+    val reduced =
+      s"""FROM (SELECT doc_id, text FROM documents
+         |        WHERE NOT (doc_id % $ForgetMod = $ForgetRem))),""".stripMargin
+    s"""WITH ${Dedup.allPairsJaccardCtes.replace(src, reduced)}
+       |SELECT doc1, doc2, ni::DOUBLE / nu::DOUBLE AS jaccard
+       |FROM jpairs ORDER BY doc1, doc2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // ivf_assign = corpus + the 8 planted canary rows (see TwinOffset)
     "q_ingest_sketches" ->
@@ -2275,6 +2456,11 @@ object Ingest {
     // shares the append oracle VERBATIM (the q_bm25_topk_stored rule):
     // the hash equality IS the appended-vs-compacted differential.
     "q_bm25_compact" -> Bm25AppendOracleSql,
+    // deletion gates: fresh replay over the REDUCED corpus; purge
+    // shares the mask oracle VERBATIM (masked ≡ purged pinned).
+    "q_bm25_forget" -> Bm25ForgetOracleSql,
+    "q_bm25_purge" -> Bm25ForgetOracleSql,
+    "q_near_dup_forget" -> NearDupForgetOracleSql,
     // brute-force twin of ensureBlockIndex + paragraphAdmit: corpus
     // blocks → distinct digests; probes rebuilt by the same keep-first
     // + anti-membership rules (q_dedup_paragraph's CTE shapes)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Ingest
 
 /** LSM lifecycle of the stored inverted index (append → serve base∪delta
@@ -75,5 +77,55 @@ class IngestSpec extends SparkSpecBase {
     assert(delta.getLong(0) == 5L, s"append batch size: $delta")
     assert(delta.getLong(1) > 0L, "delta Σdl must be positive")
     assert(base.getLong(0) == 500L, s"base corpus size: $base")
+  }
+
+  test("forget: no tombstoned doc ranks; masked ≡ purged over the FULL list") {
+    val dead = (0L until 500L).filter(_ % Ingest.ForgetMod == Ingest.ForgetRem).toSet
+    assert(dead.nonEmpty)
+    val masked = Ingest.bm25TopKForgotten(spark, TestSpark.Sf0001, Terms, AllK)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(masked.nonEmpty && masked.forall(p => !dead.contains(p._1)),
+      "a retracted doc surfaced from the masked serve path")
+    val purged = Ingest.bm25TopKPurged(spark, TestSpark.Sf0001, Terms, AllK)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(masked == purged,
+      "purge must be a pure physical rewrite of the masked view: " +
+        "same rows, same scores, same total order")
+    // the retraction actually bit: stored-over-full-corpus ranks at
+    // least one doc the reduced corpus must not
+    val full = Ingest.bm25TopKStored(spark, TestSpark.Sf0001, Terms, AllK)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(full.exists(dead.contains),
+      "fixture too weak: no retracted doc matched the query terms")
+  }
+
+  test("forget: purged generation holds zero tombstoned rows, corrected stats") {
+    val (purged, statsP) = Ingest.purgeTermIndex(spark, TestSpark.Sf0001)
+    assert(purged.filter(col("doc_id") % Ingest.ForgetMod === Ingest.ForgetRem)
+      .count() == 0, "tombstoned postings survived the purge rewrite")
+    val (_, negStats) = Ingest.ensureForgetSet(spark, TestSpark.Sf0001)
+    val (_, stats) = Ingest.ensureTermIndex(spark, TestSpark.Sf0001)
+    val b = stats.collect()(0); val n = negStats.collect()(0)
+    val p = statsP.collect()(0)
+    assert(p.getLong(0) == b.getLong(0) - n.getLong(0) &&
+      p.getLong(1) == b.getLong(1) - n.getLong(1),
+      s"purged stats must be base minus retraction: $b - $n != $p")
+    // sf0.001: doc_ids 0..499 → 39 ids with id % 13 == 7
+    assert(n.getLong(0) == (0L until 500L).count(_ % 13 == 7),
+      s"tombstone count: $n")
+  }
+
+  test("forget: dedup pairs lose every retracted side, keep every survivor pair") {
+    val dead = (0L until 500L).filter(_ % Ingest.ForgetMod == Ingest.ForgetRem).toSet
+    val kept = graft.SparkEntry.queries("q_near_dup_forget")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.forall(p => !dead.contains(p._1) && !dead.contains(p._2)),
+      "a pair touching a retracted doc survived the mask")
+    val base = graft.SparkEntry.queries("q_near_dup_minhash")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = base.filter(p => !dead.contains(p._1) && !dead.contains(p._2))
+    assert(expect.subsetOf(kept),
+      "a survivor-survivor pair vanished: the mask must only remove " +
+        "pairs with a retracted side")
   }
 }

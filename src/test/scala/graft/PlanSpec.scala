@@ -145,6 +145,30 @@ class PlanSpec extends SparkSpecBase {
       s"top-k must not global-sort:\n$p")
   }
 
+  test("forgotten BM25: pruned postings + broadcast anti-join, no corpus scan") {
+    graft.operators.Ingest.ensureForgetSet(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.bm25TopKForgotten(
+      spark, TestSpark.Sf0001, Seq("table", "scan", "join"), 10))
+    assert(!p.contains("documents.parquet") && !p.contains("text#"),
+      s"serve-time mask must not rescan the corpus:\n$p")
+    assert(bucketInListPruned(p),
+      s"tombstones must not defeat the static bucket prune:\n$p")
+    assert(p.contains("LeftAnti") && p.contains("forget_ids"),
+      s"the mask is a broadcast anti-join on the tombstone artifact:\n$p")
+  }
+
+  test("purged BM25 serves from the purged generation alone — no anti-join left") {
+    graft.operators.Ingest.purgeTermIndex(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.bm25TopKPurged(
+      spark, TestSpark.Sf0001, Seq("table", "scan", "join"), 10))
+    assert(p.contains("term_postings_purged"),
+      s"must read the purged generation:\n$p")
+    assert(!p.contains("LeftAnti") && !p.contains("forget_ids"),
+      s"physical purge must leave no serve-time mask:\n$p")
+    assert(bucketInListPruned(p),
+      s"purged generation keeps the static bucket prune:\n$p")
+  }
+
   /** The postings scan's PartitionFilters must hold a literal bucket
     * IN/INSET — plan-time directory pruning, not a full 64-bucket scan. */
   private def bucketInListPruned(p: String): Boolean =
