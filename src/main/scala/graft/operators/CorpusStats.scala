@@ -233,6 +233,68 @@ object CorpusStats {
       .orderBy("q_pct")
   }
 
+  // --- mergeable HLL cardinality artifacts (the CMS posture, ---------
+  // --- distinct axis) -------------------------------------------------
+
+  /** lgConfigK of the stored HLL sketches: 2¹² registers ⇒ ~1.6 % rse,
+    * ≤ a few KB per sketch row. */
+  val HllLgK: Int = 12
+
+  /** Per-lang Datasketches-HLL sketch of the distinct TERM vocabulary —
+    * one map-side-combined aggregation, ≤ |langs| bounded binary rows.
+    * The vocabulary-size-per-language surface every data card wants,
+    * in the shape any shard job can emit and any reader can merge. */
+  def hllBuild(docs: DataFrame): DataFrame = docs
+    .select(col("lang"), explode(toks(col("text"))).as("term"))
+    .groupBy("lang")
+    .agg(hll_sketch_agg(col("term"), HllLgK).as("sk"))
+
+  /** Stored cardinality artifacts: BASE per-lang sketches over
+    * `documents`, DELTA over the `% 101` append copies (the CMS/hist
+    * convention, third axis). HLL registers merge by per-register MAX —
+    * commutative and idempotent, so generations combine in any order
+    * and re-merging a generation is harmless (the property that makes
+    * the artifact safe under retried compactions). */
+  def ensureHllArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
+    val bPath = scratch(s, dir, "hll_base")
+    val dPath = scratch(s, dir, "hll_delta")
+    if (!committed(s, bPath))
+      hllBuild(documents(s, dir))
+        .write.mode("overwrite").parquet(bPath)
+    if (!committed(s, dPath))
+      hllBuild(documents(s, dir).filter(col("doc_id") % 101 === 0))
+        .write.mode("overwrite").parquet(dPath)
+    (s.read.parquet(bPath), s.read.parquet(dPath))
+  }
+
+  /** Distinct-vocabulary estimate of the GROWN corpus served from the
+    * stored sketches alone (one union-agg over ≤ 2·|langs| rows), gated
+    * the q_hll_distinct way: the EXACT distinct count is emitted
+    * (computed independently by both engines) plus a boolean pinning
+    * the merged estimate inside a 5 % envelope in integer
+    * cross-multiplication — the estimate itself is
+    * implementation-specific, the envelope and the exact count are not.
+    * Deterministic for fixed data: Datasketches HLL has no run-time
+    * randomness. */
+  def hllMergeServe(s: SparkSession, dir: String): DataFrame = {
+    val (base, delta) = ensureHllArtifacts(s, dir)
+    val est = base.unionByName(delta)
+      .groupBy("lang").agg(hll_union_agg(col("sk")).as("sk"))
+      .select(col("lang"), hll_sketch_estimate(col("sk")).as("est"))
+    val doc2 = documents(s, dir).select("lang", "text")
+      .unionByName(
+        documents(s, dir).filter(col("doc_id") % 101 === 0)
+          .select("lang", "text"))
+    doc2
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy("lang").agg(countDistinct(col("term")).as("exact_terms"))
+      .join(broadcast(est), "lang")
+      .select(col("lang"), col("exact_terms"),
+        (abs(col("est") - col("exact_terms")) * 20 <= col("exact_terms"))
+          .as("within_5pct"))
+      .orderBy("lang")
+  }
+
   // --- query surface ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -267,6 +329,14 @@ object CorpusStats {
     // the augmented corpus with no shard axis at all, so the hash pins
     // merged-from-parts ≡ fresh-over-union on the quantile surface.
     "q_quantile_merge" -> ((s, dir) => histQuantilesStored(s, dir)),
+
+    // cardinality-axis LSM: per-lang distinct-vocabulary estimate of
+    // base ∪ append batch from the STORED HLL sketches (one union-agg
+    // over bounded binary rows); gate = exact count both engines + 5%
+    // integer envelope on the merged estimate (the q_hll_distinct
+    // convention — the estimate is implementation-specific, the
+    // envelope is not).
+    "q_hll_merge" -> ((s, dir) => hllMergeServe(s, dir)),
 
     // document-level PMI: for term pairs co-occurring in a majority of
     // documents (integer cut 2·df_ab ≥ N), the pointwise mutual
@@ -344,6 +414,23 @@ object CorpusStats {
          |       CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS tf_est
          |FROM cells LEFT JOIN cms ON cells.r = cms.r AND cells.b = cms.b
          |GROUP BY 1 ORDER BY term""".stripMargin,
+
+    // exact per-lang distinct vocabulary over the augmented corpus —
+    // the q_hll_distinct convention: exact count + constant-true
+    // envelope (the Spark side computes the envelope for real from the
+    // merged stored sketches)
+    "q_hll_merge" ->
+      """WITH doc2 AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL
+        |  SELECT lang, text FROM documents WHERE doc_id % 101 = 0),
+        |tok AS (
+        |  SELECT lang,
+        |         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM doc2)
+        |SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS exact_terms,
+        |       TRUE AS within_5pct
+        |FROM tok GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // fresh histogram over the augmented corpus, shard axis absent —
     // equality with the stored-merge serve IS the associativity proof

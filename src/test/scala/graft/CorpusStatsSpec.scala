@@ -130,4 +130,33 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
       "higher percentiles cannot land in lower buckets")
   }
+
+  test("HLL sketch merge is commutative and idempotent on the register level") {
+    import org.apache.spark.sql.functions.{hll_sketch_estimate, hll_union_agg}
+    val docs = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "en" else "sv", s"w${i % 60} w${(i * 7) % 60} common"))
+      .toDF("doc_id", "lang", "text")
+    val a = CorpusStats.hllBuild(docs.filter(col("doc_id") < 100))
+    val b = CorpusStats.hllBuild(docs.filter(col("doc_id") >= 100))
+    def estOf(parts: org.apache.spark.sql.DataFrame) = parts
+      .groupBy("lang").agg(hll_union_agg(col("sk")).as("sk"))
+      .select(col("lang"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ab = estOf(a.unionByName(b))
+    val ba = estOf(b.unionByName(a))
+    assert(ab == ba, "register max-merge must be order-independent")
+    // idempotent: re-merging a generation cannot inflate the estimate
+    // (the retried-compaction safety property)
+    val aba = estOf(a.unionByName(b).unionByName(a))
+    assert(aba == ab, "re-merging a generation must be a no-op")
+    // and the estimate is sane: small vocab, far inside the 5% envelope
+    val exact = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang").agg(countDistinct("t").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, n) =>
+      assert(math.abs(ab(lang) - n) * 20 <= n,
+        s"$lang: est ${ab(lang)} vs exact $n out of envelope")
+    }
+  }
 }
