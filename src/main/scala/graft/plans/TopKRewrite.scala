@@ -27,7 +27,11 @@ import org.apache.spark.sql.graft.Bridge
   *  - the filter bounds that attribute from above by an integer
   *    literal (`rn <= k`, `rn < k`, `rn = 1`, flipped comparisons);
   *    other conjuncts move ABOVE the rewritten node (post-rank
-  *    filtering semantics preserved);
+  *    filtering semantics preserved) — except deterministic predicates
+  *    on the PARTITION KEYS alone, which push BELOW the heap (dropping
+  *    whole groups never changes another group's top-k; normally
+  *    Spark's own pushdown has already moved those through the Window,
+  *    this covers the orderings where it hasn't);
   *  - the enclosing Project references only the window CHILD's columns
   *    — the rank value itself must be dead, because the heap never
   *    materializes it;
@@ -82,10 +86,21 @@ object TopKRewrite extends Rule[LogicalPlan] {
           if ps == w.partitionSpec && os == w.orderSpec => c
       case c => c
     }
-    val topk = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, base)
+    // Residual predicates on the PARTITION KEYS alone push BELOW the
+    // heap (dropping whole groups never changes another group's top-k
+    // — the same argument Spark uses to push filters through Window);
+    // anything else must stay above, because it sees post-rank rows.
+    val keyAttrs = AttributeSet(
+      w.partitionSpec.collect { case a: Attribute => a })
+    val (onKeys, above) = rest.partition(p =>
+      p.deterministic && p.references.subsetOf(keyAttrs))
+    val base2 =
+      if (onKeys.isEmpty) base
+      else Filter(onKeys.reduce(And), base)
+    val topk = TopKPerKeyNode(w.partitionSpec, w.orderSpec, k, base2)
     val filtered =
-      if (rest.isEmpty) topk
-      else Filter(rest.reduce(And), topk)
+      if (above.isEmpty) topk
+      else Filter(above.reduce(And), topk)
     Some(Project(projectList, filtered))
   }
 

@@ -158,6 +158,32 @@ class TopKPlanSpec extends SparkSpecBase {
       "post-rank residual filter must apply AFTER the per-key cut")
   }
 
+  test("TopKRewrite: key-only conjunct ends up BELOW the heap, not above it") {
+    graft.plans.TopKRewrite.register(spark)
+    val df = (0L until 3000L).map(i => (s"k${i % 19}", i, (i % 13).toInt))
+      .toDF("key", "id", "v").localCheckpoint()
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+    val got = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 && col("key") =!= "k3").drop("rn")
+    val plan = got.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2 && !plan.contains("Window"),
+      s"key conjunct must not block the rewrite:\n$plan")
+    // the key predicate runs before the partial heaps — whether pushed
+    // by Spark's own pushdown or the rule's below-heap split, no Filter
+    // may sit ABOVE the final heap phase
+    val filterAboveTopK = plan.linesIterator
+      .takeWhile(!_.contains("TopKPerKey")).exists(_.contains("Filter"))
+    assert(!filterAboveTopK,
+      s"key-only predicate must evaluate below the heap phases:\n$plan")
+    // row set: group k3 gone entirely, every other group's top-2 intact
+    val rows = got.select("key", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val want = df.filter(col("key") =!= "k3")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(rows == want && rows.forall(_._1 != "k3"))
+  }
+
   test("TopKRewrite: rank(), kept-rank, and rank-consuming plans are left untouched") {
     graft.plans.TopKRewrite.register(spark)
     val df = (0L until 1000L).map(i => (s"k${i % 7}", i, (i % 5).toInt))
