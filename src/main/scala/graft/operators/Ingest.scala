@@ -1624,7 +1624,7 @@ object Ingest {
     * which generation layout it reads. */
   private def knnJoinSides(s: SparkSession, dir: String,
       sides: Seq[DataFrame], centroids: DataFrame, queriesDf: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, dead: Option[DataFrame] = None): DataFrame = {
     VectorOps.register(s)
     val n = embeddingCount(s, dir)
     val probe =
@@ -1632,14 +1632,53 @@ object Ingest {
       else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
     val probePlan = batchProbePlan(centroids, queriesDf, probe)
     val scored = sides.map { side =>
-      side
+      val pruned = side
         .join(broadcast(probeCells(probePlan, side)), "cell") // DPP per side
+      // tombstone mask AFTER the cell join so it cannot interpose
+      // between the scan and its dynamic-partition-pruning filter
+      val masked = dead.fold(pruned)(d =>
+        pruned.join(broadcast(d), Seq("vec_id"), "left_anti"))
+      masked
         .join(broadcast(queriesDf), col("p_qid") === col("q_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(VectorOps.cosine(col("embedding"), col("q_emb")), 6).as("score"))
     }.reduce(_.unionByName(_))
     Similarity.topKPerQuery(scored, k)
+  }
+
+  /** Tombstoned vec_ids of the dense index — the retraction fixture on
+    * the EMBEDDING axis: the canary twins of the [[NumCanaries]]/2
+    * lowest-vec_id sources. Retracting exact twins is the sharpest
+    * possible fixture: before deletion each twin is its source-query's
+    * GUARANTEED top-1 (cosine 1.0, the canary argument), so a mask that
+    * leaks anywhere in the probe/scan/top-k chain surfaces a retracted
+    * vector deterministically, and a mask that over-deletes drops a
+    * surviving twin's 1.0. Stored _SUCCESS-gated like every tombstone
+    * artifact (the forget_ids rule: serving masks against a STORED
+    * table, not a driver literal). */
+  def ensureVecForgetSet(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val path = scratch(s, dir, "vec_forget_ids")
+    if (!committed(s, path))
+      embeddings(s, dir).orderBy("vec_id").limit(NumCanaries / 2)
+        .select((col("vec_id") + lit(TwinOffset)).as("vec_id"))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Batched kNN over the stored IVF index with the retraction masked —
+    * deletion on the DENSE axis (BM25 and the sketch index have their
+    * tombstone gates; this closes the third family). The mask is one
+    * broadcast anti-join applied after the DPP cell join; no statistics
+    * need correcting (kNN ranking has no corpus-stat dependency — the
+    * structural simplification deletion enjoys here vs BM25). The
+    * IVF-PQ/SQ variants mask identically through the shared
+    * [[knnJoinSides]] scaffold's `dead` hook. */
+  def knnJoinIvfForgotten(s: SparkSession, dir: String, queriesDf: DataFrame,
+      k: Int, nProbe: Int = 0): DataFrame = {
+    val (centroids, assign) = ensureIvfIndex(s, dir)
+    knnJoinSides(s, dir, Seq(assign), centroids, queriesDf, k, nProbe,
+      dead = Some(ensureVecForgetSet(s, dir)))
   }
 
   /** Batched kNN over the APPENDED index (base ∪ delta) — the |Q|>1
@@ -1992,6 +2031,27 @@ object Ingest {
         .filter(col("vec_id") === col("q_id") + lit(TwinOffset))
         .agg((count(lit(1)).cast(DoubleType) / NumCanaries.toDouble)
           .as("recall_at_10"))
+    }),
+
+    // deletion on the dense axis: 8 canary queries against the stored
+    // IVF index with the first half's twins TOMBSTONED. A retracted
+    // twin was its query's guaranteed top-1, so n_retracted_served == 0
+    // pins the mask across probe/DPP/top-k; the surviving half must
+    // still hit 1.0 (deletion only removes competitors), pinning the
+    // mask doesn't over-delete.
+    "q_knn_ivf_forget" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dead = ensureVecForgetSet(s, dir)
+        .select(col("vec_id").as("dead_id"))
+      knnJoinIvfForgotten(s, dir, qs, 10)
+        .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_outer")
+        .agg(
+          (count(when(col("vec_id") === col("q_id") + lit(TwinOffset),
+            lit(1))).cast(DoubleType) / (NumCanaries / 2).toDouble)
+            .as("recall_surviving"),
+          count(col("dead_id")).as("n_retracted_served"))
     }),
 
     // batched kNN over the APPENDED index: 8 queries = the append-batch
@@ -2618,6 +2678,8 @@ object Ingest {
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_code_diverging",
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_knn_ivf_forget" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfpq_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfpq_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",

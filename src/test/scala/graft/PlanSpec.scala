@@ -281,6 +281,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("forgotten IVF kNN: tombstone anti-join does not defeat the cell DPP") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.operators.Ingest.ensureVecForgetSet(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.knnJoinIvfForgotten(
+      spark, TestSpark.Sf0001, qs, 5))
+    assert(p.contains("dynamicpruning"),
+      s"the mask must sit ABOVE the DPP cell join, not between scan and probe:\n$p")
+    assert(p.contains("LeftAnti") && p.contains("vec_forget_ids"),
+      s"the mask is a broadcast anti-join on the stored tombstones:\n$p")
+  }
+
   test("stored-index SemDeDup re-clusters nothing: no assignment kernel, no Lloyd pass") {
     val df = graft.operators.Ingest.semDedupPairsStored(spark, TestSpark.Sf0001, 0.99)
     val p = plan(df)
