@@ -504,6 +504,34 @@ object Ingest {
     TextAnalysis.bm25Rank(tf, subtractedStats(stats, negStats), k, k1, b)
   }
 
+  /** [[bm25TopKForgotten]] with a CALLER-SUPPLIED tombstone frame —
+    * e.g. one accumulated by the streamed takedown front door
+    * ([[graft.streaming.ForgetStream]]'s append-only id directory), the
+    * knnJoinIvfWithDelta precedent on the deletion verb. The negative
+    * stats are derived from the ids at serve time (one join bounded by
+    * the retraction size); the artifact path above precomputes them at
+    * tombstone-build time instead — same numbers, so the two entries
+    * cannot drift on anything but freshness. */
+  def bm25TopKForgottenWith(s: SparkSession, dir: String, dead: DataFrame,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (postings, stats) = ensureTermIndex(s, dir)
+    val deadIds = dead.select("doc_id").localCheckpoint() // 2 consumers
+    val negStats = documents(s, dir).join(broadcast(deadIds), "doc_id")
+      .select(size(TextAnalysis.bm25Toks(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("dl_total"))
+    import s.implicits._
+    val q = queryTerms.toDF("term").select(col("term"),
+      termBucket(col("term")).as("bucket"))
+    val tf = postings
+      .filter(col("bucket").isin(termBucketIds(s, queryTerms): _*))
+      .join(broadcast(probeBuckets(q, postings)), Seq("bucket", "term"))
+      .join(broadcast(deadIds), Seq("doc_id"), "left_anti")
+      .select("doc_id", "term", "tf", "dl")
+    TextAnalysis.bm25Rank(tf, subtractedStats(stats, negStats), k, k1, b)
+  }
+
   /** PURGE — the physical half of deletion: rewrite the postings minus
     * the tombstoned docs as the next index GENERATION (same bucket
     * partitioning, corrected stats), after which the retracted bytes

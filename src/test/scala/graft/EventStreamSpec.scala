@@ -119,6 +119,41 @@ class EventStreamSpec extends SparkSpecBase {
     assert(total == docs)
   }
 
+  test("streamed takedown (ForgetStream): accumulated tombstones mask BM25 serving") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_forget_stream").toString
+    val terms = Seq("table", "scan", "join")
+    val top = graft.operators.Ingest.bm25TopKStored(spark, TestSpark.Sf0001, terms, 10)
+      .collect().map(_.getLong(0)).toSeq
+    import testImplicits._
+    val schema = Seq(0L).toDF("doc_id").schema
+    def runOnce(): Unit = {
+      val q = graft.streaming.ForgetStream.tombstoneStream(
+        spark, s"$dir/landing", schema, s"$dir/tomb", s"$dir/ckpt")
+      q.awaitTermination()
+    }
+    // two separate retraction requests arrive across two triggers; the
+    // checkpoint makes the second run process ONLY the new file
+    Seq(top(0)).toDF("doc_id").write.mode("append").parquet(s"$dir/landing")
+    runOnce()
+    Seq(top(1)).toDF("doc_id").write.mode("append").parquet(s"$dir/landing")
+    runOnce()
+    val dead = spark.read.parquet(s"$dir/tomb").select("doc_id")
+    assert(dead.collect().map(_.getLong(0)).toSet == Set(top(0), top(1)),
+      "both retraction batches must have accumulated in the tombstone dir")
+    val served = graft.operators.Ingest.bm25TopKForgottenWith(
+        spark, TestSpark.Sf0001, dead, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.nonEmpty &&
+      !served.exists(r => r._1 == top(0) || r._1 == top(1)),
+      "a streamed-retracted doc surfaced from the masked serve")
+    // streamed-accumulated tombstones ≡ the same ids passed as a batch
+    val batchMask = graft.operators.Ingest.bm25TopKForgottenWith(
+        spark, TestSpark.Sf0001, Seq(top(0), top(1)).toDF("doc_id"), terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == batchMask,
+      "streamed tombstone accumulation must serve exactly like a batch mask")
+  }
+
   test("streaming LM scoring (LmStream) == batch stateless scorer") {
     val stream = graft.streaming.LmStream.lmScoreStream(spark, TestSpark.Sf0001)
     val q = EventStream.runToMemory(stream, "lm_stream_test", OutputMode.Append)
