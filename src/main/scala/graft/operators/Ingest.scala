@@ -580,16 +580,38 @@ object Ingest {
     * either side was retracted must vanish; pairs between survivors
     * must be untouched — the oracle (brute force over the filtered
     * corpus) pins both directions. */
-  def nearDupForgotten(s: SparkSession, dir: String): DataFrame = {
-    val (dead, _) = ensureForgetSet(s, dir)
-    val live = ensureSketchedDocs(s, dir)
-      .join(broadcast(dead), Seq("doc_id"), "left_anti")
-    Dedup.verifiedOverlapFromFeatures(live,
-        Dedup.minhashCandidatesFromFeatures(live))
+  def nearDupForgotten(s: SparkSession, dir: String): DataFrame =
+    nearDupOverFeatures(
+      ensureSketchedDocs(s, dir)
+        .join(broadcast(ensureForgetSet(s, dir)._1), Seq("doc_id"), "left_anti"))
+
+  private def nearDupOverFeatures(features: DataFrame): DataFrame =
+    Dedup.verifiedOverlapFromFeatures(features,
+        Dedup.minhashCandidatesFromFeatures(features))
       .filter(col("n_common") * 2 >= col("n_union"))
       .select("doc1", "doc2", "jaccard")
       .orderBy("doc1", "doc2")
+
+  /** PURGE of the sketch index — the physical half on the dedup axis:
+    * the sketch table minus the tombstoned rows rewritten as its next
+    * generation ([[purgeTermIndex]]'s posture; no stats to correct —
+    * sketches are per-document). IVF's physical purge is the same
+    * one-liner folded into its scheduled compaction (the `dead` hook on
+    * the side frame), so it is not duplicated as a separate artifact. */
+  def purgeSketchIndex(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val path = scratch(s, dir, "docs_sketched_purged")
+    if (!committed(s, path))
+      ensureSketchedDocs(s, dir)
+        .join(broadcast(ensureForgetSet(s, dir)._1), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
   }
+
+  /** Near-dup pairs from the PURGED sketch generation — single scan, no
+    * mask left in the plan; shares q_near_dup_forget's oracle VERBATIM
+    * (masked ≡ purged on the dedup axis, pinned by one hash). */
+  def nearDupPurged(s: SparkSession, dir: String): DataFrame =
+    nearDupOverFeatures(purgeSketchIndex(s, dir))
 
   // --- stored positional index (exact phrase search) -------------------
 
@@ -1974,6 +1996,11 @@ object Ingest {
     // filtered corpus pins both directions).
     "q_near_dup_forget" -> ((s, dir) => nearDupForgotten(s, dir)),
 
+    // physical purge on the dedup axis: the rewritten sketch generation
+    // serves the same reduced pair set from one scan with no mask left;
+    // shares q_near_dup_forget's oracle VERBATIM.
+    "q_near_dup_purge" -> ((s, dir) => nearDupPurged(s, dir)),
+
     // span-level ADMISSION against the stored block index: 50 probes,
     // each = the first 10 tokens of a stored doc (its stored block 0 —
     // must be DROPPED) + 10 novel tokens (must SURVIVE); probes whose
@@ -2549,6 +2576,7 @@ object Ingest {
     "q_bm25_forget" -> Bm25ForgetOracleSql,
     "q_bm25_purge" -> Bm25ForgetOracleSql,
     "q_near_dup_forget" -> NearDupForgetOracleSql,
+    "q_near_dup_purge" -> NearDupForgetOracleSql,
     // brute-force twin of ensureBlockIndex + paragraphAdmit: corpus
     // blocks → distinct digests; probes rebuilt by the same keep-first
     // + anti-membership rules (q_dedup_paragraph's CTE shapes)

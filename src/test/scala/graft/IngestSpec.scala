@@ -115,6 +115,18 @@ class IngestSpec extends SparkSpecBase {
       s"tombstone count: $n")
   }
 
+  test("forget: sketch purge holds zero tombstoned rows; masked ≡ purged pairs") {
+    val purged = Ingest.purgeSketchIndex(spark, TestSpark.Sf0001)
+    assert(purged.filter(col("doc_id") % Ingest.ForgetMod === Ingest.ForgetRem)
+      .count() == 0, "tombstoned sketches survived the purge rewrite")
+    val masked = Ingest.nearDupForgotten(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val fromPurged = Ingest.nearDupPurged(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(masked.nonEmpty && masked == fromPurged,
+      "sketch purge must be a pure physical rewrite of the masked view")
+  }
+
   test("forget: dedup pairs lose every retracted side, keep every survivor pair") {
     val dead = (0L until 500L).filter(_ % Ingest.ForgetMod == Ingest.ForgetRem).toSet
     val kept = graft.SparkEntry.queries("q_near_dup_forget")(spark, TestSpark.Sf0001)

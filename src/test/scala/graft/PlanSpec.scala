@@ -281,6 +281,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("purged near-dup serves from the purged sketch generation, no mask left") {
+    val purged = graft.operators.Ingest.purgeSketchIndex(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.nearDupPurged(spark, TestSpark.Sf0001))
+    assert(p.contains("docs_sketched_purged"),
+      s"must read the purged generation:\n$p")
+    assert(!p.contains("LeftAnti") && !p.contains("forget_ids"),
+      s"physical purge must leave no serve-time mask:\n$p")
+    assert(!p.toLowerCase.contains("minhashshingle") && !p.contains("text#"),
+      s"purged path must not re-sketch or read text:\n$p")
+  }
+
   test("forgotten IVF kNN: tombstone anti-join does not defeat the cell DPP") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val qs = emb.orderBy("vec_id").limit(2)
