@@ -86,6 +86,27 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(!r.getBoolean(1))  // absent key at this sizing: not found
   }
 
+  test("SQL-authored row_number()<=k rewrites to the bounded-heap operator") {
+    graft.plans.TopKRewrite.register(spark)
+    import testImplicits._
+    (0L until 2000L).map(i => (s"g${i % 11}", i, (i % 17).toInt))
+      .toDF("grp", "id", "v").createOrReplaceTempView("sql_topk_docs")
+    // the textbook SQL idiom — subquery + rank predicate, rank dropped
+    val df = spark.sql(
+      """SELECT grp, id, v FROM (
+        |  SELECT grp, id, v,
+        |         row_number() OVER (PARTITION BY grp
+        |                            ORDER BY v DESC, id) AS rn
+        |  FROM sql_topk_docs)
+        |WHERE rn <= 3""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2 && !plan.contains("Window"),
+      s"the SQL route must reach the same rewrite as the DataFrame route:\n$plan")
+    val a = df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(a.nonEmpty && a.count(_._1 == "g0") == 3,
+      "rewritten SQL plan must still return exactly k rows per group")
+  }
+
   test("SQL route ≡ Column-API route (same kernels, same results)") {
     inject()
     Sketch.register(spark)
