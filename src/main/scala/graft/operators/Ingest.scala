@@ -581,9 +581,16 @@ object Ingest {
     * must be untouched — the oracle (brute force over the filtered
     * corpus) pins both directions. */
   def nearDupForgotten(s: SparkSession, dir: String): DataFrame =
+    // localCheckpoint: the masked frame feeds the candidate pass AND
+    // both verify join-backs — unmaterialized, the anti-join loses the
+    // stored table's stats and the verify joins can flip off broadcast
+    // (measured 5x on the zipf rehearsal vs the purged twin, whose
+    // input is a plain scan). Bounded: the sketch table minus the
+    // retraction.
     nearDupOverFeatures(
       ensureSketchedDocs(s, dir)
-        .join(broadcast(ensureForgetSet(s, dir)._1), Seq("doc_id"), "left_anti"))
+        .join(broadcast(ensureForgetSet(s, dir)._1), Seq("doc_id"), "left_anti")
+        .localCheckpoint())
 
   private def nearDupOverFeatures(features: DataFrame): DataFrame =
     Dedup.verifiedOverlapFromFeatures(features,

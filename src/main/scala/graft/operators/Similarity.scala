@@ -551,9 +551,17 @@ object Similarity {
     // never the embedding payload (which would be duplicated 2×numBands
     // through the exchange); payloads join back per candidate id for the
     // exact-cosine verify, mirroring Dedup.verifiedJaccard.
+    // localCheckpoint: the band triples feed BOTH sides of the
+    // self-join — without materialization the sketch projection runs
+    // twice and, worse, AQE's per-side re-planning can lose the
+    // exchange reuse and flip the join strategy run to run (the
+    // measured 5-20x swings between otherwise identical bench runs);
+    // a materialized 3-column frame pins both. Bounded: 24 B × rows ×
+    // numBands.
     val b = sketched(emb)
       .select(col("vec_id"), bandCols(col("sketch"), numBands).as("b"))
       .select(col("vec_id"), col("b.band_idx"), col("b.band_val"))
+      .localCheckpoint()
     val x = b.as("x"); val y = b.as("y")
     val pairs = x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
