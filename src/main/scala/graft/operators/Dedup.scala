@@ -602,8 +602,15 @@ object Dedup {
     // everything else is ≤ 0.07). The ≥ 0.5 cut is applied in integer
     // arithmetic (2·|∩| ≥ |∪|) so no float boundary can disagree.
     "q_near_dup_minhash" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      verifiedOverlap(docs, minhashCandidates(docs))
+      // localCheckpoint: candidates + both verify join-backs would
+      // otherwise each re-run the shingle/minhash kernel over the whole
+      // corpus (three sketch passes), and the un-materialized subtrees
+      // are what AQE re-plans differently run to run (the 6 s ↔ 60 s
+      // zipf bimodality) — one materialized feature pass pins all three
+      // consumers. The stored-sketch gates get this for free from their
+      // parquet artifact; this is the fresh path's equivalent.
+      val f = minhashFeatures(documents(s, dir)).localCheckpoint()
+      verifiedOverlapFromFeatures(f, minhashCandidatesFromFeatures(f))
         .filter(col("n_common") * 2 >= col("n_union"))
         .select("doc1", "doc2", "jaccard")
         .orderBy("doc1", "doc2")
