@@ -573,6 +573,95 @@ object Ingest {
     TextAnalysis.bm25Rank(tf, statsP, k, k1, b)
   }
 
+  /** Dead fraction of the stored BM25 index — tombstoned vs live doc
+    * counts, both read from STORED stats artifacts (the index's own
+    * (n_docs) row and the tombstone build's forget_stats marker), never
+    * from a corpus scan: two 1-row reads, the same bounded-model-
+    * artifact shape as a centroid table. */
+  def bm25DeadFraction(s: SparkSession, dir: String): Double = {
+    val live = ensureTermIndex(s, dir)._2.select("n_docs").head().getLong(0)
+    val dead = ensureForgetSet(s, dir)._2.select("n_docs").head().getLong(0)
+    dead.toDouble / live.toDouble
+  }
+
+  /** Tombstone-fraction PURGE TRIGGER — the deletion analog of
+    * retrainOnDrift: masking is O(1) per serve but the anti-join and
+    * the dead bytes it hides accrue forever, so once the dead fraction
+    * crosses θ the policy pays the one-time generation rewrite
+    * ([[purgeTermIndex]]) and serving drops the mask; below θ it keeps
+    * serving masked off the untouched snapshot. Returns the served
+    * frame plus the decision, so a gate can pin WHICH arm ran (two
+    * arms that happen to agree must not hide a policy that never
+    * fires). At production scale θ is the knob that folds compliance
+    * deletion into the scheduled compaction cadence. */
+  def bm25TopKPolicyServed(s: SparkSession, dir: String,
+      queryTerms: Seq[String], k: Int, theta: Double,
+      k1: Double = 1.2, b: Double = 0.75): (DataFrame, Boolean) = {
+    val purge = bm25DeadFraction(s, dir) >= theta
+    val df =
+      if (purge) bm25TopKPurged(s, dir, queryTerms, k, k1, b)
+      else bm25TopKForgotten(s, dir, queryTerms, k, k1, b)
+    (df, purge)
+  }
+
+  /** [[bm25TopKPolicyServed]] with a CALLER-SUPPLIED tombstone frame —
+    * the policy evaluated against a streamed takedown directory
+    * ([[graft.streaming.ForgetStream]]'s append-only id files): the
+    * dead count is the accumulated id set (distinct — retraction
+    * requests may repeat across triggers), the live count still comes
+    * from the stored index stats. Purge rewrites against the supplied
+    * set via [[purgeTermIndexWith]]'s one-off path; mask serves through
+    * [[bm25TopKForgottenWith]]. */
+  def bm25TopKPolicyServedWith(s: SparkSession, dir: String,
+      dead: DataFrame, queryTerms: Seq[String], k: Int,
+      theta: Double): (DataFrame, Boolean) = {
+    val deadIds = dead.select("doc_id").distinct().localCheckpoint()
+    val live = ensureTermIndex(s, dir)._2.select("n_docs").head().getLong(0)
+    val purge = deadIds.count().toDouble / live.toDouble >= theta
+    val df =
+      if (purge) bm25TopKPurgedWith(s, dir, deadIds, queryTerms, k)
+      else bm25TopKForgottenWith(s, dir, deadIds, queryTerms, k)
+    (df, purge)
+  }
+
+  /** One-off purge against a caller-supplied tombstone frame: the
+    * postings minus the supplied ids rewritten under a generation path
+    * keyed by the tombstone set's content hash (idempotent per set —
+    * re-serving the same takedown state reuses the rewrite), stats
+    * subtracted from serve-time-derived negatives exactly as
+    * [[bm25TopKForgottenWith]] derives them. */
+  def bm25TopKPurgedWith(s: SparkSession, dir: String, dead: DataFrame,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (postings, stats) = ensureTermIndex(s, dir)
+    val deadIds = dead.select("doc_id").localCheckpoint() // 3 consumers
+    val setKey = deadIds.agg(sum(xxhash64(col("doc_id")))).head()
+    val tag = java.lang.Long.toHexString(
+      if (setKey.isNullAt(0)) 0L else setKey.getLong(0))
+    val pPath = scratch(s, dir, s"term_postings_purged_$tag")
+    val sPath = scratch(s, dir, s"term_stats_purged_$tag")
+    if (!committed(s, sPath)) graft.BuildTimer.time {
+      postings.join(broadcast(deadIds), Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(pPath)
+      val negStats = documents(s, dir).join(broadcast(deadIds), "doc_id")
+        .select(size(TextAnalysis.bm25Toks(col("text"))).as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("dl_total"))
+      subtractedStats(stats, negStats)
+        .write.mode("overwrite").parquet(sPath)
+    }
+    val purged = s.read.parquet(pPath)
+    import s.implicits._
+    val q = queryTerms.toDF("term").select(col("term"),
+      termBucket(col("term")).as("bucket"))
+    val tf = purged
+      .filter(col("bucket").isin(termBucketIds(s, queryTerms): _*))
+      .join(broadcast(probeBuckets(q, purged)), Seq("bucket", "term"))
+      .select("doc_id", "term", "tf", "dl")
+    TextAnalysis.bm25Rank(tf, s.read.parquet(sPath), k, k1, b)
+  }
+
   /** Near-dup pairs over the stored sketch index with the retraction
     * masked — the dedup axis of the same tombstone artifact: one
     * broadcast anti-join on the 8-byte-key sketch table, then the
@@ -1286,7 +1375,8 @@ object Ingest {
   private def knnJoinCodeSides(s: SparkSession, dir: String,
       sides: Seq[DataFrame], centroids: DataFrame, tables: DataFrame,
       scoreCol: org.apache.spark.sql.Column, rescoreCorpus: DataFrame,
-      queriesDf: DataFrame, k: Int, expand: Int, nProbe: Int): DataFrame = {
+      queriesDf: DataFrame, k: Int, expand: Int, nProbe: Int,
+      dead: Option[DataFrame] = None): DataFrame = {
     VectorOps.register(s)
     val n = embeddingCount(s, dir)
     val probe =
@@ -1294,8 +1384,17 @@ object Ingest {
       else Similarity.ivfNumProbe(n, Similarity.ivfNumCells(n), k)
     val probePlan = batchProbePlan(centroids, queriesDf, probe)
     val ranked = sides.map { side =>
-      side
+      val pruned = side
         .join(broadcast(probeCells(probePlan, side)), "cell") // DPP per side
+      // tombstone mask AFTER the cell join (the knnJoinSides invariant:
+      // the anti-join must not interpose between the scan and its
+      // dynamic-partition-pruning filter) and BEFORE the ranking, so a
+      // retracted code can neither score nor crowd a survivor out of
+      // the expand·k shortlist — and the exact rescore, which only sees
+      // the shortlist, cannot resurrect it
+      val masked = dead.fold(pruned)(d =>
+        pruned.join(broadcast(d), Seq("vec_id"), "left_anti"))
+      masked
         .join(broadcast(tables), col("p_qid") === col("tq_id"))
         .filter(col("vec_id") =!= col("tq_id"))
         .select(col("tq_id").as("q_id"), col("vec_id"), scoreCol.as("score"))
@@ -1313,7 +1412,8 @@ object Ingest {
   private def knnJoinSqSides(s: SparkSession, dir: String,
       sides: Seq[DataFrame], centroids: DataFrame, mins: Array[Float],
       steps: Array[Float], rescoreCorpus: DataFrame, queriesDf: DataFrame,
-      k: Int, expand: Int, nProbe: Int): DataFrame = {
+      k: Int, expand: Int, nProbe: Int,
+      dead: Option[DataFrame] = None): DataFrame = {
     graft.functions.SqOps.register(s)
     import s.implicits._
     val (lin, quad, gamma0) = graft.functions.SqOps.modelTables(mins, steps)
@@ -1327,7 +1427,7 @@ object Ingest {
     knnJoinCodeSides(s, dir, sides, centroids, tables,
       graft.functions.SqOps.scoreCols(col("code"), col("alpha"),
         col("tbeta"), lin, quad, gamma0),
-      rescoreCorpus, queriesDf, k, expand, nProbe)
+      rescoreCorpus, queriesDf, k, expand, nProbe, dead)
   }
 
   /** IVF-PQ combined index: the billion-scale layout (FAISS's IVFPQ,
@@ -1738,6 +1838,67 @@ object Ingest {
       dead = Some(ensureVecForgetSet(s, dir)))
   }
 
+  /** Batched IVF-PQ kNN with the retraction masked — the same stored
+    * tombstone set applied through [[knnJoinCodeSides]]'s `dead` hook:
+    * one broadcast anti-join on the 16 B/row code scan, after the DPP
+    * cell join and before the ADC ranking, so a retracted code can
+    * neither surface nor crowd a survivor out of the expand·k
+    * shortlist (and the exact rescore only ever sees the shortlist).
+    * Completes the deletion matrix on the quantized families — a
+    * takedown must hold through EVERY serving representation of the
+    * corpus, not just the full-precision one. */
+  def knnJoinIvfPqForgotten(s: SparkSession, dir: String,
+      queriesDf: DataFrame, k: Int, expand: Int = 60, nProbe: Int = 0,
+      m: Int = 8, kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
+    knnJoinPqSides(s, dir, Seq(codes), centroids, cb, dim,
+      indexedCorpus(s, dir), queriesDf, k, expand, nProbe, m, kCent,
+      dead = Some(ensureVecForgetSet(s, dir)))
+  }
+
+  /** Batched IVF-SQ8 kNN with the retraction masked — same tombstone
+    * set, same post-DPP/pre-ranking mask position, through the byte-code
+    * scan. */
+  def knnJoinIvfSqForgotten(s: SparkSession, dir: String,
+      queriesDf: DataFrame, k: Int, expand: Int = 8,
+      nProbe: Int = 0): DataFrame = {
+    val (mins, steps, centroids, codes) = ensureIvfSqIndex(s, dir)
+    knnJoinSqSides(s, dir, Seq(codes), centroids, mins, steps,
+      indexedCorpus(s, dir), queriesDf, k, expand, nProbe,
+      dead = Some(ensureVecForgetSet(s, dir)))
+  }
+
+  /** PURGE of the dense IVF index — the physical half of deletion on
+    * the embedding axis ([[purgeTermIndex]]'s posture): the
+    * cell-partitioned assignment table minus the tombstoned rows,
+    * rewritten under a new generation path. No statistics to correct
+    * (kNN ranking is stat-free) and the layout survives verbatim —
+    * still partitioned by cell, so the purged generation serves through
+    * the identical DPP probe machinery with NO mask left in the plan.
+    * Old generation untouched until the new marker commits (snapshot
+    * isolation); at production scale this folds into the scheduled
+    * compaction that rewrites the assignments anyway. */
+  def purgeIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = graft.BuildTimer.time {
+    val (centroids, assign) = ensureIvfIndex(s, dir)
+    val path = scratch(s, dir, "ivf_assign_purged")
+    if (!committed(s, path))
+      assign
+        .join(broadcast(ensureVecForgetSet(s, dir)), Seq("vec_id"), "left_anti")
+        .repartition(col("cell")) // whole cells per write task
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    (centroids, s.read.parquet(path))
+  }
+
+  /** Batched kNN from the PURGED dense generation — single pruned scan,
+    * no anti-join in the serve path; shares q_knn_ivf_forget's oracle
+    * VERBATIM, so masked ≡ purged ≡ the pinned canary outcome is held
+    * by one hash (the q_bm25_purge convention, on the dense axis). */
+  def knnJoinIvfPurged(s: SparkSession, dir: String, queriesDf: DataFrame,
+      k: Int, nProbe: Int = 0): DataFrame = {
+    val (centroids, gen) = purgeIvfIndex(s, dir)
+    knnJoinSides(s, dir, Seq(gen), centroids, queriesDf, k, nProbe)
+  }
+
   /** Batched kNN over the APPENDED index (base ∪ delta) — the |Q|>1
     * generalization of [[ivfTopKAppended]]'s serving path. */
   def knnJoinIvfAppended(s: SparkSession, dir: String, queriesDf: DataFrame,
@@ -1816,7 +1977,8 @@ object Ingest {
   private def knnJoinPqSides(s: SparkSession, dir: String,
       sides: Seq[DataFrame], centroids: DataFrame, cb: Array[Float],
       dim: Int, rescoreCorpus: DataFrame, queriesDf: DataFrame, k: Int,
-      expand: Int, nProbe: Int, m: Int, kCent: Int): DataFrame = {
+      expand: Int, nProbe: Int, m: Int, kCent: Int,
+      dead: Option[DataFrame] = None): DataFrame = {
     graft.functions.PqOps.register(s)
     import s.implicits._
     // per-query ADC tables: a driver-built bounded model artifact, like
@@ -1829,7 +1991,7 @@ object Ingest {
     knnJoinCodeSides(s, dir, sides, centroids, tables,
       graft.functions.PqOps.adcCols(col("code"), col("dot"), col("nrm"),
         m, kCent),
-      rescoreCorpus, queriesDf, k, expand, nProbe)
+      rescoreCorpus, queriesDf, k, expand, nProbe, dead)
   }
 
   // --- query surface ---------------------------------------------------
@@ -1997,6 +2159,26 @@ object Ingest {
     "q_bm25_purge" -> ((s, dir) =>
       bm25TopKPurged(s, dir, Seq("table", "scan", "join"), 10)),
 
+    // the tombstone-fraction PURGE TRIGGER, both arms in one gate: the
+    // fixture's dead fraction is 1/13 ≈ 7.7%, so θ=0.5 must keep the
+    // masked snapshot and θ=0.02 must trip the generation rewrite. The
+    // two arms share one reduced-corpus oracle (serving equivalence),
+    // and the purged_serving booleans — pinned FALSE for the mask arm,
+    // TRUE for the purge arm — are the decision itself, so a policy
+    // that never fires (or always fires) goes red even though both
+    // serving paths agree on rows.
+    "q_forget_policy" -> ((s, dir) => {
+      val terms = Seq("table", "scan", "join")
+      val (lo, loPurged) = bm25TopKPolicyServed(s, dir, terms, 10, theta = 0.5)
+      val (hi, hiPurged) = bm25TopKPolicyServed(s, dir, terms, 10, theta = 0.02)
+      lo.withColumn("arm", lit("mask"))
+        .withColumn("purged_serving", lit(loPurged))
+        .unionByName(hi.withColumn("arm", lit("purge"))
+          .withColumn("purged_serving", lit(hiPurged)))
+        .select("arm", "purged_serving", "doc_id", "score")
+        .orderBy(col("arm"), desc("score"), col("doc_id"))
+    }),
+
     // deletion on the dedup axis: near-dup pairs over the stored sketch
     // index with retracted docs masked — pairs touching a retracted doc
     // vanish, survivor pairs untouched (brute-force oracle over the
@@ -2108,6 +2290,65 @@ object Ingest {
       val dead = ensureVecForgetSet(s, dir)
         .select(col("vec_id").as("dead_id"))
       knnJoinIvfForgotten(s, dir, qs, 10)
+        .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_outer")
+        .agg(
+          (count(when(col("vec_id") === col("q_id") + lit(TwinOffset),
+            lit(1))).cast(DoubleType) / (NumCanaries / 2).toDouble)
+            .as("recall_surviving"),
+          count(col("dead_id")).as("n_retracted_served"))
+    }),
+
+    // the same retraction held through the QUANTIZED families: a
+    // takedown must mask every serving representation, and the code
+    // tables carry their own copy of the retracted vectors (8–16 B
+    // codes), so an unmasked ADC/SQ path would keep surfacing them.
+    // Same fixture, same pinned outcome: a retracted twin was its
+    // query's guaranteed top-1, n_retracted_served == 0 pins the mask
+    // across probe/DPP/shortlist/rescore; the surviving half's 1.0 pins
+    // that the mask neither over-deletes nor lets a dead code crowd the
+    // shortlist.
+    "q_knn_ivfpq_forget" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dead = ensureVecForgetSet(s, dir)
+        .select(col("vec_id").as("dead_id"))
+      knnJoinIvfPqForgotten(s, dir, qs, 10)
+        .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_outer")
+        .agg(
+          (count(when(col("vec_id") === col("q_id") + lit(TwinOffset),
+            lit(1))).cast(DoubleType) / (NumCanaries / 2).toDouble)
+            .as("recall_surviving"),
+          count(col("dead_id")).as("n_retracted_served"))
+    }),
+
+    "q_knn_ivfsq_forget" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dead = ensureVecForgetSet(s, dir)
+        .select(col("vec_id").as("dead_id"))
+      knnJoinIvfSqForgotten(s, dir, qs, 10)
+        .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_outer")
+        .agg(
+          (count(when(col("vec_id") === col("q_id") + lit(TwinOffset),
+            lit(1))).cast(DoubleType) / (NumCanaries / 2).toDouble)
+            .as("recall_surviving"),
+          count(col("dead_id")).as("n_retracted_served"))
+    }),
+
+    // the physical half on the dense axis: the purged generation serves
+    // the identical canary batch through the identical probe machinery
+    // with no mask anywhere in the plan (PlanSpec pins that), and shares
+    // q_knn_ivf_forget's oracle verbatim — masked ≡ purged pinned by
+    // one hash.
+    "q_ivf_purge" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dead = ensureVecForgetSet(s, dir)
+        .select(col("vec_id").as("dead_id"))
+      knnJoinIvfPurged(s, dir, qs, 10)
         .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_outer")
         .agg(
           (count(when(col("vec_id") === col("q_id") + lit(TwinOffset),
@@ -2526,16 +2767,32 @@ object Ingest {
     * mechanism as [[Bm25AppendOracleSql]]: the toks CTE's `documents`
     * becomes the filtered subquery, with the retraction predicate
     * generated from the SAME Scala constants the tombstone build uses. */
-  private val Bm25ForgetOracleSql: String = {
+  private val Bm25ForgetCtes: String = {
     val src = "FROM documents)"
     require(TextAnalysis.Bm25CtesSql.contains(src),
       "Bm25CtesSql drifted: toks source not found for forget rewrite")
     val reduced =
       s"""FROM (SELECT doc_id, text FROM documents
          |        WHERE NOT (doc_id % $ForgetMod = $ForgetRem)))""".stripMargin
-    s"""WITH ${TextAnalysis.Bm25CtesSql.replace(src, reduced)}
-       |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin
+    TextAnalysis.Bm25CtesSql.replace(src, reduced)
   }
+
+  private val Bm25ForgetOracleSql: String =
+    s"""WITH $Bm25ForgetCtes
+       |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin
+
+  /** The policy gate's oracle: BOTH arms must serve the identical
+    * reduced-corpus ranking (one shared CTE block — the q_bm25_purge
+    * convention extended to the trigger), and the pinned booleans are
+    * the policy decision itself: 'mask' must come from the sub-θ arm,
+    * 'purge' from the tripped one. */
+  private val Bm25PolicyOracleSql: String =
+    s"""WITH $Bm25ForgetCtes,
+       |res AS (SELECT doc_id, score FROM bm)
+       |SELECT arm, purged_serving, doc_id, score
+       |FROM res CROSS JOIN (VALUES ('mask', FALSE), ('purge', TRUE))
+       |  AS arms(arm, purged_serving)
+       |ORDER BY arm, score DESC, doc_id""".stripMargin
 
   /** Brute-force all-pairs Jaccard over the corpus minus the retraction
     * set — the [[NearDupAppendOracleSql]] mechanism on the deletion
@@ -2582,6 +2839,7 @@ object Ingest {
     // shares the mask oracle VERBATIM (masked ≡ purged pinned).
     "q_bm25_forget" -> Bm25ForgetOracleSql,
     "q_bm25_purge" -> Bm25ForgetOracleSql,
+    "q_forget_policy" -> Bm25PolicyOracleSql,
     "q_near_dup_forget" -> NearDupForgetOracleSql,
     "q_near_dup_purge" -> NearDupForgetOracleSql,
     // brute-force twin of ensureBlockIndex + paragraphAdmit: corpus
@@ -2742,6 +3000,14 @@ object Ingest {
     "q_ivfpq_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivf_forget" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
+    "q_knn_ivfpq_forget" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
+    "q_knn_ivfsq_forget" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
+    // shares q_knn_ivf_forget's oracle VERBATIM: masked ≡ purged on the
+    // dense axis, pinned by one hash (the q_bm25_purge convention)
+    "q_ivf_purge" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfpq_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",

@@ -152,6 +152,23 @@ class EventStreamSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(served == batchMask,
       "streamed tombstone accumulation must serve exactly like a batch mask")
+
+    // the purge TRIGGER wired behind the stream: the policy reads the
+    // accumulated takedown directory, compares the dead fraction to θ,
+    // and must (a) keep the masked snapshot below θ, (b) trip the
+    // generation rewrite above θ, (c) serve identical rows either way
+    val frac = dead.distinct().count().toDouble /
+      graft.queries.Tables.documents(spark, TestSpark.Sf0001).count()
+    val (maskDf, maskPurged) = graft.operators.Ingest.bm25TopKPolicyServedWith(
+      spark, TestSpark.Sf0001, dead, terms, 10, theta = frac * 10)
+    val (purgeDf, purgePurged) = graft.operators.Ingest.bm25TopKPolicyServedWith(
+      spark, TestSpark.Sf0001, dead, terms, 10, theta = frac / 2)
+    assert(!maskPurged, "dead fraction below θ must keep serving masked")
+    assert(purgePurged, "dead fraction above θ must trip the purge")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(maskDf) == served && rows(purgeDf) == served,
+      "both policy arms must serve the streamed-takedown state exactly")
   }
 
   test("streaming LM scoring (LmStream) == batch stateless scorer") {

@@ -305,6 +305,37 @@ class PlanSpec extends SparkSpecBase {
       s"the mask is a broadcast anti-join on the stored tombstones:\n$p")
   }
 
+  test("forgotten IVF-PQ/SQ kNN: code-scan mask keeps DPP, stays out of the rescore") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.operators.Ingest.ensureVecForgetSet(spark, TestSpark.Sf0001)
+    for (df <- Seq(
+        graft.operators.Ingest.knnJoinIvfPqForgotten(spark, TestSpark.Sf0001, qs, 5),
+        graft.operators.Ingest.knnJoinIvfSqForgotten(spark, TestSpark.Sf0001, qs, 5))) {
+      val p = plan(df)
+      assert(p.contains("dynamicpruning"),
+        s"the mask must sit ABOVE the DPP cell join on the code scan:\n$p")
+      assert(p.contains("LeftAnti") && p.contains("vec_forget_ids"),
+        s"the mask is a broadcast anti-join on the stored tombstones:\n$p")
+    }
+  }
+
+  test("purged IVF kNN serves the purged generation: DPP intact, no mask left") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.operators.Ingest.purgeIvfIndex(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Ingest.knnJoinIvfPurged(
+      spark, TestSpark.Sf0001, qs, 5))
+    assert(p.contains("ivf_assign_purged"),
+      s"must read the purged generation:\n$p")
+    assert(p.contains("dynamicpruning"),
+      s"the purged generation is still cell-partitioned — DPP must hold:\n$p")
+    assert(!p.contains("LeftAnti") && !p.contains("forget_ids"),
+      s"physical purge must leave no serve-time mask:\n$p")
+  }
+
   test("stored-index SemDeDup re-clusters nothing: no assignment kernel, no Lloyd pass") {
     val df = graft.operators.Ingest.semDedupPairsStored(spark, TestSpark.Sf0001, 0.99)
     val p = plan(df)
