@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify emit machine-parsed JSON on stdout: the forked JVM must
+// inherit stdout directly, or sbt's logger prefixes every line with
+// "[info] " and the driver's JSON tail capture fails to parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // UTF-8 locale for forked JVMs: sun.jnu.encoding (filesystem path
 // encoding) follows the OS locale and ignores -D overrides, and the
 // Hogia tables have non-ASCII names (Överföringar, LÅN).

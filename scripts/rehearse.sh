@@ -17,12 +17,16 @@ K=${1:-3.0}
 [ -d target/sf1z ] || python3 scripts/make_sf1.py --zipf target/sf1z
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+# Bench writes the per-query detail JSON to SPARK_GRAFT_BENCH_DETAIL
+# itself (schema 2: stdout carries only the compact summary), so the
+# artifact comes from the file, not a stdout grep.
 bench() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+    SPARK_GRAFT_BENCH_DETAIL="$2" \
     java $ADD_OPENS -Xmx24g -cp "$CP" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Dfile.encoding=UTF-8 -Dsun.jnu.encoding=UTF-8 \
-    graft.Bench 2>/dev/null | grep '"queries"' > "$2"
+    graft.Bench 2>/dev/null | tail -1
 }
 bench target/sf1  BENCH_sf1.json
 bench target/sf1z BENCH_sf1z.json
