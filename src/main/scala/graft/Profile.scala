@@ -147,6 +147,17 @@ object Profile {
           .filter(graft.functions.BloomOps.mightContain(small, col("g")))
           .count())
         grams.unpersist()
+      // measured IVF recall across probe widths (envelope-gate tuning)
+      case "ivf_recall_probe" =>
+        val n = graft.queries.Tables.embeddings(spark, sfDir).count()
+        val nCells = graft.operators.Similarity.ivfNumCells(n)
+        println(s"n=$n nCells=$nCells")
+        for (frac <- Seq(0.25, 0.375, 0.5, 0.75, 1.0)) {
+          val nProbe = math.max(1, math.ceil(nCells * frac).toInt)
+          val row = graft.operators.Ingest.ivfRecallMeasured(
+            spark, sfDir, 10, nProbe, 16).head()
+          println(s"frac=$frac nProbe=$nProbe -> recall=${row.getDouble(1)}")
+        }
       // plan audit for the substring-dedup operator
       case "substr_plan" =>
         graft.operators.Dedup.substringDupCoverage(

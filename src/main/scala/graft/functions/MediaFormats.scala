@@ -884,7 +884,20 @@ object MediaFormats {
     * `pixel(f)(x, y)`. Lossless like the single-frame path, so a SQL
     * oracle can brute-force per-frame pixel sums. */
   def encodeGifAnim(width: Int, height: Int, nFrames: Int,
-      pixel: Int => (Int, Int) => Int): Array[Byte] = {
+      pixel: Int => (Int, Int) => Int): Array[Byte] =
+    encodeGifAnimShifted(width, height, nFrames, pixel, 0)
+
+  /** [[encodeGifAnim]] with a ROTATED global palette — the same decoded
+    * pixels through a structurally different byte stream: palette slot
+    * j carries gray (j + shift) mod 256, so every emitted index, every
+    * LZW dictionary path and every sub-block boundary differs from the
+    * shift-0 encoding while the decoded luma grid is bit-identical.
+    * This is what a real transcode does to a video file (quantizer
+    * reordering), and it is the planted "re-encoded duplicate" fixture
+    * for perceptual video dedup: payload checksums diverge, frame
+    * dHashes must not. */
+  def encodeGifAnimShifted(width: Int, height: Int, nFrames: Int,
+      pixel: Int => (Int, Int) => Int, shift: Int): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0, "encodeGifAnim: empty video")
     val out = new ByteArrayOutputStream
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -892,7 +905,10 @@ object MediaFormats {
     le16(width); le16(height)
     out.write(0xF7); out.write(0); out.write(0)
     var i = 0
-    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    while (i < 256) {
+      val g = (i + shift) & 0xFF
+      out.write(g); out.write(g); out.write(g); i += 1
+    }
     // NETSCAPE2.0 application extension: loop forever
     out.write(0x21); out.write(0xFF); out.write(11)
     out.write("NETSCAPE2.0".getBytes("US-ASCII"))
@@ -906,7 +922,9 @@ object MediaFormats {
       le16(0); le16(0); le16(width); le16(height)
       out.write(0)
       val pf = pixel(f)
-      lzwEncodeTo(out, width * height, p => pf(p % width, p / width))
+      // index for gray v is the slot carrying v under the rotation
+      lzwEncodeTo(out, width * height,
+        p => (pf(p % width, p / width) - shift) & 0xFF)
       f += 1
     }
     out.write(0x3B)
@@ -1049,7 +1067,7 @@ object MediaFormats {
     * decoders. */
   private def lzwDecodeFrame(bytes: Array[Byte], start: Int,
       width: Int, height: Int, luma: Array[Int], interlaced: Boolean,
-      stride: Int): (Long, Int, Boolean) = {
+      stride: Int, out: Array[Int] = null): (Long, Int, Boolean) = {
     var off = start
     def bad0: (Long, Int, Boolean) = (0L, off, false)
     if (off >= bytes.length) return bad0
@@ -1080,6 +1098,7 @@ object MediaFormats {
       val x = (emitted % width).toInt
       val y = rowMap((emitted / width).toInt)
       if (x % stride == 0 && y % stride == 0) sum += luma(idx)
+      if (out != null) out(y * width + x) = luma(idx)
       emitted += 1
       true
     }
@@ -1223,5 +1242,70 @@ object MediaFormats {
     }
     if (frames == 0) fail(sw, sh)
     else VideoInfo(sw, sh, frames, sampled, sum, ok = true)
+  }
+
+  /** Frame-sampling decode to PIXEL GRIDS: every `frameStride`-th frame
+    * fully LZW-decoded into its own [[GrayImage]] (for perceptual
+    * hashing — video near-dup needs the grid, not a luma sum), the
+    * frames in between skipped at sub-block granularity exactly as
+    * [[decodeGifFrames]] skips them. Returns (sampled grays in frame
+    * order, total frame count, ok); on any structural failure the frame
+    * list is empty and ok=false. */
+  def decodeGifFrameGrays(bytes: Array[Byte],
+      frameStride: Int): (Seq[GrayImage], Int, Boolean) = {
+    def fail: (Seq[GrayImage], Int, Boolean) = (Seq.empty, 0, false)
+    if (bytes.length < 13 || bytes(0) != 'G' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != '8' ||
+      (bytes(4) != '7' && bytes(4) != '9') || bytes(5) != 'a') return fail
+    def le16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    var off = 10
+    val packed = bytes(off) & 0xFF; off += 3
+    var global: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (off + 3 * n > bytes.length) return fail
+      global = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+      off += 3 * n
+    }
+    val globalLuma = if (global == null) null else gifLuma(global)
+    val grays = Seq.newBuilder[GrayImage]
+    var frames = 0
+    var done = false
+    while (!done) {
+      if (off >= bytes.length) return fail // no trailer
+      (bytes(off) & 0xFF) match {
+        case 0x21 =>
+          off = skipSubBlocks(bytes, off + 2)
+          if (off < 0) return fail
+        case 0x2C =>
+          if (off + 10 > bytes.length) return fail
+          val fw = le16(off + 5); val fh = le16(off + 7)
+          val ipacked = bytes(off + 9) & 0xFF
+          off += 10
+          var luma = globalLuma
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (off + 3 * n > bytes.length) return fail
+            luma = gifLuma(java.util.Arrays.copyOfRange(bytes, off, off + 3 * n))
+            off += 3 * n
+          }
+          if (luma == null || fw <= 0 || fh <= 0) return fail
+          if (frames % frameStride == 0) {
+            val px = new Array[Int](fw * fh)
+            val (_, end, ok) = lzwDecodeFrame(bytes, off, fw, fh, luma,
+              (ipacked & 0x40) != 0, 1, px)
+            if (!ok) return fail
+            grays += GrayImage(fw, fh, px, ok = true)
+            off = end
+          } else {
+            off = skipSubBlocks(bytes, off + 1) // min-code byte + data
+            if (off < 0) return fail
+          }
+          frames += 1
+        case 0x3B => done = true
+        case _ => return fail
+      }
+    }
+    if (frames == 0) fail else (grays.result(), frames, true)
   }
 }

@@ -96,6 +96,25 @@ object Multimodal {
   private[operators] def vidPixel(d: Long, f: Int)(x: Int, y: Int): Int =
     ((x + 3L * y + 17L * f + d) % 256).toInt
 
+  /** Every VideoDupMod-th doc also ships a RE-ENCODED duplicate of its
+    * animation (same frames, rotated palette — different bytes, same
+    * content), re-identified at +VideoDupOffset. */
+  private[operators] val VideoDupMod: Long = 4L
+  private[operators] val VideoDupOffset: Long = 30000000L
+  private[operators] def vidShift(d: Long): Int = 1 + (d % 200).toInt
+
+  /** The DEDUP corpus's frame content — quadratic in (x, y) with
+    * doc-derived coefficients, unlike [[vidPixel]]'s shared linear
+    * gradient: a gradient hash (dHash) sees every linear ramp as the
+    * same scene, which is faithful to perceptual hashing but makes a
+    * corpus of identical ramps collide wholesale. Distinct curvature
+    * per video is what real footage has and what makes the pair set
+    * the PLANTED duplicates plus a deterministic handful of honest
+    * look-alikes (the oracle brute-forces whichever they are). */
+  private[operators] def vdupPixel(d: Long, f: Int)(x: Int, y: Int): Int =
+    ((x.toLong * x * (1 + d % 5) + y.toLong * y * (2 + d % 7) +
+      x.toLong * y * (1 + (d / 7) % 3) + 17L * f + d) % 256).toInt
+
   private[operators] def renderPayload(d: Long): (String, Array[Byte]) =
     (d % 4) match {
       case 0 =>
@@ -350,6 +369,65 @@ object Multimodal {
         .orderBy("dhash")
     }),
 
+    // CROSS-VIDEO near-dup — the multimodal analog of q_image_dedup,
+    // composed from the two existing pieces the way a 100 TB video
+    // pipeline would run it: sampled-frame decode (every 2nd frame,
+    // skipped frames walked at sub-block cost) → per-frame perceptual
+    // dHash → banded grouping on the (frame position, hash) key →
+    // pair verification by shared-position count (n_common·2 ≥
+    // n_union, the minhash rule on the frame axis). The corpus plants
+    // RE-ENCODED duplicates (rotated palette: every byte of the stream
+    // differs, the decoded frames do not) for every 4th doc, so
+    // payload-checksum dedup provably cannot find these pairs — each
+    // planted pair must surface with n_common = n_union, and the
+    // oracle replays every frame hash from the generator formulas
+    // alone, never the container, so the hash compare certifies the
+    // sampled decode, the per-frame packing, and the pair logic end to
+    // end. Scale posture: one narrow decode pass, candidates via
+    // equi-join on an 8-byte bucketed key (no pairwise scan), counts
+    // broadcast.
+    "q_video_dedup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val hashed = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { d =>
+          val (w, h) = vidDims(d)
+          val nf = vidFrames(d)
+          val renders = Seq(
+            d -> MediaFormats.encodeGifAnim(w, h, nf, f => vdupPixel(d, f))) ++
+            (if (d % VideoDupMod == 0)
+              Seq((d + VideoDupOffset) -> MediaFormats.encodeGifAnimShifted(
+                w, h, nf, f => vdupPixel(d, f), vidShift(d)))
+            else Seq.empty)
+          renders.iterator.flatMap { case (mid, bytes) =>
+            val (grays, _, ok) = MediaFormats.decodeGifFrameGrays(bytes, 2)
+            // a decode failure emits a sentinel row the oracle never
+            // has — the gate goes red instead of silently dropping
+            if (!ok) Iterator((mid, -1L, 0L))
+            else grays.iterator.zipWithIndex.map { case (g, i) =>
+              (mid, 2L * i, dHash(g))
+            }
+          }
+        }).toDF("media_id", "frame", "dhash")
+        .localCheckpoint() // three consumers: counts + both join sides
+      val counts = hashed.groupBy("media_id").agg(count(lit(1)).as("n"))
+      val a = hashed.select(col("media_id").as("vid1"),
+        col("frame"), col("dhash"))
+      val b = hashed.select(col("media_id").as("vid2"),
+        col("frame"), col("dhash"))
+      a.join(b, Seq("frame", "dhash"))
+        .filter(col("vid1") < col("vid2"))
+        .groupBy("vid1", "vid2").agg(count(lit(1)).as("n_common"))
+        .join(broadcast(counts.select(col("media_id").as("vid1"),
+          col("n").as("n1"))), "vid1")
+        .join(broadcast(counts.select(col("media_id").as("vid2"),
+          col("n").as("n2"))), "vid2")
+        .withColumn("n_union", col("n1") + col("n2") - col("n_common"))
+        .filter(col("n_common") * 2 >= col("n_union"))
+        .select("vid1", "vid2", "n_common", "n_union")
+        .orderBy("vid1", "vid2")
+    }),
+
     "q_multimodal_resize" -> ((s, dir) =>
       resizeFeatures(ensureMediaFrame(s, dir), 2).toDF()
         .groupBy("mime")
@@ -504,6 +582,60 @@ object Multimodal {
         |       CAST(sum(sv) AS BIGINT) AS sum_s_values,
         |       TRUE AS all_ok
         |FROM v""".stripMargin,
+    // every sampled-frame dHash replayed from the video formulas alone
+    // (frame f pixel (x,y) = (x²(1+d%5) + y²(2+d%7) + xy(1+(d/7)%3)
+    // + 17f + d) % 256; sampled frames f = 0,2,4.. < nf; dHash grid as
+    // q_image_dedup) over base videos AND their planted re-encodes
+    // (same src content, +offset id) — then the identical
+    // candidate/verify pair logic.
+    "q_video_dedup" ->
+      s"""WITH vids AS (
+         |  SELECT doc_id AS media_id, doc_id AS src FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $VideoDupOffset, doc_id FROM documents
+         |  WHERE doc_id % $VideoDupMod = 0),
+         |dims AS (
+         |  SELECT media_id, src,
+         |    8 + src % 10 AS w, 8 + (src // 10) % 10 AS h,
+         |    2 + src % 5 AS nf
+         |  FROM vids),
+         |coords AS (
+         |  SELECT media_id, src, g, j, i,
+         |    (i + 1) * w // $DHashGrid AS x1,
+         |    i * w // $DHashGrid AS x0,
+         |    j * h // $DHashGrid AS y
+         |  FROM dims,
+         |    range(0, 3) AS tg(g), -- nf <= 6, so sampled g in 0..2
+         |    range($DHashGrid) AS tj(j),
+         |    range(${DHashGrid - 1}) AS ti(i)
+         |  WHERE 2 * g < nf),
+         |hashed AS (
+         |  SELECT media_id, 2 * g AS frame,
+         |    CAST(sum(CASE WHEN
+         |        (x1 * x1 * (1 + src % 5) + y * y * (2 + src % 7)
+         |          + x1 * y * (1 + (src // 7) % 3) + 34 * g + src) % 256
+         |      > (x0 * x0 * (1 + src % 5) + y * y * (2 + src % 7)
+         |          + x0 * y * (1 + (src // 7) % 3) + 34 * g + src) % 256
+         |      THEN 1::BIGINT << (j * ${DHashGrid - 1} + i) ELSE 0 END)
+         |      AS BIGINT) AS dhash
+         |  FROM coords
+         |  GROUP BY media_id, g),
+         |counts AS (SELECT media_id, count(*) AS n FROM hashed GROUP BY 1),
+         |common AS (
+         |  SELECT a.media_id AS vid1, b.media_id AS vid2,
+         |         count(*) AS n_common
+         |  FROM hashed a JOIN hashed b
+         |    ON a.frame = b.frame AND a.dhash = b.dhash
+         |   AND a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         |SELECT vid1, vid2, CAST(n_common AS BIGINT) AS n_common,
+         |       CAST(c1.n + c2.n - n_common AS BIGINT) AS n_union
+         |FROM common
+         |JOIN counts c1 ON c1.media_id = vid1
+         |JOIN counts c2 ON c2.media_id = vid2
+         |WHERE 2 * n_common >= c1.n + c2.n - n_common
+         |ORDER BY vid1, vid2""".stripMargin,
+
     // ×2 decimation: resized dims are ceil(orig/2) = (orig+1)//2; image
     // pixel (rx, ry) samples original (2rx, 2ry) → (2rx + 6ry + d) % 256;
     // audio keeps every even sample index.

@@ -433,6 +433,33 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.dHash(png) == Multimodal.dHash(bmp))
   }
 
+  test("re-encoded animation: different bytes, identical decoded frames and dHashes") {
+    val (w, h, nf) = (12, 10, 4)
+    val scene = (f: Int) => (x: Int, y: Int) => (x + 3 * y + 17 * f + 5) % 256
+    val base = MediaFormats.encodeGifAnim(w, h, nf, scene)
+    val re = MediaFormats.encodeGifAnimShifted(w, h, nf, scene, 113)
+    // a transcode: the byte streams must genuinely diverge (or the
+    // fixture proves nothing beyond checksum dedup)...
+    assert(!java.util.Arrays.equals(base, re),
+      "rotated-palette re-encode must change the byte stream")
+    // ...while every sampled frame decodes to the identical pixel grid
+    val (gb, nb, okB) = MediaFormats.decodeGifFrameGrays(base, 2)
+    val (gr, nr, okR) = MediaFormats.decodeGifFrameGrays(re, 2)
+    assert(okB && okR && nb == nf && nr == nf && gb.size == 2 && gr.size == 2)
+    gb.zip(gr).foreach { case (a, b) =>
+      assert(a.width == b.width && a.height == b.height)
+      assert(a.px.toSeq == b.px.toSeq, "decoded grids must be bit-identical")
+      assert(Multimodal.dHash(a) == Multimodal.dHash(b))
+    }
+    // the sampled grids match the generator formulas (frames 0 and 2)
+    for ((g, fi) <- gb.zip(Seq(0, 2)))
+      assert(g.px.toSeq == Seq.tabulate(w * h)(p => scene(fi)(p % w, p / w)))
+    // per-frame grays agree with the summing decoder's luma total
+    val full = MediaFormats.decodeGifFrames(base, 1, 1)
+    val (gAll, _, _) = MediaFormats.decodeGifFrameGrays(base, 1)
+    assert(gAll.map(_.px.map(_.toLong).sum).sum == full.valueSum)
+  }
+
   test("decodeGray agrees with the summing decoders on dims and pixel sum") {
     val bytes = MediaFormats.encodePng(13, 7, gradient(9))
     val g = MediaFormats.decodeGray(bytes)

@@ -749,4 +749,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Seq(10L, 40L, 60L).forall(got.contains))
     assert(Seq(20L, 30L, 50L).forall(id => !got.contains(id)))
   }
+
+  test("recall envelope negative control: nProbe=1 on a skewed two-cell corpus fails 0.9") {
+    // two tight clusters straddling the 45° centroid boundary plus far
+    // fillers: the exact top-6 of a 44.9° probe interleaves members of
+    // BOTH cells (3 each side), so probing only the query's own cell is
+    // structurally capped at recall 0.5 — the failure mode the
+    // q_ivf_recall_envelope gate exists to catch, and the proof the
+    // envelope discriminates (it is not an always-true gate).
+    def v(deg: Double): Array[Float] = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val pts =
+      Seq(36.0, 38.0, 40.0, 42.0, 44.0).zipWithIndex
+        .map { case (d, i) => (i.toLong, v(d)) } ++
+      Seq(46.0, 48.0, 50.0, 52.0, 54.0).zipWithIndex
+        .map { case (d, i) => ((i + 10).toLong, v(d)) } ++
+      Seq(180.0, 190.0, 200.0, 210.0, 220.0).zipWithIndex
+        .map { case (d, i) => ((i + 20).toLong, v(d)) }
+    val emb = pts.toDF("vec_id", "embedding")
+    val centroids = Seq((0L, v(40.0)), (1L, v(50.0))).toDF("cid", "cvec")
+    val assign = Similarity.ivfAssignKernel(emb, centroids)
+    val qs = Seq((999L, v(44.9))).toDF("q_id", "q_emb")
+    val exact = Similarity.knnJoin(emb, qs, 6).select("q_id", "vec_id")
+    def recallAt(nProbe: Int): Double = {
+      val approx = graft.operators.Ingest.knnJoinSides(spark,
+          TestSpark.Sf0001, Seq(assign), centroids, qs, 6, nProbe)
+        .select("q_id", "vec_id")
+      approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .count().toDouble / 6.0
+    }
+    assert(recallAt(1) < 0.9,
+      "nProbe=1 on the skewed corpus must fail the 0.9 envelope")
+    assert(recallAt(2) >= 0.99,
+      "probing both straddled cells must recover full recall")
+  }
 }
