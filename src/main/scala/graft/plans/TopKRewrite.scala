@@ -75,15 +75,18 @@ object TopKRewrite extends Rule[LogicalPlan] {
     val (onRank, rest) = conjuncts.partition(_.references.contains(rankAttr))
     val bounds = onRank.map(bound(rankAttr, _))
     if (bounds.isEmpty || bounds.exists(_.isEmpty)) return None
-    val k = bounds.flatten.min
-    if (k < 1) return None // statically empty — leave for the optimizer
+    val kL = bounds.flatten.min // Long: `rn < Int.MinValue` must not wrap
+    if (kL < 1) return None // statically empty — leave for the optimizer
+    val k = kL.toInt // in [1, Int.MaxValue]: every bound came from an Int
 
     // InferWindowGroupLimit may already have inserted its pass-through
     // limit below the window; the heap recomputes the exact answer, so
-    // the superset filter is redundant — strip it when it matches.
+    // the superset filter is redundant — strip it when it matches. Only
+    // a row_number() limit of AT LEAST k is a guaranteed superset; a
+    // rank-like or tighter one (no rule emits those today) must stay.
     val base = w.child match {
-      case WindowGroupLimit(ps, os, _, _, c)
-          if ps == w.partitionSpec && os == w.orderSpec => c
+      case WindowGroupLimit(ps, os, RowNumber(), limit, c)
+          if ps == w.partitionSpec && os == w.orderSpec && limit >= k => c
       case c => c
     }
     // Residual predicates on the PARTITION KEYS alone push BELOW the
@@ -111,14 +114,17 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   /** `Some(k)` when `e` is an upper bound `rank <= k` in any of the
     * accepted spellings, `None` when it is some other use of the rank
-    * attribute (which blocks the rewrite). */
-  private def bound(rank: Attribute, e: Expression): Option[Int] = e match {
-    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k)
-    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k - 1)
-    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rank) => Some(k)
-    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rank) => Some(k - 1)
-    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rank) => Some(1)
-    case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rank) => Some(1)
+    * attribute (which blocks the rewrite). Long arithmetic: `rn <
+    * Int.MinValue` is a statically-empty predicate, and an Int `k - 1`
+    * would wrap it to top-Int.MaxValue instead of letting the `< 1`
+    * guard reject it. */
+  private def bound(rank: Attribute, e: Expression): Option[Long] = e match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k.toLong)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rank) => Some(k.toLong - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rank) => Some(k.toLong)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rank) => Some(k.toLong - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rank) => Some(1L)
+    case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rank) => Some(1L)
     case _ => None
   }
 }

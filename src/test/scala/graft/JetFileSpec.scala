@@ -606,6 +606,74 @@ class JetFileSpec extends SparkSpecBase {
     assert(cases >= 200, s"fuzz coverage: only $cases row cases")
   }
 
+  test("Betalningar.Text survives db → mdb → db cell-by-cell (§2.12.1 both directions)") {
+    // The reference CRASHES forward on any non-empty Betalningar (its
+    // INSERT has 14 slots for 15 columns) and, reconverting backward,
+    // its CREATE omits the `Text` column entirely — so a populated Text
+    // is silently DROPPED (hhek2sqlite.go:465-468 vs dbinfo.txt:15-37).
+    // ConvertSpec proves the forward crash is not replicated; this is
+    // the reverse direction: a non-empty Betalningar with Text
+    // populated through db → mdb → db, every cell compared.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    val dir = Files.createTempDirectory("graft_jet_betal").toString
+    val bt = HogiaSchema.byName("Betalningar")
+    def money(v: String) = new BigDecimal(v).setScale(4)
+    val rows: Seq[Row] = Seq(
+      Array[Any](1L, "Lönekonto", "Hyresvärden AB", "Hyra", "2021-03-31",
+        "Hyra mars", "Person Ett", money("-8500.00"),
+        "Betald via autogiro — ref €42 'åäö'",
+        money("0.00"), money("0.00"), money("0.00"), money("0.00"),
+        Int.box(0), "G"),
+      Array[Any](2L, "Sparkonto", "Banken", "Amortering", "2021-04-15",
+        "Lån", "Person Två", money("-1200.50"), null,
+        money("350.2500"), money("800.00"), money("0.00"), money("50.00"),
+        Int.box(1), null),
+      Array[Any](3L, "Lönekonto", "Försäkring", "Övrigt", "2021-05-01",
+        "Hemförsäkring", "Gemensamt", money("-189.00"),
+        "ÅÄÖ åäö ÉÜ ß, full cp1252 width 0123456789",
+        money("0.00"), money("0.00"), money("0.00"), money("0.00"),
+        null, "xy")
+    ).map(vals => new GenericRowWithSchema(vals, bt.schema): Row)
+    val srcDb = new SqliteTableIO(s"$dir/src.db")
+    HogiaSchema.copyOrder.foreach { t =>
+      val data = if (t.name == "Betalningar") rows else Seq.empty[Row]
+      srcDb.truncateLoad(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(data.toList).asJava),
+        t.schema), t)
+    }
+    val midIo = new JetTableIO(s"$dir/mid.mdb")
+    Convert.konvertera(spark, srcDb, midIo, reverse = true)
+    val dstDb = new SqliteTableIO(s"$dir/dst.db")
+    Convert.konvertera(spark, midIo, dstDb)
+    val got = dstDb.read(spark, bt).orderBy("Löpnr").collect()
+    assert(got.length == 3,
+      "non-empty Betalningar must survive both hops (the reference crashes)")
+    rows.zip(got).foreach { case (e, g) =>
+      bt.cols.zipWithIndex.foreach { case (c, ci) =>
+        val ev = e.get(ci)
+        val gv = g.get(ci)
+        if (ev == null)
+          assert(gv == null || gv == "",
+            s"Betalningar.${c.name} row ${e.get(0)}: expected NULL, got '$gv'")
+        else c.spark match {
+          case _: DecimalType =>
+            assert(gv.asInstanceOf[BigDecimal]
+              .compareTo(ev.asInstanceOf[BigDecimal]) == 0,
+              s"Betalningar.${c.name} row ${e.get(0)}: $gv != $ev")
+          case _ =>
+            assert(gv == ev,
+              s"Betalningar.${c.name} row ${e.get(0)}: '$gv' != '$ev'")
+        }
+      }
+    }
+    // the exact cell the reference loses: cp1252 specials included
+    assert(got(0).getAs[String]("Text").contains("€"))
+    assert(got(2).getAs[String]("Text").startsWith("ÅÄÖ åäö"))
+  }
+
   test("FULL ROUND TRIP (db_test.go:83-140): GOTEST1.MDB → .db → .mdb, checkDB1 replayed") {
     assume(available)
     val dir = Files.createTempDirectory("graft_jet_rt").toString

@@ -184,6 +184,20 @@ class TopKPlanSpec extends SparkSpecBase {
     assert(rows == want && rows.forall(_._1 != "k3"))
   }
 
+  test("TopKRewrite: rn < Int.MinValue is statically empty, never top-Int.MaxValue (ADVICE r11)") {
+    graft.plans.TopKRewrite.register(spark)
+    val df = Seq(("a", 1L, 10), ("a", 2L, 20), ("b", 3L, 5))
+      .toDF("key", "id", "v").localCheckpoint()
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+    // Int `k - 1` would wrap Int.MinValue to Int.MaxValue and rewrite a
+    // provably-empty predicate into "top everything per key"
+    val empty = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") < Int.MinValue)
+      .select("key", "id", "v")
+    assert(empty.count() == 0,
+      "rn < Int.MinValue must yield zero rows, not the whole input")
+  }
+
   test("TopKRewrite: rank(), kept-rank, and rank-consuming plans are left untouched") {
     graft.plans.TopKRewrite.register(spark)
     val df = (0L until 1000L).map(i => (s"k${i % 7}", i, (i % 5).toInt))
