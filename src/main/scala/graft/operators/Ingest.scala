@@ -1899,6 +1899,58 @@ object Ingest {
     knnJoinSides(s, dir, Seq(gen), centroids, queriesDf, k, nProbe)
   }
 
+  /** PURGE of the IVF-PQ code table — same generation rewrite on the
+    * 16 B/row representation: codes minus tombstones under a new
+    * cell-partitioned path (model and centroids untouched — deletion
+    * never retrains). Completes the physical half on every quantized
+    * layout: after this, the retracted vectors' code bytes are
+    * genuinely gone from the serving artifact. */
+  def purgeIvfPqIndex(s: SparkSession, dir: String, m: Int = 8,
+      kCent: Int = 256): (Array[Float], Int, DataFrame, DataFrame) = graft.BuildTimer.time {
+    val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
+    val path = scratch(s, dir, s"ivfpq_codes_purged_m${m}_k$kCent")
+    if (!committed(s, path))
+      codes
+        .join(broadcast(ensureVecForgetSet(s, dir)), Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    (cb, dim, centroids, s.read.parquet(path))
+  }
+
+  /** Batched IVF-PQ kNN from the purged code generation — no mask in
+    * the plan; shares the masked gate's oracle verbatim. */
+  def knnJoinIvfPqPurged(s: SparkSession, dir: String,
+      queriesDf: DataFrame, k: Int, expand: Int = 60, nProbe: Int = 0,
+      m: Int = 8, kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, gen) = purgeIvfPqIndex(s, dir, m, kCent)
+    knnJoinPqSides(s, dir, Seq(gen), centroids, cb, dim,
+      indexedCorpus(s, dir), queriesDf, k, expand, nProbe, m, kCent)
+  }
+
+  /** PURGE of the IVF-SQ8 code table — the byte-code twin of
+    * [[purgeIvfPqIndex]]. */
+  def purgeIvfSqIndex(s: SparkSession, dir: String)
+      : (Array[Float], Array[Float], DataFrame, DataFrame) = graft.BuildTimer.time {
+    val (mins, steps, centroids, codes) = ensureIvfSqIndex(s, dir)
+    val path = scratch(s, dir, "ivfsq_codes_purged")
+    if (!committed(s, path))
+      codes
+        .join(broadcast(ensureVecForgetSet(s, dir)), Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    (mins, steps, centroids, s.read.parquet(path))
+  }
+
+  /** Batched IVF-SQ8 kNN from the purged code generation — no mask in
+    * the plan; shares the masked gate's oracle verbatim. */
+  def knnJoinIvfSqPurged(s: SparkSession, dir: String,
+      queriesDf: DataFrame, k: Int, expand: Int = 8,
+      nProbe: Int = 0): DataFrame = {
+    val (mins, steps, centroids, gen) = purgeIvfSqIndex(s, dir)
+    knnJoinSqSides(s, dir, Seq(gen), centroids, mins, steps,
+      indexedCorpus(s, dir), queriesDf, k, expand, nProbe)
+  }
+
   /** Mean measured recall@k of the stored IVF index vs the in-engine
     * EXACT top-k, as a served frame: `(n_queries, recall_ge_<θ>)`. The
     * recall-1.0 canary gates certify the machinery (a planted exact
@@ -2400,6 +2452,41 @@ object Ingest {
       val dead = ensureVecForgetSet(s, dir)
         .select(col("vec_id").as("dead_id"))
       knnJoinIvfPurged(s, dir, qs, 10)
+        .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_outer")
+        .agg(
+          (count(when(col("vec_id") === col("q_id") + lit(TwinOffset),
+            lit(1))).cast(DoubleType) / (NumCanaries / 2).toDouble)
+            .as("recall_surviving"),
+          count(col("dead_id")).as("n_retracted_served"))
+    }),
+
+    // physical purge on the quantized layouts: after the code-table
+    // generation rewrite, the retracted vectors' code bytes are gone
+    // from the serving artifact — each gate shares its masked twin's
+    // oracle verbatim, completing the 3-axis × 2-half deletion matrix
+    // (BM25, sketches, dense/PQ/SQ — mask and purge everywhere).
+    "q_ivfpq_purge" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dead = ensureVecForgetSet(s, dir)
+        .select(col("vec_id").as("dead_id"))
+      knnJoinIvfPqPurged(s, dir, qs, 10)
+        .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_outer")
+        .agg(
+          (count(when(col("vec_id") === col("q_id") + lit(TwinOffset),
+            lit(1))).cast(DoubleType) / (NumCanaries / 2).toDouble)
+            .as("recall_surviving"),
+          count(col("dead_id")).as("n_retracted_served"))
+    }),
+
+    "q_ivfsq_purge" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.orderBy("vec_id").limit(NumCanaries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dead = ensureVecForgetSet(s, dir)
+        .select(col("vec_id").as("dead_id"))
+      knnJoinIvfSqPurged(s, dir, qs, 10)
         .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_outer")
         .agg(
           (count(when(col("vec_id") === col("q_id") + lit(TwinOffset),
@@ -3064,6 +3151,10 @@ object Ingest {
     // shares q_knn_ivf_forget's oracle VERBATIM: masked ≡ purged on the
     // dense axis, pinned by one hash (the q_bm25_purge convention)
     "q_ivf_purge" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
+    "q_ivfpq_purge" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
+    "q_ivfsq_purge" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
     "q_knn_ivf_append" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_knn_ivfpq_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",

@@ -321,19 +321,27 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("purged IVF kNN serves the purged generation: DPP intact, no mask left") {
+  test("purged IVF/PQ/SQ kNN serves the purged generation: DPP intact, no mask left") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val qs = emb.orderBy("vec_id").limit(2)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     graft.operators.Ingest.purgeIvfIndex(spark, TestSpark.Sf0001)
-    val p = plan(graft.operators.Ingest.knnJoinIvfPurged(
-      spark, TestSpark.Sf0001, qs, 5))
-    assert(p.contains("ivf_assign_purged"),
-      s"must read the purged generation:\n$p")
-    assert(p.contains("dynamicpruning"),
-      s"the purged generation is still cell-partitioned — DPP must hold:\n$p")
-    assert(!p.contains("LeftAnti") && !p.contains("forget_ids"),
-      s"physical purge must leave no serve-time mask:\n$p")
+    graft.operators.Ingest.purgeIvfPqIndex(spark, TestSpark.Sf0001)
+    graft.operators.Ingest.purgeIvfSqIndex(spark, TestSpark.Sf0001)
+    val plans = Seq(
+      "ivf_assign_purged" -> plan(graft.operators.Ingest.knnJoinIvfPurged(
+        spark, TestSpark.Sf0001, qs, 5)),
+      "ivfpq_codes_purged" -> plan(graft.operators.Ingest.knnJoinIvfPqPurged(
+        spark, TestSpark.Sf0001, qs, 5)),
+      "ivfsq_codes_purged" -> plan(graft.operators.Ingest.knnJoinIvfSqPurged(
+        spark, TestSpark.Sf0001, qs, 5)))
+    for ((gen, p) <- plans) {
+      assert(p.contains(gen), s"must read the purged generation $gen:\n$p")
+      assert(p.contains("dynamicpruning"),
+        s"the purged generation is still cell-partitioned — DPP must hold:\n$p")
+      assert(!p.contains("LeftAnti") && !p.contains("forget_ids"),
+        s"physical purge must leave no serve-time mask:\n$p")
+    }
   }
 
   test("stored-index SemDeDup re-clusters nothing: no assignment kernel, no Lloyd pass") {
