@@ -171,6 +171,46 @@ class EventStreamSpec extends SparkSpecBase {
       "both policy arms must serve the streamed-takedown state exactly")
   }
 
+  test("streamed takedown on the DENSE axis: accumulated vec tombstones mask kNN serving") {
+    // the same append-only front door, retracting VECTORS: ids land as
+    // files, accumulate across triggers, and feed knnJoinSides' dead
+    // hook — the exact serving shape q_knn_ivf_forget certifies, with
+    // the tombstone set arriving via a stream instead of the artifact
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_forget").toString
+    import testImplicits._
+    val emb = graft.queries.Tables.embeddings(spark, TestSpark.Sf0001)
+    val qs = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint()
+    val baseline = graft.operators.Ingest.knnJoinIvfStored(
+        spark, TestSpark.Sf0001, qs, 5)
+      .select("q_id", "rnk", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // retract each query's top hit, one request per trigger
+    val victims = baseline.filter(_._2 == 1).map(_._3).toSeq.distinct
+    val schema = Seq(0L).toDF("doc_id").schema
+    victims.zipWithIndex.foreach { case (v, i) =>
+      Seq(v).toDF("doc_id").write.mode("append").parquet(s"$dir/landing")
+      val q = graft.streaming.ForgetStream.tombstoneStream(
+        spark, s"$dir/landing", schema, s"$dir/tomb", s"$dir/ckpt")
+      q.awaitTermination()
+    }
+    val dead = spark.read.parquet(s"$dir/tomb")
+      .select(col("doc_id").as("vec_id"))
+    assert(dead.count() == victims.size)
+    val (centroids, assign) =
+      graft.operators.Ingest.ensureIvfIndex(spark, TestSpark.Sf0001)
+    val masked = graft.operators.Ingest.knnJoinSides(spark,
+        TestSpark.Sf0001, Seq(assign), centroids, qs, 5, nProbe = 0,
+        dead = Some(dead))
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(victims.forall(v => !masked.exists(_._2 == v)),
+      "a streamed-retracted vector surfaced from the masked kNN serve")
+    assert(masked.nonEmpty && masked.size == baseline.size,
+      "each query must backfill to k survivors after the retraction")
+  }
+
   test("streaming LM scoring (LmStream) == batch stateless scorer") {
     val stream = graft.streaming.LmStream.lmScoreStream(spark, TestSpark.Sf0001)
     val q = EventStream.runToMemory(stream, "lm_stream_test", OutputMode.Append)

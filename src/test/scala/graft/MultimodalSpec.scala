@@ -512,6 +512,16 @@ class MultimodalSpec extends SparkSpecBase {
     assert(large.isNullAt(1) && large.getAs[String]("ref") == "ref://media/1")
   }
 
+  test("video dedup plan: candidate join is a shuffled equi-join, counts broadcast, no cartesian") {
+    val df = Multimodal.queries("q_video_dedup")(spark, TestSpark.Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair candidates must come from the (frame, dhash) equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-video frame counts must join broadcast:\n$plan")
+  }
+
   test("metadata-only query never reads payload bytes from the stored frame") {
     // the media frame is STORED once (ensureMediaFrame); the metadata
     // aggregation's scan must prune the binary payload column — the
