@@ -754,8 +754,18 @@ object Ingest {
     * hot document spreads and a hot TERM ('the') spreads across all the
     * documents containing it. No corpus scan, no tokenize. */
   def phraseMatchBatch(s: SparkSession, dir: String,
-      phrases: Seq[(Long, Seq[String])]): DataFrame = {
-    val postings = ensurePhraseIndex(s, dir)
+      phrases: Seq[(Long, Seq[String])]): DataFrame =
+    phraseMatchOver(s, ensurePhraseIndex(s, dir), phrases)
+
+  /** The phrase-adjacency body over ANY positional postings frame
+    * (stored, masked, purged generation) — one copy, so the deletion
+    * variants cannot drift from the primary serve path. The optional
+    * tombstone mask applies AFTER the bucket prune (the
+    * bm25TopKForgotten position: the anti-join must not interpose
+    * between the scan and its static bucket IN-list). */
+  private def phraseMatchOver(s: SparkSession, postings: DataFrame,
+      phrases: Seq[(Long, Seq[String])],
+      dead: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val spec = phrases.flatMap { case (pid, toks) =>
       toks.zipWithIndex.map { case (t, i) => (pid, t, i) } }
@@ -765,9 +775,12 @@ object Ingest {
     // house is |phrase| votes — even when the TERMS repeat
     val lens = phrases.map { case (pid, toks) =>
       (pid, toks.length.toLong) }.toDF("phrase_id", "n_off")
-    val starts = postings
+    val pruned = postings
       .filter(col("bucket").isin(
         termBucketIds(s, spec.map(_._2).distinct): _*))
+    val masked = dead.fold(pruned)(d =>
+      pruned.join(broadcast(d), Seq("doc_id"), "left_anti"))
+    val starts = masked
       .join(broadcast(probeBuckets(specDf, postings)), Seq("bucket", "term"))
       .groupBy(col("phrase_id"), col("doc_id"),
         (col("pos") - col("off")).as("start"))
@@ -778,6 +791,36 @@ object Ingest {
       .groupBy("phrase_id", "doc_id")
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Batched phrase search with the retraction MASKED — deletion on the
+    * POSITIONAL axis: one broadcast anti-join on the bucket-pruned
+    * postings. Positions are per-document, so unlike BM25 there are no
+    * corpus stats to correct — a retracted doc's occurrences simply
+    * vanish and no other row changes. */
+  def phraseMatchForgotten(s: SparkSession, dir: String,
+      phrases: Seq[(Long, Seq[String])]): DataFrame =
+    phraseMatchOver(s, ensurePhraseIndex(s, dir), phrases,
+      dead = Some(ensureForgetSet(s, dir)._1))
+
+  /** PURGE of the positional index — postings minus the tombstoned docs
+    * rewritten under the next generation path, same 64-way bucket
+    * layout ([[purgeTermIndex]]'s posture; nothing else to correct). */
+  def purgePhraseIndex(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val path = scratch(s, dir, "term_positions_purged")
+    if (!committed(s, path))
+      ensurePhraseIndex(s, dir)
+        .join(broadcast(ensureForgetSet(s, dir)._1), Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Batched phrase search from the PURGED positional generation — one
+    * pruned scan, no mask in the plan; shares q_phrase_forget's oracle
+    * VERBATIM. */
+  def phraseMatchPurged(s: SparkSession, dir: String,
+      phrases: Seq[(Long, Seq[String])]): DataFrame =
+    phraseMatchOver(s, purgePhraseIndex(s, dir), phrases)
 
   // --- stored paragraph-block index (span-level admission) -------------
 
@@ -2318,6 +2361,18 @@ object Ingest {
       phraseMatchBatch(s, dir, PhraseBatch)
         .orderBy("phrase_id", "doc_id")),
 
+    // deletion on the POSITIONAL axis — the last stored index family to
+    // get the verb: masked serving (anti-join on the bucket-pruned
+    // postings; positions are per-document so there are no stats to
+    // correct) and the purged generation sharing the same
+    // reduced-corpus oracle verbatim.
+    "q_phrase_forget" -> ((s, dir) =>
+      phraseMatchForgotten(s, dir, PhraseBatch)
+        .orderBy("phrase_id", "doc_id")),
+    "q_phrase_purge" -> ((s, dir) =>
+      phraseMatchPurged(s, dir, PhraseBatch)
+        .orderBy("phrase_id", "doc_id")),
+
     // BATCHED retrieval evaluation (ADVICE r9 #5): mean nDCG@10 over 8
     // probes, each probe = RRF fusion of its dense (exact kNN) and
     // sparse (stored-index batched BM25) top-10 lists, evaluated
@@ -2947,6 +3002,31 @@ object Ingest {
        |FROM jpairs ORDER BY doc1, doc2""".stripMargin
   }
 
+  /** The batched phrase-adjacency oracle over a caller-chosen corpus
+    * source — shared by q_phrase_search (full corpus) and the
+    * forget/purge pair (reduced corpus), so the three gates can never
+    * drift on anything but the corpus predicate. */
+  private def phraseOracleSql(from: String): String = {
+    val spec = PhraseBatch.flatMap { case (pid, toks) =>
+      toks.zipWithIndex.map { case (t, i) => s"($pid, '$t', $i)" } }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+       |  $from),
+       |pos AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM toks),
+       |spec(phrase_id, term, off) AS (VALUES $spec),
+       |lens AS (SELECT phrase_id, count(*) AS n_off FROM spec GROUP BY 1),
+       |starts AS (
+       |  SELECT phrase_id, doc_id, pos - off AS start,
+       |         count(DISTINCT off) AS got
+       |  FROM pos JOIN spec USING (term) GROUP BY 1, 2, 3)
+       |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_hits
+       |FROM starts JOIN lens USING (phrase_id)
+       |WHERE got = n_off
+       |GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // ivf_assign = corpus + the 8 planted canary rows (see TwinOffset)
     "q_ingest_sketches" ->
@@ -3029,26 +3109,17 @@ object Ingest {
     // PhraseBatch — the bm25BatchCtesSql rule, no hand-copied phrase
     // list to drift). generate_subscripts is 1-based where posexplode
     // is 0-based: `start` shifts by a constant but is grouping-only.
-    "q_phrase_search" -> {
-      val spec = PhraseBatch.flatMap { case (pid, toks) =>
-        toks.zipWithIndex.map { case (t, i) => s"($pid, '$t', $i)" } }
-        .mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
-         |  FROM documents),
-         |pos AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM toks),
-         |spec(phrase_id, term, off) AS (VALUES $spec),
-         |lens AS (SELECT phrase_id, count(*) AS n_off FROM spec GROUP BY 1),
-         |starts AS (
-         |  SELECT phrase_id, doc_id, pos - off AS start,
-         |         count(DISTINCT off) AS got
-         |  FROM pos JOIN spec USING (term) GROUP BY 1, 2, 3)
-         |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
-         |       CAST(count(*) AS BIGINT) AS n_hits
-         |FROM starts JOIN lens USING (phrase_id)
-         |WHERE got = n_off
-         |GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin
-    },
+    "q_phrase_search" -> phraseOracleSql("FROM documents"),
+    // the forget/purge pair replays the identical adjacency chain over
+    // the REDUCED corpus (predicate from the same Scala constants);
+    // purge shares the forget oracle VERBATIM — masked ≡ purged on the
+    // positional axis, pinned by one hash
+    "q_phrase_forget" -> phraseOracleSql(
+      s"""FROM (SELECT doc_id, text FROM documents
+         |        WHERE NOT (doc_id % $ForgetMod = $ForgetRem))""".stripMargin),
+    "q_phrase_purge" -> phraseOracleSql(
+      s"""FROM (SELECT doc_id, text FROM documents
+         |        WHERE NOT (doc_id % $ForgetMod = $ForgetRem))""".stripMargin),
 
     // batched BM25: per-query replay of the shared formula — tf/df per
     // (q_id, term), the same (N, Σdl) stats, rounded scores, per-query

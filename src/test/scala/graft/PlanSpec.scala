@@ -344,6 +344,25 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("phrase forget keeps the bucket prune + mask; phrase purge leaves no mask") {
+    val phrases = graft.operators.Ingest.PhraseBatch
+    val pF = plan(graft.operators.Ingest.phraseMatchForgotten(
+      spark, TestSpark.Sf0001, phrases))
+    assert(bucketInListPruned(pF),
+      s"the mask must not defeat the static bucket IN-list prune:\n$pF")
+    assert(pF.contains("LeftAnti") && pF.contains("forget_ids"),
+      s"masked phrase serve anti-joins the stored tombstones:\n$pF")
+    assert(!pF.contains("text#"), s"no corpus scan on the warm path:\n$pF")
+    graft.operators.Ingest.purgePhraseIndex(spark, TestSpark.Sf0001)
+    val pP = plan(graft.operators.Ingest.phraseMatchPurged(
+      spark, TestSpark.Sf0001, phrases))
+    assert(pP.contains("term_positions_purged"),
+      s"must read the purged generation:\n$pP")
+    assert(bucketInListPruned(pP), s"bucket prune must hold:\n$pP")
+    assert(!pP.contains("LeftAnti") && !pP.contains("forget_ids"),
+      s"physical purge must leave no serve-time mask:\n$pP")
+  }
+
   test("stored-index SemDeDup re-clusters nothing: no assignment kernel, no Lloyd pass") {
     val df = graft.operators.Ingest.semDedupPairsStored(spark, TestSpark.Sf0001, 0.99)
     val p = plan(df)
