@@ -808,6 +808,70 @@ object MediaFormats {
     out.toByteArray
   }
 
+  /** [[encodeWav]] with an ancillary LIST/INFO metadata chunk between
+    * fmt and data — the same decoded samples through a structurally
+    * different byte stream (what a real transcode or tagging tool does
+    * to a WAV file): the RIFF size, every chunk offset and the total
+    * length change while the PCM payload is untouched. The planted
+    * "re-encoded duplicate" fixture for perceptual audio dedup. */
+  def encodeWavTagged(sampleRate: Int, samples: Array[Short],
+      tag: String): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val t = tag.getBytes("US-ASCII")
+    val icmt = 4 + (8 + t.length + (t.length & 1)) // "INFO" + ICMT chunk
+    val out = new ByteArrayOutputStream
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(36 + 8 + icmt + dataSize))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32(16))
+    out.write(le16(1)); out.write(le16(1))
+    out.write(le32(sampleRate)); out.write(le32(sampleRate * 2))
+    out.write(le16(2)); out.write(le16(16))
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(le32(icmt))
+    out.write("INFO".getBytes("US-ASCII"))
+    out.write("ICMT".getBytes("US-ASCII"))
+    out.write(le32(t.length))
+    out.write(t)
+    if ((t.length & 1) == 1) out.write(0) // RIFF 2-byte alignment pad
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32(dataSize))
+    samples.foreach { s => out.write(s & 0xFF); out.write((s >> 8) & 0xFF) }
+    out.toByteArray
+  }
+
+  /** Decode PCM WAV to its SAMPLE ARRAY (sign-extended) — the audio
+    * analog of [[decodeGray]]: perceptual hashing needs the waveform,
+    * not an amplitude sum. Same chunk walk as [[decodeWav]] (ancillary
+    * chunks skipped). Returns (samples, sampleRate, ok). */
+  def decodeWavSamples(bytes: Array[Byte]): (Array[Int], Int, Boolean) = {
+    def fail: (Array[Int], Int, Boolean) = (Array.emptyIntArray, 0, false)
+    if (bytes.length < 44) return fail
+    var sampleRate = 0
+    var sawFmt = false
+    var samples: Array[Int] = null
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val typ = new String(bytes, off, 4, "US-ASCII")
+      val len = readLe32(bytes, off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return fail
+      typ match {
+        case "fmt " if len >= 16 =>
+          val fmt = readLe16(bytes, off + 8)
+          val channels = readLe16(bytes, off + 10)
+          sampleRate = readLe32(bytes, off + 12)
+          sawFmt = fmt == 1 && channels == 1 && readLe16(bytes, off + 22) == 16
+        case "data" =>
+          samples = Array.tabulate(len / 2)(i =>
+            (readLe16(bytes, off + 8 + i * 2) << 16) >> 16) // sign-extend
+        case _ => () // ancillary RIFF chunks skipped
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (!sawFmt || samples == null) fail else (samples, sampleRate, true)
+  }
+
   /** Decode PCM WAV: proper chunk walk to fmt /data (tolerates extra
     * chunks like LIST), |amplitude| sum over 16-bit mono samples.
     * width/height repurposed as (sampleRate, 0) so MediaInfo stays

@@ -241,6 +241,50 @@ object Multimodal {
     h
   }
 
+  // --- perceptual audio hash (waveform dedup) ---------------------------
+
+  /** Energy-delta windows of the audio hash: 33 duration-normalizing
+    * windows → 32 consecutive-delta bits. */
+  val AHashWindows: Int = 33
+
+  /** Every AudioDup docs (residue [[AudioDupRem]]) also ship a TAGGED
+    * re-encode of their waveform (extra LIST/INFO chunk — different
+    * bytes, identical PCM), re-identified at +AudioDupOffset. */
+  private[operators] val AudioDupMod: Long = 5L
+  private[operators] val AudioDupRem: Long = 2L
+  private[operators] val AudioDupOffset: Long = 40000000L
+
+  /** Difference hash over a decoded waveform — [[dHash]]'s construction
+    * on the time axis: 33 duration-normalizing windows (bounds
+    * `i*n div 33`, so the value is bit-reproducible from the sample
+    * formulas alone), window energy = Σ|sample|, bit i set iff
+    * E(i+1) > E(i). Duration normalization is what makes it
+    * perceptual: the same clip re-containerized (or padded with
+    * metadata) lands in the same bucket, while 32 delta bits over
+    * pseudo-random energies keep unrelated clips apart. Returns 0 for
+    * undecodable/empty input (callers carry `ok`). */
+  def aHash(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n < AHashWindows) return 0L
+    val e = new Array[Long](AHashWindows)
+    var i = 0
+    while (i < AHashWindows) {
+      var j = i * n / AHashWindows
+      val hi = (i + 1) * n / AHashWindows
+      var s = 0L
+      while (j < hi) { s += math.abs(samples(j)); j += 1 }
+      e(i) = s
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < AHashWindows - 1) {
+      if (e(i + 1) > e(i)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
   // --- query surface ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -426,6 +470,43 @@ object Multimodal {
         .filter(col("n_common") * 2 >= col("n_union"))
         .select("vid1", "vid2", "n_common", "n_union")
         .orderBy("vid1", "vid2")
+    }),
+
+    // perceptual AUDIO dedup — the third modality alongside
+    // q_image_dedup (dHash) and q_video_dedup (frame dHash): every doc
+    // renders its waveform as a real PCM WAV; every 5th doc (residue 2)
+    // additionally ships a TAGGED re-encode (ancillary LIST/INFO chunk:
+    // RIFF size, every offset and the byte length change; the PCM
+    // payload does not), so payload-checksum dedup provably cannot
+    // find these pairs. One narrow decode pass → 32-bit energy-delta
+    // aHash → cluster by exact hash in one groupBy (the q_image_dedup
+    // posture). The oracle replays every hash from the sample formulas
+    // alone — the container never appears — so the hash compare
+    // certifies the chunk walk, sign extension, windowing and packing.
+    "q_audio_dedup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { d =>
+          val samples = wavSamples(d)
+          val rate = wavRate(d)
+          val renders = Seq(
+            d -> MediaFormats.encodeWav(rate, samples)) ++
+            (if (d % AudioDupMod == AudioDupRem)
+              Seq((d + AudioDupOffset) -> MediaFormats.encodeWavTagged(
+                rate, samples, s"graft transcode of $d"))
+            else Seq.empty)
+          renders.iterator.map { case (mid, bytes) =>
+            val (ss, _, ok) = MediaFormats.decodeWavSamples(bytes)
+            (mid, aHash(ss), ok)
+          }
+        }).toDF("media_id", "ahash", "ok")
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_audios"),
+          min("media_id").as("keep_id"),
+          sum("media_id").as("id_sum"),
+          min(col("ok").cast(IntegerType)).cast(BooleanType).as("all_ok"))
+        .orderBy("ahash")
     }),
 
     "q_multimodal_resize" -> ((s, dir) =>
@@ -635,6 +716,37 @@ object Multimodal {
          |JOIN counts c2 ON c2.media_id = vid2
          |WHERE 2 * n_common >= c1.n + c2.n - n_common
          |ORDER BY vid1, vid2""".stripMargin,
+
+    // every aHash replayed from the waveform formulas alone (sample
+    // s_j = (j·mult) % 2003 − 1001, n = 200 + d%100, mult = d%251 + 3;
+    // window bounds i·n÷33; bit i iff E(i+1) > E(i)) over base clips
+    // AND their planted tagged re-encodes.
+    "q_audio_dedup" ->
+      s"""WITH auds AS (
+         |  SELECT doc_id AS media_id, doc_id AS src FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $AudioDupOffset, doc_id FROM documents
+         |  WHERE doc_id % $AudioDupMod = $AudioDupRem),
+         |m AS (
+         |  SELECT media_id, 200 + src % 100 AS n, src % 251 + 3 AS mult
+         |  FROM auds),
+         |hashed AS (
+         |  SELECT media_id,
+         |    CAST(sum(CASE WHEN
+         |        list_sum(list_transform(
+         |          range((i+1) * n // $AHashWindows, (i+2) * n // $AHashWindows),
+         |          j -> abs((j * mult) % 2003 - 1001)))
+         |      > list_sum(list_transform(
+         |          range(i * n // $AHashWindows, (i+1) * n // $AHashWindows),
+         |          j -> abs((j * mult) % 2003 - 1001)))
+         |      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM m, range(0, ${AHashWindows - 1}) AS ti(i)
+         |  GROUP BY media_id)
+         |SELECT ahash, CAST(count(*) AS BIGINT) AS n_audios,
+         |       min(media_id) AS keep_id,
+         |       CAST(sum(media_id) AS BIGINT) AS id_sum,
+         |       TRUE AS all_ok
+         |FROM hashed GROUP BY ahash ORDER BY ahash""".stripMargin,
 
     // ×2 decimation: resized dims are ceil(orig/2) = (orig+1)//2; image
     // pixel (rx, ry) samples original (2rx, 2ry) → (2rx + 6ry + d) % 256;

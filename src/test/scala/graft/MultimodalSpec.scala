@@ -460,6 +460,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(gAll.map(_.px.map(_.toLong).sum).sum == full.valueSum)
   }
 
+  test("tagged WAV re-encode: different bytes, identical samples and aHash") {
+    val samples = Array.tabulate(260)(i => (((i * 37) % 2003) - 1001).toShort)
+    val base = MediaFormats.encodeWav(16000, samples)
+    val tagged = MediaFormats.encodeWavTagged(16000, samples, "transcoded by graft")
+    assert(!java.util.Arrays.equals(base, tagged),
+      "the LIST/INFO chunk must change the byte stream")
+    assert(tagged.length > base.length)
+    val (sb, rb, okB) = MediaFormats.decodeWavSamples(base)
+    val (st, rt, okT) = MediaFormats.decodeWavSamples(tagged)
+    assert(okB && okT && rb == 16000 && rt == 16000)
+    assert(sb.toSeq == samples.map(_.toInt).toSeq, "samples must round-trip")
+    assert(st.toSeq == sb.toSeq, "the tagged container must decode identically")
+    assert(Multimodal.aHash(st) == Multimodal.aHash(sb))
+    // sample decode agrees with the summing decoder's amplitude total
+    assert(sb.map(s => math.abs(s).toLong).sum ==
+      MediaFormats.decodeWav(base).valueSum)
+    // the independent JDK reader accepts the tagged container too
+    val jdk = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(tagged))
+    assert(jdk.getFormat.getSampleRate == 16000f)
+    // truncated/odd containers fail loudly, never throw
+    assert(!MediaFormats.decodeWavSamples(tagged.take(30))._3)
+    assert(!MediaFormats.decodeWavSamples(Array[Byte](1, 2, 3))._3)
+    // aHash: ascending-energy ramp sets every bit; constant energy none
+    val ramp = Array.tabulate(330)(i => i * 3)
+    assert(Multimodal.aHash(ramp) == (1L << 32) - 1)
+    assert(Multimodal.aHash(Array.fill(330)(7)) == 0L)
+    assert(Multimodal.aHash(Array.emptyIntArray) == 0L)
+  }
+
   test("decodeGray agrees with the summing decoders on dims and pixel sum") {
     val bytes = MediaFormats.encodePng(13, 7, gradient(9))
     val g = MediaFormats.decodeGray(bytes)
