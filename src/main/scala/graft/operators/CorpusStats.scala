@@ -148,19 +148,112 @@ object CorpusStats {
   def cmsEstimateStored(s: SparkSession, dir: String,
       probeTerms: Seq[String] = CmsProbeTerms): DataFrame = {
     val (base, delta) = ensureCmsArtifacts(s, dir)
-    import s.implicits._
     val merged = base.unionByName(delta)
       .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+    cmsProbeServe(s, merged, probeTerms)
+  }
+
+  /** Shared probe tail of every stored-sketch serve (merged, forgotten,
+    * purged): explode each probe into its D cells, LEFT-join the cell
+    * frame (absent cell = 0 mass, the zero-cell edge), min over depth. */
+  private def cmsProbeServe(s: SparkSession, cells: DataFrame,
+      probeTerms: Seq[String]): DataFrame = {
+    import s.implicits._
     probeTerms.toDF("term")
       .select(col("term"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("r"))
       .select(col("term"), col("r"),
         cmsBucket(col("r"), col("term")).as("b"))
-      .join(broadcast(merged), Seq("r", "b"), "left")
+      .join(broadcast(cells), Seq("r", "b"), "left")
       .groupBy("term")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("tf_est"))
       .orderBy("term")
   }
+
+  // --- deletion on the stats axis (sketch linearity) --------------------
+
+  /** Stored RETRACTION sketch — the deletion verb's negative delta on
+    * the stats axis, the [[graft.operators.Ingest.ensureForgetSet]]
+    * mirror: built by tokenizing ONLY the retracted documents (bounded
+    * by the retraction size, never a corpus re-scan). CMS cells are
+    * SUMS — a linear sketch — so subtracting the retraction sketch
+    * cell-wise from the base yields EXACTLY the sketch of the reduced
+    * corpus: cells(A) − cells(R) = cells(A \ R) for any R ⊆ A, per
+    * cell, in exact integers. The forget gate's oracle replays a FRESH
+    * sketch over the reduced corpus, so the hash IS the linearity
+    * proof (the q_quantile_merge convention, inverted sign). HLL gets
+    * no such twin BY DESIGN: its registers merge by MAX, which is not
+    * invertible — the deletion verb on the cardinality axis is a
+    * rebuild, not a subtraction. */
+  def ensureCmsRetract(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val rPath = scratch(s, dir, "cms_retract")
+    if (!committed(s, rPath))
+      cmsBuild(documents(s, dir)
+        .filter(col("doc_id") % Ingest.ForgetMod === Ingest.ForgetRem)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c")))
+        .write.mode("overwrite").parquet(rPath)
+    s.read.parquet(rPath)
+  }
+
+  /** Cell-wise subtraction — union with negated counts, one bounded
+    * groupBy over ≤ 2·D·W rows. Cells whose whole mass was retracted
+    * drop out (a fresh build over the reduced corpus has no such row
+    * either, and the serve tail's LEFT join reads absent as 0). */
+  private def cmsSubtracted(base: DataFrame, retract: DataFrame): DataFrame =
+    base.unionByName(retract.select(col("r"), col("b"), (-col("cnt")).as("cnt")))
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** Heavy-hitter estimates with the retraction SUBTRACTED at serve
+    * time — the stored base sketch is untouched (readers keep their
+    * snapshot; the takedown is effective the instant the retraction
+    * marker commits). Everything after the two stored scans is
+    * ≤ 2·D·W rows. */
+  def cmsEstimateForgotten(s: SparkSession, dir: String,
+      probeTerms: Seq[String] = CmsProbeTerms): DataFrame = {
+    val (base, _) = ensureCmsArtifacts(s, dir)
+    cmsProbeServe(s, cmsSubtracted(base, ensureCmsRetract(s, dir)), probeTerms)
+  }
+
+  /** [[cmsEstimateForgotten]] with a CALLER-SUPPLIED tombstone frame
+    * (e.g. [[graft.streaming.ForgetStream]]'s append-only id directory
+    * — the bm25TopKForgottenWith precedent on the stats axis): the
+    * retraction sketch is derived from the ids at serve time, one
+    * semi-bounded tokenize over only the retracted documents. */
+  def cmsEstimateForgottenWith(s: SparkSession, dir: String, dead: DataFrame,
+      probeTerms: Seq[String] = CmsProbeTerms): DataFrame = {
+    val (base, _) = ensureCmsArtifacts(s, dir)
+    val retract = cmsBuild(documents(s, dir)
+      .join(broadcast(dead.select("doc_id").distinct()), "doc_id")
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c")))
+    cmsProbeServe(s, cmsSubtracted(base, retract), probeTerms)
+  }
+
+  /** Physical purge on the stats axis: the subtracted sketch REWRITTEN
+    * as a new generation — computed from STORED CELLS alone (≤ 2·D·W
+    * input rows, zero corpus I/O: the cheapest purge in the engine,
+    * which is exactly what sketch linearity buys), committed under the
+    * usual marker protocol, old generation untouched. Serving reads
+    * the purged artifact with no subtraction in the plan; q_cms_purge
+    * shares q_cms_forget's oracle verbatim, so subtracted ≡ purged is
+    * pinned by one hash (the q_bm25_purge convention). */
+  def ensureCmsPurged(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val pPath = scratch(s, dir, "cms_gen2")
+    if (!committed(s, pPath)) {
+      val (base, _) = ensureCmsArtifacts(s, dir)
+      cmsSubtracted(base, ensureCmsRetract(s, dir))
+        .write.mode("overwrite").parquet(pPath)
+    }
+    s.read.parquet(pPath)
+  }
+
+  /** Warm estimates from the PURGED generation — one stored scan, no
+    * negative cells anywhere in the plan. */
+  def cmsEstimatePurged(s: SparkSession, dir: String,
+      probeTerms: Seq[String] = CmsProbeTerms): DataFrame =
+    cmsProbeServe(s, ensureCmsPurged(s, dir), probeTerms)
 
   // --- mergeable histogram quantiles (the CMS posture, quantile axis) --
 
@@ -212,8 +305,16 @@ object CorpusStats {
     * bounds, not an interpolated point. */
   def histQuantilesStored(s: SparkSession, dir: String): DataFrame = {
     val (base, delta) = ensureHistArtifacts(s, dir)
+    histQuantileServe(s, base.unionByName(delta))
+  }
+
+  /** Shared quantile tail of every stored-histogram serve (merged,
+    * forgotten, purged): fold the shard/generation axes in one bounded
+    * groupBy, cumulative window over ≤ buckets rows, integer coverage
+    * cut per percentile. */
+  private def histQuantileServe(s: SparkSession, cells: DataFrame): DataFrame = {
     import s.implicits._
-    val merged = base.unionByName(delta)
+    val merged = cells
       .groupBy("bucket").agg(sum("n").as("n"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -232,6 +333,53 @@ object CorpusStats {
         col("total_n"))
       .orderBy("q_pct")
   }
+
+  /** Stored RETRACTION histogram — [[ensureCmsRetract]]'s twin on the
+    * quantile axis, built over ONLY the retracted documents. Histogram
+    * cells are counts, so the same linearity holds: per-(shard, bucket)
+    * subtraction equals the fresh histogram of the reduced corpus,
+    * exactly. */
+  def ensureHistRetract(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val rPath = scratch(s, dir, "hist_retract")
+    if (!committed(s, rPath))
+      histBuild(documents(s, dir)
+        .filter(col("doc_id") % Ingest.ForgetMod === Ingest.ForgetRem))
+        .write.mode("overwrite").parquet(rPath)
+    s.read.parquet(rPath)
+  }
+
+  /** Cell-wise subtraction keeping the shard axis (the artifact stays
+    * mergeable after a purge); fully-retracted cells drop out. */
+  private def histSubtracted(base: DataFrame, retract: DataFrame): DataFrame =
+    base.unionByName(
+      retract.select(col("shard"), col("bucket"), (-col("n")).as("n")))
+      .groupBy("shard", "bucket").agg(sum("n").as("n"))
+      .filter(col("n") =!= 0)
+
+  /** Quantiles with the retraction SUBTRACTED at serve time — stored
+    * base untouched, every post-scan frame ≤ 2·shards·buckets rows. */
+  def histQuantilesForgotten(s: SparkSession, dir: String): DataFrame = {
+    val (base, _) = ensureHistArtifacts(s, dir)
+    histQuantileServe(s, histSubtracted(base, ensureHistRetract(s, dir)))
+  }
+
+  /** Physical purge on the quantile axis — subtracted cells rewritten
+    * as a new generation from stored rows alone (zero corpus I/O).
+    * q_quantile_purge shares q_quantile_forget's oracle verbatim. */
+  def ensureHistPurged(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val pPath = scratch(s, dir, "hist_gen2")
+    if (!committed(s, pPath)) {
+      val (base, _) = ensureHistArtifacts(s, dir)
+      histSubtracted(base, ensureHistRetract(s, dir))
+        .write.mode("overwrite").parquet(pPath)
+    }
+    s.read.parquet(pPath)
+  }
+
+  /** Warm quantiles from the PURGED generation — one stored scan, no
+    * negative cells in the plan. */
+  def histQuantilesPurged(s: SparkSession, dir: String): DataFrame =
+    histQuantileServe(s, ensureHistPurged(s, dir))
 
   // --- mergeable HLL cardinality artifacts (the CMS posture, ---------
   // --- distinct axis) -------------------------------------------------
@@ -322,6 +470,19 @@ object CorpusStats {
     // observable), plus the absent-probe zero-cell edge.
     "q_cms_merge" -> ((s, dir) => cmsEstimateStored(s, dir)),
 
+    // stats-axis DELETION: heavy-hitter estimates with the retraction
+    // sketch subtracted cell-wise from the stored base. The oracle
+    // replays a fresh sketch over the REDUCED corpus, so the hash IS
+    // the proof that CMS subtraction is exact (sketch linearity made
+    // observable) — the deletion mirror of q_cms_merge's associativity.
+    "q_cms_forget" -> ((s, dir) => cmsEstimateForgotten(s, dir)),
+
+    // physical purge on the stats axis: the subtracted sketch rewritten
+    // as gen2 FROM STORED CELLS ALONE (zero corpus I/O) and served with
+    // no subtraction in the plan; shares q_cms_forget's oracle verbatim
+    // so masked ≡ purged is pinned by one hash.
+    "q_cms_purge" -> ((s, dir) => cmsEstimatePurged(s, dir)),
+
     // quantile-axis LSM: exact histogram quantiles of base ∪ append
     // batch from the STORED per-shard artifacts — cell-wise merge on
     // both axes (shards, generations), bounded cumulative window,
@@ -329,6 +490,12 @@ object CorpusStats {
     // the augmented corpus with no shard axis at all, so the hash pins
     // merged-from-parts ≡ fresh-over-union on the quantile surface.
     "q_quantile_merge" -> ((s, dir) => histQuantilesStored(s, dir)),
+
+    // quantile-axis deletion + purge: per-(shard, bucket) count
+    // subtraction (exact by linearity, oracle = fresh histogram over
+    // the reduced corpus) and the gen2 rewrite serving it mask-free.
+    "q_quantile_forget" -> ((s, dir) => histQuantilesForgotten(s, dir)),
+    "q_quantile_purge" -> ((s, dir) => histQuantilesPurged(s, dir)),
 
     // cardinality-axis LSM: per-lang distinct-vocabulary estimate of
     // base ∪ append batch from the STORED HLL sketches (one union-agg
@@ -372,6 +539,57 @@ object CorpusStats {
       |       unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
       |FROM documents""".stripMargin
 
+  /** Shared forget/purge oracle on the stats axis: a FRESH sketch over
+    * the reduced corpus (`NOT doc_id % ForgetMod = ForgetRem`) probed
+    * with the fixed list — subtracted-stored and purged-generation
+    * serves must both hash-match it, which pins CMS linearity AND
+    * masked ≡ purged in two gates over one SQL string. */
+  private val CmsForgetOracle: String =
+    s"""WITH doc2 AS (
+       |  SELECT text FROM documents
+       |  WHERE NOT (doc_id % ${Ingest.ForgetMod} = ${Ingest.ForgetRem})),
+       |tok AS (
+       |  SELECT unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+       |  FROM doc2),
+       |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+       |cms AS (
+       |  SELECT r, ${cmsBucketSql("r", "term")} AS b,
+       |         CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM cnt CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) u
+       |  GROUP BY 1, 2),
+       |probe AS (SELECT unnest([${CmsProbeTerms.map("'" + _ + "'").mkString(", ")}]) AS term),
+       |cells AS (
+       |  SELECT p.term, u.r, ${cmsBucketSql("u.r", "p.term")} AS b
+       |  FROM probe p CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) u)
+       |SELECT cells.term,
+       |       CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS tf_est
+       |FROM cells LEFT JOIN cms ON cells.r = cms.r AND cells.b = cms.b
+       |GROUP BY 1 ORDER BY term""".stripMargin
+
+  /** Shared forget/purge oracle on the quantile axis — fresh histogram
+    * quantiles over the reduced corpus, shard axis absent. */
+  private val QuantileForgetOracle: String =
+    s"""WITH doc2 AS (
+       |  SELECT n_chars FROM documents
+       |  WHERE NOT (doc_id % ${Ingest.ForgetMod} = ${Ingest.ForgetRem})),
+       |h AS (
+       |  SELECT CAST(n_chars // $HistBucketWidth AS BIGINT) AS bucket,
+       |         count(*) AS n
+       |  FROM doc2 GROUP BY 1),
+       |c AS (
+       |  SELECT bucket, n,
+       |         CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+       |         CAST((SELECT sum(n) FROM h) AS BIGINT) AS total_n
+       |  FROM h),
+       |q AS (SELECT unnest([${QuantilePcts.mkString(", ")}]) AS q_pct)
+       |SELECT CAST(q.q_pct AS INT) AS q_pct,
+       |       min(c.bucket) AS bucket,
+       |       CAST(min(c.bucket) * $HistBucketWidth AS BIGINT) AS lo_chars,
+       |       CAST(min_by(c.cum_n, c.bucket) AS BIGINT) AS cum_n,
+       |       max(c.total_n) AS total_n
+       |FROM q JOIN c ON c.cum_n * 100 >= q.q_pct * c.total_n
+       |GROUP BY 1 ORDER BY q_pct""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_heavy_hitters" ->
       s"""WITH tok AS ($TokCte),
@@ -414,6 +632,11 @@ object CorpusStats {
          |       CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS tf_est
          |FROM cells LEFT JOIN cms ON cells.r = cms.r AND cells.b = cms.b
          |GROUP BY 1 ORDER BY term""".stripMargin,
+
+    "q_cms_forget" -> CmsForgetOracle,
+    "q_cms_purge" -> CmsForgetOracle,
+    "q_quantile_forget" -> QuantileForgetOracle,
+    "q_quantile_purge" -> QuantileForgetOracle,
 
     // exact per-lang distinct vocabulary over the augmented corpus —
     // the q_hll_distinct convention: exact count + constant-true

@@ -77,6 +77,49 @@ class CorpusStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("CMS deletion is exact at the CELL level: purged gen2 == fresh build over the reduced corpus") {
+    val dir = TestSpark.Sf0001
+    val purged = CorpusStats.ensureCmsPurged(spark, dir)
+    val fresh = CorpusStats.cmsBuild(
+      graft.queries.Tables.documents(spark, dir)
+        .filter(!(col("doc_id") % graft.operators.Ingest.ForgetMod ===
+          graft.operators.Ingest.ForgetRem))
+        .select(explode(split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c")))
+    // cell-frame equality both ways — stronger than the probe gate:
+    // EVERY cell of the subtracted sketch equals the fresh one, which
+    // is the linearity theorem itself (sums subtract exactly)
+    assert(purged.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(purged).count() == 0,
+      "subtracted sketch must equal the fresh sketch of the reduced corpus, per cell")
+  }
+
+  test("histogram deletion is exact at the cell level, shard axis preserved") {
+    val dir = TestSpark.Sf0001
+    val purged = CorpusStats.ensureHistPurged(spark, dir)
+    val fresh = CorpusStats.histBuild(
+      graft.queries.Tables.documents(spark, dir)
+        .filter(!(col("doc_id") % graft.operators.Ingest.ForgetMod ===
+          graft.operators.Ingest.ForgetRem)))
+    assert(purged.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(purged).count() == 0,
+      "subtracted histogram must equal the fresh histogram of the reduced corpus")
+  }
+
+  test("caller-supplied tombstones (the streamed front door) serve the same estimates") {
+    val dir = TestSpark.Sf0001
+    val dead = graft.queries.Tables.documents(spark, dir)
+      .filter(col("doc_id") % graft.operators.Ingest.ForgetMod ===
+        graft.operators.Ingest.ForgetRem)
+      .select("doc_id")
+    val viaIds = CorpusStats.cmsEstimateForgottenWith(spark, dir, dead)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    val viaArtifact = CorpusStats.cmsEstimateForgotten(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(viaIds == viaArtifact,
+      "id-frame retraction and stored-artifact retraction must agree")
+  }
+
   test("PMI: independent-ish and perfectly-correlated pairs order correctly") {
     // 4 docs: p and q always together; p and r half the time
     val docs = Seq(

@@ -119,6 +119,30 @@ class EventStreamSpec extends SparkSpecBase {
     assert(total == docs)
   }
 
+  test("streamed takedown reaches the stats axis: tombstoned ids subtract from the stored CMS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_forget").toString
+    import testImplicits._
+    val schema = Seq(0L).toDF("doc_id").schema
+    // the retraction fixture arrives THROUGH the streamed front door
+    graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+      .filter(col("doc_id") % graft.operators.Ingest.ForgetMod ===
+        graft.operators.Ingest.ForgetRem)
+      .select("doc_id")
+      .write.mode("append").parquet(s"$dir/landing")
+    graft.streaming.ForgetStream.tombstoneStream(
+      spark, s"$dir/landing", schema, s"$dir/tomb", s"$dir/ckpt")
+      .awaitTermination()
+    val dead = spark.read.parquet(s"$dir/tomb")
+    val streamed = graft.operators.CorpusStats
+      .cmsEstimateForgottenWith(spark, TestSpark.Sf0001, dead)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    val artifact = graft.operators.CorpusStats
+      .cmsEstimateForgotten(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(streamed == artifact,
+      "stream-accumulated retraction must subtract exactly like the stored retraction sketch")
+  }
+
   test("streamed takedown (ForgetStream): accumulated tombstones mask BM25 serving") {
     val dir = java.nio.file.Files.createTempDirectory("graft_forget_stream").toString
     val terms = Seq("table", "scan", "join")

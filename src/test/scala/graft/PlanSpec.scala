@@ -292,6 +292,22 @@ class PlanSpec extends SparkSpecBase {
       s"purged path must not re-sketch or read text:\n$p")
   }
 
+  test("stats-axis deletion: forgotten serve subtracts stored cells; purged serve reads gen2 alone") {
+    val fp = plan(graft.operators.CorpusStats.cmsEstimateForgotten(spark, TestSpark.Sf0001))
+    assert(fp.contains("cms_base") && fp.contains("cms_retract"),
+      s"forgotten serve must read base + retraction sketches (and nothing wider):\n$fp")
+    assert(!fp.contains("text#"),
+      s"stats deletion must never re-tokenize the corpus at serve time:\n$fp")
+    graft.operators.CorpusStats.ensureCmsPurged(spark, TestSpark.Sf0001)
+    val pp = plan(graft.operators.CorpusStats.cmsEstimatePurged(spark, TestSpark.Sf0001))
+    assert(pp.contains("cms_gen2") && !pp.contains("cms_base") && !pp.contains("cms_retract"),
+      s"purged serve must read the rewritten generation only:\n$pp")
+    graft.operators.CorpusStats.ensureHistPurged(spark, TestSpark.Sf0001)
+    val qp = plan(graft.operators.CorpusStats.histQuantilesPurged(spark, TestSpark.Sf0001))
+    assert(qp.contains("hist_gen2") && !qp.contains("hist_base") && !qp.contains("hist_retract"),
+      s"purged quantile serve must read the rewritten generation only:\n$qp")
+  }
+
   test("forgotten IVF kNN: tombstone anti-join does not defeat the cell DPP") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val qs = emb.orderBy("vec_id").limit(2)
