@@ -411,6 +411,122 @@ object Curation {
     round(lit(1.0) / (lit(1.0) + exp(-(lit(biasMicro.toDouble) +
       when(nf > 0, sm.cast(DoubleType) / nf).otherwise(lit(0.0))) / lit(1e6))), 6)
 
+  // --- in-engine classifier TRAINING (hashed multinomial NB) -----------
+
+  /** Hashed feature space of the trained quality classifier — the
+    * fastText hashing trick (Joulin et al. 2016): every token maps to
+    * one of [[NbBuckets]] buckets, so the MODEL is a fixed-size table
+    * no matter the vocabulary — at 100 TB still 4096 rows, broadcast to
+    * every scorer. 16³ buckets = three md5 hex digits, an exact fold
+    * with no modulo bias (the [[CorpusStats.cmsBucket]] construction,
+    * one digit wider). */
+  val NbBuckets: Int = 4096
+
+  /** Salted so the classifier's feature space is independent of the
+    * CMS rows (same trick, different hash family). */
+  def nbBucket(term: Column): Column =
+    conv(substring(md5(concat(lit("nb#"), term)), 1, 3), 16, 10)
+      .cast(IntegerType)
+
+  /** DuckDB twin of [[nbBucket]] — exact base-16 digit fold. */
+  def nbBucketSql(term: String): String =
+    s"""CAST(list_sum(list_transform(range(3),
+       |  i -> (strpos('0123456789abcdef',
+       |          substr(md5('nb#' || $term),
+       |                 CAST(i + 1 AS INT), 1)) - 1)
+       |       * (CAST(1 AS BIGINT) << CAST(4 * (2 - i) AS INT)))) AS INT)""".stripMargin
+
+  /** The classifier's tokenizer — the corpus-stats whitespace split, so
+    * trained frequencies agree with every other frequency surface. */
+  private def nbToks(text: Column): Column =
+    split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+
+  /** TRAIN a seed-set quality classifier in-engine — the CCNet / GPT-3
+    * curation posture (Wenzek et al. 2020; Brown et al. 2020): label a
+    * seed corpus as target (here the DSIR fixture, `lang = 'en'`),
+    * everything else as background, and learn which tokens separate
+    * them. The model is multinomial Naive Bayes with add-one smoothing
+    * over the HASHED bucket space — training is pure counting, so the
+    * learned weights are exactly reproducible in any engine (the gate
+    * hash-pins the whole training computation, not a convergence
+    * approximation), and inference is a linear scorer like
+    * [[qualityClassify]]'s kernel, just with learned weights.
+    *
+    * Shape at 100 TB: ONE map-side-combined groupBy over hashed buckets
+    * (the explode never leaves the scan stage; ≤ [[NbBuckets]] keys), a
+    * 1-row totals broadcast, and a ≤ 4096-row model frame. No driver
+    * loop, no gradient iterations, no float accumulation: per-class
+    * log-likelihoods are QUANTIZED to integer micro-nats per bucket
+    * (the [[TextAnalysis.lmScore]] determinism rule) and the per-bucket
+    * weight is their integer difference.
+    *
+    * Returns (bucket, c_t, c_b, w_micro) for OCCUPIED buckets — empty
+    * buckets score via the closed-form OOV constant in
+    * [[nbClassify]]. */
+  def nbTrainModel(docs: DataFrame, isTarget: Column): DataFrame = {
+    val cnt = docs
+      .select(isTarget.as("y"), explode(nbToks(col("text"))).as("term"))
+      .select(col("y"), nbBucket(col("term")).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("c_b"))
+    val tot = cnt.agg(sum("c_t").as("ct_total"), sum("c_b").as("cb_total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_t"), col("c_b"),
+        (nbMicroNat(col("c_t"), col("ct_total")) -
+          nbMicroNat(col("c_b"), col("cb_total"))).as("w_micro"))
+  }
+
+  /** Laplace log-likelihood of one bucket in integer micro-nats:
+    * round(ln((c+1)/(C+B))·1e6). The ratio is ONE division of exact
+    * integers — the same double in any engine — so its quantized log
+    * is engine-independent (the lmScore rule). */
+  private def nbMicroNat(c: Column, total: Column): Column =
+    round(log((c + lit(1L)).cast(DoubleType) /
+      (total + lit(NbBuckets.toLong)).cast(DoubleType)) * lit(1e6))
+      .cast(LongType)
+
+  /** Score every document with the trained model: hashed tokens
+    * broadcast-join the ≤ 4096-row model, per-doc score is an INTEGER
+    * sum of micro-nat weights (order-independent — no float
+    * accumulation across the shuffle), unseen buckets take the
+    * closed-form OOV weight (both smoothed counts are 1), and the
+    * class prior enters as one bias constant. `pred_target` is the NB
+    * decision `score > 0` ⟺ P(target|doc) > P(background|doc). */
+  def nbClassify(docs: DataFrame, isTarget: Column): DataFrame = {
+    val model = nbTrainModel(docs, isTarget).localCheckpoint() // 2 consumers: totals + join
+    val tot = model
+      .agg(sum("c_t").as("ct_total"), sum("c_b").as("cb_total"),
+        (nbMicroNat(lit(0L), sum("c_t")) -
+          nbMicroNat(lit(0L), sum("c_b"))).as("w_oov"))
+    val prior = docs
+      .agg((nbPriorMicro(sum(when(isTarget, 1L).otherwise(0L)),
+        sum(when(isTarget, 0L).otherwise(1L)))).as("bias_micro"))
+    // No doc_id backfill join: the whitespace tokenizer emits ≥ 1 token
+    // for every non-null text (even "" → [""]), so the scored frame
+    // already covers the corpus — the per-doc aggregate is the ONLY
+    // corpus-sized shuffle in inference.
+    docs
+      .select(col("doc_id"), explode(nbToks(col("text"))).as("term"))
+      .select(col("doc_id"), nbBucket(col("term")).as("bucket"))
+      .join(broadcast(model.select("bucket", "w_micro")), Seq("bucket"), "left")
+      .crossJoin(broadcast(tot.select("w_oov")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("w_micro"), col("w_oov"))).as("s"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_toks"),
+        (col("s") + col("bias_micro")).as("score_micro"),
+        ((col("s") + col("bias_micro")) > 0).as("pred_target"))
+      .orderBy("doc_id")
+  }
+
+  /** Class-prior bias ln(N_t/N_b) in micro-nats — one exact-integer
+    * ratio, quantized once. */
+  private def nbPriorMicro(nT: Column, nB: Column): Column =
+    round(log(nT.cast(DoubleType) / nB.cast(DoubleType)) * lit(1e6))
+      .cast(LongType)
+
   // --- incremental score maintenance (IVM over a corpus snapshot) ------
 
   /** Snapshot-v2 mutation rates — every `% V2EditEvery`-th doc is edited
@@ -656,6 +772,21 @@ object Curation {
     "q_quality_classify" -> ((s, dir) =>
       qualityClassify(documents(s, dir), QualityWeights, QualityBiasMicro)
         .orderBy("doc_id")),
+
+    // classifier TRAINING in-engine: the learned NB model table over
+    // hashed buckets — counting + quantized logs, so the hash pins the
+    // entire training computation (counts, smoothing, micro-nat
+    // quantization), not an approximate fit. Seed set = the DSIR
+    // fixture (lang = 'en').
+    "q_nb_train" -> ((s, dir) =>
+      nbTrainModel(documents(s, dir), col("lang") === "en")
+        .orderBy("bucket")),
+
+    // trained-classifier inference: per-doc integer micro-nat score and
+    // the NB decision, OOV buckets via the closed-form constant, prior
+    // as bias. Train + score end-to-end under one hash.
+    "q_nb_classify" -> ((s, dir) =>
+      nbClassify(documents(s, dir), col("lang") === "en")),
 
     // CDC report v1 → v2: added/removed/changed/unchanged with id-sum
     // membership binding — the sizing pass an incremental pipeline runs
@@ -1076,7 +1207,59 @@ object Curation {
        |  SELECT doc_id + ${Ingest.DocAppendOffset} AS doc_id, lang, text
        |  FROM v2base WHERE doc_id % $V2AddEvery = 0)""".stripMargin
 
+  /** Shared training CTE chain of the NB gates: tokenize → hash →
+    * per-class bucket counts → totals → micro-nat weight table. The
+    * oracle rebuilds EVERYTHING — the hash fold, the smoothing, the
+    * quantization — from the raw text, trusting nothing. */
+  private val NbModelCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang = 'en' AS y,
+       |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+       |  FROM documents),
+       |bkt AS (SELECT doc_id, y, ${nbBucketSql("term")} AS bucket FROM tok),
+       |cnt AS (
+       |  SELECT bucket,
+       |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+       |         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+       |  FROM bkt GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(c_t) AS BIGINT) AS ct_total,
+       |         CAST(sum(c_b) AS BIGINT) AS cb_total
+       |  FROM cnt),
+       |model AS (
+       |  SELECT bucket, c_t, c_b,
+       |         CAST(round(ln(CAST(c_t + 1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
+       |       - CAST(round(ln(CAST(c_b + 1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+       |  FROM cnt CROSS JOIN tot)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_nb_train" ->
+      s"""WITH $NbModelCte
+         |SELECT bucket, c_t, c_b, w_micro FROM model ORDER BY bucket""".stripMargin,
+
+    "q_nb_classify" ->
+      s"""WITH $NbModelCte,
+         |oov AS (
+         |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_oov
+         |  FROM tot),
+         |bias AS (
+         |  SELECT CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT) AS bias_micro
+         |  FROM (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+         |               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_b
+         |        FROM documents)),
+         |sc AS (
+         |  SELECT b.doc_id, count(*) AS n_toks,
+         |         CAST(sum(COALESCE(m.w_micro, o.w_oov)) AS BIGINT) AS s
+         |  FROM bkt b LEFT JOIN model m ON b.bucket = m.bucket CROSS JOIN oov o
+         |  GROUP BY 1)
+         |SELECT sc.doc_id,
+         |       CAST(sc.n_toks AS BIGINT) AS n_toks,
+         |       CAST(sc.s + bias.bias_micro AS BIGINT) AS score_micro,
+         |       (sc.s + bias.bias_micro) > 0 AS pred_target
+         |FROM sc CROSS JOIN bias
+         |ORDER BY sc.doc_id""".stripMargin,
+
     // full replay of the classifier: tokenize, build unigram+bigram
     // features, recompute the polynomial hash per feature, REBUILD the
     // weight from the bucket formula, integer dot product, sigmoid

@@ -11,6 +11,48 @@ class CurationSpec extends SparkSpecBase {
 
   import testImplicits._
 
+  test("NB training learns the separating token; classify flips on composition") {
+    // target docs say "good", background docs say "bad"; "both" is common.
+    val docs = Seq(
+      (0L, "en", "good both"), (1L, "en", "good both good"),
+      (2L, "de", "bad both"), (3L, "de", "bad both bad"))
+      .toDF("doc_id", "lang", "text")
+    val model = Curation.nbTrainModel(docs, col("lang") === "en")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // hand-derived counts: target tokens = {good:3, both:2} (C_t=5),
+    // background = {bad:3, both:2} (C_b=5); B=4096. So
+    // w(good) = micro(ln(4/4101)) - micro(ln(1/4101)) — pin the counts
+    // by rebuilding the expected value from the same quantizer.
+    def micro(num: Double, den: Double): Long = docs.sparkSession.range(1)
+      .select(round(log(lit(num) / lit(den)) * lit(1e6)).cast("long")).head().getLong(0)
+    val wGood = micro(4.0, 4101.0) - micro(1.0, 4101.0)
+    val buckets = Seq("good", "bad", "both").map { t =>
+      t -> docs.sparkSession.range(1)
+        .select(Curation.nbBucket(lit(t))).head().getInt(0)
+    }.toMap
+    assert(model(buckets("good")) == ((3L, 0L, wGood)), "counts + weight of 'good'")
+    assert(model(buckets("bad")) == ((0L, 3L, -wGood)), "mirror counts, mirrored weight")
+    assert(model(buckets("both")) == ((2L, 2L, 0L)), "a balanced token carries no weight")
+    // classification: equal priors (bias = 0); target-worded docs score
+    // positive, background-worded negative
+    val preds = Curation.nbClassify(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(preds(0L) == ((wGood, true)) && preds(1L) == ((2 * wGood, true)),
+      "scores are exact integer sums of the learned weights")
+    assert(!preds(2L)._2 && !preds(3L)._2, "background-worded docs do not predict target")
+  }
+
+  test("NB model is bounded by the bucket space and scoring plan broadcasts it") {
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+    val model = Curation.nbTrainModel(docs, col("lang") === "en")
+    assert(model.count() <= Curation.NbBuckets,
+      "model can never exceed the hashed bucket space")
+    val p = Curation.nbClassify(docs, col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token→model join must never sort-merge:\n$p")
+  }
+
   test("splitLeakage: only straddling near-dup pairs surface; same-split dups do not") {
     // split(0)=valid, split(4)=split(6)=train (md5 nibble): 4≡6 is a
     // same-split duplicate (MUST NOT surface), 0≡4 and 0≡6 straddle
