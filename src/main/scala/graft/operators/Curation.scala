@@ -463,13 +463,29 @@ object Curation {
     * Returns (bucket, c_t, c_b, w_micro) for OCCUPIED buckets — empty
     * buckets score via the closed-form OOV constant in
     * [[nbClassify]]. */
-  def nbTrainModel(docs: DataFrame, isTarget: Column): DataFrame = {
-    val cnt = docs
-      .select(isTarget.as("y"), explode(nbToks(col("text"))).as("term"))
-      .select(col("y"), nbBucket(col("term")).as("bucket"))
-      .groupBy("bucket")
-      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("c_t"),
-        sum(when(col("y"), 0L).otherwise(1L)).as("c_b"))
+  def nbTrainModel(docs: DataFrame, isTarget: Column): DataFrame =
+    nbWeights(nbCounts(docs, isTarget))
+
+  /** The model's SUFFICIENT STATISTICS: per-bucket per-class token
+    * counts — one map-side-combined groupBy, ≤ [[NbBuckets]] rows.
+    * Counts are LINEAR in documents (they add and subtract), which is
+    * what makes the model incrementally maintainable under CDC
+    * ([[nbModelIncremental]]) — the weights are a nonlinear readout,
+    * but they are recomputed exactly from the merged counts. */
+  private def nbCounts(docs: DataFrame, isTarget: Column): DataFrame = docs
+    .select(isTarget.as("y"), explode(nbToks(col("text"))).as("term"))
+    .select(col("y"), nbBucket(col("term")).as("bucket"))
+    .groupBy("bucket")
+    .agg(sum(when(col("y"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("c_b"))
+
+  /** Weight readout from a counts frame (fresh, stored, or merged).
+    * The counts are materialized once (≤ [[NbBuckets]] rows): two
+    * consumers below — the totals aggregate and the output projection —
+    * would otherwise re-run the whole tokenize subtree (the
+    * dsirWeights checkpoint rule). */
+  private def nbWeights(cnt0: DataFrame): DataFrame = {
+    val cnt = cnt0.localCheckpoint()
     val tot = cnt.agg(sum("c_t").as("ct_total"), sum("c_b").as("cb_total"))
     cnt.crossJoin(broadcast(tot))
       .select(col("bucket"), col("c_t"), col("c_b"),
@@ -526,6 +542,63 @@ object Curation {
   private def nbPriorMicro(nT: Column, nB: Column): Column =
     round(log(nT.cast(DoubleType) / nB.cast(DoubleType)) * lit(1e6))
       .cast(LongType)
+
+  /** Stored v1 sufficient statistics of the trained classifier — the
+    * model-maintenance artifact (marker-committed, ≤ [[NbBuckets]]
+    * rows), built ONCE over the v1 corpus. */
+  def ensureNbCounts(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val path = scratch(s, dir, "nb_counts_v1")
+    if (!committed(s, path))
+      nbCounts(documents(s, dir), col("lang") === "en")
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** INCREMENTAL model maintenance across the corpus CDC (v1 → v2 of
+    * [[corpusV2]]): because the sufficient statistics are linear,
+    * the retrained model is stored_v1_counts + counts(diff) — tokenize
+    * ONLY the touched documents (deletes' old text and edits' old text
+    * negative; edits' new text and additions' text positive), merge
+    * per bucket, recompute the weight readout. The IVM-on-the-MODEL
+    * twin of [[incrementalScores]]: that gate maintains scores under a
+    * fixed model, this one maintains the model itself. The oracle
+    * retrains FROM SCRATCH over the v2 corpus, so the hash pins that
+    * delta-maintained ≡ fresh-retrained exactly — at 100 TB the fresh
+    * side re-tokenizes everything, the incremental side only the diff
+    * (bounded by the CDC size) plus a ≤ 4096-row stored scan. */
+  def nbModelIncremental(s: SparkSession, dir: String): DataFrame =
+    nbWeights(nbCountsIncremental(s, dir))
+
+  /** The delta-merged sufficient statistics (pre-readout) — exposed for
+    * the plan spec, which pins that the only text scans here are the
+    * bounded diff frames. */
+  private[graft] def nbCountsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val v1 = ensureNbCounts(s, dir)
+    val d = documents(s, dir)
+    val en = col("lang") === "en"
+    // old text leaving the corpus: every deleted doc, plus every edited
+    // survivor (its v1 text is replaced) — one predicate, counted once
+    val neg = nbCounts(d.filter(
+      col("doc_id") % V2DeleteEvery === 0 ||
+        col("doc_id") % V2EditEvery === 0), en)
+      .select(col("bucket"), (-col("c_t")).as("c_t"), (-col("c_b")).as("c_b"))
+    // new text entering: edited survivors with their v2 text, and the
+    // added copies (which carry v2 text of their source; ids are
+    // irrelevant to token counts)
+    val editedNew = d
+      .filter(col("doc_id") % V2DeleteEvery =!= 0 &&
+        col("doc_id") % V2EditEvery === 0)
+      .select(col("lang"),
+        concat(col("text"), lit(V2RevisionSuffix)).as("text"))
+    val addedNew = corpusV2Frame(d)
+      .filter(col("doc_id") >= Ingest.DocAppendOffset)
+      .select(col("lang"), col("text"))
+    val pos = nbCounts(editedNew.unionByName(addedNew), en)
+    v1.unionByName(neg).unionByName(pos)
+      .groupBy("bucket")
+      .agg(sum("c_t").as("c_t"), sum("c_b").as("c_b"))
+      .filter(col("c_t") =!= 0 || col("c_b") =!= 0)
+  }
 
   // --- incremental score maintenance (IVM over a corpus snapshot) ------
 
@@ -787,6 +860,13 @@ object Curation {
     // as bias. Train + score end-to-end under one hash.
     "q_nb_classify" -> ((s, dir) =>
       nbClassify(documents(s, dir), col("lang") === "en")),
+
+    // IVM on the MODEL: the classifier retrained across the v1→v2 CDC
+    // from stored sufficient statistics + diff-only tokenization —
+    // counts are linear, so delta-maintained ≡ fresh-retrained exactly.
+    // The oracle retrains from scratch over the v2 snapshot.
+    "q_nb_incremental" -> ((s, dir) =>
+      nbModelIncremental(s, dir).orderBy("bucket")),
 
     // CDC report v1 → v2: added/removed/changed/unchanged with id-sum
     // membership binding — the sizing pass an incremental pipeline runs
@@ -1210,12 +1290,14 @@ object Curation {
   /** Shared training CTE chain of the NB gates: tokenize → hash →
     * per-class bucket counts → totals → micro-nat weight table. The
     * oracle rebuilds EVERYTHING — the hash fold, the smoothing, the
-    * quantization — from the raw text, trusting nothing. */
-  private val NbModelCte: String =
+    * quantization — from the raw text, trusting nothing. `docsSrc`
+    * parameterizes the corpus (v1 `documents` for the train gate, the
+    * `v2` CDC snapshot for the incremental-maintenance gate). */
+  private def nbModelCte(docsSrc: String): String =
     s"""tok AS (
        |  SELECT doc_id, lang = 'en' AS y,
        |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
-       |  FROM documents),
+       |  FROM $docsSrc),
        |bkt AS (SELECT doc_id, y, ${nbBucketSql("term")} AS bucket FROM tok),
        |cnt AS (
        |  SELECT bucket,
@@ -1234,11 +1316,18 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q_nb_train" ->
-      s"""WITH $NbModelCte
+      s"""WITH ${nbModelCte("documents")}
+         |SELECT bucket, c_t, c_b, w_micro FROM model ORDER BY bucket""".stripMargin,
+
+    // fresh retrain over the v2 snapshot — equality with the
+    // delta-maintained model IS the linearity proof on the model axis
+    "q_nb_incremental" ->
+      s"""WITH $corpusV2CteSql,
+         |${nbModelCte("v2")}
          |SELECT bucket, c_t, c_b, w_micro FROM model ORDER BY bucket""".stripMargin,
 
     "q_nb_classify" ->
-      s"""WITH $NbModelCte,
+      s"""WITH ${nbModelCte("documents")},
          |oov AS (
          |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
          |       - CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_oov

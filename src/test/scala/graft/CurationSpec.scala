@@ -42,6 +42,25 @@ class CurationSpec extends SparkSpecBase {
     assert(!preds(2L)._2 && !preds(3L)._2, "background-worded docs do not predict target")
   }
 
+  test("NB incremental maintenance ≡ fresh retrain over v2; diff-only tokenization in the plan") {
+    val dir = TestSpark.Sf0001
+    val inc = Curation.nbModelIncremental(spark, dir)
+    val fresh = Curation.nbTrainModel(Curation.corpusV2(spark, dir),
+      col("lang") === "en")
+    assert(inc.exceptAll(fresh).count() == 0 && fresh.exceptAll(inc).count() == 0,
+      "delta-maintained model must equal a from-scratch retrain, every bucket")
+    // the merged-counts plan (pre-readout — the readout checkpoints the
+    // ≤4096-row counts, truncating lineage) reads the stored v1
+    // statistics; its only text scans are the bounded diff frames
+    val p = Curation.nbCountsIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("nb_counts_v1"),
+      s"incremental model must read the stored sufficient statistics:\n$p")
+    val textScans = p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("text"))
+    assert(textScans <= 4, s"text scans must be the bounded diff frames only:\n$p")
+  }
+
   test("NB model is bounded by the bucket space and scoring plan broadcasts it") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
     val model = Curation.nbTrainModel(docs, col("lang") === "en")
