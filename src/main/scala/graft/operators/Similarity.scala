@@ -689,6 +689,132 @@ object Similarity {
     emb.select("vec_id").join(broadcast(dropped), Seq("vec_id"), "left_anti")
   }
 
+  // --- MMR diversified reranking ----------------------------------------
+
+  /** Rerank-pool size, selection size, and λ (×10) of the MMR gate. */
+  val MmrPoolN: Int = 16
+  val MmrK: Int = 5
+  val MmrLambdaX10: Long = 7L
+
+  /** Cosine quantized to integer micro-units — the lmScore determinism
+    * rule on the similarity axis: one exact-input double, one rounding,
+    * then all downstream arithmetic (weighting, penalties, argmax) is
+    * integer and order-independent. */
+  private def cosMicro(a: Column, b: Column): Column =
+    round(VectorOps.cosine(a, b) * lit(1e6)).cast(org.apache.spark.sql.types.LongType)
+
+  /** Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    * SIGIR'98): greedily select k results trading relevance against
+    * redundancy — pick argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
+    * The pure-relevance top-k around a dense topic returns k
+    * paraphrases; MMR is the standard diversification a retrieval stack
+    * runs between candidate generation and the consumer.
+    *
+    * Shape at 100 TB: candidate generation is the only corpus-touching
+    * phase (here brute-force cosine; the stored IVF serve produces the
+    * same (vec_id, rel) frame) and everything after is bounded by the
+    * POOL — n candidates, n·(n−1) pairwise sims, k greedy steps. The
+    * greedy recurrence is inherently sequential, so each step is one
+    * tiny job over broadcast-scale frames (pool and selection are
+    * localCheckpointed: step i's plan reads materialized step i−1, not
+    * a 3^k-branch lineage). Arithmetic is integer micro-cosine with
+    * λ = 0.7 as the exact weights (7, 3) — no float accumulation, ties
+    * break on vec_id, so the DuckDB oracle replays the whole greedy
+    * unrolled. */
+  def mmrRerank(emb: DataFrame, n: Int = MmrPoolN, k: Int = MmrK): DataFrame = {
+    VectorOps.register(emb.sparkSession)
+    val lam = lit(MmrLambdaX10)
+    val lam1 = lit(10L - MmrLambdaX10)
+    val pool = emb.crossJoin(broadcast(queryRow(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("embedding"),
+        cosMicro(col("embedding"), col("q_emb")).as("rel6"))
+      .orderBy(desc("rel6"), asc("vec_id")).limit(n)
+      .localCheckpoint() // 3 consumers: both sim sides + every greedy step
+    val sims = pool.select(col("vec_id").as("d"), col("embedding").as("de"))
+      .join(broadcast(pool.select(col("vec_id").as("s"), col("embedding").as("se"))),
+        col("d") =!= col("s"))
+      .select(col("d"), col("s"), cosMicro(col("de"), col("se")).as("sim6"))
+      .localCheckpoint() // consumed once per greedy step
+    val cands = pool.select("vec_id", "rel6")
+    var sel = cands
+      .orderBy(desc("rel6"), asc("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel6"), lit(1).as("pick"),
+        (lam * col("rel6")).as("mmr6"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val picked = sel.select("vec_id")
+      val next = cands
+        .join(broadcast(picked), Seq("vec_id"), "left_anti")
+        .join(sims, col("vec_id") === col("d"))
+        .join(broadcast(picked.select(col("vec_id").as("s"))), "s")
+        .groupBy(col("vec_id"), col("rel6"))
+        .agg(max("sim6").as("maxsim6"))
+        .select(col("vec_id"), col("rel6"), lit(i).as("pick"),
+          (lam * col("rel6") - lam1 * col("maxsim6")).as("mmr6"))
+        .orderBy(desc("mmr6"), asc("vec_id")).limit(1)
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.orderBy("pick")
+  }
+
+  /** DuckDB twin of [[cosMicro]] — replays the kernel term-by-term:
+    * per-element double products, sequential list_sum, dot/sqrt(na·nb),
+    * micro rounding. Exact-input doubles through the identical
+    * association, so the result is bit-identical to the Scala loop
+    * (q_cosine_micro_parity pins this over the whole corpus). */
+  private[operators] def cosMicroSql(a: String, b: String): String =
+    s"""CAST(round(
+       |  list_sum(list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / sqrt(
+       |      list_sum(list_transform(range(1, len($a) + 1),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))
+       |    * list_sum(list_transform(range(1, len($b) + 1),
+       |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))
+       |  * 1e6) AS BIGINT)""".stripMargin
+
+  /** The MMR oracle: the greedy recurrence UNROLLED — pool, pairwise
+    * micro-sims, then one CTE per selection step, each excluding and
+    * penalizing against the union of all previous picks. Generated from
+    * the same (n, k, λ) constants the operator uses. */
+  private val MmrOracle: String = {
+    val l = MmrLambdaX10
+    val l1 = 10L - MmrLambdaX10
+    val head =
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
+         |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+         |pool AS (
+         |  SELECT vec_id, embedding,
+         |         ${cosMicroSql("embedding", "q_emb")} AS rel6
+         |  FROM embeddings, q
+         |  WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+         |  ORDER BY rel6 DESC, vec_id LIMIT $MmrPoolN),
+         |sims AS (
+         |  SELECT a.vec_id AS d, b.vec_id AS s,
+         |         ${cosMicroSql("a.embedding", "b.embedding")} AS sim6
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |sel1 AS (
+         |  SELECT vec_id, rel6, 1 AS pick, $l * rel6 AS mmr6
+         |  FROM pool ORDER BY rel6 DESC, vec_id LIMIT 1)""".stripMargin
+    val steps = (2 to MmrK).map { i =>
+      val acc = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS (
+         |  SELECT vec_id, rel6, $i AS pick, mmr6 FROM (
+         |    SELECT p.vec_id, p.rel6,
+         |           $l * p.rel6 - $l1 * max(sm.sim6) AS mmr6
+         |    FROM pool p JOIN sims sm ON sm.d = p.vec_id
+         |    WHERE sm.s IN ($acc) AND p.vec_id NOT IN ($acc)
+         |    GROUP BY 1, 2)
+         |  ORDER BY mmr6 DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val union = (1 to MmrK).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT vec_id, rel6, pick, mmr6 FROM ($union) ORDER BY pick"
+  }
+
   // --- product quantization (PQ) ---------------------------------------
 
   /** Train PQ codebooks: per-sub-space L2 k-means (classic PQ, Jégou et
@@ -897,6 +1023,27 @@ object Similarity {
       cosineTopK(embeddings(s, dir), 10)
         .select("vec_id")
         .orderBy("vec_id")),
+
+    // micro-quantized cosine for EVERY vector against the probe — the
+    // cross-engine bit-exactness pin for the cosine kernel itself
+    // (sequential double accumulation, dot/sqrt(na*nb), micro rounding).
+    // This is what licenses emitting micro-cosine VALUES (not just
+    // ranks) from the MMR gate: the oracle replays the arithmetic
+    // element-by-element and the hash must match on the whole corpus.
+    "q_cosine_micro_parity" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      VectorOps.register(s)
+      emb.crossJoin(broadcast(queryRow(emb)))
+        .select(col("vec_id"),
+          cosMicro(col("embedding"), col("q_emb")).as("rel6"))
+        .orderBy("vec_id")
+    }),
+
+    // MMR diversified top-k: greedy λ·rel − (1−λ)·max-sim selection over
+    // the bounded rerank pool, all arithmetic in integer micro-cosine.
+    // The oracle unrolls the entire greedy recurrence (pool, pairwise
+    // sims, k selection steps) — the hash pins every pick AND its score.
+    "q_mmr_rerank" -> ((s, dir) => mmrRerank(embeddings(s, dir))),
 
     // ANN path: band prefilter + exact rescoring. Emits recall@10 against
     // the in-engine brute-force top-10 (itself hash-verified against
@@ -1127,6 +1274,15 @@ object Similarity {
         |  FROM embeddings, q WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
         |  ORDER BY score DESC, vec_id LIMIT 10)
         |ORDER BY vec_id""".stripMargin,
+
+    "q_cosine_micro_parity" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
+         |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+         |SELECT vec_id, ${cosMicroSql("embedding", "q_emb")} AS rel6
+         |FROM embeddings, q
+         |ORDER BY vec_id""".stripMargin,
+
+    "q_mmr_rerank" -> MmrOracle,
     "q_knn_join" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings ORDER BY vec_id LIMIT 8),

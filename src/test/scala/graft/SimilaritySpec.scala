@@ -38,6 +38,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows(2) == 0.0)
   }
 
+  test("MMR diversifies: a redundant near-duplicate loses its pure-relevance slot") {
+    // probe id 0; ids 1 and 2 are IDENTICAL (sim = 1, rel ≈ 0.99); id 3
+    // is equally relevant but on the other side of the probe
+    // (sim(1,3) ≈ 0.96). Pure top-2 by relevance = {1, 2}; MMR's
+    // redundancy penalty must evict the duplicate and pick {1, 3}.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.141f)),
+      (2L, Seq(0.99f, 0.141f)),
+      (3L, Seq(0.99f, -0.141f)))
+      .toDF("vec_id", "embedding")
+    val picks = graft.operators.Similarity.mmrRerank(emb, n = 3, k = 2)
+      .collect().map(r => r.getInt(2) -> r.getLong(0)).toMap
+    assert(picks == Map(1 -> 1L, 2 -> 3L),
+      s"expected diversified picks {1→1, 2→3}, got $picks")
+    val pure = graft.operators.Similarity.cosineTopK(emb, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(pure == Set(1L, 2L),
+      "fixture must make pure relevance pick the duplicate pair, else the test proves nothing")
+  }
+
   test("SRP sketch is deterministic and identical for identical vectors") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     val s1 = Similarity.sketched(emb).orderBy("vec_id").collect().map(_.getLong(2))
