@@ -255,6 +255,34 @@ object CorpusStats {
       probeTerms: Seq[String] = CmsProbeTerms): DataFrame =
     cmsProbeServe(s, ensureCmsPurged(s, dir), probeTerms)
 
+  /** Dead fraction on the stats axis, from STORED CELLS alone: every
+    * token lands in exactly one bucket per depth row, so a single
+    * row's cell sum IS the total token mass — retracted mass over live
+    * mass is two ≤ W-row reads, no corpus scan, no tokenize (the
+    * bm25DeadFraction shape, cheaper still). */
+  def cmsDeadFraction(s: SparkSession, dir: String): Double = {
+    val (base, _) = ensureCmsArtifacts(s, dir)
+    val retract = ensureCmsRetract(s, dir)
+    def mass(df: DataFrame): Long =
+      df.filter(col("r") === 0).agg(sum("cnt")).head().getLong(0)
+    mass(retract).toDouble / mass(base).toDouble
+  }
+
+  /** Tombstone-fraction PURGE TRIGGER on the stats axis — the
+    * [[graft.operators.Ingest.bm25TopKPolicyServed]] policy verbatim:
+    * below θ keep serving the subtracted stored cells (snapshot
+    * untouched), at/above θ pay the gen2 rewrite (which here costs only
+    * a ≤ 2·D·W-row job — linearity makes the stats axis the cheapest
+    * purge in the engine, so its θ can sit far lower than an index's).
+    * Returns the served frame plus the decision so the gate pins WHICH
+    * arm ran. */
+  def cmsEstimatePolicyServed(s: SparkSession, dir: String,
+      theta: Double): (DataFrame, Boolean) = {
+    val purge = cmsDeadFraction(s, dir) >= theta
+    (if (purge) cmsEstimatePurged(s, dir) else cmsEstimateForgotten(s, dir),
+      purge)
+  }
+
   // --- mergeable histogram quantiles (the CMS posture, quantile axis) --
 
   /** Histogram geometry: fixed-width integer buckets over `n_chars`,
@@ -483,6 +511,22 @@ object CorpusStats {
     // so masked ≡ purged is pinned by one hash.
     "q_cms_purge" -> ((s, dir) => cmsEstimatePurged(s, dir)),
 
+    // the purge TRIGGER on the stats axis, both arms in one gate (the
+    // q_forget_policy convention): dead token mass ≈ 1/13 of the corpus,
+    // so θ=0.5 must keep the subtracted serve and θ=0.02 must trip the
+    // gen2 rewrite; the pinned decision booleans catch a policy that
+    // never (or always) fires even though both arms agree on rows.
+    "q_cms_policy" -> ((s, dir) => {
+      val (lo, loPurged) = cmsEstimatePolicyServed(s, dir, theta = 0.5)
+      val (hi, hiPurged) = cmsEstimatePolicyServed(s, dir, theta = 0.02)
+      lo.withColumn("arm", lit("mask"))
+        .withColumn("purged_serving", lit(loPurged))
+        .unionByName(hi.withColumn("arm", lit("purge"))
+          .withColumn("purged_serving", lit(hiPurged)))
+        .select("arm", "purged_serving", "term", "tf_est")
+        .orderBy("arm", "term")
+    }),
+
     // quantile-axis LSM: exact histogram quantiles of base ∪ append
     // batch from the STORED per-shard artifacts — cell-wise merge on
     // both axes (shards, generations), bounded cumulative window,
@@ -544,8 +588,8 @@ object CorpusStats {
     * with the fixed list — subtracted-stored and purged-generation
     * serves must both hash-match it, which pins CMS linearity AND
     * masked ≡ purged in two gates over one SQL string. */
-  private val CmsForgetOracle: String =
-    s"""WITH doc2 AS (
+  private val CmsForgetCtes: String =
+    s"""doc2 AS (
        |  SELECT text FROM documents
        |  WHERE NOT (doc_id % ${Ingest.ForgetMod} = ${Ingest.ForgetRem})),
        |tok AS (
@@ -560,11 +604,25 @@ object CorpusStats {
        |probe AS (SELECT unnest([${CmsProbeTerms.map("'" + _ + "'").mkString(", ")}]) AS term),
        |cells AS (
        |  SELECT p.term, u.r, ${cmsBucketSql("u.r", "p.term")} AS b
-       |  FROM probe p CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) u)
-       |SELECT cells.term,
-       |       CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS tf_est
-       |FROM cells LEFT JOIN cms ON cells.r = cms.r AND cells.b = cms.b
-       |GROUP BY 1 ORDER BY term""".stripMargin
+       |  FROM probe p CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) u),
+       |est AS (
+       |  SELECT cells.term,
+       |         CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS tf_est
+       |  FROM cells LEFT JOIN cms ON cells.r = cms.r AND cells.b = cms.b
+       |  GROUP BY 1)""".stripMargin
+
+  private val CmsForgetOracle: String =
+    s"WITH $CmsForgetCtes\nSELECT term, tf_est FROM est ORDER BY term"
+
+  /** Policy oracle — the forget body served through both arms with the
+    * decision booleans as literals (mask below θ, purge above). */
+  private val CmsPolicyOracle: String =
+    s"""WITH $CmsForgetCtes
+       |SELECT arm, purged_serving, term, tf_est FROM (
+       |  SELECT 'mask' AS arm, FALSE AS purged_serving, term, tf_est FROM est
+       |  UNION ALL
+       |  SELECT 'purge' AS arm, TRUE AS purged_serving, term, tf_est FROM est)
+       |ORDER BY arm, term""".stripMargin
 
   /** Shared forget/purge oracle on the quantile axis — fresh histogram
     * quantiles over the reduced corpus, shard axis absent. */
@@ -635,6 +693,7 @@ object CorpusStats {
 
     "q_cms_forget" -> CmsForgetOracle,
     "q_cms_purge" -> CmsForgetOracle,
+    "q_cms_policy" -> CmsPolicyOracle,
     "q_quantile_forget" -> QuantileForgetOracle,
     "q_quantile_purge" -> QuantileForgetOracle,
 

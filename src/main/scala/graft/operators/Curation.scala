@@ -543,6 +543,47 @@ object Curation {
     round(log(nT.cast(DoubleType) / nB.cast(DoubleType)) * lit(1e6))
       .cast(LongType)
 
+  /** FREEZE the trained model for stateless serving: the ≤ [[NbBuckets]]
+    * weight rows collect into one map literal (the lmTables
+    * bounded-model-artifact convention) along with the closed-form OOV
+    * weight and the prior bias. */
+  def nbFrozenModel(docs: DataFrame, isTarget: Column): (Map[Int, Long], Long, Long) = {
+    val rows = nbTrainModel(docs, isTarget)
+      .select("bucket", "c_t", "c_b", "w_micro").collect()
+    val wmap = rows.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val (ctT, cbT) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    def micro(c: Long, tot: Long): Long =
+      math.round(math.log((c + 1).toDouble / (tot + NbBuckets).toDouble) * 1e6)
+    val wOov = micro(0L, ctT) - micro(0L, cbT)
+    val pr = docs.agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("n_t"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("n_b")).head()
+    val bias = math.round(
+      math.log(pr.getLong(0).toDouble / pr.getLong(1).toDouble) * 1e6)
+    (wmap, wOov, bias)
+  }
+
+  /** Frozen-model NB scoring as ONE stateless projection — no explode,
+    * no join, no shuffle: per-token map lookup + integer fold inside
+    * the scan stage, so the same expression scores a batch corpus or an
+    * arriving micro-batch ([[graft.streaming.NbStream]]); the
+    * lmScoreStateless serving shape on the classifier axis. Equality
+    * with the trained path holds because Column `round` (HALF_UP) and
+    * `math.round` (floor(x+0.5)) agree wherever ln(ratio)·1e6 is not an
+    * exact .5 — impossible for logs of rational ratios ≠ 1, and ratio 1
+    * yields exact 0 on both. */
+  def nbScoreStateless(docs: DataFrame, wmap: Map[Int, Long],
+      wOov: Long, biasMicro: Long): DataFrame = {
+    val m = typedLit(wmap)
+    val toks = nbToks(col("text"))
+    docs.select(col("doc_id"),
+      size(toks).cast(LongType).as("n_toks"),
+      aggregate(toks, lit(biasMicro),
+        (acc, t) => acc + coalesce(m(nbBucket(t)), lit(wOov)))
+        .as("score_micro"))
+      .withColumn("pred_target", col("score_micro") > 0)
+  }
+
   /** Stored v1 sufficient statistics of the trained classifier — the
     * model-maintenance artifact (marker-committed, ≤ [[NbBuckets]]
     * rows), built ONCE over the v1 corpus. */

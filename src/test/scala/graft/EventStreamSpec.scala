@@ -257,6 +257,18 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming classifier serving (NbStream) == batch nbClassify, frozen model") {
+    val stream = graft.streaming.NbStream.nbStream(spark, TestSpark.Sf0001)
+    val q = EventStream.runToMemory(stream, "nb_stream_test", OutputMode.Append)
+    q.awaitTermination()
+    val streamed = spark.table("nb_stream_test")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("q_nb_classify")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "stateless frozen-model scoring must equal the trained batch path row-for-row")
+  }
+
   test("streaming incremental scoring (ScoreStream) == batch IVM, row-for-row") {
     val stream = graft.streaming.ScoreStream.incrementalStream(spark, TestSpark.Sf0001)
     val q = EventStream.runToMemory(stream, "score_stream_test", OutputMode.Append)
