@@ -573,15 +573,21 @@ object Curation {
     * exact .5 — impossible for logs of rational ratios ≠ 1, and ratio 1
     * yields exact 0 on both. */
   def nbScoreStateless(docs: DataFrame, wmap: Map[Int, Long],
-      wOov: Long, biasMicro: Long): DataFrame = {
-    val m = typedLit(wmap)
-    val toks = nbToks(col("text"))
+      wOov: Long, biasMicro: Long): DataFrame =
     docs.select(col("doc_id"),
-      size(toks).cast(LongType).as("n_toks"),
-      aggregate(toks, lit(biasMicro),
-        (acc, t) => acc + coalesce(m(nbBucket(t)), lit(wOov)))
-        .as("score_micro"))
+      size(nbToks(col("text"))).cast(LongType).as("n_toks"),
+      nbScoreExpr(col("text"), wmap, wOov, biasMicro).as("score_micro"))
       .withColumn("pred_target", col("score_micro") > 0)
+
+  /** The frozen-model score as a single Column — per-token map lookup
+    * folded with the prior bias as the seed; composable into any
+    * projection (batch, stream, or the e2e curation pipeline) without
+    * forcing a fixed output schema. */
+  def nbScoreExpr(text: Column, wmap: Map[Int, Long],
+      wOov: Long, biasMicro: Long): Column = {
+    val m = typedLit(wmap)
+    aggregate(nbToks(text), lit(biasMicro),
+      (acc, t) => acc + coalesce(m(nbBucket(t)), lit(wOov)))
   }
 
   /** Stored v1 sufficient statistics of the trained classifier — the
@@ -908,6 +914,55 @@ object Curation {
     // The oracle retrains from scratch over the v2 snapshot.
     "q_nb_incremental" -> ((s, dir) =>
       nbModelIncremental(s, dir).orderBy("bucket")),
+
+    // the curation wave composed END TO END as one declarative plan
+    // (the q_crawl_pipeline_e2e convention on the curation axis): train
+    // the seed-set classifier → frozen-model stateless scoring →
+    // above-mean admission (the dsirWeights mean-cut — sign would be
+    // degenerate under this fixture's prior) → hash split → 8-gram
+    // decontamination of the train split against BOTH eval splits →
+    // length-sorted batch packing. Emits per-batch integrity stats
+    // (id-sum membership binding), so the hash flips if ANY stage
+    // admits, drops, splits, or tokenizes one doc differently.
+    "q_curation_pipeline_e2e" -> ((s, dir) => {
+      graft.functions.Sketch.register(s)
+      val docs = documents(s, dir)
+      val (wmap, wOov, bias) = nbFrozenModel(docs, col("lang") === "en")
+      // stateless projection — scoring twice (mean pass + filter pass)
+      // is two narrow scans, cheaper at scale than materializing the
+      // corpus text through a checkpoint; the mean ships as ONE row
+      def scored = docs.select(col("doc_id"), col("text"),
+        nbScoreExpr(col("text"), wmap, wOov, bias).as("score_micro"))
+      val tot = scored.agg(count(lit(1)).as("n"), sum("score_micro").as("s"))
+      val admitted = scored.crossJoin(broadcast(tot))
+        .filter(col("score_micro") * col("n") > col("s"))
+        .select(col("doc_id"), col("text"),
+          splitColumn(col("doc_id")).as("split"))
+        .localCheckpoint() // 3 consumers: train grams, eval grams, packing
+      val grams = admitted.select(col("doc_id"), col("split"),
+        explode(graft.functions.Sketch.wordGramHashes(
+          gramToks(col("text")), 8)).as("g"))
+      val dirty = grams.filter(col("split") === "train")
+        .join(grams.filter(col("split") =!= "train").select("g").distinct(),
+          Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val clean = admitted.filter(col("split") === "train")
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          size(gramToks(col("text"))).cast(LongType).as("n_units"))
+      ScalePatterns.prefixSums(clean,
+        Seq(col("n_units").asc, col("doc_id").asc), lit(1L), "rk")
+        .select(col("doc_id"), col("n_units"),
+          expr(s"rk div ${ScalePatterns.LengthBatchSize}").as("batch_id"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          max("n_units").as("max_units"),
+          sum("n_units").as("sum_units"))
+        .withColumn("padding_waste",
+          col("n_docs") * col("max_units") - col("sum_units"))
+        .orderBy("batch_id")
+    }),
 
     // CDC report v1 → v2: added/removed/changed/unchanged with id-sum
     // membership binding — the sizing pass an incremental pipeline runs
@@ -1366,6 +1421,69 @@ object Curation {
       s"""WITH $corpusV2CteSql,
          |${nbModelCte("v2")}
          |SELECT bucket, c_t, c_b, w_micro FROM model ORDER BY bucket""".stripMargin,
+
+    // full replay of the curation pipeline, every stage from its own
+    // generator: train, score, mean-cut, split, string-gram
+    // decontamination, length-sorted packing
+    "q_curation_pipeline_e2e" ->
+      s"""WITH ${nbModelCte("documents")},
+         |oov AS (
+         |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_oov
+         |  FROM tot),
+         |bias AS (
+         |  SELECT CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT) AS bias_micro
+         |  FROM (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+         |               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_b
+         |        FROM documents)),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |         CAST(sum(COALESCE(m.w_micro, o.w_oov)) AS BIGINT)
+         |           + max(bias.bias_micro) AS score
+         |  FROM bkt b LEFT JOIN model m ON b.bucket = m.bucket
+         |  CROSS JOIN oov o CROSS JOIN bias
+         |  GROUP BY 1),
+         |tot2 AS (SELECT count(*) AS n, sum(score) AS t FROM scored),
+         |admitted AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN scored USING (doc_id) CROSS JOIN tot2
+         |  WHERE scored.score * tot2.n > tot2.t),
+         |sp AS (SELECT doc_id, ${splitCaseSql("doc_id")} AS split FROM admitted),
+         |atoks AS (
+         |  SELECT doc_id,
+         |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+         |  FROM admitted),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+         |           ELSE list_transform(range(1, len(t) - 6),
+         |                               i -> array_to_string(t[i:i+7], ' '))
+         |           END) AS sgrams
+         |  FROM atoks),
+         |grams AS (SELECT sh.doc_id, sp.split, unnest(sh.sgrams) AS g
+         |          FROM sh JOIN sp USING (doc_id)),
+         |dirty AS (
+         |  SELECT DISTINCT doc_id FROM grams
+         |  WHERE split = 'train'
+         |    AND g IN (SELECT g FROM grams WHERE split <> 'train')),
+         |clean AS (
+         |  SELECT a.doc_id, CAST(len(t.t) AS BIGINT) AS n_units
+         |  FROM admitted a JOIN sp USING (doc_id) JOIN atoks t USING (doc_id)
+         |  WHERE sp.split = 'train'
+         |    AND a.doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |r AS (
+         |  SELECT doc_id, n_units,
+         |         (row_number() OVER (ORDER BY n_units, doc_id) - 1)
+         |           // ${ScalePatterns.LengthBatchSize} AS batch_id
+         |  FROM clean)
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       CAST(max(n_units) AS BIGINT) AS max_units,
+         |       CAST(sum(n_units) AS BIGINT) AS sum_units,
+         |       CAST(count(*) * max(n_units) - sum(n_units) AS BIGINT)
+         |         AS padding_waste
+         |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin,
 
     "q_nb_classify" ->
       s"""WITH ${nbModelCte("documents")},

@@ -715,6 +715,23 @@ class PlanSpec extends SparkSpecBase {
       s"no re-derivation between stages — one source scan only:\n$p")
   }
 
+  test("curation e2e pipeline: scoring is stateless, packing never windows") {
+    val df = SparkEntry.queries("q_curation_pipeline_e2e")(spark, TestSpark.Sf0001)
+    val p = plan(df)
+    // scoring must be the frozen-model fold inside the scan stage: the
+    // ONLY explode in the composed plan is the gram stage's (one per
+    // admitted doc side) — a token explode for scoring would add more
+    val explodes = "Generate explode".r.findAllIn(p).size
+    assert(explodes <= 2,
+      s"only the gram stage may explode (got $explodes):\n$p".take(4000))
+    assert(!p.contains("Window"),
+      s"the batch rank must be the two-phase prefix sum, not a window:\n$p".take(4000))
+    // the gram decontamination joins hash FINGERPRINTS (fixed-width),
+    // never gram strings
+    assert(!p.contains("array_join"),
+      s"gram join must ride the 64-bit hash kernel, not strings:\n$p".take(4000))
+  }
+
   test("PMI pair expansion never plans a window; pair counts combine map-side") {
     val p = plan(SparkEntry.queries("q_pmi_pairs")(spark, TestSpark.Sf0001))
     assert(!p.contains("Window"), s"per-doc cap must be slice, not window:\n$p")
