@@ -961,6 +961,42 @@ object Ingest {
       .limit(k)
   }
 
+  /** DIVERSIFIED serving off the stored IVF index — the production
+    * retrieval shape: index-backed candidate generation (cell-pruned
+    * scan, no corpus-wide brute force) feeding the bounded MMR rerank
+    * ([[Similarity.mmrRerankPool]]). The probe is forced to ALL cells
+    * (the recall-1.0 forced-parameter convention of the q_knn_ivf
+    * family), so the candidate pool is provably the brute-force top-n
+    * and q_mmr_ivf shares q_mmr_rerank's oracle VERBATIM — one hash
+    * pins that the composed stored-index plan serves the identical
+    * diversified answer; the approximate-probe regime is
+    * q_ivf_recall_envelope's axis, not this gate's. */
+  def mmrTopKStored(s: SparkSession, dir: String,
+      n: Int = Similarity.MmrPoolN, k: Int = Similarity.MmrK): DataFrame =
+    Similarity.mmrRerankPool(mmrStoredPool(s, dir, n), k)
+
+  /** The index-served candidate pool (pre-rerank) — exposed for the
+    * plan spec, which pins that candidates come from the stored
+    * cell-partitioned assignment via a bounded top-n. */
+  private[graft] def mmrStoredPool(s: SparkSession, dir: String,
+      n: Int): DataFrame = {
+    val (centroids, assign) = ensureIvfIndex(s, dir)
+    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val q = Similarity.queryRow(embeddings(s, dir))
+    val probePlan = singleQueryProbePlan(centroids, q, cells)
+    assign
+      .join(broadcast(probeCells(probePlan, assign)), "cell")
+      .crossJoin(broadcast(q))
+      // the stored index carries the planted canary twins (+TwinOffset,
+      // q_ivf_topk_stored's fixture) — exclude them so the pool is the
+      // REAL corpus's top-n, comparable to the brute-force gate
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("vec_id") < lit(TwinOffset))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.cosMicro(col("embedding"), col("q_emb")).as("rel6"))
+      .orderBy(desc("rel6"), asc("vec_id")).limit(n)
+  }
+
   /** SemDeDup over the STORED index: the cell-partitioned assignment
     * table IS the clustering, so semantic dedup of an already-ingested
     * corpus skips centroid training and kernel assignment entirely —
@@ -2840,7 +2876,13 @@ object Ingest {
         .join(broadcast(Similarity.queryRow(emb)),
           col("vec_id") === col("q_id") + lit(TwinOffset))
         .agg(count(lit(1)).cast(DoubleType).as("recall_at_10"))
-    })
+    }),
+
+    // diversified serving COMPOSED over the stored IVF index (full
+    // probe, the forced-parameter convention): shares q_mmr_rerank's
+    // oracle verbatim — index-served ≡ brute-force-served diversified
+    // top-k, pinned by one hash.
+    "q_mmr_ivf" -> ((s, dir) => mmrTopKStored(s, dir))
   )
 
   /** q_id-keyed BM25 oracle CTE chain (q → toks → tf → stats → qtf →
@@ -3184,6 +3226,7 @@ object Ingest {
     "q_ivfpq_retrain" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_code_diverging",
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
+    "q_mmr_ivf" -> Similarity.MmrOracle,
     "q_semdedup_stored" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

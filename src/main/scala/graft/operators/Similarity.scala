@@ -700,7 +700,7 @@ object Similarity {
     * rule on the similarity axis: one exact-input double, one rounding,
     * then all downstream arithmetic (weighting, penalties, argmax) is
     * integer and order-independent. */
-  private def cosMicro(a: Column, b: Column): Column =
+  private[operators] def cosMicro(a: Column, b: Column): Column =
     round(VectorOps.cosine(a, b) * lit(1e6)).cast(org.apache.spark.sql.types.LongType)
 
   /** Maximal Marginal Relevance reranking (Carbonell & Goldstein,
@@ -723,13 +723,24 @@ object Similarity {
     * unrolled. */
   def mmrRerank(emb: DataFrame, n: Int = MmrPoolN, k: Int = MmrK): DataFrame = {
     VectorOps.register(emb.sparkSession)
+    mmrRerankPool(
+      emb.crossJoin(broadcast(queryRow(emb)))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("vec_id"), col("embedding"),
+          cosMicro(col("embedding"), col("q_emb")).as("rel6"))
+        .orderBy(desc("rel6"), asc("vec_id")).limit(n),
+      k)
+  }
+
+  /** The greedy MMR selection over ANY (vec_id, embedding, rel6)
+    * candidate pool — brute-force cosine above, or the stored IVF
+    * index's serve frame ([[graft.operators.Ingest]]'s composition
+    * gate), which is the production shape: index-backed candidate
+    * generation, bounded diversified rerank. */
+  def mmrRerankPool(pool0: DataFrame, k: Int = MmrK): DataFrame = {
     val lam = lit(MmrLambdaX10)
     val lam1 = lit(10L - MmrLambdaX10)
-    val pool = emb.crossJoin(broadcast(queryRow(emb)))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("vec_id"), col("embedding"),
-        cosMicro(col("embedding"), col("q_emb")).as("rel6"))
-      .orderBy(desc("rel6"), asc("vec_id")).limit(n)
+    val pool = pool0
       .localCheckpoint() // 3 consumers: both sim sides + every greedy step
     val sims = pool.select(col("vec_id").as("d"), col("embedding").as("de"))
       .join(broadcast(pool.select(col("vec_id").as("s"), col("embedding").as("se"))),
@@ -778,7 +789,7 @@ object Similarity {
     * micro-sims, then one CTE per selection step, each excluding and
     * penalizing against the union of all previous picks. Generated from
     * the same (n, k, λ) constants the operator uses. */
-  private val MmrOracle: String = {
+  private[operators] val MmrOracle: String = {
     val l = MmrLambdaX10
     val l1 = 10L - MmrLambdaX10
     val head =

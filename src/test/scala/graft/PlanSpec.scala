@@ -715,6 +715,15 @@ class PlanSpec extends SparkSpecBase {
       s"no re-derivation between stages — one source scan only:\n$p")
   }
 
+  test("index-backed MMR: the candidate pool scans the stored assignment, not raw embeddings") {
+    val p = plan(graft.operators.Ingest.mmrStoredPool(
+      spark, TestSpark.Sf0001, graft.operators.Similarity.MmrPoolN))
+    assert(p.contains("ivf_assign"),
+      s"diversified serving must read the stored cell-partitioned index:\n$p".take(4000))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pool selection must be a bounded top-n, not a global sort:\n$p".take(4000))
+  }
+
   test("curation e2e pipeline: scoring is stateless, packing never windows") {
     val df = SparkEntry.queries("q_curation_pipeline_e2e")(spark, TestSpark.Sf0001)
     val p = plan(df)
