@@ -343,6 +343,88 @@ object Crawl {
     ranks
   }
 
+  /** Disjoint seed fixture of the label-propagation gate: every
+    * `% TrustSeedMod`-th doc at remainder 1 is a TRUSTED seed, at
+    * remainder 2 a SPAM seed — pure id predicates, oracle-replayable. */
+  val TrustSeedMod: Long = 23L
+  val TrustedRem: Long = 1L
+  val SpamRem: Long = 2L
+
+  /** Semi-supervised label propagation over the link graph — the
+    * TrustRank/Anti-TrustRank posture (Gyöngyi et al., VLDB'04): a
+    * small editorial seed set (trusted hosts, known-spam hosts) and the
+    * structure of the graph label everything else. Each round, every
+    * non-seed node's per-label mass is the out-degree-normalized inflow
+    * of that label; SEEDS CLAMP to their own label each round (the
+    * standard clamped-seed iteration of Zhu & Ghahramani '02) so the
+    * seed signal cannot wash out. Both masses propagate in ONE frame —
+    * one join + one groupBy per round over the edge list, the pageRank
+    * loop shape — and all arithmetic is integer micro-mass with floor
+    * division by the REAL out-degree, so shuffle order can never move
+    * a bit and the DuckDB oracle replays every round. The readout is
+    * the argmax label ('none' where no seed mass arrives — ties
+    * included, the conservative call for a spam filter). */
+  def labelPropagate(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val isT = col("doc_id") % TrustSeedMod === TrustedRem
+    val isS = col("doc_id") % TrustSeedMod === SpamRem
+    val e = edges.select("src", "dst").localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val eDeg = e.join(deg, "src").localCheckpoint()
+    var m = docs.select(col("doc_id"),
+      when(isT, lit(RankScale)).otherwise(lit(0L)).as("t_micro"),
+      when(isS, lit(RankScale)).otherwise(lit(0L)).as("s_micro"))
+    for (_ <- 1 to RankIters) {
+      val inflow = eDeg.join(m, eDeg("src") === m("doc_id"))
+        .select(col("dst"),
+          expr("t_micro div out_deg").as("ti"),
+          expr("s_micro div out_deg").as("si"))
+        .groupBy("dst").agg(sum("ti").as("t_in"), sum("si").as("s_in"))
+      m = docs.select(col("doc_id"))
+        .join(inflow, docs("doc_id") === inflow("dst"), "left")
+        .select(col("doc_id"),
+          when(isT, lit(RankScale)).when(isS, lit(0L))
+            .otherwise(coalesce(col("t_in"), lit(0L))).as("t_micro"),
+          when(isS, lit(RankScale)).when(isT, lit(0L))
+            .otherwise(coalesce(col("s_in"), lit(0L))).as("s_micro"))
+        .localCheckpoint()
+    }
+    m.select(col("doc_id"), col("t_micro"), col("s_micro"),
+      when(col("t_micro") > col("s_micro"), lit("trusted"))
+        .when(col("s_micro") > col("t_micro"), lit("spam"))
+        .otherwise(lit("none")).as("label"))
+  }
+
+  /** The label-propagation replay as a CTE chain ending in
+    * `l{RankIters}` — shares [[edgeCtesSql]] with the PageRank chain. */
+  def labelPropCtesSql: String = {
+    def iter(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % $TrustSeedMod = $TrustedRem THEN CAST($RankScale AS BIGINT)
+         |         WHEN d.doc_id % $TrustSeedMod = $SpamRem THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(COALESCE(f.t_in, 0) AS BIGINT) END AS t_micro,
+         |    CASE WHEN d.doc_id % $TrustSeedMod = $SpamRem THEN CAST($RankScale AS BIGINT)
+         |         WHEN d.doc_id % $TrustSeedMod = $TrustedRem THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(COALESCE(f.s_in, 0) AS BIGINT) END AS s_micro
+         |  FROM documents d
+         |  LEFT JOIN (
+         |    SELECT e2.dst AS doc_id,
+         |           sum(l.t_micro // e2.out_deg) AS t_in,
+         |           sum(l.s_micro // e2.out_deg) AS s_in
+         |    FROM ed e2 JOIN $prev l ON e2.src = l.doc_id
+         |    GROUP BY 1) f USING (doc_id))""".stripMargin
+    val iters = (1 to RankIters)
+      .map(i => iter(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""$edgeCtesSql,
+       |l0 AS (SELECT doc_id,
+       |         CAST(CASE WHEN doc_id % $TrustSeedMod = $TrustedRem
+       |                   THEN $RankScale ELSE 0 END AS BIGINT) AS t_micro,
+       |         CAST(CASE WHEN doc_id % $TrustSeedMod = $SpamRem
+       |                   THEN $RankScale ELSE 0 END AS BIGINT) AS s_micro
+       |       FROM documents),
+       |$iters""".stripMargin
+  }
+
   /** The integer PageRank replay as ONE reusable CTE chain — edge
     * synthesis with heterogeneous degrees, real per-src out-degree,
     * dangling share, [[RankIters]] iterations — ending in
@@ -370,6 +452,16 @@ object Crawl {
          |    GROUP BY 1) f USING (doc_id))""".stripMargin
     val iters = (1 to RankIters)
       .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""$edgeCtesSql,
+       |r0 AS (SELECT doc_id,
+       |         CAST($RankScale AS BIGINT) AS rank_micro FROM documents),
+       |$iters""".stripMargin
+  }
+
+  /** The synthetic edge list + real out-degree as CTEs (`e`, `deg`,
+    * `ed`, `n`) — one string shared by the PageRank chain and the
+    * label-propagation chain (the Bm25CtesSql rule). */
+  def edgeCtesSql: String = {
     val js = (0 until MaxOutDegree).mkString(", ")
     s"""n AS (SELECT count(*) AS c FROM documents),
        |e AS (
@@ -381,10 +473,7 @@ object Crawl {
        |                 ELSE doc_id % 5 + 1 END),
        |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
        |ed AS (SELECT e.src, e.dst, deg.out_deg
-       |       FROM e JOIN deg USING (src)),
-       |r0 AS (SELECT doc_id,
-       |         CAST($RankScale AS BIGINT) AS rank_micro FROM documents),
-       |$iters""".stripMargin
+       |       FROM e JOIN deg USING (src))""".stripMargin
   }
 
   /** Frontier wave depth: the next fetches scheduled per domain. */
@@ -567,6 +656,16 @@ object Crawl {
     "q_link_rank" -> ((s, dir) => {
       val docs = documents(s, dir)
       pageRank(docs, outlinks(docs)).orderBy("doc_id")
+    }),
+
+    // semi-supervised trust/spam propagation over the same link graph:
+    // clamped seeds, out-degree-normalized integer inflow per label,
+    // argmax readout. Every doc's masses AND label ride the hash, so a
+    // wrong clamp, a washed-out seed, or one integer division error
+    // anywhere in the rounds flips a row.
+    "q_label_prop" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      labelPropagate(docs, outlinks(docs)).orderBy("doc_id")
     }),
 
     // robots-rule audit: every distinct canonical URL flagged against
@@ -813,6 +912,15 @@ object Crawl {
         s"""WITH $linkRankCtesSql
            |SELECT doc_id, CAST(rank_micro AS BIGINT) AS rank_micro
            |FROM r$RankIters
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_label_prop" ->
+        s"""WITH $labelPropCtesSql
+           |SELECT doc_id, t_micro, s_micro,
+           |       CASE WHEN t_micro > s_micro THEN 'trusted'
+           |            WHEN s_micro > t_micro THEN 'spam'
+           |            ELSE 'none' END AS label
+           |FROM l$RankIters
            |ORDER BY doc_id""".stripMargin,
 
       // robots disallow audit: distinct canonical URLs joined against

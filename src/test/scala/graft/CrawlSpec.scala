@@ -98,6 +98,30 @@ class CrawlSpec extends SparkSpecBase {
       Seq("site9.co.uk", "site9.co.uk", "site1.com", "site1.com"))
   }
 
+  test("labelPropagate: seeds clamp, inflow splits by real out-degree, ties stay none") {
+    // doc 1 is the trusted seed (1 % 23 = 1), doc 2 the spam seed;
+    // edges 1→{0,3} (trust splits in half) and 2→0 (full spam mass).
+    // Node 0 gets t=500000 vs s=1000000 → spam; node 3 trust-only.
+    val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((1L, 0L), (1L, 3L), (2L, 0L)).toDF("src", "dst")
+    val out = Crawl.labelPropagate(docs, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((1000000L, 0L, "trusted")), "trusted seed must stay clamped")
+    assert(out(2L) == ((0L, 1000000L, "spam")), "spam seed must stay clamped")
+    assert(out(0L) == ((500000L, 1000000L, "spam")),
+      "mixed inflow must split by the REAL out-degree and argmax to spam")
+    assert(out(3L) == ((500000L, 0L, "trusted")), "trust-only inflow labels trusted")
+    // equal inflow is a tie and must stay 'none': one trust edge from a
+    // degree-2 seed vs one spam edge from a degree-2 seed
+    val tie = Crawl.labelPropagate(
+      Seq(0L, 1L, 2L).toDF("doc_id"),
+      Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 0L)).toDF("src", "dst"))
+      .filter(col("doc_id") === 0L).head()
+    assert(tie.getString(3) == "none",
+      s"equal label masses must read out conservative 'none', got ${tie.getString(3)}")
+  }
+
   test("pageRank: hand-computed heterogeneous-degree graph with dangling node") {
     // nodes 0..3 with REAL out-degrees {1, 2, 3, 0}:
     //   0→1; 1→{0,2}; 2→{0,1,3}; 3 dangling.
