@@ -2300,6 +2300,18 @@ object Ingest {
     "q_bm25_topk_stored" -> ((s, dir) =>
       bm25TopKStored(s, dir, Seq("table", "scan", "join"), 10)),
 
+    // TIME TRAVEL / snapshot isolation made observable: the compacted
+    // gen2 (base ∪ append) is FORCED to exist first, then the query
+    // serves the ORIGINAL generation and must still hash-match the
+    // plain base-corpus oracle (shared verbatim with q_bm25_topk_stored)
+    // — later generations never leak into an older snapshot's serve, so
+    // a reader pinned to gen1 reproduces its results forever (the
+    // reproducibility contract a training run depends on).
+    "q_bm25_asof" -> ((s, dir) => {
+      compactTermIndex(s, dir) // gen2 committed before the gen1 read
+      bm25TopKStored(s, dir, Seq("table", "scan", "join"), 10)
+    }),
+
     // inverted-index LSM: warm BM25 over base ∪ delta — the corpus grew
     // by the append batch, so N, Σdl and every df shift, and an appended
     // exact copy scores identically to its source. The oracle replays
@@ -3086,6 +3098,7 @@ object Ingest {
     // the stored-index gate shares the fresh gate's oracle VERBATIM —
     // that hash equality IS the fresh-vs-stored differential, pinned 0.
     "q_bm25_topk_stored" -> TextAnalysis.oracles("q_bm25_topk"),
+    "q_bm25_asof" -> TextAnalysis.oracles("q_bm25_topk"),
     // LSM append gate: fresh BM25 replayed over the AUGMENTED corpus —
     // the toks CTE's source is rewritten from the shared Bm25CtesSql
     // string (no second copy of the formula to drift), and the append
