@@ -355,6 +355,63 @@ object TextAnalysis {
     bm25Rank(tf, stats, k, k1, b)
   }
 
+  /** Expansion-term count of the query-expansion gate. */
+  val ExpTermCount: Int = 3
+
+  /** Association-based query expansion + weighted BM25 — the
+    * co-occurrence-thesaurus form of pseudo-relevance feedback (Qiu &
+    * Frei, SIGIR'93; the Rocchio/RM3 family's deterministic cousin):
+    * the [[ExpTermCount]] terms that co-occur (doc-level, distinct,
+    * PMI's 64-term cap) with the query in the most documents join the
+    * query at HALF weight, recovering documents that discuss the topic
+    * without using the exact query vocabulary.
+    *
+    * Determinism: expansion selection is an integer count with a term
+    * tiebreak; the down-weight is exactly 0.5 — a power of two, so the
+    * scaling is EXACT in binary floating point and adds no new rounding
+    * surface to the 6-dp-rounded score sum. The expansion set is a
+    * bounded model artifact (m strings) collected once — the lmTables
+    * rule — and the oracle re-derives it from raw text, trusting
+    * nothing.
+    *
+    * Shape at 100 TB: candidate mining is one distinct-term explode
+    * (capped per doc) + a semi-join on the query-doc set + one
+    * map-side-combined count; serving is the standard filtered-scan
+    * BM25 with the weight as a literal CASE on the term. */
+  def bm25TopKExpanded(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      m: Int = ExpTermCount, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+      explode(slice(array_sort(array_distinct(bm25Toks(col("text")))),
+        1, 64)).as("term"))
+      .localCheckpoint() // 2 consumers: query-doc set + candidate count
+    val qDocs = dt.filter(col("term").isInCollection(queryTerms))
+      .select("doc_id").distinct()
+    val exp = dt.join(qDocs, "doc_id")
+      .filter(!col("term").isInCollection(queryTerms))
+      .groupBy("term").agg(count(lit(1)).as("df_q"))
+      .orderBy(desc("df_q"), asc("term")).limit(m)
+      .collect().map(_.getString(0)).toSeq
+    val toks = docs.select(col("doc_id"), bm25Toks(col("text")).as("t"))
+    val tf = toks
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isInCollection(queryTerms ++ exp))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val stats = toks.select(size(col("t")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_total"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (bm25TermScore(k1, b) *
+          when(col("term").isInCollection(queryTerms), lit(1.0))
+            .otherwise(lit(0.5))).as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** The ONE BM25 tokenizer, shared by the fresh scan path, the stored
     * inverted-index build (Ingest.ensureTermIndex), and the streaming
     * scorer — one expression, so a tokenization change cannot
@@ -521,6 +578,13 @@ object TextAnalysis {
     // explode+filter, the rest is broadcast-sized.
     "q_bm25_topk" -> ((s, dir) =>
       bm25TopK(documents(s, dir), Seq("table", "scan", "join"), 10)),
+
+    // query expansion: the 3 strongest co-occurring terms join the query
+    // at exactly half weight; the oracle re-derives the expansion set
+    // from raw text, so a wrong candidate, cap, tiebreak, or weight
+    // flips the ranking hash.
+    "q_bm25_expanded" -> ((s, dir) =>
+      bm25TopKExpanded(documents(s, dir), Seq("table", "scan", "join"), 10)),
 
     // DSIR importance weights: target = the English slice, raw = the
     // whole corpus; w_micro = nll_raw − nll_target in integer micro-nats
@@ -838,6 +902,42 @@ object TextAnalysis {
     "q_bm25_topk" ->
       s"""WITH $Bm25CtesSql
         |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin,
+
+    // expansion replay: sorted-distinct capped doc terms → query-doc
+    // semi-join → top-m co-occurrence candidates → weighted BM25 with
+    // the exact 0.5 CASE
+    "q_bm25_expanded" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+         |  FROM documents),
+         |dt AS (SELECT doc_id, unnest(list_sort(list_distinct(t))[1:64]) AS term
+         |       FROM toks),
+         |qd AS (SELECT DISTINCT doc_id FROM dt
+         |       WHERE term IN ('table', 'scan', 'join')),
+         |exp AS (SELECT dt.term FROM dt JOIN qd USING (doc_id)
+         |        WHERE dt.term NOT IN ('table', 'scan', 'join')
+         |        GROUP BY 1 ORDER BY count(*) DESC, term LIMIT $ExpTermCount),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         |       WHERE term IN ('table', 'scan', 'join')
+         |          OR term IN (SELECT term FROM exp)
+         |       GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(sum(len(t)) AS BIGINT) AS dl_total FROM toks),
+         |bm AS (
+         |  SELECT doc_id, round(sum(s), 6) AS score FROM (
+         |    SELECT tf.doc_id,
+         |           ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+         |           (tf.tf * (1.2 + 1.0)) /
+         |           (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl /
+         |              (CAST(stats.dl_total AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))
+         |           * CASE WHEN tf.term IN ('table', 'scan', 'join')
+         |                  THEN 1.0 ELSE 0.5 END AS s
+         |    FROM tf JOIN dfreq d USING (term), stats)
+         |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin,
 
     // DSIR: the LM oracle's train+score pipeline run TWICE — raw model
     // over every document, target model over the lang='en' slice — with

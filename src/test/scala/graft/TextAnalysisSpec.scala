@@ -16,6 +16,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     TextAnalysis.lmScore(rows.toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
 
+  test("query expansion recovers vocabulary-mismatch docs plain BM25 cannot see") {
+    // "beta" co-occurs with the query term "alpha" in docs 0-2, so it
+    // becomes an expansion term; doc 9 uses ONLY "beta" — invisible to
+    // plain BM25, recovered (at half weight) by the expanded query.
+    val docs = Seq(
+      (0L, "alpha beta x"), (1L, "alpha beta y"), (2L, "alpha beta z"),
+      (3L, "alpha q"), (9L, "beta beta w"), (10L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val plain = graft.operators.TextAnalysis
+      .bm25TopK(docs, Seq("alpha"), 10)
+      .collect().map(_.getLong(0)).toSet
+    val expanded = graft.operators.TextAnalysis
+      .bm25TopKExpanded(docs, Seq("alpha"), 10, m = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(9L), "fixture: plain BM25 must miss the beta-only doc")
+    assert(expanded.contains(9L), "expansion must recover the vocabulary-mismatch doc")
+    assert(!expanded.contains(10L), "unrelated docs stay unranked")
+    assert(plain.subsetOf(expanded), "expansion may only ADD recall")
+  }
+
   test("docs below two tokens get zero bigrams and zero score") {
     val s = score(Seq((1L, "hello"), (2L, ""), (3L, "a b")))
     assert(s(1L) == ((0L, 0L, 0L)))
