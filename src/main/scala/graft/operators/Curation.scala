@@ -543,6 +543,48 @@ object Curation {
     round(log(nT.cast(DoubleType) / nB.cast(DoubleType)) * lit(1e6))
       .cast(LongType)
 
+  /** Per-language PERCENTILE normalization of classifier scores — the
+    * step a cross-lingual mixer needs before comparing quality across
+    * corpora (raw scores are not comparable between languages; rank
+    * positions are). pct_micro = rank_within_lang · 10⁶ div (n_lang−1),
+    * all integer.
+    *
+    * Shape at 100 TB — grouped ranks WITHOUT a per-group window: a
+    * window `PARTITION BY lang` ships an entire language (billions of
+    * rows) to one reducer — the r5/r6 straggler rule. Instead: ONE
+    * global two-phase prefix rank over (lang, score, doc_id)
+    * ([[ScalePatterns.prefixSums]] — range partition + bounded totals
+    * collect), minus the language's start offset, where the offsets
+    * are a ≤|langs|-row bounded artifact (cumulative language counts).
+    * The oracle is free to use the window form — equality of the two
+    * formulations is the point of the gate. */
+  def scorePercentile(docs: DataFrame, isTarget: Column): DataFrame = {
+    val (wmap, wOov, bias) = nbFrozenModel(docs, isTarget)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      nbScoreExpr(col("text"), wmap, wOov, bias).as("score_micro"))
+      .localCheckpoint() // 3 consumers: rank, totals, output
+    val ranked = ScalePatterns.prefixSums(scored,
+      Seq(col("lang").asc, col("score_micro").asc, col("doc_id").asc),
+      lit(1L), "grk")
+    // per-lang start offsets: cumulative counts over the bounded
+    // language list (collected — the lmTables bounded-artifact rule)
+    val totals = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val offRows = totals.map { case (l, n) =>
+      val off = acc; acc += n; (l, n, off)
+    }.toSeq
+    val offDf = docs.sparkSession.createDataFrame(offRows)
+      .toDF("lang", "n_lang", "off")
+    ranked.join(broadcast(offDf), "lang")
+      .select(col("doc_id"), col("lang"), col("score_micro"),
+        when(col("n_lang") > 1,
+          expr("(grk - off) * 1000000L div (n_lang - 1)"))
+          .otherwise(lit(0L)).as("pct_micro"))
+      .orderBy("doc_id")
+  }
+
   /** FREEZE the trained model for stateless serving: the ≤ [[NbBuckets]]
     * weight rows collect into one map literal (the lmTables
     * bounded-model-artifact convention) along with the closed-form OOV
@@ -914,6 +956,13 @@ object Curation {
     // The oracle retrains from scratch over the v2 snapshot.
     "q_nb_incremental" -> ((s, dir) =>
       nbModelIncremental(s, dir).orderBy("bucket")),
+
+    // per-lang percentile normalization: grouped ranks via ONE global
+    // two-phase prefix rank minus bounded language offsets — never a
+    // window partitioned by a corpus-sized key. The oracle uses the
+    // window form; equality of the two formulations is the gate.
+    "q_score_percentile" -> ((s, dir) =>
+      scorePercentile(documents(s, dir), col("lang") === "en")),
 
     // the curation wave composed END TO END as one declarative plan
     // (the q_crawl_pipeline_e2e convention on the curation axis): train
@@ -1421,6 +1470,38 @@ object Curation {
       s"""WITH $corpusV2CteSql,
          |${nbModelCte("v2")}
          |SELECT bucket, c_t, c_b, w_micro FROM model ORDER BY bucket""".stripMargin,
+
+    // window-form replay of the percentile normalization (the Spark
+    // side must produce the identical ranks WITHOUT a per-lang window)
+    "q_score_percentile" ->
+      s"""WITH ${nbModelCte("documents")},
+         |oov AS (
+         |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
+         |       - CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_oov
+         |  FROM tot),
+         |bias AS (
+         |  SELECT CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT) AS bias_micro
+         |  FROM (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+         |               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_b
+         |        FROM documents)),
+         |sc AS (
+         |  SELECT b.doc_id, CAST(sum(COALESCE(m.w_micro, o.w_oov)) AS BIGINT) AS s
+         |  FROM bkt b LEFT JOIN model m ON b.bucket = m.bucket CROSS JOIN oov o
+         |  GROUP BY 1),
+         |scored AS (
+         |  SELECT sc.doc_id, d.lang,
+         |         CAST(sc.s + bias.bias_micro AS BIGINT) AS score_micro
+         |  FROM sc CROSS JOIN bias JOIN documents d ON d.doc_id = sc.doc_id),
+         |nl AS (SELECT lang, count(*) AS n_lang FROM scored GROUP BY 1),
+         |r AS (SELECT doc_id, lang, score_micro,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY score_micro, doc_id) - 1 AS rk
+         |      FROM scored)
+         |SELECT r.doc_id, r.lang, r.score_micro,
+         |       CAST(CASE WHEN nl.n_lang > 1
+         |                 THEN rk * 1000000 // (nl.n_lang - 1)
+         |                 ELSE 0 END AS BIGINT) AS pct_micro
+         |FROM r JOIN nl USING (lang) ORDER BY r.doc_id""".stripMargin,
 
     // full replay of the curation pipeline, every stage from its own
     // generator: train, score, mean-cut, split, string-gram

@@ -143,6 +143,46 @@ class EventStreamSpec extends SparkSpecBase {
       "stream-accumulated retraction must subtract exactly like the stored retraction sketch")
   }
 
+  test("tombstone compaction: one distinct generation, serving unchanged, batch dirs dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_compact").toString
+    import testImplicits._
+    val schema = Seq(0L).toDF("doc_id").schema
+    def runOnce(): Unit = {
+      graft.streaming.ForgetStream.tombstoneStream(
+        spark, s"$dir/landing", schema, s"$dir/tomb", s"$dir/ckpt")
+        .awaitTermination()
+    }
+    // three triggers, with id 7 retracted TWICE (duplicates are
+    // semantically free pre-compaction and must collapse after)
+    Seq(7L).toDF("doc_id").write.mode("append").parquet(s"$dir/landing")
+    runOnce()
+    Seq(20L, 7L).toDF("doc_id").write.mode("append").parquet(s"$dir/landing")
+    runOnce()
+    val before = graft.streaming.ForgetStream.tombstoneIds(spark, s"$dir/tomb")
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.sorted == Seq(7L, 7L, 20L),
+      s"pre-compaction layout holds raw batches incl. the duplicate: $before")
+    graft.streaming.ForgetStream.compactTombstones(spark, s"$dir/tomb")
+    val after = graft.streaming.ForgetStream.tombstoneIds(spark, s"$dir/tomb")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after.sorted == Seq(7L, 20L),
+      s"compaction must collapse duplicates and lose nothing: $after")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/tomb/batch=*"))).forall(_.isEmpty),
+      "old batch dirs must be gone after the generation commits")
+    // a compaction over an already-compacted dir plus new arrivals
+    // unions both layouts and stays exact
+    Seq(33L).toDF("doc_id").write.mode("append").parquet(s"$dir/landing")
+    runOnce()
+    graft.streaming.ForgetStream.compactTombstones(spark, s"$dir/tomb")
+    val again = graft.streaming.ForgetStream.tombstoneIds(spark, s"$dir/tomb")
+      .collect().map(_.getLong(0)).toSeq
+    assert(again.sorted == Seq(7L, 20L, 33L),
+      s"re-compaction with new arrivals must merge generations: $again")
+  }
+
   test("streamed takedown (ForgetStream): accumulated tombstones mask BM25 serving") {
     val dir = java.nio.file.Files.createTempDirectory("graft_forget_stream").toString
     val terms = Seq("table", "scan", "join")

@@ -715,6 +715,15 @@ class PlanSpec extends SparkSpecBase {
       s"no re-derivation between stages — one source scan only:\n$p")
   }
 
+  test("per-lang percentile ranks never window on the language key") {
+    val p = plan(graft.operators.Curation.scorePercentile(
+      Tables.documents(spark, TestSpark.Sf0001), col("lang") === "en"))
+    assert(!p.contains("Window"),
+      s"grouped rank must be prefix-sum + bounded offsets, not a per-lang window:\n$p".take(4000))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the offset table must broadcast:\n$p".take(4000))
+  }
+
   test("index-backed MMR: the candidate pool scans the stored assignment, not raw embeddings") {
     val p = plan(graft.operators.Ingest.mmrStoredPool(
       spark, TestSpark.Sf0001, graft.operators.Similarity.MmrPoolN))
