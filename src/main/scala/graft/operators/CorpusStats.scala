@@ -471,6 +471,48 @@ object CorpusStats {
       .orderBy("lang")
   }
 
+  /** One-frame DATA CARD — the per-language summary a dataset release
+    * ships (docs, token mass, vocabulary, length profile), composed
+    * from the same generators the individual stats gates pin: exact
+    * counts, the HLL estimate inside its 5% envelope (the
+    * q_hll_distinct convention — the estimate is implementation-
+    * specific, the envelope is not), the median length bucket by the
+    * histogram coverage cut, and integer mean chars. Everything after
+    * the two corpus scans (doc stats + token explode) is ≤
+    * |langs|·buckets rows; the per-lang cumulative window is over that
+    * bounded frame, never the corpus. */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val base = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("sum_chars"))
+    val tok = docs.select(col("lang"), explode(toks(col("text"))).as("term"))
+    val vocab = tok.groupBy("lang").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct("term").as("distinct_terms"),
+      hll_sketch_estimate(hll_sketch_agg(col("term"), HllLgK)).as("est"))
+    val hist = docs.select(col("lang"),
+      expr(s"n_chars div $HistBucketWidth").cast(LongType).as("bucket"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val med = hist
+      .withColumn("cum_n", sum("n").over(w).cast(LongType))
+      .join(hist.groupBy("lang").agg(sum("n").as("total_n")), "lang")
+      .filter(col("cum_n") * 2 >= col("total_n"))
+      .groupBy("lang")
+      .agg((min("bucket") * HistBucketWidth).cast(LongType).as("p50_chars_lo"))
+    base.join(vocab, "lang").join(med, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("sum_chars div n_docs").as("mean_chars"),
+        col("distinct_terms"),
+        (abs(col("est") - col("distinct_terms")) * 20 <= col("distinct_terms"))
+          .as("vocab_hll_within_5pct"),
+        col("p50_chars_lo"))
+      .orderBy("lang")
+  }
+
   // --- query surface ----------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -548,6 +590,11 @@ object CorpusStats {
     // convention — the estimate is implementation-specific, the
     // envelope is not).
     "q_hll_merge" -> ((s, dir) => hllMergeServe(s, dir)),
+
+    // the data card: per-lang docs/tokens/mean-length/vocab (exact +
+    // HLL-in-envelope)/median-length-bucket in one frame — the summary
+    // a dataset release ships, composed from the gated generators.
+    "q_data_card" -> ((s, dir) => dataCard(s, dir)),
 
     // document-level PMI: for term pairs co-occurring in a majority of
     // documents (integer cut 2·df_ab ≥ N), the pointwise mutual
@@ -713,6 +760,42 @@ object CorpusStats {
         |SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS exact_terms,
         |       TRUE AS within_5pct
         |FROM tok GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // per-lang card replay: exact counts, constant-true envelope (the
+    // q_hll_distinct convention — the Spark side computes it for real),
+    // median bucket by the same integer coverage cut
+    "q_data_card" ->
+      s"""WITH tok AS (
+         |  SELECT lang,
+         |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+         |  FROM documents),
+         |base AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY 1),
+         |voc AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT term) AS BIGINT) AS distinct_terms
+         |  FROM tok GROUP BY 1),
+         |h AS (
+         |  SELECT lang, CAST(n_chars // $HistBucketWidth AS BIGINT) AS bucket,
+         |         count(*) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |c AS (
+         |  SELECT lang, bucket,
+         |         CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum_n,
+         |         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total_n
+         |  FROM h),
+         |med AS (
+         |  SELECT lang, CAST(min(bucket) * $HistBucketWidth AS BIGINT) AS p50_chars_lo
+         |  FROM c WHERE cum_n * 2 >= total_n GROUP BY 1)
+         |SELECT b.lang, b.n_docs, v.n_tokens,
+         |       CAST(b.sum_chars // b.n_docs AS BIGINT) AS mean_chars,
+         |       v.distinct_terms,
+         |       TRUE AS vocab_hll_within_5pct,
+         |       m.p50_chars_lo
+         |FROM base b JOIN voc v USING (lang) JOIN med m USING (lang)
+         |ORDER BY b.lang""".stripMargin,
 
     // fresh histogram over the augmented corpus, shard axis absent —
     // equality with the stored-merge serve IS the associativity proof
