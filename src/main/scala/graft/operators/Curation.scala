@@ -203,6 +203,30 @@ object Curation {
       .when(source === "src3", 0.25)
       .otherwise(1.0)
 
+  /** Realized-vs-target MIX DIVERGENCE — the drift diagnostic a
+    * data-mixing pipeline runs every refresh: per-source KL
+    * contribution n_i · ln(p_i/q_i) of the realized document share p
+    * against the target share q implied by [[mixWeight]] (whose weights
+    * are exact quarters, so ×4 makes them integers and the log ratio is
+    * a ratio of exact integers — the lmScore micro-nat rule; each
+    * term quantizes once, then everything is integer multiplication
+    * and the total is an order-independent sum). A contribution > 0
+    * means the source is over-represented vs target; Σ ≥ 0 within
+    * quantization. One map-side-combined groupBy + a 1-row broadcast —
+    * nothing here scales with the corpus beyond the first count. */
+  def mixDivergence(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w4", (mixWeight(col("source")) * 4).cast(LongType))
+    val tot = per.agg(sum("n_docs").as("n_total"), sum("w4").as("w4_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w4"),
+        (col("n_docs") *
+          round(log((col("n_docs") * col("w4_total")).cast(DoubleType) /
+            (col("n_total") * col("w4")).cast(DoubleType)) * lit(1e6))
+            .cast(LongType)).as("kl_contrib_micro"))
+      .orderBy("source")
+  }
+
   /** UniMax-style token-budget allocation (Chung et al. 2023, "UniMax:
     * Fairer and More Effective Language Sampling for Large-Scale
     * Multilingual Pretraining"): given a total training-token budget and
@@ -1312,6 +1336,11 @@ object Curation {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // mix drift: per-source KL contribution of the realized share vs
+    // the mixWeight target — term-wise micro-nat quantization, integer
+    // multiplication, so the report is bit-stable at any parallelism.
+    "q_mix_divergence" -> ((s, dir) => mixDivergence(documents(s, dir))),
+
     // source mixing: per-source epoch weights (src0×3.0, src1×2.5,
     // src2×0.5, src3×0.25, rest ×1.0) — the Pile/LLaMA-style data-mixing
     // step. Integer epochs replicate via sequence+explode (a NARROW
@@ -1812,6 +1841,23 @@ object Curation {
         |       unnest(range(CAST((end_off - toks) // 512 AS BIGINT),
         |                    CAST((end_off - 1) // 512 + 1 AS BIGINT))) AS chunk_id
         |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_mix_divergence" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 10
+        |                          WHEN 'src2' THEN 2 WHEN 'src3' THEN 1
+        |                          ELSE 4 END AS BIGINT) AS w4
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |               CAST(sum(w4) AS BIGINT) AS w4_total FROM per)
+        |SELECT source, n_docs, w4,
+        |       CAST(n_docs * CAST(round(ln(
+        |           CAST(n_docs * tot.w4_total AS DOUBLE) /
+        |           CAST(tot.n_total * w4 AS DOUBLE)) * 1e6) AS BIGINT)
+        |         AS BIGINT) AS kl_contrib_micro
+        |FROM per CROSS JOIN tot
+        |ORDER BY source""".stripMargin,
+
     "q_source_mix" ->
       """WITH w AS (
         |  SELECT doc_id, source,
