@@ -48,6 +48,10 @@ object ForgetStream {
     val fs = new org.apache.hadoop.fs.Path(tombDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val gen = s"$tombDir/compacted"
+    // nothing accumulated since the last compaction → the generation is
+    // already exactly the set; a no-op, not a read of a missing glob
+    if (Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
+        .forall(_.isEmpty)) return
     s.read.parquet(s"$tombDir/batch=*").select("doc_id").distinct()
       .unionByName(
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")))
@@ -56,11 +60,13 @@ object ForgetStream {
       .distinct()
       .write.mode("overwrite").parquet(s"$gen.next")
     // commit order: the new generation is fully written before the old
-    // layout is removed; the final rename is the atomic flip
+    // layout is removed; the final rename is the atomic flip — a failed
+    // flip must abort loudly with both layouts intact, never half-apply
     if (fs.exists(new org.apache.hadoop.fs.Path(gen)))
       fs.delete(new org.apache.hadoop.fs.Path(gen), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$gen.next"),
-      new org.apache.hadoop.fs.Path(gen))
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$gen.next"),
+      new org.apache.hadoop.fs.Path(gen)),
+      s"tombstone compaction: rename $gen.next -> $gen failed")
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
       .getOrElse(Array.empty)
       .foreach(st => fs.delete(st.getPath, true))

@@ -181,6 +181,11 @@ class EventStreamSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq
     assert(again.sorted == Seq(7L, 20L, 33L),
       s"re-compaction with new arrivals must merge generations: $again")
+    // compacting with nothing new accumulated is a safe no-op
+    graft.streaming.ForgetStream.compactTombstones(spark, s"$dir/tomb")
+    assert(graft.streaming.ForgetStream.tombstoneIds(spark, s"$dir/tomb")
+      .collect().map(_.getLong(0)).toSeq.sorted == Seq(7L, 20L, 33L),
+      "an idle compaction must not disturb the generation")
   }
 
   test("streamed takedown (ForgetStream): accumulated tombstones mask BM25 serving") {
