@@ -789,18 +789,15 @@ object Similarity {
     * micro-sims, then one CTE per selection step, each excluding and
     * penalizing against the union of all previous picks. Generated from
     * the same (n, k, λ) constants the operator uses. */
-  private[operators] val MmrOracle: String = {
+  /** The unrolled greedy-MMR oracle over ANY pool: `poolCtes` is a CTE
+    * chain ending in `pool(vec_id, embedding, rel6)` — brute-force
+    * cosine for q_mmr_rerank/q_mmr_ivf, the RRF-fused hybrid list for
+    * the retrieval e2e. One greedy-replay string, three gates. */
+  private[operators] def mmrGreedyOracleFrom(poolCtes: String): String = {
     val l = MmrLambdaX10
     val l1 = 10L - MmrLambdaX10
     val head =
-      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
-         |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
-         |pool AS (
-         |  SELECT vec_id, embedding,
-         |         ${cosMicroSql("embedding", "q_emb")} AS rel6
-         |  FROM embeddings, q
-         |  WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
-         |  ORDER BY rel6 DESC, vec_id LIMIT $MmrPoolN),
+      s"""WITH $poolCtes,
          |sims AS (
          |  SELECT a.vec_id AS d, b.vec_id AS s,
          |         ${cosMicroSql("a.embedding", "b.embedding")} AS sim6
@@ -825,6 +822,16 @@ object Similarity {
     (head +: steps).mkString(",\n") +
       s"\nSELECT vec_id, rel6, pick, mmr6 FROM ($union) ORDER BY pick"
   }
+
+  private[operators] val MmrOracle: String = mmrGreedyOracleFrom(
+    s"""q AS (SELECT embedding AS q_emb FROM embeddings
+       |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |pool AS (
+       |  SELECT vec_id, embedding,
+       |         ${cosMicroSql("embedding", "q_emb")} AS rel6
+       |  FROM embeddings, q
+       |  WHERE vec_id <> (SELECT min(vec_id) FROM embeddings)
+       |  ORDER BY rel6 DESC, vec_id LIMIT $MmrPoolN)""".stripMargin)
 
   // --- product quantization (PQ) ---------------------------------------
 
@@ -1170,6 +1177,22 @@ object Similarity {
       rrfFuse(Seq(dense, sparse), 10)
     }),
 
+    // the retrieval wave composed END TO END in one plan: dense kNN +
+    // sparse BM25 → reciprocal-rank fusion → MMR diversification over
+    // the fused candidates (rel = the exactly-integral micro-RRF, sims
+    // = the pinned micro-cosine kernel). The serving-side sibling of
+    // the crawl and curation e2e gates — every stage's arithmetic rides
+    // one hash through the shared greedy-replay oracle.
+    "q_retrieval_pipeline_e2e" -> ((s, dir) => {
+      val (dense, sparse) = hybridLists(s, dir)
+      val pool = rrfFuse(Seq(dense, sparse), 10)
+        .join(embeddings(s, dir), col("id") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          round(col("rrf") * lit(1e6))
+            .cast(org.apache.spark.sql.types.LongType).as("rel6"))
+      mmrRerankPool(pool, MmrK)
+    }),
+
     // retrieval evaluation: nDCG@10 of the fused hybrid list against the
     // dense ideal — fusion deliberately reorders, so the metric pins the
     // REAL cross-list behavior, not a trivial 1.0.
@@ -1313,6 +1336,16 @@ object Similarity {
     "q_rrf_fusion" ->
       s"""WITH $RrfCtesSql
         |SELECT id, rrf, n_lists FROM fusedtop ORDER BY rrf DESC, id""".stripMargin,
+
+    // fused-pool greedy replay: the RRF chain feeds the shared MMR
+    // oracle builder — the same greedy steps as q_mmr_rerank, pool
+    // swapped for the hybrid fused list
+    "q_retrieval_pipeline_e2e" -> mmrGreedyOracleFrom(
+      s"""$RrfCtesSql,
+         |pool AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         CAST(round(f.rrf * 1e6) AS BIGINT) AS rel6
+         |  FROM fusedtop f JOIN embeddings e ON e.vec_id = f.id)""".stripMargin),
     // nDCG@10 of the fused hybrid list against the dense ideal: graded
     // relevance 11−ideal_rank, log2 discount, one rounded division.
     "q_ndcg_rrf" ->
