@@ -120,6 +120,34 @@ class CorpusStatsSpec extends SparkSpecBase {
       "id-frame retraction and stored-artifact retraction must agree")
   }
 
+  test("mix divergence: over-represented sources score positive, total KL >= 0") {
+    // realized 3:1 against a uniform target (both sources weight 1.0 →
+    // w4 = 4): 'src9' is over-represented → positive contribution
+    val docs = (Seq.fill(30)("src9") ++ Seq.fill(10)("src8"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val out = graft.operators.Curation.mixDivergence(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("src9") > 0, "over-represented source must contribute positive KL")
+    assert(out("src8") < 0, "under-represented source contributes negative")
+    assert(out.values.sum >= 0, "total KL is non-negative (Gibbs) within quantization")
+  }
+
+  test("data card: per-lang totals agree with direct aggregates; vocab envelope holds") {
+    val card = graft.operators.CorpusStats.dataCard(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getBoolean(5)))).toMap
+    val direct = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card.keySet == direct.keySet, "every language gets a card row")
+    direct.foreach { case (l, n) =>
+      assert(card(l)._1 == n, s"doc count mismatch for $l")
+      assert(card(l)._2 > 0, s"vocabulary must be non-empty for $l")
+      assert(card(l)._3, s"HLL estimate must sit inside its 5% envelope for $l")
+    }
+  }
+
   test("PMI: independent-ish and perfectly-correlated pairs order correctly") {
     // 4 docs: p and q always together; p and r half the time
     val docs = Seq(
