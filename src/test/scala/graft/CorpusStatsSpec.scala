@@ -120,6 +120,41 @@ class CorpusStatsSpec extends SparkSpecBase {
       "id-frame retraction and stored-artifact retraction must agree")
   }
 
+  test("sketch linearity THEOREM (property): subtract ≡ fresh-over-reduced for random corpora") {
+    import org.scalacheck.Gen
+    // random term-count tables A with a random retraction subset R ⊆ A:
+    // cells(A) − cells(R) must equal cells(A \ R) exactly, every cell,
+    // for EVERY draw — the algebraic fact the q_cms_forget gate rests on
+    val tableGen = for {
+      n <- Gen.chooseNum(1, 30)
+      terms <- Gen.listOfN(n, for {
+        t <- Gen.oneOf((0 until 12).map(i => s"w$i"))
+        c <- Gen.chooseNum(1L, 50L)
+        retract <- Gen.chooseNum(0L, 1L)
+      } yield (t, c, retract == 1L))
+    } yield terms
+    samples(tableGen, 12).zipWithIndex.foreach { case (rows, i) =>
+      // collapse duplicate terms; the retraction takes a PARTIAL count
+      // (min(c, drawn)) so R is a true sub-multiset, not all-or-nothing
+      val all = rows.groupBy(_._1).map { case (t, g) =>
+        (t, g.map(_._2).sum, g.filter(_._3).map(_._2).sum.min(g.map(_._2).sum))
+      }.toSeq
+      val a = all.map { case (t, c, _) => (t, c) }.toDF("term", "c")
+      val r = all.filter(_._3 > 0).map { case (t, _, rc) => (t, rc) }.toDF("term", "c")
+      val reduced = all.filter { case (_, c, rc) => c - rc > 0 }
+        .map { case (t, c, rc) => (t, c - rc) }.toDF("term", "c")
+      val subtracted = CorpusStats.cmsBuild(a)
+        .unionByName(CorpusStats.cmsBuild(r)
+          .select(col("r"), col("b"), (-col("cnt")).as("cnt")))
+        .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") =!= 0)
+      val fresh = CorpusStats.cmsBuild(reduced)
+      assert(subtracted.exceptAll(fresh).count() == 0 &&
+        fresh.exceptAll(subtracted).count() == 0,
+        s"linearity violated on draw $i: $all")
+    }
+  }
+
   test("mix divergence: over-represented sources score positive, total KL >= 0") {
     // realized 3:1 against a uniform target (both sources weight 1.0 →
     // w4 = 4): 'src9' is over-represented → positive contribution
