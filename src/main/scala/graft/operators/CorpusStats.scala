@@ -594,7 +594,7 @@ object CorpusStats {
     // the data card: per-lang docs/tokens/mean-length/vocab (exact +
     // HLL-in-envelope)/median-length-bucket in one frame — the summary
     // a dataset release ships, composed from the gated generators.
-    "q_data_card" -> ((s, dir) => dataCard(s, dir)),
+    "q_lang_card" -> ((s, dir) => dataCard(s, dir)),
 
     // document-level PMI: for term pairs co-occurring in a majority of
     // documents (integer cut 2·df_ab ≥ N), the pointwise mutual
@@ -764,7 +764,7 @@ object CorpusStats {
     // per-lang card replay: exact counts, constant-true envelope (the
     // q_hll_distinct convention — the Spark side computes it for real),
     // median bucket by the same integer coverage cut
-    "q_data_card" ->
+    "q_lang_card" ->
       s"""WITH tok AS (
          |  SELECT lang,
          |         unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
