@@ -20,11 +20,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_saldo_per_konto")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Parity.queries ++
-      graft.queries.Extensions.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = graft.queries.Registry.unionDistinct(
+      "Parity" -> graft.queries.Parity.queries,
+      "Extensions" -> graft.queries.Extensions.queries)
+    // every gate must carry an oracle and vice versa — a one-sided key
+    // is a silently weaker (or dead) gate, refused at assembly
+    graft.queries.Registry.requireAligned(m.keySet, oracleSql.keySet)
+    m
+  }
 
   def oracleSql: Map[String, String] =
-    graft.queries.Parity.oracles ++
-      graft.queries.Extensions.oracles
+    graft.queries.Registry.unionDistinct(
+      "Parity" -> graft.queries.Parity.oracles,
+      "Extensions" -> graft.queries.Extensions.oracles)
 }

@@ -263,9 +263,13 @@ object CorpusStats {
   def cmsDeadFraction(s: SparkSession, dir: String): Double = {
     val (base, _) = ensureCmsArtifacts(s, dir)
     val retract = ensureCmsRetract(s, dir)
+    // sum over an EMPTY slice (no retractions yet, or an all-zero r=0
+    // row) is NULL, not 0 — coalesce so the fraction is 0.0, not an NPE
     def mass(df: DataFrame): Long =
-      df.filter(col("r") === 0).agg(sum("cnt")).head().getLong(0)
-    mass(retract).toDouble / mass(base).toDouble
+      df.filter(col("r") === 0)
+        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val live = mass(base)
+    if (live == 0L) 0.0 else mass(retract).toDouble / live.toDouble
   }
 
   /** Tombstone-fraction PURGE TRIGGER on the stats axis — the
@@ -444,14 +448,16 @@ object CorpusStats {
   }
 
   /** Distinct-vocabulary estimate of the GROWN corpus served from the
-    * stored sketches alone (one union-agg over ≤ 2·|langs| rows), gated
-    * the q_hll_distinct way: the EXACT distinct count is emitted
-    * (computed independently by both engines) plus a boolean pinning
-    * the merged estimate inside a 5 % envelope in integer
-    * cross-multiplication — the estimate itself is
-    * implementation-specific, the envelope and the exact count are not.
-    * Deterministic for fixed data: Datasketches HLL has no run-time
-    * randomness. */
+    * stored sketches alone (one union-agg over ≤ 2·|langs| rows). Gate
+    * shape (r13, replacing the constant-true envelope): the EXACT
+    * distinct count plus the estimator's 5%-ERROR BAND
+    * `floor(|est − exact|·20 / exact)` — 0 means within 5 %, and any
+    * drift shows its actual band in the diff instead of a bare false.
+    * The oracle computes the SAME band from DuckDB's own HLL
+    * (`approx_count_distinct`), so each engine independently asserts
+    * its estimator's accuracy — the oracle no longer contains a column
+    * it did not compute. Deterministic for fixed data: Datasketches
+    * HLL has no run-time randomness. */
   def hllMergeServe(s: SparkSession, dir: String): DataFrame = {
     val (base, delta) = ensureHllArtifacts(s, dir)
     val est = base.unionByName(delta)
@@ -466,8 +472,8 @@ object CorpusStats {
       .groupBy("lang").agg(countDistinct(col("term")).as("exact_terms"))
       .join(broadcast(est), "lang")
       .select(col("lang"), col("exact_terms"),
-        (abs(col("est") - col("exact_terms")) * 20 <= col("exact_terms"))
-          .as("within_5pct"))
+        floor(abs(col("est") - col("exact_terms")) * 20 /
+          col("exact_terms")).cast(LongType).as("err_band_5pct"))
       .orderBy("lang")
   }
 
@@ -507,8 +513,8 @@ object CorpusStats {
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         expr("sum_chars div n_docs").as("mean_chars"),
         col("distinct_terms"),
-        (abs(col("est") - col("distinct_terms")) * 20 <= col("distinct_terms"))
-          .as("vocab_hll_within_5pct"),
+        floor(abs(col("est") - col("distinct_terms")) * 20 /
+          col("distinct_terms")).cast(LongType).as("vocab_err_band_5pct"),
         col("p50_chars_lo"))
       .orderBy("lang")
   }
@@ -744,10 +750,11 @@ object CorpusStats {
     "q_quantile_forget" -> QuantileForgetOracle,
     "q_quantile_purge" -> QuantileForgetOracle,
 
-    // exact per-lang distinct vocabulary over the augmented corpus —
-    // the q_hll_distinct convention: exact count + constant-true
-    // envelope (the Spark side computes the envelope for real from the
-    // merged stored sketches)
+    // exact per-lang distinct vocabulary over the augmented corpus,
+    // plus the 5%-error band of DuckDB's OWN HLL
+    // (approx_count_distinct) — each engine independently computes its
+    // estimator's band (both 0 = both within 5 %), so the oracle
+    // asserts a quantity it computed, not a constant
     "q_hll_merge" ->
       """WITH doc2 AS (
         |  SELECT lang, text FROM documents
@@ -758,12 +765,14 @@ object CorpusStats {
         |         unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS term
         |  FROM doc2)
         |SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS exact_terms,
-        |       TRUE AS within_5pct
+        |       CAST(floor(abs(CAST(approx_count_distinct(term) AS DOUBLE)
+        |                      - count(DISTINCT term)) * 20
+        |                  / count(DISTINCT term)) AS BIGINT) AS err_band_5pct
         |FROM tok GROUP BY 1 ORDER BY lang""".stripMargin,
 
-    // per-lang card replay: exact counts, constant-true envelope (the
-    // q_hll_distinct convention — the Spark side computes it for real),
-    // median bucket by the same integer coverage cut
+    // per-lang card replay: exact counts, DuckDB's own HLL error band
+    // (the two-sided q_hll_merge convention), median bucket by the
+    // same integer coverage cut
     "q_lang_card" ->
       s"""WITH tok AS (
          |  SELECT lang,
@@ -775,7 +784,8 @@ object CorpusStats {
          |  FROM documents GROUP BY 1),
          |voc AS (
          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
-         |         CAST(count(DISTINCT term) AS BIGINT) AS distinct_terms
+         |         CAST(count(DISTINCT term) AS BIGINT) AS distinct_terms,
+         |         approx_count_distinct(term) AS est
          |  FROM tok GROUP BY 1),
          |h AS (
          |  SELECT lang, CAST(n_chars // $HistBucketWidth AS BIGINT) AS bucket,
@@ -792,7 +802,8 @@ object CorpusStats {
          |SELECT b.lang, b.n_docs, v.n_tokens,
          |       CAST(b.sum_chars // b.n_docs AS BIGINT) AS mean_chars,
          |       v.distinct_terms,
-         |       TRUE AS vocab_hll_within_5pct,
+         |       CAST(floor(abs(CAST(v.est AS DOUBLE) - v.distinct_terms) * 20
+         |                  / v.distinct_terms) AS BIGINT) AS vocab_err_band_5pct,
          |       m.p50_chars_lo
          |FROM base b JOIN voc v USING (lang) JOIN med m USING (lang)
          |ORDER BY b.lang""".stripMargin,

@@ -592,9 +592,16 @@ object Curation {
       lit(1L), "grk")
     // per-lang start offsets: cumulative counts over the bounded
     // language list (collected — the lmTables bounded-artifact rule)
+    // offsets must accumulate in EXACTLY the order the prefix rank
+    // sorts `lang` — Spark's UTF8String binary order is unsigned
+    // UTF-8 BYTE order, which diverges from String's UTF-16 code-unit
+    // order for non-ASCII codes (e.g. supplementary-plane surrogates),
+    // so sort the collected totals by UTF-8 bytes, not by String
     val totals = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)
+      .sortBy(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))(
+        Ordering.comparatorToOrdering(
+          java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])))
     var acc = 0L
     val offRows = totals.map { case (l, n) =>
       val off = acc; acc += n; (l, n, off)

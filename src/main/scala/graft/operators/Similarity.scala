@@ -773,9 +773,19 @@ object Similarity {
     * per-element double products, sequential list_sum, dot/sqrt(na·nb),
     * micro rounding. Exact-input doubles through the identical
     * association, so the result is bit-identical to the Scala loop
-    * (q_cosine_micro_parity pins this over the whole corpus). */
+    * (q_cosine_micro_parity pins this over the whole corpus). The
+    * zero-norm branch mirrors VectorOps.cosine's guard (0, not NaN) so
+    * a zero embedding in a future fixture cannot hash-diverge the
+    * engines. */
   private[operators] def cosMicroSql(a: String, b: String): String =
     s"""CAST(round(
+       |  CASE WHEN
+       |      list_sum(list_transform(range(1, len($a) + 1),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))) = 0
+       |    OR
+       |      list_sum(list_transform(range(1, len($b) + 1),
+       |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) = 0
+       |  THEN 0 ELSE
        |  list_sum(list_transform(range(1, len($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |  / sqrt(
@@ -783,6 +793,7 @@ object Similarity {
        |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))
        |    * list_sum(list_transform(range(1, len($b) + 1),
        |        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))
+       |  END
        |  * 1e6) AS BIGINT)""".stripMargin
 
   /** The MMR oracle: the greedy recurrence UNROLLED — pool, pairwise

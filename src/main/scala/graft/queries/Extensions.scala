@@ -9,35 +9,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * check).
   */
 object Extensions {
+  // duplicate-refusing union (Registry.unionDistinct): a key collision
+  // here silently SHADOWED a gate in round 12 — now it throws at
+  // assembly, naming the key and both owning modules
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.operators.TextAnalysis.queries ++
-      graft.operators.Dedup.queries ++
-      graft.operators.Similarity.queries ++
-      graft.operators.Events.queries ++
-      graft.operators.Multimodal.queries ++
-      graft.operators.ScalePatterns.queries ++
-      graft.operators.AsOf.queries ++
-      graft.operators.Ingest.queries ++
-      graft.operators.Curation.queries ++
-      graft.operators.Crawl.queries ++
-      graft.operators.CorpusStats.queries ++
-      graft.operators.Spectral.queries ++
-      graft.operators.Bpe.queries ++
-      graft.operators.Formats.queries
+    Registry.unionDistinct(
+      "TextAnalysis" -> graft.operators.TextAnalysis.queries,
+      "Dedup" -> graft.operators.Dedup.queries,
+      "Similarity" -> graft.operators.Similarity.queries,
+      "Events" -> graft.operators.Events.queries,
+      "Multimodal" -> graft.operators.Multimodal.queries,
+      "ScalePatterns" -> graft.operators.ScalePatterns.queries,
+      "AsOf" -> graft.operators.AsOf.queries,
+      "Ingest" -> graft.operators.Ingest.queries,
+      "Curation" -> graft.operators.Curation.queries,
+      "Crawl" -> graft.operators.Crawl.queries,
+      "CorpusStats" -> graft.operators.CorpusStats.queries,
+      "Spectral" -> graft.operators.Spectral.queries,
+      "Bpe" -> graft.operators.Bpe.queries,
+      "Formats" -> graft.operators.Formats.queries)
 
   def oracles: Map[String, String] =
-    graft.operators.TextAnalysis.oracles ++
-      graft.operators.Dedup.oracles ++
-      graft.operators.Similarity.oracles ++
-      graft.operators.Events.oracles ++
-      graft.operators.Multimodal.oracles ++
-      graft.operators.ScalePatterns.oracles ++
-      graft.operators.AsOf.oracles ++
-      graft.operators.Ingest.oracles ++
-      graft.operators.Curation.oracles ++
-      graft.operators.Crawl.oracles ++
-      graft.operators.CorpusStats.oracles ++
-      graft.operators.Spectral.oracles ++
-      graft.operators.Bpe.oracles ++
-      graft.operators.Formats.oracles
+    Registry.unionDistinct(
+      "TextAnalysis" -> graft.operators.TextAnalysis.oracles,
+      "Dedup" -> graft.operators.Dedup.oracles,
+      "Similarity" -> graft.operators.Similarity.oracles,
+      "Events" -> graft.operators.Events.oracles,
+      "Multimodal" -> graft.operators.Multimodal.oracles,
+      "ScalePatterns" -> graft.operators.ScalePatterns.oracles,
+      "AsOf" -> graft.operators.AsOf.oracles,
+      "Ingest" -> graft.operators.Ingest.oracles,
+      "Curation" -> graft.operators.Curation.oracles,
+      "Crawl" -> graft.operators.Crawl.oracles,
+      "CorpusStats" -> graft.operators.CorpusStats.oracles,
+      "Spectral" -> graft.operators.Spectral.oracles,
+      "Bpe" -> graft.operators.Bpe.oracles,
+      "Formats" -> graft.operators.Formats.oracles)
 }

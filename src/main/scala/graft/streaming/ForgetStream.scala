@@ -36,55 +36,72 @@ object ForgetStream {
   /** Compact the accumulated tombstone directory — the LSM small-files
     * rule applied to the deletion front door: thousands of per-trigger
     * `batch=<id>` files (one takedown each) rewrite as ONE distinct id
-    * set under the next generation path, committed by its `_SUCCESS`
-    * marker before any old file is touched, then the old batch dirs are
-    * dropped. Duplicate retraction requests collapse here (the
-    * anti-join never needed them distinct, but the accumulated bytes
-    * and file-listing cost grow forever without this). Readers are
-    * never wrong mid-compaction: the batch dirs stay intact until the
-    * compacted generation is committed, and every consumer takes the
-    * UNION of both layouts ([[tombstoneIds]]). */
+    * set under the NEXT NUMBERED generation (`gen=<n+1>`), committed by
+    * its `_SUCCESS` marker before any old file is touched, then the
+    * folded batch dirs and superseded generations are dropped.
+    * Duplicate retraction requests collapse here (the anti-join never
+    * needed them distinct, but the accumulated bytes and file-listing
+    * cost grow forever without this). Readers are never wrong at ANY
+    * crash point: no path is ever deleted-then-recreated — generations
+    * only appear (fully written, then marker-committed) and
+    * [[tombstoneIds]] reads the HIGHEST committed one, so a crash
+    * before the marker leaves the old generation live and a crash
+    * after it leaves both (the new one already contains the old).
+    * The batch list is snapshotted BEFORE the fold so a retraction
+    * landing mid-compaction is never deleted without being folded in —
+    * it simply rides until the next compaction. */
   def compactTombstones(s: SparkSession, tombDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tombDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val gen = s"$tombDir/compacted"
+    val batches = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
+      .getOrElse(Array.empty).map(_.getPath)
     // nothing accumulated since the last compaction → the generation is
     // already exactly the set; a no-op, not a read of a missing glob
-    if (Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
-        .forall(_.isEmpty)) return
-    s.read.parquet(s"$tombDir/batch=*").select("doc_id").distinct()
-      .unionByName(
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")))
-          s.read.parquet(gen).select("doc_id")
-        else s.emptyDataFrame.selectExpr("CAST(0 AS BIGINT) AS doc_id").limit(0))
+    if (batches.isEmpty) return
+    val cur = committedGens(fs, tombDir)
+    val next = cur.lastOption.map(_ + 1).getOrElse(1)
+    s.read.parquet(batches.map(_.toString): _*).select("doc_id")
+      .unionByName(cur.lastOption
+        .map(n => s.read.parquet(s"$tombDir/gen=$n").select("doc_id"))
+        .getOrElse(s.emptyDataFrame
+          .selectExpr("CAST(0 AS BIGINT) AS doc_id").limit(0)))
       .distinct()
-      .write.mode("overwrite").parquet(s"$gen.next")
-    // commit order: the new generation is fully written before the old
-    // layout is removed; the final rename is the atomic flip — a failed
-    // flip must abort loudly with both layouts intact, never half-apply
-    if (fs.exists(new org.apache.hadoop.fs.Path(gen)))
-      fs.delete(new org.apache.hadoop.fs.Path(gen), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$gen.next"),
-      new org.apache.hadoop.fs.Path(gen)),
-      s"tombstone compaction: rename $gen.next -> $gen failed")
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
-      .getOrElse(Array.empty)
-      .foreach(st => fs.delete(st.getPath, true))
+      .write.mode("overwrite").parquet(s"$tombDir/gen=$next")
+    require(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$tombDir/gen=$next/_SUCCESS")),
+      s"tombstone compaction: gen=$next did not commit; old layout intact")
+    // cleanup is pure garbage collection of superseded state — every id
+    // below is already inside the committed gen=$next
+    batches.foreach(p => fs.delete(p, true))
+    cur.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tombDir/gen=$n"), true))
   }
 
+  /** Committed (marker-bearing) generation numbers in ascending order. */
+  private def committedGens(fs: org.apache.hadoop.fs.FileSystem,
+      tombDir: String): Seq[Int] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/gen=*")))
+      .getOrElse(Array.empty)
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => st.getPath.getName.stripPrefix("gen=").toIntOption)
+      .sorted.toSeq
+
   /** Every tombstone id the directory holds, whatever its layout state:
-    * live batch files ∪ the compacted generation (either may be absent;
-    * mid-compaction both exist and the union is still exactly the set). */
+    * live batch files ∪ the highest COMMITTED generation (either may be
+    * absent; mid-compaction — or after a torn one — both exist and the
+    * union is still exactly the set, because a committed generation
+    * contains everything that was folded into it). */
   def tombstoneIds(s: SparkSession, tombDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tombDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val parts = Seq(
-      (s"$tombDir/batch=*",
-        Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
-          .exists(_.nonEmpty)),
-      (s"$tombDir/compacted",
-        fs.exists(new org.apache.hadoop.fs.Path(s"$tombDir/compacted/_SUCCESS"))))
-      .collect { case (p, true) => s.read.parquet(p).select("doc_id") }
+    val parts =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
+        .filter(_.nonEmpty)
+        .map(_ => s.read.parquet(s"$tombDir/batch=*").select("doc_id")).toSeq ++
+      committedGens(fs, tombDir).lastOption
+        .map(n => s.read.parquet(s"$tombDir/gen=$n").select("doc_id")).toSeq
     parts.reduceOption(_ unionByName _)
       .getOrElse(s.emptyDataFrame.selectExpr("CAST(0 AS BIGINT) AS doc_id").limit(0))
   }

@@ -171,7 +171,7 @@ class CorpusStatsSpec extends SparkSpecBase {
   test("data card: per-lang totals agree with direct aggregates; vocab envelope holds") {
     val card = graft.operators.CorpusStats.dataCard(spark, TestSpark.Sf0001)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(4), r.getBoolean(5)))).toMap
+        ((r.getLong(1), r.getLong(4), r.getLong(5) == 0L))).toMap
     val direct = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -188,6 +188,51 @@ class EventStreamSpec extends SparkSpecBase {
       "an idle compaction must not disturb the generation")
   }
 
+  test("tombstone compaction survives a torn flip: no crash point loses a retraction") {
+    // the r12 ADVICE finding: delete(gen)+rename(gen.next) had a window
+    // where neither layout existed — retracted ids came back. The
+    // numbered-generation rewrite must hold the set exact at EVERY
+    // crash point, simulated here by hand-building the on-disk states.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_torn").toString
+    val tomb = s"$dir/tomb"
+    import testImplicits._
+    def ids(): Seq[Long] = graft.streaming.ForgetStream
+      .tombstoneIds(spark, tomb).collect().map(_.getLong(0)).toSeq.sorted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(7L).toDF("doc_id").write.parquet(s"$tomb/batch=0")
+    Seq(20L).toDF("doc_id").write.parquet(s"$tomb/batch=1")
+    graft.streaming.ForgetStream.compactTombstones(spark, tomb)
+    assert(ids() == Seq(7L, 20L), "baseline compaction")
+    // crash point A — mid-write of the next generation (no _SUCCESS):
+    // an uncommitted generation must be INVISIBLE to readers
+    Seq(33L).toDF("doc_id").write.parquet(s"$tomb/batch=2")
+    Seq(7L, 20L, 33L).toDF("doc_id").write.parquet(s"$tomb/gen=2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tomb/gen=2/_SUCCESS"), false)
+    assert(ids() == Seq(7L, 20L, 33L),
+      "uncommitted generation ignored; batches still carry 33")
+    // crash point B — committed gen=2 but cleanup never ran: the
+    // HIGHEST committed generation wins, stale batch/gen are harmless
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tomb/gen=2"), true)
+    Seq(7L, 20L, 33L).toDF("doc_id").write.parquet(s"$tomb/gen=2")
+    // 33 rides in BOTH the stale batch and the committed generation —
+    // duplicates are semantically free for the anti-join mask
+    assert(ids().distinct == Seq(7L, 20L, 33L),
+      "post-commit pre-cleanup state: union of gen=2 and stale batch stays exact")
+    // recovery — the next compaction folds the leftovers and GCs every
+    // superseded path, converging back to one generation
+    graft.streaming.ForgetStream.compactTombstones(spark, tomb)
+    assert(ids() == Seq(7L, 20L, 33L), "recovery compaction keeps the set")
+    assert(Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$tomb/batch=*"))).forall(_.isEmpty),
+      "leftover batches GC'd")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tomb/gen=1")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$tomb/gen=2")),
+      "superseded generations GC'd")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tomb/gen=3/_SUCCESS")),
+      "recovery writes the next numbered generation")
+  }
+
   test("streamed takedown (ForgetStream): accumulated tombstones mask BM25 serving") {
     val dir = java.nio.file.Files.createTempDirectory("graft_forget_stream").toString
     val terms = Seq("table", "scan", "join")
