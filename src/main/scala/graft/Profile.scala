@@ -70,6 +70,36 @@ object Profile {
             .agg(count(lit(1)).as("n_rare"))
             .filter(col("n_rare") >= 5).count()
         }
+      // measured recall@10 of every approximate serving family at its
+      // real operating defaults — the tuning view behind the three
+      // q_*_recall_envelope gates
+      case "recall_probe" =>
+        Seq(
+          "ivf" -> graft.operators.Ingest
+            .ivfRecallMeasured(spark, sfDir, 10, 0, 16),
+          "ivfpq" -> graft.operators.Ingest
+            .ivfPqRecallMeasured(spark, sfDir, 10, 0, 16),
+          "ivfsq" -> graft.operators.Ingest
+            .ivfSqRecallMeasured(spark, sfDir, 10, 0, 16))
+          .foreach { case (fam, df) =>
+            val r = time(s"recall:$fam")(df.head())
+            println(s"  $fam n_queries=${r.getLong(0)} mean_recall=${r.getDouble(1)}")
+          }
+      // negative-control view: coarse quantizers / starved shortlists
+      // through the same measured-recall harness (the SimilaritySpec
+      // controls' tuning companion)
+      case "recall_negctl" =>
+        Seq(
+          ("ivfpq m=1 k=4 expand=1 allcells",
+            graft.operators.Ingest.ivfPqRecallMeasured(
+              spark, sfDir, 10, 9999, 16, expand = 1, m = 1, kCent = 4)),
+          ("ivfsq expand=1 allcells",
+            graft.operators.Ingest.ivfSqRecallMeasured(
+              spark, sfDir, 10, 9999, 16, expand = 1)))
+          .foreach { case (label, df) =>
+            val r = time(s"negctl")(df.head())
+            println(s"  $label mean_recall=${r.getDouble(1)}")
+          }
       // phase breakdown of the warm IVF-PQ stored path
       case "ivfpq_phases" =>
         time("ivfpq:ensure")(graft.operators.Ingest.ensureIvfPqIndex(spark, sfDir))

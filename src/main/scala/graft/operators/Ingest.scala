@@ -1488,7 +1488,11 @@ object Ingest {
     Similarity.topKPerQuery(scored, k)
   }
 
-  private def knnJoinSqSides(s: SparkSession, dir: String,
+  // private[graft] (not private): SimilaritySpec's SQ negative control
+  // drives this kernel with a deliberately COARSE hand-built model —
+  // the honest stored model is too accurate for quantization alone to
+  // fail the envelope, so discriminance is proven at the kernel
+  private[graft] def knnJoinSqSides(s: SparkSession, dir: String,
       sides: Seq[DataFrame], centroids: DataFrame, mins: Array[Float],
       steps: Array[Float], rescoreCorpus: DataFrame, queriesDf: DataFrame,
       k: Int, expand: Int, nProbe: Int,
@@ -2051,13 +2055,22 @@ object Ingest {
     * `(n_queries, mean_recall)` — exposed for probe-width tuning and
     * the SimilaritySpec negative control. */
   def ivfRecallMeasured(s: SparkSession, dir: String, k: Int,
-      nProbe: Int, nQueries: Int): DataFrame = {
+      nProbe: Int, nQueries: Int): DataFrame =
+    recallMeasuredVia(s, dir, k, nQueries,
+      qs => knnJoinIvfStored(s, dir, qs, k, nProbe))
+
+  /** Shared recall@k harness for every approximate serving path:
+    * fixture-free queries (offset past the canary twins and the append
+    * fixtures so no planted cosine-1.0 pair flatters the number) served
+    * through `serve`, hits counted against the in-engine EXACT top-k
+    * over the same indexed corpus (both sides exclude self). */
+  private def recallMeasuredVia(s: SparkSession, dir: String, k: Int,
+      nQueries: Int, serve: DataFrame => DataFrame): DataFrame = {
     val emb = embeddings(s, dir)
     val qs = emb.orderBy("vec_id").offset(2 * NumCanaries).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .localCheckpoint() // two consumers: approx probe + exact baseline
-    val approx = knnJoinIvfStored(s, dir, qs, k, nProbe)
-      .select("q_id", "vec_id")
+    val approx = serve(qs).select("q_id", "vec_id")
     val exact = Similarity.knnJoin(indexedCorpus(s, dir), qs, k)
       .select("q_id", "vec_id")
     approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
@@ -2067,6 +2080,47 @@ object Ingest {
         (col("hits").cast(DoubleType) /
           (col("n_queries") * k).cast(DoubleType)).as("mean_recall"))
   }
+
+  /** Measured recall@k of the stored IVF-PQ index through its FULL
+    * production path — occupancy-sized probe default, ADC ranking over
+    * the 16 B/row codes, expand·k shortlist, bounded exact rescore —
+    * vs the in-engine exact top-k. This is the number the recall-1.0
+    * canary gates structurally cannot measure: QUANTIZATION DISTORTION
+    * (a codebook trained on the wrong sample, an m too coarse for the
+    * data, an expand too narrow to let the rescore recover) shows up
+    * here and nowhere else. `m`/`kCent`/`expand` are exposed so the
+    * SimilaritySpec negative control can prove the envelope
+    * discriminates. */
+  def ivfPqRecallMeasured(s: SparkSession, dir: String, k: Int,
+      nProbe: Int, nQueries: Int, expand: Int = 60, m: Int = 8,
+      kCent: Int = 256): DataFrame =
+    recallMeasuredVia(s, dir, k, nQueries,
+      qs => knnJoinIvfPqStored(s, dir, qs, k, expand, nProbe, m, kCent))
+
+  /** [[ivfPqRecallMeasured]] gated as the ≥ θ envelope
+    * (the q_ivf_recall_envelope convention). */
+  def ivfPqRecallEnvelope(s: SparkSession, dir: String, k: Int,
+      nProbe: Int, nQueries: Int, theta: Double): DataFrame =
+    ivfPqRecallMeasured(s, dir, k, nProbe, nQueries)
+      .select(col("n_queries"),
+        (col("mean_recall") >= lit(theta)).as("recall_ge_090"))
+
+  /** Measured recall@k of the stored IVF-SQ8 index through its full
+    * serving path (probe default, per-byte scalar dequantized ranking,
+    * expand·k shortlist, exact rescore) — the SQ sibling of
+    * [[ivfPqRecallMeasured]], measuring scalar-quantization distortion
+    * at the real operating point. */
+  def ivfSqRecallMeasured(s: SparkSession, dir: String, k: Int,
+      nProbe: Int, nQueries: Int, expand: Int = 8): DataFrame =
+    recallMeasuredVia(s, dir, k, nQueries,
+      qs => knnJoinIvfSqStored(s, dir, qs, k, expand, nProbe))
+
+  /** [[ivfSqRecallMeasured]] gated as the ≥ θ envelope. */
+  def ivfSqRecallEnvelope(s: SparkSession, dir: String, k: Int,
+      nProbe: Int, nQueries: Int, theta: Double): DataFrame =
+    ivfSqRecallMeasured(s, dir, k, nProbe, nQueries)
+      .select(col("n_queries"),
+        (col("mean_recall") >= lit(theta)).as("recall_ge_090"))
 
   /** Batched kNN over the APPENDED index (base ∪ delta) — the |Q|>1
     * generalization of [[ivfTopKAppended]]'s serving path. */
@@ -2482,6 +2536,17 @@ object Ingest {
     // envelope, so the gate demonstrably discriminates.
     "q_ivf_recall_envelope" -> ((s, dir) =>
       ivfRecallEnvelope(s, dir, 10, nProbe = 0, 16, 0.9)),
+
+    // the same measurement through the LOSSY code families at their
+    // real defaults (probe width AND quantizer geometry AND expand·k
+    // shortlist): the quantization-distortion trade the 1.0-canary
+    // gates certify machinery for but cannot measure. SimilaritySpec
+    // carries the discriminating negative controls — m=1 / expand=1
+    // drop true neighbors and fail the envelope.
+    "q_ivfpq_recall_envelope" -> ((s, dir) =>
+      ivfPqRecallEnvelope(s, dir, 10, nProbe = 0, 16, 0.9)),
+    "q_ivfsq_recall_envelope" -> ((s, dir) =>
+      ivfSqRecallEnvelope(s, dir, 10, nProbe = 0, 16, 0.9)),
 
     // deletion on the dense axis: 8 canary queries against the stored
     // IVF index with the first half's twins TOMBSTONED. A retracted
@@ -3268,6 +3333,10 @@ object Ingest {
     // (all 16 queries landed hits, measured recall >= 0.9); the Spark
     // side computes the measured quantity for real
     "q_ivf_recall_envelope" ->
+      "SELECT CAST(16 AS BIGINT) AS n_queries, TRUE AS recall_ge_090",
+    "q_ivfpq_recall_envelope" ->
+      "SELECT CAST(16 AS BIGINT) AS n_queries, TRUE AS recall_ge_090",
+    "q_ivfsq_recall_envelope" ->
       "SELECT CAST(16 AS BIGINT) AS n_queries, TRUE AS recall_ge_090",
     "q_knn_ivf_forget" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",

@@ -805,4 +805,76 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recallAt(2) >= 0.99,
       "probing both straddled cells must recover full recall")
   }
+
+  test("PQ recall envelope negative control: coarse codebook + starved shortlist fails 0.9") {
+    // quantization distortion, isolated from probe pruning by forcing
+    // ALL cells: an m=1/kCent=4 codebook collapses the corpus to 4 ADC
+    // score classes and expand=1 hands the exact rescore only k rows —
+    // true neighbors are dropped before anything can recover them.
+    // Same full stored-path machinery as q_ivfpq_recall_envelope, so
+    // the gate demonstrably discriminates on the quantizer axis
+    // (measured 0.1 at sf0.001). Defaults at the same all-cells probe
+    // recover 1.0 — proof the failure is the quantizer, not the probe.
+    val coarse = graft.operators.Ingest.ivfPqRecallMeasured(
+      spark, TestSpark.Sf0001, 10, nProbe = 9999, 16,
+      expand = 1, m = 1, kCent = 4).head()
+    assert(coarse.getDouble(1) < 0.9,
+      s"m=1/kCent=4/expand=1 must fail the envelope: ${coarse.getDouble(1)}")
+    val fine = graft.operators.Ingest.ivfPqRecallMeasured(
+      spark, TestSpark.Sf0001, 10, nProbe = 9999, 16).head()
+    assert(fine.getDouble(1) >= 0.99,
+      s"default m=8/kCent=256/expand=60 at all-cells probe must recover: ${fine.getDouble(1)}")
+  }
+
+  test("SQ recall envelope negative control: a too-coarse scalar model fails; the honest one recovers") {
+    import testImplicits._
+    // the honest SQ8 model (256 levels spanning the real per-dim range)
+    // is too accurate for quantization alone to fail the envelope at
+    // any SF — so discriminance is proven at the serving kernel with a
+    // deliberately mis-scaled model: steps sized for ±1000 while the
+    // data sits on the unit circle collapse EVERY vector to one code,
+    // the byte ranking becomes pure vec_id tiebreak, and expand=1
+    // starves the rescore. Exact neighbors deliberately carry HIGH ids
+    // so the tiebreak provably misses them.
+    graft.functions.SqOps.register(spark)
+    def v(deg: Double): Array[Float] = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // id i sits at angle 36+2i and the query at 56.9°, so the TRUE
+    // top-6 are the HIGH ids 9,8,7,6,5,4 — the all-ties vec_id-asc
+    // tiebreak serves 0..5 instead, and the miss is structural
+    val pts = (0 until 10).map(i => (i.toLong, v(36.0 + 2 * i))) ++
+      (0 until 5).map(i => ((i + 20).toLong, v(180.0 + 10 * i)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val centroids = Seq((0L, v(45.0)), (1L, v(200.0))).toDF("cid", "cvec")
+    val sides = Seq(graft.operators.Similarity.ivfAssignKernel(emb, centroids)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.SqOps.encode(col("embedding"),
+          Array(-1000f, -1000f), Array(7.843f, 7.843f)).as("code")))
+    val qs = Seq((999L, v(56.9))).toDF("q_id", "q_emb")
+    val exact = graft.operators.Similarity.knnJoin(emb, qs, 6)
+      .select("q_id", "vec_id")
+    def recallWith(mins: Array[Float], steps: Array[Float],
+        codedSides: Seq[org.apache.spark.sql.DataFrame]): Double = {
+      val approx = graft.operators.Ingest.knnJoinSqSides(spark,
+          TestSpark.Sf0001, codedSides, centroids, mins, steps,
+          emb, qs, 6, expand = 1, nProbe = 2)
+        .select("q_id", "vec_id")
+      approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .count().toDouble / 6.0
+    }
+    val coarse = recallWith(Array(-1000f, -1000f), Array(7.843f, 7.843f), sides)
+    assert(coarse < 0.9,
+      s"the mis-scaled model must fail the 0.9 envelope: $coarse")
+    // honest model: per-dim range of the unit-circle data, 256 levels
+    val honest = (Array(-1f, -1f), Array(2f / 255f, 2f / 255f))
+    val honestSides = Seq(
+      graft.operators.Similarity.ivfAssignKernel(emb, centroids)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.SqOps.encode(col("embedding"),
+            honest._1, honest._2).as("code")))
+    val fine = recallWith(honest._1, honest._2, honestSides)
+    assert(fine >= 0.99,
+      s"the honest 256-level model must recover full recall: $fine")
+  }
 }
