@@ -85,6 +85,12 @@ object Profile {
             val r = time(s"recall:$fam")(df.head())
             println(s"  $fam n_queries=${r.getLong(0)} mean_recall=${r.getDouble(1)}")
           }
+      // raw overlap behind q_mmr_ivf_envelope (pruned-probe diversified
+      // picks vs the exact-pool picks)
+      case "mmr_envelope_probe" =>
+        val ov = time("mmr:overlap")(
+          graft.operators.Ingest.mmrIvfOverlapMeasured(spark, sfDir))
+        println(s"  mmr pruned-vs-exact pick overlap=$ov")
       // negative-control view: coarse quantizers / starved shortlists
       // through the same measured-recall harness (the SimilaritySpec
       // controls' tuning companion)

@@ -979,11 +979,29 @@ object Ingest {
     * plan spec, which pins that candidates come from the stored
     * cell-partitioned assignment via a bounded top-n. */
   private[graft] def mmrStoredPool(s: SparkSession, dir: String,
+      n: Int): DataFrame =
+    mmrStoredPoolProbed(s, dir, n,
+      Similarity.ivfNumCells(embeddingCount(s, dir)))
+
+  /** The same pool at the DEFAULT pruned probe width — the shape a
+    * production diversified serve actually runs (most cells unscanned),
+    * measured by q_mmr_ivf_envelope rather than pinned exact. The probe
+    * is sized by the POOL size n, not the final k: candidate generation
+    * must recover the top-n pool for the rerank to diversify over —
+    * sizing by k=5 at sf0.1 measurably dropped pool candidates and the
+    * pick overlap with them (0.8 → 1.0 once sized by n). */
+  private[graft] def mmrStoredPoolPruned(s: SparkSession, dir: String,
       n: Int): DataFrame = {
+    val nEmb = embeddingCount(s, dir)
+    mmrStoredPoolProbed(s, dir, n,
+      Similarity.ivfNumProbe(nEmb, Similarity.ivfNumCells(nEmb), n))
+  }
+
+  private def mmrStoredPoolProbed(s: SparkSession, dir: String,
+      n: Int, probe: Int): DataFrame = {
     val (centroids, assign) = ensureIvfIndex(s, dir)
-    val cells = Similarity.ivfNumCells(embeddingCount(s, dir))
     val q = Similarity.queryRow(embeddings(s, dir))
-    val probePlan = singleQueryProbePlan(centroids, q, cells)
+    val probePlan = singleQueryProbePlan(centroids, q, probe)
     assign
       .join(broadcast(probeCells(probePlan, assign)), "cell")
       .crossJoin(broadcast(q))
@@ -995,6 +1013,38 @@ object Ingest {
       .select(col("vec_id"), col("embedding"),
         Similarity.cosMicro(col("embedding"), col("q_emb")).as("rel6"))
       .orderBy(desc("rel6"), asc("vec_id")).limit(n)
+  }
+
+  /** APPROXIMATE-regime diversified serving, gated as an envelope
+    * (verdict r12 #3): the diversified pick-set served from the
+    * DEFAULT pruned probe's candidate pool, overlap-measured against
+    * the exact-pool diversified picks ([[mmrTopKStored]], which
+    * q_mmr_ivf pins hash-exact against the brute-force oracle). Set
+    * overlap, not positional: greedy MMR cascades, so one missing
+    * pool candidate can reorder later picks — the production question
+    * is whether the SAME diversified set comes back, not whether the
+    * greedy recurrence replayed identically. */
+  def mmrIvfEnvelope(s: SparkSession, dir: String,
+      n: Int = Similarity.MmrPoolN, k: Int = Similarity.MmrK,
+      theta: Double = 0.9): DataFrame = {
+    val approx = Similarity.mmrRerankPool(mmrStoredPoolPruned(s, dir, n), k)
+      .select("vec_id")
+    val exact = mmrTopKStored(s, dir, n, k).select("vec_id")
+    approx.join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(k.toLong).as("n_picks"),
+        (col("hits").cast(DoubleType) / k.toDouble >= lit(theta))
+          .as("overlap_ge_090"))
+  }
+
+  /** The raw overlap behind [[mmrIvfEnvelope]] — the tuning /
+    * negative-control view. */
+  def mmrIvfOverlapMeasured(s: SparkSession, dir: String,
+      n: Int = Similarity.MmrPoolN, k: Int = Similarity.MmrK): Double = {
+    val approx = Similarity.mmrRerankPool(mmrStoredPoolPruned(s, dir, n), k)
+      .select("vec_id")
+    val exact = mmrTopKStored(s, dir, n, k).select("vec_id")
+    approx.join(exact, Seq("vec_id"), "left_semi").count().toDouble / k
   }
 
   /** SemDeDup over the STORED index: the cell-partitioned assignment
@@ -2959,7 +3009,13 @@ object Ingest {
     // probe, the forced-parameter convention): shares q_mmr_rerank's
     // oracle verbatim — index-served ≡ brute-force-served diversified
     // top-k, pinned by one hash.
-    "q_mmr_ivf" -> ((s, dir) => mmrTopKStored(s, dir))
+    "q_mmr_ivf" -> ((s, dir) => mmrTopKStored(s, dir)),
+
+    // the approximate regime of the same composition: diversified
+    // serving from the DEFAULT pruned probe's pool, set-overlap vs the
+    // exact-pool picks gated >= 0.9 (q_ivf_recall_envelope convention;
+    // q_mmr_ivf above stays the hash-exact pin)
+    "q_mmr_ivf_envelope" -> ((s, dir) => mmrIvfEnvelope(s, dir))
   )
 
   /** q_id-keyed BM25 oracle CTE chain (q → toks → tf → stats → qtf →
@@ -3305,6 +3361,8 @@ object Ingest {
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, CAST(0 AS BIGINT) AS n_code_diverging",
     "q_ivf_topk_stored" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10",
     "q_mmr_ivf" -> Similarity.MmrOracle,
+    "q_mmr_ivf_envelope" ->
+      "SELECT CAST(5 AS BIGINT) AS n_picks, TRUE AS overlap_ge_090",
     "q_semdedup_stored" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings
