@@ -85,6 +85,11 @@ object Profile {
             val r = time(s"recall:$fam")(df.head())
             println(s"  $fam n_queries=${r.getLong(0)} mean_recall=${r.getDouble(1)}")
           }
+      // the classifier-axis drift fraction the q_nb_policy θ straddles
+      case "nb_drift_probe" =>
+        val d = time("nb:drift")(
+          graft.operators.Curation.nbDriftFraction(spark, sfDir))
+        println(s"  nb drift fraction=$d")
       // raw overlap behind q_mmr_ivf_envelope (pruned-probe diversified
       // picks vs the exact-pool picks)
       case "mmr_envelope_probe" =>

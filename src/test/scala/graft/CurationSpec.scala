@@ -61,6 +61,28 @@ class CurationSpec extends SparkSpecBase {
     assert(textScans <= 4, s"text scans must be the bounded diff frames only:\n$p")
   }
 
+  test("stored NB model: frozen-from-storage ≡ frozen-from-training; drift θ-policy fires on the right side") {
+    val dir = TestSpark.Sf0001
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val fresh = Curation.nbFrozenModel(docs, col("lang") === "en")
+    val stored = Curation.nbFrozenModelStored(spark, dir)
+    assert(stored == fresh,
+      "the stored artifact must freeze to the identical (weights, OOV, bias) triple")
+    // the drift fraction the θ-policy triggers on sits strictly between
+    // the gate's two thetas at every SF (measured ~4%)
+    val d = Curation.nbDriftFraction(spark, dir)
+    assert(d > 0.005 && d < 0.5, s"fixture drift must straddle the gate thetas: $d")
+    val (_, loR) = Curation.nbModelPolicyServed(spark, dir, theta = 0.5)
+    val (hi, hiR) = Curation.nbModelPolicyServed(spark, dir, theta = 0.005)
+    assert(!loR && hiR, "high θ serves stale, low θ refreshes")
+    // the refresh arm's persisted generation equals a fresh v2 retrain
+    val freshV2 = Curation.nbTrainModel(Curation.corpusV2(spark, dir),
+      col("lang") === "en")
+    assert(hi.exceptAll(freshV2).count() == 0 &&
+      freshV2.exceptAll(hi).count() == 0,
+      "nb_model_v2 must equal the from-scratch v2 retrain, every bucket")
+  }
+
   test("NB model is bounded by the bucket space and scoring plan broadcasts it") {
     val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
     val model = Curation.nbTrainModel(docs, col("lang") === "en")

@@ -722,6 +722,29 @@ class PlanSpec extends SparkSpecBase {
       s"grouped rank must be prefix-sum + bounded offsets, not a per-lang window:\n$p".take(4000))
     assert(p.contains("BroadcastHashJoin"),
       s"the offset table must broadcast:\n$p".take(4000))
+    // the gate's stored-model form keeps the same rank shape AND drops
+    // the in-query training explode (the fold scores inside the scan)
+    val ps = plan(graft.operators.Curation.scorePercentileStored(
+      spark, TestSpark.Sf0001))
+    assert(!ps.contains("Window") && !ps.contains("Generate"),
+      s"stored-model percentile must neither window nor explode:\n$ps".take(4000))
+  }
+
+  test("stored-model classifier serving: stateless fold, training never re-runs at serve time") {
+    graft.operators.Curation.ensureNbModel(spark, TestSpark.Sf0001)
+    val p = plan(graft.operators.Curation.nbClassifyStored(
+      spark, TestSpark.Sf0001))
+    assert(!p.contains("Generate"),
+      s"serving is the per-row fold — no token explode:\n$p".take(4000))
+    assert(!p.contains("HashAggregate"),
+      s"no aggregation in the serve plan — the bucket-count training groupBy must not re-run:\n$p".take(4000))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"one corpus scan only — the model rides as a collected literal:\n$p".take(4000))
+    // and the freeze itself reads the stored artifact, not the corpus
+    val fp = plan(graft.operators.Curation.ensureNbModel(
+      spark, TestSpark.Sf0001)._1)
+    assert(fp.contains("nb_model_v1") && !fp.contains("documents.parquet"),
+      s"the frozen model must come from the marker-committed artifact:\n$fp".take(4000))
   }
 
   test("index-backed MMR: the candidate pool scans the stored assignment, not raw embeddings") {
