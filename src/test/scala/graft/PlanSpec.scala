@@ -730,6 +730,25 @@ class PlanSpec extends SparkSpecBase {
       s"stored-model percentile must neither window nor explode:\n$ps".take(4000))
   }
 
+  test("stored multimodal hash index: serving decodes nothing; purge leaves no mask") {
+    graft.operators.Multimodal.ensureMediaHashIndex(spark, TestSpark.Sf0001)
+    val p = plan(SparkEntry.queries("q_image_dedup_stored")(spark, TestSpark.Sf0001))
+    assert(p.contains("media_phash_v1"),
+      s"stored dedup must read the hash index generation:\n$p".take(4000))
+    assert(!p.contains("MapPartitions") && !p.contains("media_"
+      + "payload") && !p.contains("payload#"),
+      s"no decode, no payload bytes at serve time:\n$p".take(4000))
+    val fp = plan(SparkEntry.queries("q_multimodal_forget")(spark, TestSpark.Sf0001))
+    assert(fp.contains("LeftAnti") && fp.contains("media_forget"),
+      s"the takedown mask is a broadcast anti-join on the stored set:\n$fp".take(4000))
+    graft.operators.Multimodal.purgeMediaHashIndex(spark, TestSpark.Sf0001)
+    val pp = plan(SparkEntry.queries("q_multimodal_purge")(spark, TestSpark.Sf0001))
+    assert(pp.contains("media_phash_gen2") && !pp.contains("media_phash_v1"),
+      s"purged serve must read the rewritten generation only:\n$pp".take(4000))
+    assert(!pp.contains("LeftAnti"),
+      s"physical purge must leave no serve-time mask:\n$pp".take(4000))
+  }
+
   test("stored-model classifier serving: stateless fold, training never re-runs at serve time") {
     graft.operators.Curation.ensureNbModel(spark, TestSpark.Sf0001)
     val p = plan(graft.operators.Curation.nbClassifyStored(
