@@ -13,6 +13,10 @@
 set -eo pipefail
 cd "$(dirname "$0")/.."
 K=${1:-3.0}
+# prove the K-gate's self-adjudication still distinguishes a real
+# regression from a stall BEFORE trusting it with tonight's numbers
+# (scripts/test_compare_bench.py, VERDICT r12 #7)
+python3 scripts/test_compare_bench.py
 [ -d target/sf1 ]  || python3 scripts/make_sf1.py target/sf1
 [ -d target/sf1z ] || python3 scripts/make_sf1.py --zipf target/sf1z
 CP="target/scala-2.13/classes:/opt/spark/jars/*"

@@ -220,6 +220,12 @@ object Profile {
             sum(expr("count * (count - 1) DIV 2")).as("total_pairs"))
           .collect().head
         println(s"buckets=${prof.get(0)} maxLoad=${prof.get(1)} pairs=${prof.get(2)}")
+      // synthetic ALWAYS-SLOW query — the adjudication negative control
+      // (scripts/test_compare_bench.py): a real regression is slow in
+      // isolation too; this one is slow anywhere, by construction, so
+      // the K-gate's self-adjudication must refuse to clear it
+      case "slow_probe" =>
+        time("slow_probe")(Thread.sleep(2000))
       case n =>
         val t0 = System.nanoTime()
         val cnt = SparkEntry.queries(n)(spark, sfDir).count()

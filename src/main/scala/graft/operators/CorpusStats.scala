@@ -664,7 +664,7 @@ object CorpusStats {
        |  FROM cells LEFT JOIN cms ON cells.r = cms.r AND cells.b = cms.b
        |  GROUP BY 1)""".stripMargin
 
-  private val CmsForgetOracle: String =
+  private[operators] val CmsForgetOracle: String =
     s"WITH $CmsForgetCtes\nSELECT term, tf_est FROM est ORDER BY term"
 
   /** Policy oracle — the forget body served through both arms with the

@@ -516,7 +516,12 @@ object Ingest {
       queryTerms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val (postings, stats) = ensureTermIndex(s, dir)
-    val deadIds = dead.select("doc_id").localCheckpoint() // 2 consumers
+    // distinct: the streamed front door delivers duplicates (a doc
+    // retracted twice) — free for the anti-join, NOT for the derived
+    // negative stats, which would double-subtract (caught by the
+    // streamed-takedown e2e spec)
+    val deadIds = dead.select("doc_id").distinct()
+      .localCheckpoint() // 2 consumers
     val negStats = documents(s, dir).join(broadcast(deadIds), "doc_id")
       .select(size(TextAnalysis.bm25Toks(col("text"))).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
@@ -634,7 +639,11 @@ object Ingest {
       queryTerms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val (postings, stats) = ensureTermIndex(s, dir)
-    val deadIds = dead.select("doc_id").localCheckpoint() // 3 consumers
+    // distinct before the content-hash tag AND the derived stats: a
+    // duplicated retraction must neither fork the generation path nor
+    // double-subtract (the bm25TopKForgottenWith rule)
+    val deadIds = dead.select("doc_id").distinct()
+      .localCheckpoint() // 3 consumers
     val setKey = deadIds.agg(sum(xxhash64(col("doc_id")))).head()
     val tag = java.lang.Long.toHexString(
       if (setKey.isNullAt(0)) 0L else setKey.getLong(0))
@@ -2001,6 +2010,129 @@ object Ingest {
       dead = Some(ensureVecForgetSet(s, dir)))
   }
 
+  /** [[knnJoinIvfForgotten]] with a CALLER-SUPPLIED tombstone frame
+    * (vec_id rows) — the streamed-takedown / composed-takedown entry on
+    * the dense axis. */
+  def knnJoinIvfForgottenWith(s: SparkSession, dir: String, dead: DataFrame,
+      queriesDf: DataFrame, k: Int, nProbe: Int = 0): DataFrame = {
+    val (centroids, assign) = ensureIvfIndex(s, dir)
+    knnJoinSides(s, dir, Seq(assign), centroids, queriesDf, k, nProbe,
+      dead = Some(dead.select("vec_id")))
+  }
+
+  /** [[knnJoinIvfPqForgotten]] with a caller-supplied tombstone frame. */
+  def knnJoinIvfPqForgottenWith(s: SparkSession, dir: String,
+      dead: DataFrame, queriesDf: DataFrame, k: Int, expand: Int = 60,
+      nProbe: Int = 0, m: Int = 8, kCent: Int = 256): DataFrame = {
+    val (cb, dim, centroids, codes) = ensureIvfPqIndex(s, dir, m, kCent)
+    knnJoinPqSides(s, dir, Seq(codes), centroids, cb, dim,
+      indexedCorpus(s, dir), queriesDf, k, expand, nProbe, m, kCent,
+      dead = Some(dead.select("vec_id")))
+  }
+
+  /** [[knnJoinIvfSqForgotten]] with a caller-supplied tombstone frame. */
+  def knnJoinIvfSqForgottenWith(s: SparkSession, dir: String,
+      dead: DataFrame, queriesDf: DataFrame, k: Int, expand: Int = 8,
+      nProbe: Int = 0): DataFrame = {
+    val (mins, steps, centroids, codes) = ensureIvfSqIndex(s, dir)
+    knnJoinSqSides(s, dir, Seq(codes), centroids, mins, steps,
+      indexedCorpus(s, dir), queriesDf, k, expand, nProbe,
+      dead = Some(dead.select("vec_id")))
+  }
+
+  /** [[phraseMatchForgotten]] with a caller-supplied tombstone frame. */
+  def phraseMatchForgottenWith(s: SparkSession, dir: String,
+      dead: DataFrame, phrases: Seq[(Long, Seq[String])]): DataFrame =
+    phraseMatchOver(s, ensurePhraseIndex(s, dir), phrases,
+      dead = Some(dead.select("doc_id")))
+
+  /** [[nearDupForgotten]] with a caller-supplied tombstone frame. */
+  def nearDupForgottenWith(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame =
+    nearDupOverFeatures(
+      ensureSketchedDocs(s, dir)
+        .join(broadcast(dead.select("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint())
+
+  /** Fixed q_id offset of the composed-takedown dense queries — must
+    * collide with no stored vec_id (corpus, canary twins, append batch),
+    * so the serve path's self-exclusion filter never masks anything. */
+  private val TakedownQOffset: Long = 70000000L
+
+  /** END-TO-END TAKEDOWN (r12 verdict #6): ONE tombstone set propagated
+    * through EVERY stored serving axis in a single composed frame — the
+    * deletion sibling of the three e2e pipelines. Per axis, one
+    * fingerprint row (axis, n_rows, key_sum, val_sum):
+    *
+    *  - bm25 / phrase / sketch / cms: the REAL masked serve, reduced to
+    *    (count, id-sum, value-sum) — the oracle computes the same three
+    *    numbers from the per-axis reduced-corpus replays (the existing
+    *    forget oracle strings, shared as subqueries — one formula, two
+    *    gates), so a takedown that under- or over-deletes on any axis,
+    *    or skews any corrected statistic, flips that axis's row.
+    *  - dense / quantized (pq, sq): each retracted document's OWN
+    *    embedding queries the masked index (offset q_ids so the
+    *    self-exclusion filter is inert). Unmasked, that vector is a
+    *    guaranteed cosine-1.0 top-1 (IngestSpec pins the discriminance);
+    *    masked, val_sum = retracted ids served MUST be 0 while n_rows
+    *    pins the survivor backfill to exactly |Q|·k.
+    *
+    * All arithmetic lands in integer sums (scores via the 6-dp micro
+    * cast both engines share), so the composed frame is hash-stable. */
+  def takedownE2e(s: SparkSession, dir: String): DataFrame =
+    takedownE2eWith(s, dir, ensureForgetSet(s, dir)._1)
+
+  /** [[takedownE2e]] from ANY tombstone frame — EventStreamSpec feeds
+    * the ForgetStream-accumulated directory through this and pins
+    * streamed ≡ stored-fixture row-for-row. */
+  def takedownE2eWith(s: SparkSession, dir: String,
+      dead0: DataFrame): DataFrame = {
+    // distinct at the door: streamed retractions arrive with duplicates,
+    // and while every anti-join downstream is duplicate-free, the query
+    // construction and stat derivations are not
+    val dead = dead0.select("doc_id").distinct()
+      .localCheckpoint() // many consumers
+    val deadVec = dead.select(col("doc_id").as("vec_id"))
+    def fp(axis: String, df: DataFrame, key: Column, v: Column): DataFrame =
+      df.agg(coalesce(count(lit(1)), lit(0L)).as("n_rows"),
+        coalesce(sum(key), lit(0L)).as("key_sum"),
+        coalesce(sum(v), lit(0L)).as("val_sum"))
+        .select(lit(axis).as("axis"), col("n_rows"), col("key_sum"),
+          col("val_sum"))
+    // the dense probes: each retracted doc's own embedding, re-keyed
+    val qs = embeddings(s, dir)
+      .join(broadcast(deadVec), "vec_id")
+      .orderBy("vec_id").limit(8)
+      .select((col("vec_id") + lit(TakedownQOffset)).as("q_id"),
+        col("embedding").as("q_emb"))
+      .localCheckpoint() // three masked-index consumers
+    def denseFp(axis: String, served: DataFrame): DataFrame =
+      fp(axis, served.join(broadcast(deadVec.select(
+          col("vec_id").as("dead_id"))),
+          col("vec_id") === col("dead_id"), "left_outer"),
+        lit(0L), when(col("dead_id").isNotNull, 1L).otherwise(0L))
+    fp("bm25",
+      bm25TopKForgottenWith(s, dir, dead, Seq("table", "scan", "join"), 10),
+      col("doc_id"), round(col("score") * 1e6).cast(LongType))
+      .unionByName(fp("cms",
+        CorpusStats.cmsEstimateForgottenWith(s, dir, dead),
+        lit(0L), col("tf_est")))
+      .unionByName(denseFp("dense",
+        knnJoinIvfForgottenWith(s, dir, deadVec, qs, 10)))
+      .unionByName(fp("phrase",
+        phraseMatchForgottenWith(s, dir, dead, PhraseBatch),
+        col("phrase_id") * lit(1000000L) + col("doc_id"), col("n_hits")))
+      .unionByName(denseFp("quantized_pq",
+        knnJoinIvfPqForgottenWith(s, dir, deadVec, qs, 10)))
+      .unionByName(denseFp("quantized_sq",
+        knnJoinIvfSqForgottenWith(s, dir, deadVec, qs, 10)))
+      .unionByName(fp("sketch",
+        nearDupForgottenWith(s, dir, dead),
+        col("doc1") + col("doc2"),
+        round(col("jaccard") * 1e6).cast(LongType)))
+      .orderBy("axis")
+  }
+
   /** PURGE of the dense IVF index — the physical half of deletion on
     * the embedding axis ([[purgeTermIndex]]'s posture): the
     * cell-partitioned assignment table minus the tombstoned rows,
@@ -2469,6 +2601,12 @@ object Ingest {
     // vanish, survivor pairs untouched (brute-force oracle over the
     // filtered corpus pins both directions).
     "q_near_dup_forget" -> ((s, dir) => nearDupForgotten(s, dir)),
+
+    // ONE takedown request propagated through EVERY serving axis at
+    // once (bm25, phrase, dense, quantized ×2, sketch, stats) — the
+    // deletion sibling of the three e2e pipelines; per-axis fingerprint
+    // rows share the per-axis reduced-corpus replays as subqueries
+    "q_takedown_e2e" -> ((s, dir) => takedownE2e(s, dir)),
 
     // physical purge on the dedup axis: the rewritten sketch generation
     // serves the same reduced pair set from one scan with no mask left;
@@ -3149,6 +3287,41 @@ object Ingest {
     s"""WITH $Bm25ForgetCtes
        |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin
 
+  /** The composed-takedown oracle: every verifiable axis's fingerprint
+    * computed FROM the per-axis reduced-corpus replay strings shared as
+    * subqueries (one formula per axis, two gates each); the dense /
+    * quantized axes pin the canary outcome (|Q|·k survivors, zero
+    * retracted ids served) — the Spark side measures both for real. */
+  private lazy val TakedownE2eOracleSql: String =
+    s"""SELECT 'bm25' AS axis, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS key_sum,
+       |       CAST(coalesce(sum(CAST(round(score * 1e6) AS BIGINT)), 0) AS BIGINT) AS val_sum
+       |FROM ($Bm25ForgetOracleSql)
+       |UNION ALL
+       |SELECT 'cms', CAST(count(*) AS BIGINT),
+       |       CAST(0 AS BIGINT),
+       |       CAST(coalesce(sum(tf_est), 0) AS BIGINT)
+       |FROM (${CorpusStats.CmsForgetOracle})
+       |UNION ALL
+       |SELECT 'dense', CAST(80 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'phrase', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(phrase_id * 1000000 + doc_id), 0) AS BIGINT),
+       |       CAST(coalesce(sum(n_hits), 0) AS BIGINT)
+       |FROM (${phraseOracleSql(
+      s"""FROM (SELECT doc_id, text FROM documents
+         |        WHERE NOT (doc_id % $ForgetMod = $ForgetRem))""".stripMargin)})
+       |UNION ALL
+       |SELECT 'quantized_pq', CAST(80 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'quantized_sq', CAST(80 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'sketch', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(doc1 + doc2), 0) AS BIGINT),
+       |       CAST(coalesce(sum(CAST(round(jaccard * 1e6) AS BIGINT)), 0) AS BIGINT)
+       |FROM ($NearDupForgetOracleSql)
+       |ORDER BY axis""".stripMargin
+
   /** The policy gate's oracle: BOTH arms must serve the identical
     * reduced-corpus ranking (one shared CTE block — the q_bm25_purge
     * convention extended to the trigger), and the pinned booleans are
@@ -3235,6 +3408,7 @@ object Ingest {
     "q_bm25_purge" -> Bm25ForgetOracleSql,
     "q_forget_policy" -> Bm25PolicyOracleSql,
     "q_near_dup_forget" -> NearDupForgetOracleSql,
+    "q_takedown_e2e" -> TakedownE2eOracleSql,
     "q_near_dup_purge" -> NearDupForgetOracleSql,
     // brute-force twin of ensureBlockIndex + paragraphAdmit: corpus
     // blocks → distinct digests; probes rebuilt by the same keep-first

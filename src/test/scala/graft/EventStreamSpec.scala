@@ -325,6 +325,39 @@ class EventStreamSpec extends SparkSpecBase {
       "each query must backfill to k survivors after the retraction")
   }
 
+  test("streamed takedown propagates to EVERY axis: ForgetStream ids drive the composed e2e serve") {
+    // the q_takedown_e2e composition fed from the streamed front door:
+    // the SAME fixture ids land via ForgetStream batches (split in two
+    // triggers, one duplicated — the anti-join is duplicate-free), and
+    // the composed per-axis fingerprint frame must equal the
+    // stored-artifact gate row for row across all seven axis rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_takedown_e2e").toString
+    import testImplicits._
+    val fixture = graft.operators.Ingest
+      .ensureForgetSet(spark, TestSpark.Sf0001)._1
+      .collect().map(_.getLong(0)).sorted
+    assert(fixture.length >= 3, "fixture retraction set too small to split")
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val schema = Seq(0L).toDF("doc_id").schema
+    Seq(a, b :+ a.head).foreach { batch => // a.head retracted TWICE
+      batch.toSeq.toDF("doc_id").write.mode("append")
+        .parquet(s"$dir/landing")
+      graft.streaming.ForgetStream.tombstoneStream(
+        spark, s"$dir/landing", schema, s"$dir/tomb", s"$dir/ckpt")
+        .awaitTermination()
+    }
+    val streamed = graft.operators.Ingest.takedownE2eWith(spark,
+      TestSpark.Sf0001,
+      graft.streaming.ForgetStream.tombstoneIds(spark, s"$dir/tomb"))
+      .collect().map(_.toSeq).toSeq
+    val stored = graft.operators.Ingest.takedownE2e(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == stored,
+      s"streamed takedown diverged from the stored-fixture serve:\n$streamed\n$stored")
+    assert(stored.map(_.head) == Seq("bm25", "cms", "dense", "phrase",
+      "quantized_pq", "quantized_sq", "sketch"), s"axis rows: $stored")
+  }
+
   test("streaming LM scoring (LmStream) == batch stateless scorer") {
     val stream = graft.streaming.LmStream.lmScoreStream(spark, TestSpark.Sf0001)
     val q = EventStream.runToMemory(stream, "lm_stream_test", OutputMode.Append)

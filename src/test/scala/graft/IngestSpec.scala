@@ -140,4 +140,30 @@ class IngestSpec extends SparkSpecBase {
       "a survivor-survivor pair vanished: the mask must only remove " +
         "pairs with a retracted side")
   }
+
+  test("takedown e2e dense probes discriminate: unmasked serving surfaces the retracted vectors") {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val dir = TestSpark.Sf0001
+    val dead = Ingest.ensureForgetSet(spark, dir)._1
+      .select(col("doc_id").as("vec_id"))
+    val qs = graft.queries.Tables.embeddings(spark, dir)
+      .join(broadcast(dead), "vec_id")
+      .orderBy("vec_id").limit(8)
+      .select((col("vec_id") + lit(70000000L)).as("q_id"),
+        col("embedding").as("q_emb"))
+      .localCheckpoint()
+    // WITHOUT the mask each query's own (retracted) vector is a
+    // guaranteed cosine-1.0 hit — so the e2e gate's val_sum = 0 is a
+    // discriminating property, not a vacuous one
+    val unmasked = Ingest.knnJoinIvfStored(spark, dir, qs, 10)
+      .join(broadcast(dead), "vec_id").count()
+    assert(unmasked >= 8,
+      s"each dense probe must surface its retracted vector unmasked: $unmasked")
+    val masked = Ingest.knnJoinIvfForgottenWith(spark, dir, dead, qs, 10)
+      .localCheckpoint()
+    assert(masked.join(broadcast(dead), "vec_id").count() == 0,
+      "a retracted vector surfaced through the masked serve")
+    assert(masked.count() == 80,
+      "every query must backfill to k survivors after the takedown")
+  }
 }
