@@ -361,6 +361,56 @@ object Multimodal {
     s.read.parquet(path)
   }
 
+  /** Append-batch id offset on the media axis (the DocAppendOffset
+    * convention): every `% 101`-th image re-arrives as a CROSS-CONTAINER
+    * re-encode of the same scene. */
+  private[graft] val MediaAppendOffset: Long = 60000000L
+
+  /** LSM DELTA on the multimodal axis — the arriving batch hashed with
+    * the same ingest kernel and landed as its own generation next to
+    * the base (the ensureTermIndexDelta posture): each `% 101`-th image
+    * re-arrives as a cross-container re-encode (PNG source → BMP copy
+    * and vice versa — every byte differs, the decoded pixels do not),
+    * which is exactly the arriving-duplicate shape a 100 TB media
+    * pipeline must catch: base ∪ delta serving must cluster each copy
+    * with its source WITHOUT re-decoding one byte of the base corpus. */
+  def ensureMediaHashDelta(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val path = scratch(s, dir, "media_phash_delta")
+    if (!committed(s, path)) {
+      import s.implicits._
+      documents(s, dir)
+        .filter(col("doc_id") % 101 === 0 &&
+          (col("doc_id") % 4 === 0 || col("doc_id") % 4 === 2))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val (w, h) = if (d % 4 == 0) pngDims(d) else bmpDims(d)
+          val (mime, bytes) =
+            if (d % 4 == 0) ("image/bmp", MediaFormats.encodeBmp(w, h, pixel(d)))
+            else ("image/png", MediaFormats.encodePng(w, h, pixel(d)))
+          val g = MediaFormats.decodeGray(bytes)
+          (d + MediaAppendOffset, "image", mime, 0L, dHash(g), g.ok)
+        }).toDF("media_id", "modality", "mime", "pos", "phash", "ok")
+        .repartition(col("modality"))
+        .write.mode("overwrite").partitionBy("modality").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** COMPACTION on the multimodal axis: base ∪ delta rewritten as one
+    * merged generation — hashes are container-independent by
+    * construction, so compaction is a pure layout job (16 B/row of
+    * hashes read and written back; zero decode), the same economics as
+    * the IVF-PQ code-table merge. */
+  def compactMediaHashIndex(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
+    val path = scratch(s, dir, "media_phash_compacted")
+    if (!committed(s, path))
+      ensureMediaHashIndex(s, dir)
+        .unionByName(ensureMediaHashDelta(s, dir))
+        .repartition(col("modality"))
+        .write.mode("overwrite").partitionBy("modality").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** The stored multimodal takedown set (doc-keyed media ids). */
   def ensureMediaForgetSet(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val path = scratch(s, dir, "media_forget")
@@ -589,6 +639,16 @@ object Multimodal {
     "q_audio_dedup_stored" -> ((s, dir) =>
       audioClusters(audioRows(ensureMediaHashIndex(s, dir)))),
 
+    // LSM on the multimodal axis: base ∪ delta serving must cluster
+    // every arriving cross-container re-encode with its already-indexed
+    // source — no base re-decode (the hashes are stored); compaction
+    // shares the append oracle VERBATIM (merged ≡ union, one hash)
+    "q_image_dedup_append" -> ((s, dir) =>
+      imageClusters(imageRows(ensureMediaHashIndex(s, dir)
+        .unionByName(ensureMediaHashDelta(s, dir))))),
+    "q_image_dedup_compact" -> ((s, dir) =>
+      imageClusters(imageRows(compactMediaHashIndex(s, dir)))),
+
     // deletion on the multimodal axis — the matrix's SEVENTH axis: the
     // takedown set masks the stored index by anti-join AFTER the scan
     // and BEFORE clustering (a retracted image can neither anchor nor
@@ -791,6 +851,12 @@ object Multimodal {
       imageDedupOracle(s" AND doc_id % $MediaForgetMod <> 0"),
     "q_multimodal_purge" ->
       imageDedupOracle(s" AND doc_id % $MediaForgetMod <> 0"),
+    // append replay: base images ∪ the cross-container copies, every
+    // hash from the SOURCE's formulas (the copy decodes to the source's
+    // pixels — that is the point), mime tracked explicitly because the
+    // copy's container is the OPPOSITE of its id residue
+    "q_image_dedup_append" -> ImageDedupAppendOracle,
+    "q_image_dedup_compact" -> ImageDedupAppendOracle,
 
     // lossless GIF: ground truth straight from the generator formulas,
     // full frame + ×2 decimation in one statement.
@@ -861,6 +927,40 @@ object Multimodal {
     "q_audio_dedup_stored" -> AudioDedupOracle,
 
     "q_multimodal_resize" -> MultimodalResizeOracle)
+
+  /** Base images ∪ cross-container copies, hashes from the SOURCE
+    * formulas, mime code explicit (a copy's container is the opposite
+    * of its id residue). Shared verbatim by append and compact. */
+  private lazy val ImageDedupAppendOracle: String =
+    s"""WITH img AS (
+       |  SELECT doc_id AS media_id, doc_id AS src, doc_id % 4 AS mc
+       |  FROM documents WHERE doc_id % 4 IN (0, 2)
+       |  UNION ALL
+       |  SELECT doc_id + $MediaAppendOffset, doc_id, (doc_id + 2) % 4
+       |  FROM documents WHERE doc_id % 4 IN (0, 2) AND doc_id % 101 = 0),
+       |dims AS (
+       |  SELECT media_id, src, mc,
+       |    CASE WHEN src % 4 = 0 THEN 8 + src % 9
+       |         ELSE 8 + src % 7 END AS w,
+       |    CASE WHEN src % 4 = 0 THEN 8 + (src // 9) % 9
+       |         ELSE 8 + (src // 7) % 7 END AS h
+       |  FROM img),
+       |hashed AS (
+       |  SELECT media_id, mc,
+       |    CAST(sum(CASE WHEN
+       |        (((i + 1) * w // $DHashGrid) + 3 * (j * h // $DHashGrid) + src) % 256
+       |      > ((i * w // $DHashGrid) + 3 * (j * h // $DHashGrid) + src) % 256
+       |      THEN 1::BIGINT << (j * ${DHashGrid - 1} + i) ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM dims,
+       |    range($DHashGrid) AS tj(j),
+       |    range(${DHashGrid - 1}) AS ti(i)
+       |  GROUP BY media_id, mc)
+       |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+       |       CAST(count(DISTINCT mc) AS BIGINT) AS n_mimes,
+       |       min(media_id) AS keep_id,
+       |       CAST(sum(media_id) AS BIGINT) AS id_sum,
+       |       TRUE AS all_ok
+       |FROM hashed GROUP BY dhash ORDER BY dhash""".stripMargin
 
   // frame-hash pair replay shared by the fresh and stored video gates:
   // dHash over the quadratic dedup frames (the q_image_dedup replay on

@@ -552,6 +552,36 @@ class MultimodalSpec extends SparkSpecBase {
       s"the per-video frame counts must join broadcast:\n$plan")
   }
 
+  test("media LSM: an arriving cross-container re-encode clusters with its stored source") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val base = graft.operators.Multimodal.ensureMediaHashIndex(s, TestSpark.Sf0001)
+    val delta = graft.operators.Multimodal.ensureMediaHashDelta(s, TestSpark.Sf0001)
+    val copies = delta.collect()
+    assert(copies.nonEmpty, "the % 101 image batch must be non-empty at sf0.001")
+    // every delta row is a cross-container re-encode: its hash equals
+    // its source's stored hash EXACTLY, and its mime is the opposite
+    val srcHash = base.filter(col("modality") === "image")
+      .select("media_id", "mime", "phash").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    copies.foreach { r =>
+      val (mid, mime, ph) = (r.getAs[Long]("media_id"),
+        r.getAs[String]("mime"), r.getAs[Long]("phash"))
+      val src = mid - graft.operators.Multimodal.MediaAppendOffset
+      val (sMime, sHash) = srcHash(src)
+      assert(ph == sHash, s"copy of $src re-encoded to a different dHash")
+      assert(mime != sMime, s"copy of $src must switch containers, both $mime")
+      assert(r.getAs[Boolean]("ok"), s"copy of $src failed to decode")
+    }
+    // and the served append clusters carry n_mimes = 2 for each pair
+    val served = SparkEntry.queries("q_image_dedup_append")(s, TestSpark.Sf0001)
+      .collect()
+    val copyHashes = copies.map(_.getAs[Long]("phash")).toSet
+    val hit = served.filter(r => copyHashes.contains(r.getAs[Long]("dhash")))
+    assert(hit.nonEmpty && hit.forall(_.getAs[Long]("n_mimes") == 2L),
+      "every copy-bearing cluster must span both containers")
+  }
+
   test("metadata-only query never reads payload bytes from the stored frame") {
     // the media frame is STORED once (ensureMediaFrame); the metadata
     // aggregation's scan must prune the binary payload column — the
