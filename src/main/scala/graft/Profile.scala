@@ -96,6 +96,10 @@ object Profile {
         val ov = time("mmr:overlap")(
           graft.operators.Ingest.mmrIvfOverlapMeasured(spark, sfDir))
         println(s"  mmr pruned-vs-exact pick overlap=$ov")
+        val starved = time("mmr:starved")(
+          graft.operators.Ingest.mmrIvfOverlapMeasured(spark, sfDir,
+            nProbe = 1))
+        println(s"  mmr nProbe=1 pick overlap=$starved")
       // negative-control view: coarse quantizers / starved shortlists
       // through the same measured-recall harness (the SimilaritySpec
       // controls' tuning companion)

@@ -1047,11 +1047,17 @@ object Ingest {
   }
 
   /** The raw overlap behind [[mmrIvfEnvelope]] — the tuning /
-    * negative-control view. */
+    * negative-control view. `nProbe` = 0 uses the gate's n-sized
+    * default; a forced width (the SimilaritySpec negative control
+    * starves the pool at nProbe = 1) must fail the envelope, proving
+    * it discriminates. */
   def mmrIvfOverlapMeasured(s: SparkSession, dir: String,
-      n: Int = Similarity.MmrPoolN, k: Int = Similarity.MmrK): Double = {
-    val approx = Similarity.mmrRerankPool(mmrStoredPoolPruned(s, dir, n), k)
-      .select("vec_id")
+      n: Int = Similarity.MmrPoolN, k: Int = Similarity.MmrK,
+      nProbe: Int = 0): Double = {
+    val pool =
+      if (nProbe > 0) mmrStoredPoolProbed(s, dir, n, nProbe)
+      else mmrStoredPoolPruned(s, dir, n)
+    val approx = Similarity.mmrRerankPool(pool, k).select("vec_id")
     val exact = mmrTopKStored(s, dir, n, k).select("vec_id")
     approx.join(exact, Seq("vec_id"), "left_semi").count().toDouble / k
   }

@@ -806,6 +806,20 @@ class SimilaritySpec extends SparkSpecBase {
       "probing both straddled cells must recover full recall")
   }
 
+  test("MMR envelope negative control: a starved probe fails the 0.9 pick overlap") {
+    // q_mmr_ivf_envelope's discriminance: nProbe=1 hands the rerank a
+    // pool missing true top-n candidates and the greedy picks diverge
+    // (measured 0.4 at sf0.001); the gate's n-sized default recovers 1.0
+    val starved = graft.operators.Ingest.mmrIvfOverlapMeasured(
+      spark, TestSpark.Sf0001, nProbe = 1)
+    assert(starved < 0.9,
+      s"a one-cell pool must fail the overlap envelope: $starved")
+    val healthy = graft.operators.Ingest.mmrIvfOverlapMeasured(
+      spark, TestSpark.Sf0001)
+    assert(healthy >= 0.9,
+      s"the n-sized default probe must pass: $healthy")
+  }
+
   test("PQ recall envelope negative control: coarse codebook + starved shortlist fails 0.9") {
     // quantization distortion, isolated from probe pruning by forcing
     // ALL cells: an m=1/kCent=4 codebook collapses the corpus to 4 ADC
