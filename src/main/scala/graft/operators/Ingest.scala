@@ -2070,7 +2070,8 @@ object Ingest {
     * deletion sibling of the three e2e pipelines. Per axis, one
     * fingerprint row (axis, n_rows, key_sum, val_sum):
     *
-    *  - bm25 / phrase / sketch / cms: the REAL masked serve, reduced to
+    *  - bm25 / phrase / sketch / cms / media: the REAL masked serve,
+    *    reduced to
     *    (count, id-sum, value-sum) — the oracle computes the same three
     *    numbers from the per-axis reduced-corpus replays (the existing
     *    forget oracle strings, shared as subqueries — one formula, two
@@ -2125,6 +2126,9 @@ object Ingest {
         lit(0L), col("tf_est")))
       .unionByName(denseFp("dense",
         knnJoinIvfForgottenWith(s, dir, deadVec, qs, 10)))
+      .unionByName(fp("media",
+        Multimodal.imageDedupForgottenWith(s, dir, dead),
+        col("keep_id"), col("id_sum")))
       .unionByName(fp("phrase",
         phraseMatchForgottenWith(s, dir, dead, PhraseBatch),
         col("phrase_id") * lit(1000000L) + col("doc_id"), col("n_hits")))
@@ -3310,6 +3314,12 @@ object Ingest {
        |FROM (${CorpusStats.CmsForgetOracle})
        |UNION ALL
        |SELECT 'dense', CAST(80 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'media', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(keep_id), 0) AS BIGINT),
+       |       CAST(coalesce(sum(id_sum), 0) AS BIGINT)
+       |FROM (${Multimodal.imageDedupOracle(
+      s" AND NOT (doc_id % $ForgetMod = $ForgetRem)")})
        |UNION ALL
        |SELECT 'phrase', CAST(count(*) AS BIGINT),
        |       CAST(coalesce(sum(phrase_id * 1000000 + doc_id), 0) AS BIGINT),

@@ -437,6 +437,16 @@ object Multimodal {
     s.read.parquet(path)
   }
 
+  /** Image dedup over the stored index masked by a CALLER-SUPPLIED
+    * doc-keyed tombstone frame — the composed-takedown entry on the
+    * media axis (q_multimodal_forget's serving body with the set as a
+    * parameter instead of the %20 fixture). */
+  def imageDedupForgottenWith(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame =
+    imageClusters(imageRows(ensureMediaHashIndex(s, dir))
+      .join(broadcast(dead.select(col("doc_id").as("media_id"))),
+        Seq("media_id"), "left_anti"))
+
   /** Image-dedup clustering over ANY (media_id, mime, dhash, ok) frame
     * — freshly decoded or read from the stored index. */
   private def imageClusters(hashed: DataFrame): DataFrame =
@@ -761,7 +771,7 @@ object Multimodal {
   /** The image-dedup formula replay, parameterized by an extra corpus
     * predicate — "" for the full surface, the takedown filter for the
     * forget/purge twins (one oracle string, four gates). */
-  private def imageDedupOracle(extraWhere: String): String =
+  private[operators] def imageDedupOracle(extraWhere: String): String =
     s"""WITH img AS (
        |  SELECT doc_id AS media_id,
        |    CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 9

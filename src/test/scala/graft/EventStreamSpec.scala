@@ -354,8 +354,9 @@ class EventStreamSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSeq
     assert(streamed == stored,
       s"streamed takedown diverged from the stored-fixture serve:\n$streamed\n$stored")
-    assert(stored.map(_.head) == Seq("bm25", "cms", "dense", "phrase",
-      "quantized_pq", "quantized_sq", "sketch"), s"axis rows: $stored")
+    assert(stored.map(_.head) == Seq("bm25", "cms", "dense", "media",
+      "phrase", "quantized_pq", "quantized_sq", "sketch"),
+      s"axis rows: $stored")
   }
 
   test("streaming LM scoring (LmStream) == batch stateless scorer") {
