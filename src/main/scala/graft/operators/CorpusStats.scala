@@ -97,19 +97,14 @@ object CorpusStats {
     Seq("agg", "column", "join", "merge", "query", "scan", "window",
       "zzz_absent_probe")
 
-  private def scratch(s: SparkSession, dir: String, name: String): String = {
-    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
-    s"$root/${s.sparkContext.applicationId}/${name}_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
-  }
+  private def scratch(s: SparkSession, dir: String, name: String): String =
+    Artifacts.scratch(s, dir, name) // one protocol, one implementation
 
   /** Commit-marker gate (the [[graft.operators.Ingest]] rule): an
     * artifact is live only once `_SUCCESS` exists; gated writes are
     * OVERWRITE so a torn directory is repaired, never served. */
-  private def committed(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def committed(s: SparkSession, path: String): Boolean =
+    Artifacts.committed(s, path)
 
   /** Stored corpus-stats artifacts: the BASE sketch over `documents` and
     * the DELTA sketch over the append batch (the same `% 101` exact-copy

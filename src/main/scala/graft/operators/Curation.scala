@@ -825,8 +825,15 @@ object Curation {
     * and serve that. Returns the served weight table plus the decision
     * so the gate pins WHICH arm ran. */
   def nbModelPolicyServed(s: SparkSession, dir: String,
-      theta: Double): (DataFrame, Boolean) = {
-    val refresh = nbDriftFraction(s, dir) >= theta
+      theta: Double): (DataFrame, Boolean) =
+    nbModelPolicyServedAt(s, dir, nbDriftFraction(s, dir), theta)
+
+  /** The policy decision at a PRE-MEASURED drift — the gate probes two
+    * thetas against one measurement instead of re-running the
+    * stored-counts aggregate and the CDC diff tokenize per arm. */
+  def nbModelPolicyServedAt(s: SparkSession, dir: String,
+      drift: Double, theta: Double): (DataFrame, Boolean) = {
+    val refresh = drift >= theta
     (if (refresh) ensureNbModelV2(s, dir)
      else ensureNbModel(s, dir)._1, refresh)
   }
@@ -865,16 +872,11 @@ object Curation {
           col("lang"), col("text")))
   }
 
-  private def scratch(s: SparkSession, dir: String, name: String): String = {
-    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
-    s"$root/${s.sparkContext.applicationId}/${name}_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
-  }
+  private def scratch(s: SparkSession, dir: String, name: String): String =
+    Artifacts.scratch(s, dir, name) // one protocol, one implementation
 
-  private def committed(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def committed(s: SparkSession, path: String): Boolean =
+    Artifacts.committed(s, path)
 
   /** Stored inference artifact over snapshot v1: (doc_id, digest,
     * n_features, sum_micro) in ONE narrow kernel pass — the INTEGER
@@ -1116,8 +1118,9 @@ object Curation {
     // (oracle retrains over the v2 CDC snapshot). A policy that never
     // or always fires goes red on the pinned booleans.
     "q_nb_policy" -> ((s, dir) => {
-      val (lo, loR) = nbModelPolicyServed(s, dir, theta = 0.5)
-      val (hi, hiR) = nbModelPolicyServed(s, dir, theta = 0.005)
+      val drift = nbDriftFraction(s, dir) // one measurement, two thetas
+      val (lo, loR) = nbModelPolicyServedAt(s, dir, drift, theta = 0.5)
+      val (hi, hiR) = nbModelPolicyServedAt(s, dir, drift, theta = 0.005)
       hi.withColumn("arm", lit("refresh"))
         .withColumn("refreshed_serving", lit(hiR))
         .unionByName(lo.withColumn("arm", lit("stale"))

@@ -24,11 +24,8 @@ import graft.queries.Tables.documents
   * map-side-combined aggregate per format. */
 object Formats {
 
-  private def scratch(s: SparkSession, dir: String, name: String): String = {
-    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
-    s"$root/${s.sparkContext.applicationId}/${name}_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
-  }
+  private def scratch(s: SparkSession, dir: String, name: String): String =
+    Artifacts.scratch(s, dir, name) // one protocol, one implementation
 
   /** Order-independent per-row fingerprint: exact integer fold of the
     * first 8 md5 hex digits of `lang || '#' || source || '#' || text`

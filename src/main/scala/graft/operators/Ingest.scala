@@ -43,11 +43,8 @@ import graft.queries.Tables.{documents, embeddings}
   */
 object Ingest {
 
-  private def scratch(s: SparkSession, dir: String, name: String): String = {
-    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
-    s"$root/${s.sparkContext.applicationId}/${name}_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
-  }
+  private def scratch(s: SparkSession, dir: String, name: String): String =
+    Artifacts.scratch(s, dir, name) // one protocol, one implementation
 
   /** A stored artifact is LIVE only once its `_SUCCESS` commit marker
     * exists — a bare directory can be a torn write from a crashed run,
@@ -58,10 +55,8 @@ object Ingest {
     * Multi-directory generations write the PAYLOAD first and the
     * centroid/marker directory LAST, so the gate implies a complete
     * generation. */
-  private def committed(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def committed(s: SparkSession, path: String): Boolean =
+    Artifacts.committed(s, path)
 
   /** Corpus size for geometry derivation, memoized per (app, sf): the
     * count resolves the stored index's IDENTITY (nCells is part of its

@@ -313,14 +313,20 @@ object Multimodal {
     val path = scratch(s, dir, "media_phash_v1")
     if (!committed(s, path)) {
       import s.implicits._
+      // every row carries src_id — the ORIGINATING document — because a
+      // takedown is keyed by the content's source, not the container's
+      // identity: a doc's video re-encode (+VideoDupOffset) and tagged
+      // audio copy (+AudioDupOffset) are the same retracted content
+      // under different bytes, and a deletion that missed them would
+      // keep serving what it claims to have removed
       val img = ensureMediaFrame(s, dir)
         .filter(col("mime").isin("image/png", "image/bmp"))
         .select(col("media_id"), col("mime"), col("payload")).as[MediaRecord]
         .mapPartitions(_.map { r =>
           val g = MediaFormats.decodeGray(
             Option(r.payload).getOrElse(Array.emptyByteArray))
-          (r.media_id, "image", r.mime, 0L, dHash(g), g.ok)
-        }).toDF("media_id", "modality", "mime", "pos", "phash", "ok")
+          (r.media_id, r.media_id, "image", r.mime, 0L, dHash(g), g.ok)
+        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
       val vid = documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.flatMap { d =>
           val (w, h) = vidDims(d)
@@ -333,12 +339,12 @@ object Multimodal {
             else Seq.empty)
           renders.iterator.flatMap { case (mid, bytes) =>
             val (grays, _, ok) = MediaFormats.decodeGifFrameGrays(bytes, 2)
-            if (!ok) Iterator((mid, "video", "video/gif", -1L, 0L, false))
+            if (!ok) Iterator((mid, d, "video", "video/gif", -1L, 0L, false))
             else grays.iterator.zipWithIndex.map { case (g, i) =>
-              (mid, "video", "video/gif", 2L * i, dHash(g), true)
+              (mid, d, "video", "video/gif", 2L * i, dHash(g), true)
             }
           }
-        }).toDF("media_id", "modality", "mime", "pos", "phash", "ok")
+        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
       val aud = documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.flatMap { d =>
           val samples = wavSamples(d)
@@ -351,9 +357,9 @@ object Multimodal {
             else Seq.empty)
           renders.iterator.map { case (mid, bytes) =>
             val (ss, _, ok) = MediaFormats.decodeWavSamples(bytes)
-            (mid, "audio", "audio/wav", 0L, aHash(ss), ok)
+            (mid, d, "audio", "audio/wav", 0L, aHash(ss), ok)
           }
-        }).toDF("media_id", "modality", "mime", "pos", "phash", "ok")
+        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
       img.unionByName(vid).unionByName(aud)
         .repartition(col("modality"))
         .write.mode("overwrite").partitionBy("modality").parquet(path)
@@ -388,8 +394,8 @@ object Multimodal {
             if (d % 4 == 0) ("image/bmp", MediaFormats.encodeBmp(w, h, pixel(d)))
             else ("image/png", MediaFormats.encodePng(w, h, pixel(d)))
           val g = MediaFormats.decodeGray(bytes)
-          (d + MediaAppendOffset, "image", mime, 0L, dHash(g), g.ok)
-        }).toDF("media_id", "modality", "mime", "pos", "phash", "ok")
+          (d + MediaAppendOffset, d, "image", mime, 0L, dHash(g), g.ok)
+        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
         .repartition(col("modality"))
         .write.mode("overwrite").partitionBy("modality").parquet(path)
     }
@@ -422,16 +428,20 @@ object Multimodal {
     s.read.parquet(path)
   }
 
-  /** Physical PURGE of the stored hash index: gen2 = gen1 minus the
-    * tombstoned media, every modality at once (a takedown is doc-keyed)
-    * — the purged serve is mask-free, pinned by sharing the masked
-    * oracle verbatim (the q_bm25_purge convention, 7th axis). */
+  /** Physical PURGE of the stored hash index: gen2 = gen1 minus every
+    * row whose SOURCE doc is tombstoned — all modalities AND all
+    * derived assets at once (a doc's video re-encode and tagged audio
+    * copy are the same retracted content under different bytes; keying
+    * the purge on media_id alone would keep serving them). The purged
+    * serve is mask-free, pinned by sharing the masked oracle verbatim
+    * (the q_bm25_purge convention, 7th axis). */
   def purgeMediaHashIndex(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val path = scratch(s, dir, "media_phash_gen2")
     if (!committed(s, path))
       ensureMediaHashIndex(s, dir)
-        .join(broadcast(ensureMediaForgetSet(s, dir)),
-          Seq("media_id"), "left_anti")
+        .join(broadcast(ensureMediaForgetSet(s, dir)
+          .select(col("media_id").as("src_id"))),
+          Seq("src_id"), "left_anti")
         .repartition(col("modality"))
         .write.mode("overwrite").partitionBy("modality").parquet(path)
     s.read.parquet(path)
@@ -440,12 +450,18 @@ object Multimodal {
   /** Image dedup over the stored index masked by a CALLER-SUPPLIED
     * doc-keyed tombstone frame — the composed-takedown entry on the
     * media axis (q_multimodal_forget's serving body with the set as a
-    * parameter instead of the %20 fixture). */
+    * parameter instead of the %20 fixture). The mask keys on src_id, so
+    * derived assets (re-encodes, cross-container copies) of a retracted
+    * doc fall with it. */
   def imageDedupForgottenWith(s: SparkSession, dir: String,
       dead: DataFrame): DataFrame =
-    imageClusters(imageRows(ensureMediaHashIndex(s, dir))
-      .join(broadcast(dead.select(col("doc_id").as("media_id"))),
-        Seq("media_id"), "left_anti"))
+    imageClusters(imageRows(maskBySrc(ensureMediaHashIndex(s, dir),
+      dead.select(col("doc_id").as("src_id")))))
+
+  /** The takedown mask on ANY index generation: one broadcast anti-join
+    * on the SOURCE key, after the scan and before any clustering. */
+  private[graft] def maskBySrc(index: DataFrame, deadSrc: DataFrame): DataFrame =
+    index.join(broadcast(deadSrc.select("src_id")), Seq("src_id"), "left_anti")
 
   /** Image-dedup clustering over ANY (media_id, mime, dhash, ok) frame
     * — freshly decoded or read from the stored index. */
@@ -506,16 +522,11 @@ object Multimodal {
     index.filter(col("modality") === "audio")
       .select(col("media_id"), col("phash").as("ahash"), col("ok"))
 
-  private def scratch(s: SparkSession, dir: String, name: String): String = {
-    val root = s.conf.getOption("graft.scratch").getOrElse("target/tmp")
-    s"$root/${s.sparkContext.applicationId}/${name}_" +
-      dir.replaceAll("[^0-9a-zA-Z]", "_")
-  }
+  private def scratch(s: SparkSession, dir: String, name: String): String =
+    Artifacts.scratch(s, dir, name) // one protocol, one implementation
 
-  private def committed(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def committed(s: SparkSession, path: String): Boolean =
+    Artifacts.committed(s, path)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // metadata-only aggregation — inline/ref accounting derives from the
@@ -660,14 +671,15 @@ object Multimodal {
       imageClusters(imageRows(compactMediaHashIndex(s, dir)))),
 
     // deletion on the multimodal axis — the matrix's SEVENTH axis: the
-    // takedown set masks the stored index by anti-join AFTER the scan
-    // and BEFORE clustering (a retracted image can neither anchor nor
-    // join a cluster); the oracle replays image dedup over the REDUCED
-    // corpus, so the hash pins the mask semantics
+    // takedown set masks the stored index by a SOURCE-keyed anti-join
+    // AFTER the scan and BEFORE clustering (a retracted image can
+    // neither anchor nor join a cluster, and its derived assets fall
+    // with it); the oracle replays image dedup over the REDUCED corpus,
+    // so the hash pins the mask semantics
     "q_multimodal_forget" -> ((s, dir) =>
-      imageClusters(imageRows(ensureMediaHashIndex(s, dir))
-        .join(broadcast(ensureMediaForgetSet(s, dir)),
-          Seq("media_id"), "left_anti"))),
+      imageClusters(imageRows(maskBySrc(ensureMediaHashIndex(s, dir),
+        ensureMediaForgetSet(s, dir)
+          .select(col("media_id").as("src_id")))))),
 
     // physical purge: gen2 = gen1 minus tombstones (every modality —
     // a takedown is doc-keyed), served MASK-FREE and sharing the

@@ -347,34 +347,36 @@ object Parity {
     // HLL sketch: approx_count_distinct, oracle-checked. The HLL++
     // estimate itself is implementation-specific, so the gate emits the
     // EXACT distinct count (computed independently in both engines) plus
-    // a boolean asserting the estimate landed within 5% of it — the hash
-    // compare then certifies both the exact cardinality and the sketch's
-    // error bound (rsd 0.02 ⇒ 5% is a ~2.5σ envelope; deterministic for
-    // fixed data since HLL++ has no run-time randomness).
+    // each engine's OWN estimator 5%-error band (the r13 q_hll_merge
+    // convention: floor(|est−exact|·20/exact), 0 = within 5 % — Spark
+    // from HLL++ at rsd 0.02, DuckDB from its approx_count_distinct),
+    // so the oracle asserts a quantity it computed, never a constant.
+    // Deterministic for fixed data: neither HLL has run-time randomness.
     "q_hll_distinct" -> ((s, dir) =>
       lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("est"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
-          (abs(col("est") - col("exact_parts")) <=
-            col("exact_parts").cast(DoubleType) * 0.05).as("within_5pct"))
+          floor(abs(col("est") - col("exact_parts")) * 20 /
+            col("exact_parts")).cast(LongType).as("err_band_5pct"))
         .orderBy("l_returnflag")),
 
     // quantile SKETCH (approx_percentile, the KLL/GK-style mergeable
     // estimator — the streaming/distributed path where exact PERCENTILE
-    // would need a global sort): gate mirrors q_hll_distinct — emit the
-    // EXACT median (computed independently in both engines) plus a
-    // boolean pinning the sketch estimate within 1% of it. accuracy
-    // 10000 ⇒ rank error ≤ 0.01%; deterministic for fixed input.
+    // would need a global sort): gate mirrors q_hll_distinct — the EXACT
+    // median both engines compute independently, plus each engine's own
+    // sketch 1%-error band (Spark: percentile_approx at accuracy 10000;
+    // DuckDB: its t-digest approx_quantile). Measured band 0 at every
+    // SF with ≥ 2× margin on both sides.
     "q_approx_quantile" -> ((s, dir) =>
       lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("est"))
         .select(col("l_returnflag"), col("exact_median"),
-          (abs(col("est") - col("exact_median")) <=
-            abs(col("exact_median")) * 0.01).as("within_1pct"))
+          floor(abs(col("est") - col("exact_median")) * 100 /
+            abs(col("exact_median"))).cast(LongType).as("err_band_1pct"))
         .orderBy("l_returnflag")),
 
     // D3/D4/EP1-EP2: truncate-load round-trip — write Overwrite twice
@@ -396,15 +398,22 @@ object Parity {
   )
 
   val oracles: Map[String, String] = Map(
+    // two-sided bands (the r13 q_hll_merge convention): DuckDB asserts
+    // its OWN estimator's error band, not a constant
     "q_approx_quantile" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_extendedprice, 0.5) AS exact_median,
-        |       TRUE AS within_1pct
+        |       CAST(floor(abs(approx_quantile(l_extendedprice, 0.5)
+        |                      - CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)) * 100
+        |                  / abs(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)))
+        |            AS BIGINT) AS err_band_1pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_hll_distinct" ->
       """SELECT l_returnflag,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-        |       TRUE AS within_5pct
+        |       CAST(floor(abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+        |                      - count(DISTINCT l_partkey)) * 20
+        |                  / count(DISTINCT l_partkey)) AS BIGINT) AS err_band_5pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag

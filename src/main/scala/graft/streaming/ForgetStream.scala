@@ -53,9 +53,16 @@ object ForgetStream {
   def compactTombstones(s: SparkSession, tombDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tombDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fold ONLY marker-committed batch dirs: a trigger mid-write has
+    // files on disk before its _SUCCESS lands, and folding-then-deleting
+    // a partial batch would permanently lose the ids flushed after the
+    // fold's read (the stream's checkpoint will not replay a batch the
+    // sink already committed) — an uncommitted dir simply rides to the
+    // next compaction, like a batch arriving after the snapshot
     val batches = Option(fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
       .getOrElse(Array.empty).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
     // nothing accumulated since the last compaction → the generation is
     // already exactly the set; a no-op, not a read of a missing glob
     if (batches.isEmpty) return

@@ -582,6 +582,39 @@ class MultimodalSpec extends SparkSpecBase {
       "every copy-bearing cluster must span both containers")
   }
 
+  test("media takedown is SOURCE-keyed: a retracted doc's re-encodes and copies fall with it") {
+    // the round-13 review finding: a media_id-keyed purge removed only
+    // the doc's own row while its video re-encode (+VideoDupOffset) and
+    // cross-container append copy (+MediaAppendOffset) — the same
+    // retracted content under different bytes — kept serving
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val dead = graft.operators.Multimodal.ensureMediaForgetSet(s, TestSpark.Sf0001)
+    val deadIds = dead.collect().map(_.getLong(0)).toSeq
+    assert(deadIds.nonEmpty, "retraction fixture empty")
+    val gen1 = graft.operators.Multimodal.ensureMediaHashIndex(s, TestSpark.Sf0001)
+    // the fixture genuinely plants derived assets for retracted docs
+    // (every %20 doc is %4==0, so each ships a shifted video re-encode)
+    val derived = gen1.filter(col("media_id") =!= col("src_id") &&
+      col("src_id").isin(deadIds: _*))
+    assert(derived.count() >= deadIds.size,
+      "every retracted doc must carry at least its video re-encode in gen1")
+    // the purged generation holds NO row of ANY modality or identity
+    // whose source is retracted
+    val gen2 = graft.operators.Multimodal.purgeMediaHashIndex(s, TestSpark.Sf0001)
+    assert(gen2.filter(col("src_id").isin(deadIds: _*)).count() == 0,
+      "a retracted source survived the purge under a derived identity")
+    // the append delta's cross-container copies obey the same mask
+    val delta = graft.operators.Multimodal.ensureMediaHashDelta(s, TestSpark.Sf0001)
+    assert(delta.filter(col("src_id").isin(deadIds: _*)).count() > 0,
+      "fixture must include a delta copy of a retracted doc (doc 0)")
+    val masked = graft.operators.Multimodal.maskBySrc(
+      gen1.unionByName(delta),
+      dead.select(col("media_id").as("src_id")))
+    assert(masked.filter(col("src_id").isin(deadIds: _*)).count() == 0,
+      "the serve-time mask must cover the delta's copies too")
+  }
+
   test("metadata-only query never reads payload bytes from the stored frame") {
     // the media frame is STORED once (ensureMediaFrame); the metadata
     // aggregation's scan must prune the binary payload column — the
