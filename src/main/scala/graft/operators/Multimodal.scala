@@ -687,6 +687,25 @@ object Multimodal {
     "q_multimodal_purge" -> ((s, dir) =>
       imageClusters(imageRows(purgeMediaHashIndex(s, dir)))),
 
+    // deletion gate-checked on the OTHER two media surfaces (the purge
+    // physically drops every modality; these pin that the video pair
+    // set and audio clusters actually shrink to the reduced corpus —
+    // a retracted doc's re-encode falls with it via the src_id key):
+    // forget = src-keyed mask on gen1, purge = mask-free gen2 serve
+    // sharing the forget oracle verbatim
+    "q_video_dedup_forget" -> ((s, dir) =>
+      videoPairs(videoRows(maskBySrc(ensureMediaHashIndex(s, dir),
+        ensureMediaForgetSet(s, dir)
+          .select(col("media_id").as("src_id")))))),
+    "q_video_dedup_purge" -> ((s, dir) =>
+      videoPairs(videoRows(purgeMediaHashIndex(s, dir)))),
+    "q_audio_dedup_forget" -> ((s, dir) =>
+      audioClusters(audioRows(maskBySrc(ensureMediaHashIndex(s, dir),
+        ensureMediaForgetSet(s, dir)
+          .select(col("media_id").as("src_id")))))),
+    "q_audio_dedup_purge" -> ((s, dir) =>
+      audioClusters(audioRows(purgeMediaHashIndex(s, dir)))),
+
     // CROSS-VIDEO near-dup — the multimodal analog of q_image_dedup,
     // composed from the two existing pieces the way a 100 TB video
     // pipeline would run it: sampled-frame decode (every 2nd frame,
@@ -879,6 +898,16 @@ object Multimodal {
     // copy's container is the OPPOSITE of its id residue
     "q_image_dedup_append" -> ImageDedupAppendOracle,
     "q_image_dedup_compact" -> ImageDedupAppendOracle,
+    // reduced-corpus replays on the video/audio surfaces; purge shares
+    // forget verbatim (masked ≡ purged, per surface)
+    "q_video_dedup_forget" ->
+      videoDedupOracle(s"NOT (doc_id % $MediaForgetMod = 0)"),
+    "q_video_dedup_purge" ->
+      videoDedupOracle(s"NOT (doc_id % $MediaForgetMod = 0)"),
+    "q_audio_dedup_forget" ->
+      audioDedupOracle(s"NOT (doc_id % $MediaForgetMod = 0)"),
+    "q_audio_dedup_purge" ->
+      audioDedupOracle(s"NOT (doc_id % $MediaForgetMod = 0)"),
 
     // lossless GIF: ground truth straight from the generator formulas,
     // full frame + ×2 decimation in one statement.
@@ -989,12 +1018,19 @@ object Multimodal {
   // q_image_dedup) over base videos AND their planted re-encodes
   // (same src content, +offset id) — then the identical
   // candidate/verify pair logic.
-  private lazy val VideoDedupOracle: String =
+  private lazy val VideoDedupOracle: String = videoDedupOracle("TRUE")
+
+  /** The video-pair replay over any source predicate — "TRUE" for the
+    * full surface, the takedown filter for forget/purge (both branches
+    * of the vids union filter on the SOURCE doc, so a retracted doc's
+    * re-encode falls with it — the src_id rule in SQL). */
+  private def videoDedupOracle(pred: String): String =
       s"""WITH vids AS (
          |  SELECT doc_id AS media_id, doc_id AS src FROM documents
+         |  WHERE $pred
          |  UNION ALL
          |  SELECT doc_id + $VideoDupOffset, doc_id FROM documents
-         |  WHERE doc_id % $VideoDupMod = 0),
+         |  WHERE doc_id % $VideoDupMod = 0 AND $pred),
          |dims AS (
          |  SELECT media_id, src,
          |    8 + src % 10 AS w, 8 + (src // 10) % 10 AS h,
@@ -1042,12 +1078,17 @@ object Multimodal {
   // window bounds i·n÷33; bit i iff E(i+1) > E(i)) over base clips
   // AND their planted tagged re-encodes. Shared by the fresh and
   // stored audio gates.
-  private lazy val AudioDedupOracle: String =
+  private lazy val AudioDedupOracle: String = audioDedupOracle("TRUE")
+
+  /** The aHash-cluster replay over any source predicate (the
+    * [[videoDedupOracle]] rule on the audio surface). */
+  private def audioDedupOracle(pred: String): String =
       s"""WITH auds AS (
          |  SELECT doc_id AS media_id, doc_id AS src FROM documents
+         |  WHERE $pred
          |  UNION ALL
          |  SELECT doc_id + $AudioDupOffset, doc_id FROM documents
-         |  WHERE doc_id % $AudioDupMod = $AudioDupRem),
+         |  WHERE doc_id % $AudioDupMod = $AudioDupRem AND $pred),
          |m AS (
          |  SELECT media_id, 200 + src % 100 AS n, src % 251 + 3 AS mult
          |  FROM auds),

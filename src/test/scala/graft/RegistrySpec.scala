@@ -55,5 +55,5 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   /** The asserted size of the driver-visible gate surface. */
-  private val GateCount = 212
+  private val GateCount = 216
 }
