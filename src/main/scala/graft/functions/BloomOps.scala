@@ -24,9 +24,7 @@ import org.apache.spark.sql.functions.{call_function, lit}
   */
 object BloomOps {
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  def register(spark: SparkSession): Unit = FnOnce(spark, "graft_bloom_agg") { reg =>
     reg.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
       "built-in")

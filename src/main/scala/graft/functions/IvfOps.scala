@@ -32,9 +32,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 object IvfOps {
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  def register(spark: SparkSession): Unit = FnOnce(spark, "graft_ivf_cell") { reg =>
     reg.createOrReplaceTempFunction("graft_ivf_cell",
       exprs => IvfCell(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }

@@ -115,9 +115,7 @@ object LmModel {
   /** Shared zero row for empty/sub-bigram docs (never mutated). */
   val zero: InternalRow = new GenericInternalRow(Array[Any](0L, 0L))
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  def register(spark: SparkSession): Unit = FnOnce(spark, "graft_lm_nll") { reg =>
     reg.createOrReplaceTempFunction("graft_lm_nll",
       exprs => LmNll(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
       "built-in")

@@ -28,9 +28,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   */
 object PqOps {
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  def register(spark: SparkSession): Unit = FnOnce(spark, "graft_pq_encode") { reg =>
     reg.createOrReplaceTempFunction("graft_pq_encode",
       exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc",

@@ -76,9 +76,7 @@ object QualityModel {
     ((i * 2654435761L + sum) % d).toInt
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  def register(spark: SparkSession): Unit = FnOnce(spark, "graft_quality_score") { reg =>
     reg.createOrReplaceTempFunction("graft_quality_score",
       exprs => QualityScore(exprs(0), exprs(1)), "built-in")
   }

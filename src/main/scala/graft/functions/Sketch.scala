@@ -50,9 +50,7 @@ object Sketch {
     * registry via `call_function`, the supported route from Column-land
     * to a custom Catalyst `Expression` on Spark 4 (the classic
     * `Column(expr)` constructor is `private[sql]`). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  def register(spark: SparkSession): Unit = FnOnce(spark, "graft_simhash") { reg =>
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashTokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

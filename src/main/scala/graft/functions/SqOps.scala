@@ -29,9 +29,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   */
 object SqOps {
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  def register(spark: SparkSession): Unit = FnOnce(spark, "graft_sq_encode") { reg =>
     reg.createOrReplaceTempFunction("graft_sq_encode",
       exprs => SqEncode(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_sq_score",

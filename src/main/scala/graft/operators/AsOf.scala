@@ -65,6 +65,11 @@ object AsOf {
 
   // --- query surface ---------------------------------------------------
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 1
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // for every click, the value of the user's most recent error at or
     // before it — validated against DuckDB's native ASOF JOIN. The right

@@ -174,6 +174,11 @@ object Bpe {
 
   // --- query surface ---------------------------------------------------
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // frozen-tokenizer fertility over v1 vs v2 per lang — exact integer
     // totals; the oracle replays both encodes from the same pinned

@@ -516,6 +516,11 @@ object CorpusStats {
 
   // --- query surface ----------------------------------------------------
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 11
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // heavy hitters through the sketch: exact top-10 terms with their
     // exact counts AND their CMS estimates. The estimate of every probe

@@ -577,6 +577,11 @@ object Crawl {
 
   // --- query surface ----------------------------------------------------
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 11
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // URL dedup by canonical form: 200 planted collision classes (docs
     // ≡ mod 200 share a canonical URL). The canonical STRING is in the

@@ -1074,6 +1074,11 @@ object Curation {
 
   // --- query surface ---------------------------------------------------
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 26
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classify" -> ((s, dir) =>
       qualityClassify(documents(s, dir), QualityWeights, QualityBiasMicro)

@@ -535,6 +535,11 @@ object Dedup {
 
   // --- query surface ---------------------------------------------------
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 12
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via canonical-form digest groupBy (uniform shuffle key).
     // Perf note (VERDICT r2 asked): steady-state 0.7 s at sf0.1 (measured

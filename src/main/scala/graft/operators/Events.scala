@@ -33,6 +33,11 @@ object Events {
   /** Session bounds: a new session starts after a ≥30-minute silence. */
   val SessionGapSeconds = 1800L
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 1-hour window aggregation (the watermarked streaming agg's
     // batch twin).

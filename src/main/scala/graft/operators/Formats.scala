@@ -63,6 +63,11 @@ object Formats {
       .orderBy("format")
   }
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 1
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // writer∘reader = identity per landing format, pinned against the
     // ORIGINAL parquet by an order-independent exact fingerprint.

@@ -2104,7 +2104,7 @@ object Ingest {
     // the dense probes: each retracted doc's own embedding, re-keyed
     val qs = embeddings(s, dir)
       .join(broadcast(deadVec), "vec_id")
-      .orderBy("vec_id").limit(8)
+      .orderBy("vec_id").limit(TakedownDenseProbes)
       .select((col("vec_id") + lit(TakedownQOffset)).as("q_id"),
         col("embedding").as("q_emb"))
       .localCheckpoint() // three masked-index consumers
@@ -2476,6 +2476,11 @@ object Ingest {
       .select("q_id", "id", "rank")
     (ranked, dense)
   }
+
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 51
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the ingest step itself: materialize both stored layouts, report
@@ -3292,6 +3297,22 @@ object Ingest {
     s"""WITH $Bm25ForgetCtes
        |SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id""".stripMargin
 
+  /** Dense-axis probe cap in [[takedownE2eWith]] — shared with the
+    * oracle so the expected row count derives from the fixture instead
+    * of hardcoding |Q|. */
+  private val TakedownDenseProbes: Int = 8
+
+  /** Expected dense/quantized fingerprint row count: |Q|·k where
+    * |Q| = min(probe cap, retracted docs that have embeddings) — derived
+    * on the oracle side so a smaller SF (or a changed ForgetMod) shrinks
+    * the expectation with the fixture instead of reddening the gate on a
+    * stale literal. Full k=10 survivor backfill per probe stays pinned
+    * deliberately: an under-filled top-k after masking IS a bug. */
+  private lazy val TakedownDenseRowsSql: String =
+    s"""CAST((SELECT LEAST($TakedownDenseProbes, count(*)) * 10
+       |       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |       WHERE d.doc_id % $ForgetMod = $ForgetRem) AS BIGINT)""".stripMargin
+
   /** The composed-takedown oracle: every verifiable axis's fingerprint
     * computed FROM the per-axis reduced-corpus replay strings shared as
     * subqueries (one formula per axis, two gates each); the dense /
@@ -3308,7 +3329,7 @@ object Ingest {
        |       CAST(coalesce(sum(tf_est), 0) AS BIGINT)
        |FROM (${CorpusStats.CmsForgetOracle})
        |UNION ALL
-       |SELECT 'dense', CAST(80 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |SELECT 'dense', $TakedownDenseRowsSql, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
        |UNION ALL
        |SELECT 'media', CAST(count(*) AS BIGINT),
        |       CAST(coalesce(sum(keep_id), 0) AS BIGINT),
@@ -3323,9 +3344,9 @@ object Ingest {
       s"""FROM (SELECT doc_id, text FROM documents
          |        WHERE NOT (doc_id % $ForgetMod = $ForgetRem))""".stripMargin)})
        |UNION ALL
-       |SELECT 'quantized_pq', CAST(80 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |SELECT 'quantized_pq', $TakedownDenseRowsSql, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
        |UNION ALL
-       |SELECT 'quantized_sq', CAST(80 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |SELECT 'quantized_sq', $TakedownDenseRowsSql, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
        |UNION ALL
        |SELECT 'sketch', CAST(count(*) AS BIGINT),
        |       CAST(coalesce(sum(doc1 + doc2), 0) AS BIGINT),

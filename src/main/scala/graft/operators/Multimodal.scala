@@ -99,8 +99,8 @@ object Multimodal {
   /** Every VideoDupMod-th doc also ships a RE-ENCODED duplicate of its
     * animation (same frames, rotated palette — different bytes, same
     * content), re-identified at +VideoDupOffset. */
-  private[operators] val VideoDupMod: Long = 4L
-  private[operators] val VideoDupOffset: Long = 30000000L
+  private[graft] val VideoDupMod: Long = 4L
+  private[graft] val VideoDupOffset: Long = 30000000L
   private[operators] def vidShift(d: Long): Int = 1 + (d % 200).toInt
 
   /** The DEDUP corpus's frame content — quadratic in (x, y) with
@@ -372,6 +372,19 @@ object Multimodal {
     * re-encode of the same scene. */
   private[graft] val MediaAppendOffset: Long = 60000000L
 
+  /** The delta batch's video arrivals: every `% VideoAppendMod`-th doc's
+    * clip re-arrives RE-ENCODED (rotated palette — new bytes, identical
+    * decoded frames) at `src + VideoAppendOffset`. Distinct offset per
+    * modality so no delta id can collide with another modality's. */
+  private[graft] val VideoAppendMod: Long = 103L
+  private[graft] val VideoAppendOffset: Long = 61000000L
+
+  /** The delta batch's audio arrivals: every `% AudioAppendMod`-th doc's
+    * clip re-arrives as a TAGGED copy (ancillary LIST/INFO chunk — new
+    * bytes, identical PCM) at `src + AudioAppendOffset`. */
+  private[graft] val AudioAppendMod: Long = 107L
+  private[graft] val AudioAppendOffset: Long = 62000000L
+
   /** LSM DELTA on the multimodal axis — the arriving batch hashed with
     * the same ingest kernel and landed as its own generation next to
     * the base (the ensureTermIndexDelta posture): each `% 101`-th image
@@ -384,7 +397,7 @@ object Multimodal {
     val path = scratch(s, dir, "media_phash_delta")
     if (!committed(s, path)) {
       import s.implicits._
-      documents(s, dir)
+      val img = documents(s, dir)
         .filter(col("doc_id") % 101 === 0 &&
           (col("doc_id") % 4 === 0 || col("doc_id") % 4 === 2))
         .select(col("doc_id")).as[Long]
@@ -396,6 +409,36 @@ object Multimodal {
           val g = MediaFormats.decodeGray(bytes)
           (d + MediaAppendOffset, d, "image", mime, 0L, dHash(g), g.ok)
         }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
+      // the delta is ONE generation across all modalities (an arriving
+      // batch is not modality-siloed): a video re-encode and a tagged
+      // audio copy of already-indexed sources land through the same
+      // ingest kernel as the base build — decode the ARRIVING bytes
+      // only, never a byte of the base corpus
+      val vid = documents(s, dir)
+        .filter(col("doc_id") % VideoAppendMod === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { d =>
+          val (w, h) = vidDims(d)
+          val nf = vidFrames(d)
+          val bytes = MediaFormats.encodeGifAnimShifted(
+            w, h, nf, f => vdupPixel(d, f), 1 + ((d / 3) % 200).toInt)
+          val (grays, _, ok) = MediaFormats.decodeGifFrameGrays(bytes, 2)
+          val mid = d + VideoAppendOffset
+          if (!ok) Iterator((mid, d, "video", "video/gif", -1L, 0L, false))
+          else grays.iterator.zipWithIndex.map { case (g, i) =>
+            (mid, d, "video", "video/gif", 2L * i, dHash(g), true)
+          }
+        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
+      val aud = documents(s, dir)
+        .filter(col("doc_id") % AudioAppendMod === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val bytes = MediaFormats.encodeWavTagged(
+            wavRate(d), wavSamples(d), s"graft delta copy of $d")
+          val (ss, _, ok) = MediaFormats.decodeWavSamples(bytes)
+          (d + AudioAppendOffset, d, "audio", "audio/wav", 0L, aHash(ss), ok)
+        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
+      img.unionByName(vid).unionByName(aud)
         .repartition(col("modality"))
         .write.mode("overwrite").partitionBy("modality").parquet(path)
     }
@@ -458,6 +501,20 @@ object Multimodal {
     imageClusters(imageRows(maskBySrc(ensureMediaHashIndex(s, dir),
       dead.select(col("doc_id").as("src_id")))))
 
+  /** [[imageDedupForgottenWith]] on the video surface: the src-keyed
+    * mask drops a retracted doc's clip AND its re-encode (+offset id,
+    * same src_id) before the pair join. */
+  def videoDedupForgottenWith(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame =
+    videoPairs(videoRows(maskBySrc(ensureMediaHashIndex(s, dir),
+      dead.select(col("doc_id").as("src_id")))))
+
+  /** [[imageDedupForgottenWith]] on the audio surface. */
+  def audioDedupForgottenWith(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame =
+    audioClusters(audioRows(maskBySrc(ensureMediaHashIndex(s, dir),
+      dead.select(col("doc_id").as("src_id")))))
+
   /** The takedown mask on ANY index generation: one broadcast anti-join
     * on the SOURCE key, after the scan and before any clustering. */
   private[graft] def maskBySrc(index: DataFrame, deadSrc: DataFrame): DataFrame =
@@ -479,6 +536,11 @@ object Multimodal {
     * verify; never all-pairs. */
   private def videoPairs(hashed0: DataFrame): DataFrame = {
     val hashed = hashed0
+      // a decode failure is ONE sentinel row (frame=-1, dhash=0), not a
+      // frame hash: two unrelated undecodable videos must not meet in
+      // the (frame, dhash) band and be reported as near-duplicates —
+      // an undecodable video has no frame evidence and joins nothing
+      .filter(col("frame") >= 0)
       .localCheckpoint() // three consumers: counts + both join sides
     val counts = hashed.groupBy("media_id").agg(count(lit(1)).as("n"))
     val a = hashed.select(col("media_id").as("vid1"),
@@ -527,6 +589,11 @@ object Multimodal {
 
   private def committed(s: SparkSession, path: String): Boolean =
     Artifacts.committed(s, path)
+
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 23
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // metadata-only aggregation — inline/ref accounting derives from the
@@ -694,17 +761,33 @@ object Multimodal {
     // forget = src-keyed mask on gen1, purge = mask-free gen2 serve
     // sharing the forget oracle verbatim
     "q_video_dedup_forget" -> ((s, dir) =>
-      videoPairs(videoRows(maskBySrc(ensureMediaHashIndex(s, dir),
-        ensureMediaForgetSet(s, dir)
-          .select(col("media_id").as("src_id")))))),
+      videoDedupForgottenWith(s, dir, ensureMediaForgetSet(s, dir)
+        .select(col("media_id").as("doc_id")))),
     "q_video_dedup_purge" -> ((s, dir) =>
       videoPairs(videoRows(purgeMediaHashIndex(s, dir)))),
     "q_audio_dedup_forget" -> ((s, dir) =>
-      audioClusters(audioRows(maskBySrc(ensureMediaHashIndex(s, dir),
-        ensureMediaForgetSet(s, dir)
-          .select(col("media_id").as("src_id")))))),
+      audioDedupForgottenWith(s, dir, ensureMediaForgetSet(s, dir)
+        .select(col("media_id").as("doc_id")))),
     "q_audio_dedup_purge" -> ((s, dir) =>
       audioClusters(audioRows(purgeMediaHashIndex(s, dir)))),
+
+    // LSM append/compact closed across ALL modalities (r13 verdict #3):
+    // a video re-encode and a tagged audio copy of STORED sources land
+    // in the delta generation; base ∪ delta serving must cluster each
+    // arrival with its already-indexed source at ZERO base re-decode
+    // (both generations are 16 B/row hash reads; only the arriving
+    // bytes were ever decoded, once, in the delta build). Compaction
+    // shares the append oracle VERBATIM (merged ≡ union, one hash).
+    "q_video_dedup_append" -> ((s, dir) =>
+      videoPairs(videoRows(ensureMediaHashIndex(s, dir)
+        .unionByName(ensureMediaHashDelta(s, dir))))),
+    "q_video_dedup_compact" -> ((s, dir) =>
+      videoPairs(videoRows(compactMediaHashIndex(s, dir)))),
+    "q_audio_dedup_append" -> ((s, dir) =>
+      audioClusters(audioRows(ensureMediaHashIndex(s, dir)
+        .unionByName(ensureMediaHashDelta(s, dir))))),
+    "q_audio_dedup_compact" -> ((s, dir) =>
+      audioClusters(audioRows(compactMediaHashIndex(s, dir)))),
 
     // CROSS-VIDEO near-dup — the multimodal analog of q_image_dedup,
     // composed from the two existing pieces the way a 100 TB video
@@ -908,6 +991,12 @@ object Multimodal {
       audioDedupOracle(s"NOT (doc_id % $MediaForgetMod = 0)"),
     "q_audio_dedup_purge" ->
       audioDedupOracle(s"NOT (doc_id % $MediaForgetMod = 0)"),
+    // LSM delta replays on the video/audio surfaces; compact shares
+    // append verbatim (merged ≡ union, per surface)
+    "q_video_dedup_append" -> VideoDedupAppendOracle,
+    "q_video_dedup_compact" -> VideoDedupAppendOracle,
+    "q_audio_dedup_append" -> AudioDedupAppendOracle,
+    "q_audio_dedup_compact" -> AudioDedupAppendOracle,
 
     // lossless GIF: ground truth straight from the generator formulas,
     // full frame + ×2 decimation in one statement.
@@ -1020,17 +1109,31 @@ object Multimodal {
   // candidate/verify pair logic.
   private lazy val VideoDedupOracle: String = videoDedupOracle("TRUE")
 
+  /** The append replay: base clips ∪ planted re-encodes ∪ the DELTA
+    * batch's re-encodes, every frame hash from the SOURCE's formulas
+    * (the arriving copy decodes to the source's frames — that is the
+    * point). Shared verbatim by append and compact. */
+  private lazy val VideoDedupAppendOracle: String =
+    videoDedupOracle("TRUE", withDelta = true)
+
   /** The video-pair replay over any source predicate — "TRUE" for the
     * full surface, the takedown filter for forget/purge (both branches
     * of the vids union filter on the SOURCE doc, so a retracted doc's
-    * re-encode falls with it — the src_id rule in SQL). */
-  private def videoDedupOracle(pred: String): String =
-      s"""WITH vids AS (
+    * re-encode falls with it — the src_id rule in SQL); `withDelta`
+    * adds the LSM delta batch's arrivals. */
+  private def videoDedupOracle(pred: String,
+      withDelta: Boolean = false): String = {
+    val delta = if (!withDelta) "" else
+      s"""
+         |  UNION ALL
+         |  SELECT doc_id + $VideoAppendOffset, doc_id FROM documents
+         |  WHERE doc_id % $VideoAppendMod = 0 AND $pred""".stripMargin
+    s"""WITH vids AS (
          |  SELECT doc_id AS media_id, doc_id AS src FROM documents
          |  WHERE $pred
          |  UNION ALL
          |  SELECT doc_id + $VideoDupOffset, doc_id FROM documents
-         |  WHERE doc_id % $VideoDupMod = 0 AND $pred),
+         |  WHERE doc_id % $VideoDupMod = 0 AND $pred$delta),
          |dims AS (
          |  SELECT media_id, src,
          |    8 + src % 10 AS w, 8 + (src // 10) % 10 AS h,
@@ -1072,6 +1175,7 @@ object Multimodal {
          |JOIN counts c2 ON c2.media_id = vid2
          |WHERE 2 * n_common >= c1.n + c2.n - n_common
          |ORDER BY vid1, vid2""".stripMargin
+  }
 
   // every aHash replayed from the waveform formulas alone (sample
   // s_j = (j·mult) % 2003 − 1001, n = 200 + d%100, mult = d%251 + 3;
@@ -1080,15 +1184,25 @@ object Multimodal {
   // stored audio gates.
   private lazy val AudioDedupOracle: String = audioDedupOracle("TRUE")
 
+  /** [[VideoDedupAppendOracle]]'s rule on the audio surface. */
+  private lazy val AudioDedupAppendOracle: String =
+    audioDedupOracle("TRUE", withDelta = true)
+
   /** The aHash-cluster replay over any source predicate (the
     * [[videoDedupOracle]] rule on the audio surface). */
-  private def audioDedupOracle(pred: String): String =
-      s"""WITH auds AS (
+  private def audioDedupOracle(pred: String,
+      withDelta: Boolean = false): String = {
+    val delta = if (!withDelta) "" else
+      s"""
+         |  UNION ALL
+         |  SELECT doc_id + $AudioAppendOffset, doc_id FROM documents
+         |  WHERE doc_id % $AudioAppendMod = 0 AND $pred""".stripMargin
+    s"""WITH auds AS (
          |  SELECT doc_id AS media_id, doc_id AS src FROM documents
          |  WHERE $pred
          |  UNION ALL
          |  SELECT doc_id + $AudioDupOffset, doc_id FROM documents
-         |  WHERE doc_id % $AudioDupMod = $AudioDupRem AND $pred),
+         |  WHERE doc_id % $AudioDupMod = $AudioDupRem AND $pred$delta),
          |m AS (
          |  SELECT media_id, 200 + src % 100 AS n, src % 251 + 3 AS mult
          |  FROM auds),
@@ -1109,6 +1223,7 @@ object Multimodal {
          |       CAST(sum(media_id) AS BIGINT) AS id_sum,
          |       TRUE AS all_ok
          |FROM hashed GROUP BY ahash ORDER BY ahash""".stripMargin
+  }
 
   // ×2 decimation: resized dims are ceil(orig/2) = (orig+1)//2; image
   // pixel (rx, ry) samples original (2rx, 2ry) → (2rx + 6ry + d) % 256;

@@ -379,6 +379,11 @@ object ScalePatterns {
   private def tablePathManifest(tablePath: String): String =
     tablePath + "_manifest"
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Z-order clustered rectangle read: the manifest prunes files
     // BEFORE any table I/O; the oracle is the PLAIN filter over the

@@ -1044,6 +1044,11 @@ object Similarity {
 
   // --- query surface ---------------------------------------------------
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact top-10 (vec_id set is float-robust: the rank-10/11
     // score gap is >1e-3 at both verify SFs, far above double-vs-float

@@ -88,6 +88,11 @@ object Spectral {
 
   // --- query surface ----------------------------------------------------
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 1
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // top principal direction: 64 components of the dominant
     // eigenvector (sup-normalized micro-units) plus the final

@@ -448,6 +448,11 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 15
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-language corpus stats: counts + whitespace tokenization.
     "q_text_stats" -> ((s, dir) =>

@@ -38,6 +38,11 @@ object Parity {
       .otherwise(col("l_extendedprice"))
       .cast(Money)
 
+  /** This module's share of the driver-visible gate surface —
+    * bump WITH any gate added here (RegistrySpec sums the
+    * module-local declarations; no global count exists). */
+  val declaredGates: Int = 34
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S5/P1: full scan with explicit projection (hhek2sqlite.go:212 —
     // projection lists are explicit, never SELECT *).

@@ -59,13 +59,18 @@ object ForgetStream {
     // fold's read (the stream's checkpoint will not replay a batch the
     // sink already committed) — an uncommitted dir simply rides to the
     // next compaction, like a batch arriving after the snapshot
-    val batches = Option(fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
-      .getOrElse(Array.empty).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    val batches = committedBatches(fs, tombDir)
     // nothing accumulated since the last compaction → the generation is
-    // already exactly the set; a no-op, not a read of a missing glob
-    if (batches.isEmpty) return
+    // already exactly the set. Still garbage-collect superseded
+    // generations a crash between gen-commit and cleanup left behind
+    // (they never make a reader wrong — tombstoneIds takes the highest —
+    // but their listing cost otherwise accumulates until a NEW
+    // retraction happens to arrive and trigger the full path).
+    if (batches.isEmpty) {
+      committedGens(fs, tombDir).dropRight(1).foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tombDir/gen=$n"), true))
+      return
+    }
     val cur = committedGens(fs, tombDir)
     val next = cur.lastOption.map(_ + 1).getOrElse(1)
     s.read.parquet(batches.map(_.toString): _*).select("doc_id")
@@ -85,6 +90,17 @@ object ForgetStream {
       fs.delete(new org.apache.hadoop.fs.Path(s"$tombDir/gen=$n"), true))
   }
 
+  /** Marker-committed `batch=<id>` dirs — the same commit protocol the
+    * compactor applies: a trigger mid-write has parquet part files on
+    * disk before its `_SUCCESS` lands, and a dir without the marker is
+    * not-yet-arrived for EVERY reader (compactor and server alike). */
+  private def committedBatches(fs: org.apache.hadoop.fs.FileSystem,
+      tombDir: String): Seq[org.apache.hadoop.fs.Path] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
+      .getOrElse(Array.empty).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .toSeq
+
   /** Committed (marker-bearing) generation numbers in ascending order. */
   private def committedGens(fs: org.apache.hadoop.fs.FileSystem,
       tombDir: String): Seq[Int] =
@@ -96,17 +112,23 @@ object ForgetStream {
       .sorted.toSeq
 
   /** Every tombstone id the directory holds, whatever its layout state:
-    * live batch files ∪ the highest COMMITTED generation (either may be
-    * absent; mid-compaction — or after a torn one — both exist and the
-    * union is still exactly the set, because a committed generation
-    * contains everything that was folded into it). */
+    * COMMITTED batch dirs ∪ the highest COMMITTED generation (either may
+    * be absent; mid-compaction — or after a torn one — both exist and
+    * the union is still exactly the set, because a committed generation
+    * contains everything that was folded into it). The batch side
+    * applies the same `_SUCCESS` filter as [[compactTombstones]]: a
+    * reader concurrent with a mid-write trigger must neither throw on a
+    * partially-written parquet file nor observe ids the compactor
+    * deliberately treats as not-yet-arrived — one commit protocol for
+    * every reader. */
   def tombstoneIds(s: SparkSession, tombDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(tombDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val batches = committedBatches(fs, tombDir)
     val parts =
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$tombDir/batch=*")))
-        .filter(_.nonEmpty)
-        .map(_ => s.read.parquet(s"$tombDir/batch=*").select("doc_id")).toSeq ++
+      Option(batches).filter(_.nonEmpty)
+        .map(ps => s.read.parquet(ps.map(_.toString): _*).select("doc_id"))
+        .toSeq ++
       committedGens(fs, tombDir).lastOption
         .map(n => s.read.parquet(s"$tombDir/gen=$n").select("doc_id")).toSeq
     parts.reduceOption(_ unionByName _)

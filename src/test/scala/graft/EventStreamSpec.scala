@@ -233,6 +233,60 @@ class EventStreamSpec extends SparkSpecBase {
       "recovery writes the next numbered generation")
   }
 
+  test("tombstone reader vs mid-write trigger: a partial batch neither throws nor loses committed ids") {
+    // r13 verdict #4 / ADVICE: tombstoneIds read every batch=* dir while
+    // compactTombstones filtered on _SUCCESS — an asymmetric commit
+    // protocol, and a reader concurrent with a mid-write trigger could
+    // hit a partially-written parquet file and throw. Hand-build the
+    // mid-write state: a batch dir holding a TORN part file (truncated
+    // parquet — no magic footer) and no _SUCCESS marker.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_partial").toString
+    val tomb = s"$dir/tomb"
+    import testImplicits._
+    Seq(7L, 20L).toDF("doc_id").write.parquet(s"$tomb/batch=0")
+    val partial = new java.io.File(s"$tomb/batch=1")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tomb/batch=1/part-00000.snappy.parquet"),
+      Array[Byte]('P', 'A', 'R', '1', 0, 13, 37)) // torn mid-flush
+    def ids(): Seq[Long] = graft.streaming.ForgetStream
+      .tombstoneIds(spark, tomb).collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids() == Seq(7L, 20L),
+      "committed ids served; the uncommitted batch is not-yet-arrived, not an error")
+    // the compactor applies the same protocol: the partial batch rides
+    graft.streaming.ForgetStream.compactTombstones(spark, tomb)
+    assert(ids() == Seq(7L, 20L), "compaction ignores the partial batch")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tomb/batch=1")),
+      "the mid-write batch must survive compaction untouched")
+    // once its _SUCCESS lands (the trigger finishing), the ids appear
+    Seq(33L).toDF("doc_id").write.mode("overwrite").parquet(s"$tomb/batch=1")
+    assert(ids() == Seq(7L, 20L, 33L), "the finished trigger's ids arrive")
+  }
+
+  test("a batch-free compaction still GCs superseded generations left by a crash") {
+    // r14 ADVICE: a crash between gen-commit and cleanup leaves stale
+    // generations; with no new retraction arriving, the early return
+    // never converged the layout back to one generation
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_gc").toString
+    val tomb = s"$dir/tomb"
+    import testImplicits._
+    Seq(7L).toDF("doc_id").write.parquet(s"$tomb/gen=1")
+    Seq(7L, 20L).toDF("doc_id").write.parquet(s"$tomb/gen=2")
+    def ids(): Seq[Long] = graft.streaming.ForgetStream
+      .tombstoneIds(spark, tomb).collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids() == Seq(7L, 20L), "highest committed generation serves")
+    graft.streaming.ForgetStream.compactTombstones(spark, tomb)
+    assert(ids() == Seq(7L, 20L), "idle GC must not disturb the set")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tomb/gen=1")),
+      "the superseded generation is GC'd without waiting for a new retraction")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tomb/gen=2/_SUCCESS")),
+      "the live generation survives")
+  }
+
   test("streamed takedown (ForgetStream): accumulated tombstones mask BM25 serving") {
     val dir = java.nio.file.Files.createTempDirectory("graft_forget_stream").toString
     val terms = Seq("table", "scan", "join")
@@ -357,6 +411,59 @@ class EventStreamSpec extends SparkSpecBase {
     assert(stored.map(_.head) == Seq("bm25", "cms", "dense", "media",
       "phrase", "quantized_pq", "quantized_sq", "sketch"),
       s"axis rows: $stored")
+  }
+
+  test("streamed media takedown ≡ batch on ALL three media surfaces, derived assets included") {
+    // r13 verdict #5: the MEDIA axis gets the streaming ≡ batch pin by
+    // name — maskBySrc over a ForgetStream-accumulated set, including a
+    // DUPLICATE retraction of a doc that carries derived assets (every
+    // %20 doc is %4==0, so it ships a shifted video re-encode; its
+    // image/audio/video rows AND the re-encode must all fall)
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_takedown").toString
+    import testImplicits._
+    val fixture = graft.operators.Multimodal
+      .ensureMediaForgetSet(spark, TestSpark.Sf0001)
+      .collect().map(_.getLong(0)).sorted
+    assert(fixture.length >= 3, "media retraction fixture too small to split")
+    // the duplicated retraction is a doc with a planted video re-encode
+    val withDerived = fixture.find(_ % graft.operators.Multimodal.VideoDupMod == 0)
+      .getOrElse(fail("no retracted doc with a video re-encode in the fixture"))
+    val (a, b) = fixture.splitAt(fixture.length / 2)
+    val schema = Seq(0L).toDF("doc_id").schema
+    Seq(a, b :+ withDerived).foreach { batch =>
+      batch.toSeq.toDF("doc_id").write.mode("append").parquet(s"$dir/landing")
+      graft.streaming.ForgetStream.tombstoneStream(
+        spark, s"$dir/landing", schema, s"$dir/tomb", s"$dir/ckpt")
+        .awaitTermination()
+    }
+    val streamedSet = graft.streaming.ForgetStream
+      .tombstoneIds(spark, s"$dir/tomb")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq
+    val fx = graft.operators.Multimodal
+      .ensureMediaForgetSet(spark, TestSpark.Sf0001)
+      .select(col("media_id").as("doc_id"))
+    for ((name, serve) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("image", graft.operators.Multimodal
+        .imageDedupForgottenWith(spark, TestSpark.Sf0001, _)),
+      ("video", graft.operators.Multimodal
+        .videoDedupForgottenWith(spark, TestSpark.Sf0001, _)),
+      ("audio", graft.operators.Multimodal
+        .audioDedupForgottenWith(spark, TestSpark.Sf0001, _)))) {
+      val streamed = rows(serve(streamedSet))
+      val batch = rows(serve(fx))
+      assert(streamed.nonEmpty && streamed == batch,
+        s"$name surface: streamed tombstones must serve exactly like the batch fixture")
+    }
+    // the derived-asset kill is visible, not vacuous: the retracted
+    // doc's re-encode identity appears in NO surviving video pair
+    val copyId = withDerived + graft.operators.Multimodal.VideoDupOffset
+    val survivors = rows(graft.operators.Multimodal
+      .videoDedupForgottenWith(spark, TestSpark.Sf0001, streamedSet))
+      .flatMap(r => Seq(r(0), r(1)))
+    assert(!survivors.contains(withDerived) && !survivors.contains(copyId),
+      s"retracted doc $withDerived or its re-encode $copyId survived the streamed mask")
   }
 
   test("streaming LM scoring (LmStream) == batch stateless scorer") {

@@ -557,7 +557,7 @@ class MultimodalSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions._
     val base = graft.operators.Multimodal.ensureMediaHashIndex(s, TestSpark.Sf0001)
     val delta = graft.operators.Multimodal.ensureMediaHashDelta(s, TestSpark.Sf0001)
-    val copies = delta.collect()
+    val copies = delta.filter(col("modality") === "image").collect()
     assert(copies.nonEmpty, "the % 101 image batch must be non-empty at sf0.001")
     // every delta row is a cross-container re-encode: its hash equals
     // its source's stored hash EXACTLY, and its mime is the opposite
@@ -580,6 +580,54 @@ class MultimodalSpec extends SparkSpecBase {
     val hit = served.filter(r => copyHashes.contains(r.getAs[Long]("dhash")))
     assert(hit.nonEmpty && hit.forall(_.getAs[Long]("n_mimes") == 2L),
       "every copy-bearing cluster must span both containers")
+  }
+
+  test("media LSM across modalities: delta video re-encodes and audio copies match stored hashes") {
+    // r13 verdict #3: the delta generation is not image-siloed — a
+    // video re-encode (rotated palette) and a tagged audio copy of
+    // STORED sources arrive through the same ingest kernel and must
+    // carry EXACTLY their source's stored hashes (so base ∪ delta
+    // clustering needs zero base re-decode)
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val base = graft.operators.Multimodal.ensureMediaHashIndex(s, TestSpark.Sf0001)
+    val delta = graft.operators.Multimodal.ensureMediaHashDelta(s, TestSpark.Sf0001)
+    val vidCopies = delta.filter(col("modality") === "video").collect()
+    assert(vidCopies.nonEmpty,
+      s"the % ${graft.operators.Multimodal.VideoAppendMod} video batch must be non-empty at sf0.001")
+    assert(vidCopies.forall(_.getAs[Boolean]("ok")), "a delta re-encode failed to decode")
+    // per (src, pos) the re-encode's frame hash equals the source's
+    val baseVid = base.filter(col("modality") === "video" &&
+        col("media_id") === col("src_id"))
+      .select("src_id", "pos", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    vidCopies.foreach { r =>
+      val (src, pos, ph) = (r.getAs[Long]("src_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("phash"))
+      assert(baseVid((src, pos)) == ph,
+        s"video re-encode of $src frame $pos hashed differently — the base would need re-decoding")
+    }
+    val audCopies = delta.filter(col("modality") === "audio").collect()
+    assert(audCopies.nonEmpty,
+      s"the % ${graft.operators.Multimodal.AudioAppendMod} audio batch must be non-empty at sf0.001")
+    val baseAud = base.filter(col("modality") === "audio" &&
+        col("media_id") === col("src_id"))
+      .select("src_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    audCopies.foreach { r =>
+      assert(baseAud(r.getAs[Long]("src_id")) == r.getAs[Long]("phash"),
+        s"tagged audio copy of ${r.getAs[Long]("src_id")} hashed differently")
+      assert(r.getAs[Boolean]("ok"))
+    }
+    // and the served pair/cluster sets actually contain a cross-
+    // generation hit: each delta video pairs with its base source
+    val served = SparkEntry.queries("q_video_dedup_append")(s, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    vidCopies.map(_.getAs[Long]("src_id")).distinct.foreach { src =>
+      val copy = src + graft.operators.Multimodal.VideoAppendOffset
+      assert(served.contains((src, copy)),
+        s"arriving re-encode $copy must pair with its stored source $src")
+    }
   }
 
   test("media takedown is SOURCE-keyed: a retracted doc's re-encodes and copies fall with it") {

@@ -749,6 +749,30 @@ class PlanSpec extends SparkSpecBase {
       s"physical purge must leave no serve-time mask:\n$pp".take(4000))
   }
 
+  test("media LSM append serve across modalities: both hash generations, zero decode") {
+    // r13 verdict #3: a video re-encode / tagged audio copy arriving in
+    // the delta generation must cluster against the STORED base with no
+    // base re-decode — the serve is 16 B/row hash reads of BOTH
+    // marker-committed generations. (The video serve's pair join rides
+    // a localCheckpoint, so the pin reads the pre-checkpoint input.)
+    graft.operators.Multimodal.ensureMediaHashIndex(spark, TestSpark.Sf0001)
+    graft.operators.Multimodal.ensureMediaHashDelta(spark, TestSpark.Sf0001)
+    val pv = plan(graft.operators.Multimodal.videoRows(
+      graft.operators.Multimodal.ensureMediaHashIndex(spark, TestSpark.Sf0001)
+        .unionByName(graft.operators.Multimodal.ensureMediaHashDelta(
+          spark, TestSpark.Sf0001))))
+    assert(pv.contains("media_phash_v1") && pv.contains("media_phash_delta"),
+      s"video append serve must read base AND delta generations:\n$pv".take(4000))
+    assert(!pv.contains("MapPartitions") && !pv.contains("payload#"),
+      s"no decode, no payload bytes on the video append serve:\n$pv".take(4000))
+    val pa = plan(SparkEntry.queries("q_audio_dedup_append")(
+      spark, TestSpark.Sf0001))
+    assert(pa.contains("media_phash_v1") && pa.contains("media_phash_delta"),
+      s"audio append serve must read base AND delta generations:\n$pa".take(4000))
+    assert(!pa.contains("MapPartitions") && !pa.contains("payload#"),
+      s"no decode, no payload bytes on the audio append serve:\n$pa".take(4000))
+  }
+
   test("stored-model classifier serving: stateless fold, training never re-runs at serve time") {
     graft.operators.Curation.ensureNbModel(spark, TestSpark.Sf0001)
     val p = plan(graft.operators.Curation.nbClassifyStored(

@@ -43,17 +43,51 @@ class RegistrySpec extends AnyFunSuite {
     Registry.requireAligned(Set("q_a"), Set("q_a")) // aligned = silent
   }
 
-  test("the real registry assembles: aligned keys, asserted gate count") {
+  test("the real registry assembles: aligned keys, derived gate count") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(qs == os, s"queries/oracles diverge: ${(qs diff os) ++ (os diff qs)}")
-    // the driver-visible gate surface — update WITH the gates, so a
-    // silent registry change (not a planned addition) goes red here
-    assert(qs.size == GateCount,
-      s"gate surface changed: expected $GateCount, got ${qs.size} — " +
-        "if gates were deliberately added, update GateCount")
+    // the driver-visible gate surface, derived from MODULE-LOCAL
+    // declarations (r13 verdict #6): each module asserts its own share
+    // next to its map, so a forgotten bump reds out naming the module
+    // that drifted instead of a bare global number
+    val declared = Seq[(String, Int, Int)](
+      ("Parity", graft.queries.Parity.declaredGates,
+        graft.queries.Parity.queries.size),
+      ("TextAnalysis", graft.operators.TextAnalysis.declaredGates,
+        graft.operators.TextAnalysis.queries.size),
+      ("Dedup", graft.operators.Dedup.declaredGates,
+        graft.operators.Dedup.queries.size),
+      ("Similarity", graft.operators.Similarity.declaredGates,
+        graft.operators.Similarity.queries.size),
+      ("Events", graft.operators.Events.declaredGates,
+        graft.operators.Events.queries.size),
+      ("Multimodal", graft.operators.Multimodal.declaredGates,
+        graft.operators.Multimodal.queries.size),
+      ("ScalePatterns", graft.operators.ScalePatterns.declaredGates,
+        graft.operators.ScalePatterns.queries.size),
+      ("AsOf", graft.operators.AsOf.declaredGates,
+        graft.operators.AsOf.queries.size),
+      ("Ingest", graft.operators.Ingest.declaredGates,
+        graft.operators.Ingest.queries.size),
+      ("Curation", graft.operators.Curation.declaredGates,
+        graft.operators.Curation.queries.size),
+      ("Crawl", graft.operators.Crawl.declaredGates,
+        graft.operators.Crawl.queries.size),
+      ("CorpusStats", graft.operators.CorpusStats.declaredGates,
+        graft.operators.CorpusStats.queries.size),
+      ("Spectral", graft.operators.Spectral.declaredGates,
+        graft.operators.Spectral.queries.size),
+      ("Bpe", graft.operators.Bpe.declaredGates,
+        graft.operators.Bpe.queries.size),
+      ("Formats", graft.operators.Formats.declaredGates,
+        graft.operators.Formats.queries.size))
+    val drifted = declared.collect { case (m, want, got) if want != got =>
+      s"$m declares $want gates but registers $got" }
+    assert(drifted.isEmpty, drifted.mkString("; "))
+    // unionDistinct proves pairwise disjointness, so Σ declared == |union|
+    assert(qs.size == declared.map(_._2).sum,
+      s"surface ${qs.size} != Σ module declarations ${declared.map(_._2).sum}" +
+        " — a module is missing from this table")
   }
-
-  /** The asserted size of the driver-visible gate surface. */
-  private val GateCount = 216
 }
