@@ -28,8 +28,25 @@ import org.apache.spark.sql.SparkSession
   * heap occupancy (gc_ms per pass + totals), so a uniform all-queries
   * drift is attributable to the shared JVM from the artifact alone; a
   * System.gc() settle runs between query FAMILIES (outside any timed
-  * region) to keep 155 queries + index builds in one JVM from billing
+  * region) to keep 216 queries + index builds in one JVM from billing
   * one family's garbage to the next.
+  *
+  * Fresh-JVM serve isolation (VERDICT r13 #1/#7): the r13 driver run
+  * was uniformly ~27% slower per query than both r12 and the builder's
+  * same-tree run, with settle GC alone at 72.6 s on a 91 GiB heap whose
+  * live set was 322 MB — the serve passes shared a JVM with 118 s of
+  * index/model builds plus hundreds of forced full collections. Two
+  * fixes: (a) the settle now runs only when the heap actually carries
+  * weight (forcing a full GC over a near-empty huge heap costs commit/
+  * uncommit page churn inside the NEXT timed query); (b) after its own
+  * two passes, the parent forks a FRESH bounded-heap JVM that re-runs
+  * the serve passes against the same marker-committed scratch artifacts
+  * (zero rebuild — the LSM commit protocol pays off here) and, when the
+  * fork succeeds, the headline per-query numbers are the fresh JVM's,
+  * with the same-JVM totals recorded alongside ("same_jvm_*") so the
+  * A/B rides in the artifact itself. Fork failure (or
+  * SPARK_GRAFT_FORK_SERVE=0) falls back to exactly the r13 behavior,
+  * disclosed as "serve_jvm":"same".
   */
 object Bench {
 
@@ -49,9 +66,17 @@ object Bench {
   private def family(name: String): String =
     name.split('_').take(2).mkString("_")
 
+  /** The settle only fires when the heap genuinely carries garbage:
+    * below this, a forced full collection is pure overhead — and on a
+    * huge -Xmx it additionally uncommits regions the next timed query
+    * pays to page back in (the r13 uniform-inflation mechanism). */
+  private val SettleMinHeapMb = 2048L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // a process pointed at another process's scratch IS the serve child
+    val isServeChild = sys.env.contains(LocalScratch.SharedRootEnv)
     val spark = LocalScratch.configure(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -108,8 +133,9 @@ object Bench {
       var lastFamily = ""
       val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         if (family(name) != lastFamily) {
-          // settle between families, OUTSIDE the timed region
-          if (lastFamily.nonEmpty) {
+          // settle between families, OUTSIDE the timed region — and only
+          // when the heap carries enough garbage to be worth a full GC
+          if (lastFamily.nonEmpty && heapUsedMb() > SettleMinHeapMb) {
             val g0 = gcMillis()
             System.gc()
             settleGcMs += gcMillis() - g0
@@ -142,8 +168,9 @@ object Bench {
     // self-contained.
     def sec3(v: Double): String = // Locale.ROOT: a comma decimal point is not JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map(r => s"\"" + r.name + "\":" + sec3(r.serve))
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[Sample], f: Sample => Double): String =
+      rs.map(r => s"\"" + r.name + "\":" + sec3(f(r)))
+        .mkString("{", ",", "}")
     val builds = results.filter(_.build >= 0.0005)
       .map(r => s"\"" + r.name + "\":" + sec3(r.build))
       .mkString("{", ",", "}")
@@ -152,24 +179,60 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_.serve).sum
     val buildTotal = results.map(_.build).sum
+
+    // ---- fresh-JVM serve isolation (r13 verdict #7) -------------------
+    // The parent's marker-committed scratch is handed to a fresh child
+    // JVM that re-runs ONLY the serve passes. Fork conditions: not
+    // already the child, not opted out, the scratch exists to share,
+    // and the parent itself is clean (a failing surface must surface
+    // through the plain path, not a fork).
+    val forkWanted = !isServeChild &&
+      sys.env.getOrElse("SPARK_GRAFT_FORK_SERVE", "1") != "0" &&
+      LocalScratch.ownedRoot.isDefined && errors.isEmpty
+    val fresh: Either[String, Map[String, String]] =
+      if (!forkWanted) Left(if (isServeChild) "child" else "disabled")
+      else forkServe()
+
     val jvm = s""""gc_ms":${gc1 + gc2},"gc_ms_pass1":$gc1,"gc_ms_pass2":$gc2,""" +
       s""""settle_gc_ms":$settleGcMs,"heap_used_mb":${heapUsedMb()},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory >> 20}"""
     // schema 2 (VERDICT r11 #7): "queries" values are SERVE seconds
     // (wall − metered build), builds reported apart — r10 and earlier
     // merged them, so a round-over-round compare must not mix schemas.
-    val head = s""""metric":"total","value":${sec3(total)},"unit":"sec",""" +
+    // With a successful fork the headline serve numbers are the fresh
+    // JVM's and the same-JVM run rides alongside; either way both
+    // postures are in the artifact and the provenance is explicit.
+    val (headTotal, headQueries, headJvm, headFailed, extra) = fresh match {
+      case Right(c) =>
+        val childJvm = Seq("gc_ms", "gc_ms_pass1", "gc_ms_pass2",
+          "settle_gc_ms", "heap_used_mb", "heap_max_mb")
+          .flatMap(k => c.get(k).map(v => s""""$k":$v""")).mkString(",")
+        (c("total"), c("queries"), childJvm, c.getOrElse("failed", "0"),
+          s""","serve_jvm":"fresh","same_jvm_total":${sec3(total)},""" +
+          s""""same_jvm_gc_ms":${gc1 + gc2},""" +
+          s""""same_jvm_settle_gc_ms":$settleGcMs""")
+      case Left(why) =>
+        (sec3(total), qmap(results, _.serve), jvm, errors.size.toString,
+          if (isServeChild) ""
+          else s""","serve_jvm":"same","fork_serve":"${jsonEscape(why)}"""")
+    }
+    val head = s""""metric":"total","value":$headTotal,"unit":"sec",""" +
       s""""schema":2,"semantics":"serve=wall-build","agg":"min_of_2_passes",""" +
       s""""build_total":${sec3(buildTotal)}"""
     val detailPath = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
       .getAbsoluteFile
-    val detail = s"""{$head,"queries":$qs,"build":$builds,""" +
-      s""""failed":${errors.size},"errors":$errJson,$jvm,"sf":"$sfDir"}"""
+    val sameJvmQs = fresh match {
+      case Right(_) => s""","same_jvm_queries":${qmap(results, _.serve)}"""
+      case Left(_) => ""
+    }
+    val detail = s"""{$head,"queries":$headQueries,"build":$builds,""" +
+      s""""failed":$headFailed,"errors":$errJson,$headJvm$extra$sameJvmQs,""" +
+      s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(detailPath.toPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val summary = s"""{$head,"n_queries":${results.size},""" +
-      s""""failed":${errors.size},$jvm,"sf":"$sfDir",""" +
+      s""""failed":$headFailed,$headJvm$extra,"sf":"$sfDir",""" +
       s""""detail":"${jsonEscape(detailPath.getPath)}"}"""
     // summary first (head captures), and again AFTER spark.stop() as
     // the true last stdout line (tail captures) — nothing else prints
@@ -179,9 +242,71 @@ object Bench {
     spark.stop()
     println(summary)
     System.out.flush()
-    if (errors.nonEmpty) {
+    val childFailed = fresh.toOption.exists(_.getOrElse("failed", "0") != "0")
+    if (errors.nonEmpty || childFailed) {
       errors.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }
+      if (childFailed) System.err.println("BENCH FAIL fresh-JVM serve pass")
       sys.exit(1)
     }
+  }
+
+  /** Fork the fresh-JVM serve child and harvest its artifact. Returns
+    * Right(fields) — "total", "queries" (raw JSON object string), GC/
+    * heap numbers, "failed" — or Left(reason) to fall back. Never
+    * throws: a fork problem must degrade to the same-JVM numbers, not
+    * kill the bench. */
+  private def forkServe(): Either[String, Map[String, String]] = try {
+    import scala.jdk.CollectionConverters._
+    val root = LocalScratch.ownedRoot.get
+    val detail = java.nio.file.Files.createTempFile("graft_child_bench", ".json")
+    val java17 = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    // inherit module opens and -D config; pin the child heap to the
+    // parent's (already bounded by the launcher)
+    val inherited = rt.getInputArguments.asScala.filter(a =>
+      a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-D"))
+    val cmd = (Seq(java17, s"-Xmx${Runtime.getRuntime.maxMemory >> 20}m") ++
+      inherited ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put(LocalScratch.SharedRootEnv, root.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
+    // child stdout is ours to harvest — it must NOT reach the driver's
+    // capture of the parent's stdout
+    val out = java.nio.file.Files.createTempFile("graft_child_bench", ".out")
+    pb.redirectOutput(out.toFile)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    if (!proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)) {
+      proc.destroyForcibly()
+      return Left("timeout after 45m")
+    }
+    if (proc.exitValue() != 0) return Left(s"exit ${proc.exitValue()}")
+    val raw = new String(java.nio.file.Files.readAllBytes(detail),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def obj(key: String): Option[String] = {
+      val m = java.util.regex.Pattern.compile(
+        "\"" + key + "\":(\\{[^}]*\\})").matcher(raw)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    def num(key: String): Option[String] = {
+      val m = java.util.regex.Pattern.compile(
+        "\"" + key + "\":([0-9.]+)").matcher(raw)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    (num("value"), obj("queries")) match {
+      case (Some(total), Some(qs)) =>
+        Right(Map("total" -> total, "queries" -> qs) ++
+          Seq("failed", "gc_ms", "gc_ms_pass1", "gc_ms_pass2",
+            "settle_gc_ms", "heap_used_mb", "heap_max_mb")
+            .flatMap(k => num(k).map(k -> _)).toMap)
+      case _ => Left("child artifact unparseable")
+    }
+  } catch {
+    case e: Throwable =>
+      Left(e.getClass.getSimpleName + ": " +
+        String.valueOf(e.getMessage).take(120))
   }
 }

@@ -32,18 +32,40 @@ object LocalScratch {
         .forEach(f => { val _ = Files.deleteIfExists(f) })
     }
 
+  /** Env var naming a scratch root OWNED BY ANOTHER PROCESS — the
+    * bench's fresh-JVM serve child points here so its `ensure*` calls
+    * find the parent's marker-committed artifacts instead of
+    * rebuilding. The pointee's owner cleans up; the child must not. */
+  val SharedRootEnv = "GRAFT_SCRATCH_ROOT"
+
+  /** The scratch root this process created (None until [[configure]]
+    * runs, or when /dev/shm is unavailable / the root is borrowed). */
+  @volatile var ownedRoot: Option[Path] = None
+
   /** Adds tmpfs-backed spark.local.dir + graft.scratch to the builder
-    * (no-op on hosts without /dev/shm) and registers exit cleanup. */
-  def configure(b: SparkSession.Builder, app: String): SparkSession.Builder = {
-    val shm = Paths.get("/dev/shm")
-    if (!Files.isDirectory(shm) || !Files.isWritable(shm)) b
-    else {
-      val root = shm.resolve(s"graft-$app-${ProcessHandle.current().pid()}")
-      Files.createDirectories(root.resolve("local"))
-      Files.createDirectories(root.resolve("scratch"))
-      sys.addShutdownHook(deleteRecursively(root))
-      b.config("spark.local.dir", root.resolve("local").toString)
-        .config("graft.scratch", root.resolve("scratch").toString)
+    * (no-op on hosts without /dev/shm) and registers exit cleanup.
+    * Under [[SharedRootEnv]] the materialized-artifact scratch is the
+    * owner's; spark.local.dir (shuffle/spill scratch) stays per-process
+    * — block managers must never share live directories. */
+  def configure(b: SparkSession.Builder, app: String): SparkSession.Builder =
+    sys.env.get(SharedRootEnv) match {
+      case Some(owned) =>
+        val root = Paths.get(owned)
+        val local = root.resolve(s"local-${ProcessHandle.current().pid()}")
+        Files.createDirectories(local)
+        b.config("spark.local.dir", local.toString)
+          .config("graft.scratch", root.resolve("scratch").toString)
+      case None =>
+        val shm = Paths.get("/dev/shm")
+        if (!Files.isDirectory(shm) || !Files.isWritable(shm)) b
+        else {
+          val root = shm.resolve(s"graft-$app-${ProcessHandle.current().pid()}")
+          Files.createDirectories(root.resolve("local"))
+          Files.createDirectories(root.resolve("scratch"))
+          sys.addShutdownHook(deleteRecursively(root))
+          ownedRoot = Some(root)
+          b.config("spark.local.dir", root.resolve("local").toString)
+            .config("graft.scratch", root.resolve("scratch").toString)
+        }
     }
-  }
 }

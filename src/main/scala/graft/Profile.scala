@@ -85,6 +85,21 @@ object Profile {
             val r = time(s"recall:$fam")(df.head())
             println(s"  $fam n_queries=${r.getLong(0)} mean_recall=${r.getDouble(1)}")
           }
+      // band-fitting sweep for the quantizer-bound envelope: ADC-only
+      // (expand=1) vs rescored recall at coarse PQ geometries, EVERY
+      // cell probed so the quantizer is the only binding constraint
+      case "pq_distortion_probe" =>
+        val n = graft.queries.Tables.embeddings(spark, sfDir).count()
+        val nCells = graft.operators.Similarity.ivfNumCells(n)
+        println(s"  n=$n cells=$nCells")
+        for ((m, kc) <- Seq((1, 256), (2, 256), (4, 256));
+             ex <- Seq(1, 16)) {
+          val r = graft.operators.Ingest.ivfPqRecallMeasured(
+            spark, sfDir, 10, nCells, 16, ex, m, kc).head()
+          println(s"  m=$m kCent=$kc expand=$ex recall=${r.getDouble(1)}")
+        }
+        val env = graft.operators.Ingest.pqDistortionEnvelope(spark, sfDir).head()
+        println(s"  envelope adc_lossy=${env.getBoolean(1)} rescore_recovers=${env.getBoolean(2)}")
       // the classifier-axis drift fraction the q_nb_policy θ straddles
       case "nb_drift_probe" =>
         val d = time("nb:drift")(

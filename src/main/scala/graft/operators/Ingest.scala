@@ -2309,6 +2309,46 @@ object Ingest {
       .select(col("n_queries"),
         (col("mean_recall") >= lit(theta)).as("recall_ge_090"))
 
+  /** PQ geometry of the quantizer-bound envelope: m=4 over the
+    * embedding dim leaves subspaces coarse enough that ADC ordering
+    * alone (no rescore) visibly scrambles the true top-k at EVERY
+    * fixture scale — measured expand=1 all-cells recall 0.19–0.59
+    * across sf0.001…sf1z, vs ≥0.95 for the r13 production envelopes
+    * where expand·k rescore fully recovers the loss. */
+  private val DistortionM = 4
+
+  /** The QUANTIZER-BOUND envelope (r13 verdict #8): both serves probe
+    * EVERY cell, so the probe cannot be the binding constraint — the
+    * only knob between them is the ADC shortlist the exact rescore gets
+    * to correct. Clauses (constants from the measured band across
+    * sf0.001/0.01/0.1/sf1/sf1z):
+    *
+    *  - `adc_lossy`: ADC-only serving (expand=1 — the rescore can only
+    *    reorder within the ADC top-k set, so set-recall IS the pure
+    *    quantizer number) stays UNDER 0.75 (measured max 0.5875) — the
+    *    geometry genuinely distorts; a gate that only ever certifies
+    *    full-recovery regimes would never catch an ADC regression.
+    *  - `rescore_recovers`: widening the shortlist to expand=16 wins
+    *    back ≥ 0.15 of recall (measured min gap 0.300) — the loss is
+    *    the quantizer's ORDERING, recoverable by rescore, not a broken
+    *    candidate set.
+    *
+    * SimilaritySpec carries the discriminating negative control: a
+    * garbage m=1/kCent=4 quantizer measures FAR below this band's
+    * honest point on the same harness. */
+  def pqDistortionEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val nCells = Similarity.ivfNumCells(embeddingCount(s, dir))
+    val adc = ivfPqRecallMeasured(s, dir, 10, nCells, 16,
+      expand = 1, m = DistortionM, kCent = 256)
+      .select(col("n_queries"), col("mean_recall").as("adc"))
+    val resc = ivfPqRecallMeasured(s, dir, 10, nCells, 16,
+      expand = 16, m = DistortionM, kCent = 256)
+      .select(col("mean_recall").as("resc"))
+    adc.crossJoin(broadcast(resc)).select(col("n_queries"),
+      (col("adc") < lit(0.75)).as("adc_lossy"),
+      (col("resc") - col("adc") >= lit(0.15)).as("rescore_recovers"))
+  }
+
   /** Batched kNN over the APPENDED index (base ∪ delta) — the |Q|>1
     * generalization of [[ivfTopKAppended]]'s serving path. */
   def knnJoinIvfAppended(s: SparkSession, dir: String, queriesDf: DataFrame,
@@ -2480,7 +2520,7 @@ object Ingest {
   /** This module's share of the driver-visible gate surface —
     * bump WITH any gate added here (RegistrySpec sums the
     * module-local declarations; no global count exists). */
-  val declaredGates: Int = 51
+  val declaredGates: Int = 52
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the ingest step itself: materialize both stored layouts, report
@@ -2745,6 +2785,14 @@ object Ingest {
       ivfPqRecallEnvelope(s, dir, 10, nProbe = 0, 16, 0.9)),
     "q_ivfsq_recall_envelope" -> ((s, dir) =>
       ivfSqRecallEnvelope(s, dir, 10, nProbe = 0, 16, 0.9)),
+
+    // the QUANTIZER-BOUND regime the 0.956 envelopes never enter: a
+    // coarse-m geometry where ADC-only ordering visibly loses the true
+    // top-k with EVERY cell probed, and the exact rescore wins a
+    // measured chunk back — so the envelope family spans both the
+    // probe-bound and the quantizer-bound constraint (r13 verdict #8)
+    "q_pq_distortion_envelope" -> ((s, dir) =>
+      pqDistortionEnvelope(s, dir)),
 
     // deletion on the dense axis: 8 canary queries against the stored
     // IVF index with the first half's twins TOMBSTONED. A retracted
@@ -3602,6 +3650,8 @@ object Ingest {
       "SELECT CAST(16 AS BIGINT) AS n_queries, TRUE AS recall_ge_090",
     "q_ivfsq_recall_envelope" ->
       "SELECT CAST(16 AS BIGINT) AS n_queries, TRUE AS recall_ge_090",
+    "q_pq_distortion_envelope" ->
+      "SELECT CAST(16 AS BIGINT) AS n_queries, TRUE AS adc_lossy, TRUE AS rescore_recovers",
     "q_knn_ivf_forget" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_surviving, CAST(0 AS BIGINT) AS n_retracted_served",
     "q_knn_ivfpq_forget" ->

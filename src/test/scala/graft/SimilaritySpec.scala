@@ -840,6 +840,37 @@ class SimilaritySpec extends SparkSpecBase {
       s"default m=8/kCent=256/expand=60 at all-cells probe must recover: ${fine.getDouble(1)}")
   }
 
+  test("quantizer-bound envelope: clauses bind for real, measurement moves with the quantizer") {
+    // r13 verdict #8 — the gate's own row at the fixture: the coarse
+    // m=4 geometry is genuinely lossy AND rescue-recoverable
+    val row = graft.operators.Ingest
+      .pqDistortionEnvelope(spark, TestSpark.Sf0001).head()
+    assert(row.getLong(0) == 16L && row.getBoolean(1) && row.getBoolean(2),
+      s"distortion envelope row: $row")
+    // the raw quantity behind adc_lossy is mid-band, not vacuously
+    // under the 0.75 ceiling (measured 0.575 at sf0.001)
+    val adc = graft.operators.Ingest.ivfPqRecallMeasured(
+      spark, TestSpark.Sf0001, 10, nProbe = 9999, 16,
+      expand = 1, m = 4, kCent = 256).head().getDouble(1)
+    assert(adc > 0.3 && adc < 0.7,
+      s"m=4 ADC-only recall must sit in the lossy band: $adc")
+    // discriminance on the quantizer axis: the garbage geometry
+    // measures FAR below the honest point on the IDENTICAL expand=1
+    // all-cells harness (0.1 vs 0.575 measured)
+    val garbage = graft.operators.Ingest.ivfPqRecallMeasured(
+      spark, TestSpark.Sf0001, 10, nProbe = 9999, 16,
+      expand = 1, m = 1, kCent = 4).head().getDouble(1)
+    assert(garbage < adc - 0.3,
+      s"m=1/kCent=4 must measure far below m=4: $garbage vs $adc")
+    // and widening the shortlist at the SAME coarse geometry recovers
+    // fully at this SF — the loss is ADC ORDERING, not candidates
+    val resc = graft.operators.Ingest.ivfPqRecallMeasured(
+      spark, TestSpark.Sf0001, 10, nProbe = 9999, 16,
+      expand = 16, m = 4, kCent = 256).head().getDouble(1)
+    assert(resc >= 0.95,
+      s"expand=16 rescore must recover the m=4 loss at sf0.001: $resc")
+  }
+
   test("SQ recall envelope negative control: a too-coarse scalar model fails; the honest one recovers") {
     import testImplicits._
     // the honest SQ8 model (256 levels spanning the real per-dim range)
