@@ -396,53 +396,62 @@ object Multimodal {
   def ensureMediaHashDelta(s: SparkSession, dir: String): DataFrame = graft.BuildTimer.time {
     val path = scratch(s, dir, "media_phash_delta")
     if (!committed(s, path)) {
-      import s.implicits._
-      val img = documents(s, dir)
-        .filter(col("doc_id") % 101 === 0 &&
-          (col("doc_id") % 4 === 0 || col("doc_id") % 4 === 2))
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { d =>
-          val (w, h) = if (d % 4 == 0) pngDims(d) else bmpDims(d)
-          val (mime, bytes) =
-            if (d % 4 == 0) ("image/bmp", MediaFormats.encodeBmp(w, h, pixel(d)))
-            else ("image/png", MediaFormats.encodePng(w, h, pixel(d)))
-          val g = MediaFormats.decodeGray(bytes)
-          (d + MediaAppendOffset, d, "image", mime, 0L, dHash(g), g.ok)
-        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
-      // the delta is ONE generation across all modalities (an arriving
-      // batch is not modality-siloed): a video re-encode and a tagged
-      // audio copy of already-indexed sources land through the same
-      // ingest kernel as the base build — decode the ARRIVING bytes
-      // only, never a byte of the base corpus
-      val vid = documents(s, dir)
-        .filter(col("doc_id") % VideoAppendMod === 0)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.flatMap { d =>
-          val (w, h) = vidDims(d)
-          val nf = vidFrames(d)
-          val bytes = MediaFormats.encodeGifAnimShifted(
-            w, h, nf, f => vdupPixel(d, f), 1 + ((d / 3) % 200).toInt)
-          val (grays, _, ok) = MediaFormats.decodeGifFrameGrays(bytes, 2)
-          val mid = d + VideoAppendOffset
-          if (!ok) Iterator((mid, d, "video", "video/gif", -1L, 0L, false))
-          else grays.iterator.zipWithIndex.map { case (g, i) =>
-            (mid, d, "video", "video/gif", 2L * i, dHash(g), true)
-          }
-        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
-      val aud = documents(s, dir)
-        .filter(col("doc_id") % AudioAppendMod === 0)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { d =>
-          val bytes = MediaFormats.encodeWavTagged(
-            wavRate(d), wavSamples(d), s"graft delta copy of $d")
-          val (ss, _, ok) = MediaFormats.decodeWavSamples(bytes)
-          (d + AudioAppendOffset, d, "audio", "audio/wav", 0L, aHash(ss), ok)
-        }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
-      img.unionByName(vid).unionByName(aud)
+      deltaHashKernel(documents(s, dir))
         .repartition(col("modality"))
         .write.mode("overwrite").partitionBy("modality").parquet(path)
     }
     s.read.parquet(path)
+  }
+
+  /** The delta batch's decode+hash INGEST KERNEL over any arriving
+    * `doc_id` frame — batch (ensureMediaHashDelta) and streaming
+    * (streaming/MediaStream) share this body, so streaming ≡ batch on
+    * the media ingest axis is structural. The delta is ONE generation
+    * across all modalities (an arriving batch is not modality-siloed):
+    * a cross-container image re-encode, a video re-encode and a tagged
+    * audio copy of already-indexed sources land through the same
+    * kernel as the base build — decode the ARRIVING bytes only, never
+    * a byte of the base corpus. */
+  private[graft] def deltaHashKernel(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val img = docs
+      .filter(col("doc_id") % 101 === 0 &&
+        (col("doc_id") % 4 === 0 || col("doc_id") % 4 === 2))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (w, h) = if (d % 4 == 0) pngDims(d) else bmpDims(d)
+        val (mime, bytes) =
+          if (d % 4 == 0) ("image/bmp", MediaFormats.encodeBmp(w, h, pixel(d)))
+          else ("image/png", MediaFormats.encodePng(w, h, pixel(d)))
+        val g = MediaFormats.decodeGray(bytes)
+        (d + MediaAppendOffset, d, "image", mime, 0L, dHash(g), g.ok)
+      }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
+    val vid = docs
+      .filter(col("doc_id") % VideoAppendMod === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val (w, h) = vidDims(d)
+        val nf = vidFrames(d)
+        val bytes = MediaFormats.encodeGifAnimShifted(
+          w, h, nf, f => vdupPixel(d, f), 1 + ((d / 3) % 200).toInt)
+        val (grays, _, ok) = MediaFormats.decodeGifFrameGrays(bytes, 2)
+        val mid = d + VideoAppendOffset
+        if (!ok) Iterator((mid, d, "video", "video/gif", -1L, 0L, false))
+        else grays.iterator.zipWithIndex.map { case (g, i) =>
+          (mid, d, "video", "video/gif", 2L * i, dHash(g), true)
+        }
+      }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
+    val aud = docs
+      .filter(col("doc_id") % AudioAppendMod === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val bytes = MediaFormats.encodeWavTagged(
+          wavRate(d), wavSamples(d), s"graft delta copy of $d")
+        val (ss, _, ok) = MediaFormats.decodeWavSamples(bytes)
+        (d + AudioAppendOffset, d, "audio", "audio/wav", 0L, aHash(ss), ok)
+      }).toDF("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
+    img.unionByName(vid).unionByName(aud)
   }
 
   /** COMPACTION on the multimodal axis: base ∪ delta rewritten as one
@@ -514,6 +523,20 @@ object Multimodal {
       dead: DataFrame): DataFrame =
     audioClusters(audioRows(maskBySrc(ensureMediaHashIndex(s, dir),
       dead.select(col("doc_id").as("src_id")))))
+
+  /** Video-pair dedup over base ∪ a CALLER-SUPPLIED delta generation —
+    * e.g. one landed by the streaming ingest twin
+    * ([[graft.streaming.MediaStream]]): media that arrived VIA A STREAM
+    * serve through the identical banded pair machinery, no batch
+    * re-ingest (the knnJoinIvfWithDelta posture on the media axis). */
+  def videoDedupAppendedWith(s: SparkSession, dir: String,
+      delta: DataFrame): DataFrame =
+    videoPairs(videoRows(ensureMediaHashIndex(s, dir).unionByName(delta)))
+
+  /** [[videoDedupAppendedWith]] on the audio surface. */
+  def audioDedupAppendedWith(s: SparkSession, dir: String,
+      delta: DataFrame): DataFrame =
+    audioClusters(audioRows(ensureMediaHashIndex(s, dir).unionByName(delta)))
 
   /** The takedown mask on ANY index generation: one broadcast anti-join
     * on the SOURCE key, after the scan and before any clustering. */

@@ -89,6 +89,39 @@ class EventStreamSpec extends SparkSpecBase {
     assert(agg == streamed.size)
   }
 
+  test("streaming media hash ingest (MediaStream) == batch delta; streamed rows SERVE the append gates") {
+    val stream = graft.streaming.MediaStream.mediaHashStream(spark, TestSpark.Sf0001)
+    val q = EventStream.runToMemory(stream, "media_ingest_test", OutputMode.Append)
+    q.awaitTermination()
+    val cols = Seq("media_id", "src_id", "modality", "mime", "pos", "phash", "ok")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).orderBy("media_id", "pos")
+        .collect().map(_.toSeq).toSeq
+    val streamedTable = spark.table("media_ingest_test")
+    val streamed = canon(streamedTable)
+    val batch = canon(graft.operators.Multimodal
+      .ensureMediaHashDelta(spark, TestSpark.Sf0001))
+    assert(streamed.nonEmpty && streamed == batch,
+      "per-micro-batch decode+hash must equal the batch delta build row-for-row")
+    assert(streamed.map(_(2)).toSet == Set("image", "video", "audio"),
+      s"the stream must carry all three modalities: ${streamed.map(_(2)).toSet}")
+    // and the STREAMED rows serve dedup: base ∪ streamed-delta through
+    // the same pair/cluster machinery equals the stored-delta gates
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val vServed = rows(graft.operators.Multimodal.videoDedupAppendedWith(
+      spark, TestSpark.Sf0001, streamedTable.select(cols.map(col): _*)))
+    val vStored = rows(SparkEntry.queries("q_video_dedup_append")(
+      spark, TestSpark.Sf0001))
+    assert(vServed.nonEmpty && vServed == vStored,
+      "stream-landed video re-encodes must serve exactly like the stored delta generation")
+    val aServed = rows(graft.operators.Multimodal.audioDedupAppendedWith(
+      spark, TestSpark.Sf0001, streamedTable.select(cols.map(col): _*)))
+    val aStored = rows(SparkEntry.queries("q_audio_dedup_append")(
+      spark, TestSpark.Sf0001))
+    assert(aServed.nonEmpty && aServed == aStored,
+      "stream-landed audio copies must serve exactly like the stored delta generation")
+  }
+
   test("streaming sketch ingest (SketchStream) == batch stored-sketch table") {
     val stream = graft.streaming.SketchStream.sketchStream(spark, TestSpark.Sf0001)
     val q = EventStream.runToMemory(stream, "sketch_ingest_test", OutputMode.Append)
