@@ -156,10 +156,33 @@ object Bench {
       (rows, gcMillis() - gc0)
     }
     val (p1, gc1) = pass()
-    val (p2, gc2) = pass()
-    val results = p1.zip(p2).map { case (a, b) =>
-      Sample(a.name, math.min(a.serve, b.serve),
-        math.max(a.build, b.build), a.err.orElse(b.err))
+    // ---- fresh-JVM serve isolation (r13 verdict #7) -------------------
+    // The parent's marker-committed scratch is handed to a fresh child
+    // JVM that re-runs ONLY the serve passes (both of them — the
+    // headline min-of-2 is the child's, minutes apart as before). The
+    // fork decision sits BEFORE the parent's own second pass so the
+    // success path doesn't pay for a pass it won't headline — the
+    // parent's pass 2 runs only as the FALLBACK, keeping the degraded
+    // path exactly the r13 two-pass behavior. Fork conditions: not
+    // already the child, not opted out, the scratch exists to share,
+    // and pass 1 is clean (a failing surface must surface through the
+    // plain path, not a fork).
+    val forkWanted = !isServeChild &&
+      sys.env.getOrElse("SPARK_GRAFT_FORK_SERVE", "1") != "0" &&
+      LocalScratch.ownedRoot.isDefined && p1.forall(_.err.isEmpty)
+    val fresh: Either[String, Map[String, String]] =
+      if (!forkWanted) Left(if (isServeChild) "child" else "disabled")
+      else forkServe()
+    val (p2Opt, gc2) = fresh match {
+      case Right(_) => (None, 0L)
+      case Left(_) => val (p2, g) = pass(); (Some(p2), g)
+    }
+    val results = p2Opt match {
+      case Some(p2) => p1.zip(p2).map { case (a, b) =>
+        Sample(a.name, math.min(a.serve, b.serve),
+          math.max(a.build, b.build), a.err.orElse(b.err))
+      }
+      case None => p1
     }
     // 3-decimal seconds (ms resolution — below run-to-run noise): full
     // 17-digit doubles made the 102-query line overflow the driver's
@@ -180,19 +203,6 @@ object Bench {
     val total = results.map(_.serve).sum
     val buildTotal = results.map(_.build).sum
 
-    // ---- fresh-JVM serve isolation (r13 verdict #7) -------------------
-    // The parent's marker-committed scratch is handed to a fresh child
-    // JVM that re-runs ONLY the serve passes. Fork conditions: not
-    // already the child, not opted out, the scratch exists to share,
-    // and the parent itself is clean (a failing surface must surface
-    // through the plain path, not a fork).
-    val forkWanted = !isServeChild &&
-      sys.env.getOrElse("SPARK_GRAFT_FORK_SERVE", "1") != "0" &&
-      LocalScratch.ownedRoot.isDefined && errors.isEmpty
-    val fresh: Either[String, Map[String, String]] =
-      if (!forkWanted) Left(if (isServeChild) "child" else "disabled")
-      else forkServe()
-
     val jvm = s""""gc_ms":${gc1 + gc2},"gc_ms_pass1":$gc1,"gc_ms_pass2":$gc2,""" +
       s""""settle_gc_ms":$settleGcMs,"heap_used_mb":${heapUsedMb()},""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory >> 20}"""
@@ -209,7 +219,7 @@ object Bench {
           .flatMap(k => c.get(k).map(v => s""""$k":$v""")).mkString(",")
         (c("total"), c("queries"), childJvm, c.getOrElse("failed", "0"),
           s""","serve_jvm":"fresh","same_jvm_total":${sec3(total)},""" +
-          s""""same_jvm_gc_ms":${gc1 + gc2},""" +
+          s""""same_jvm_passes":1,"same_jvm_gc_ms":${gc1 + gc2},""" +
           s""""same_jvm_settle_gc_ms":$settleGcMs""")
       case Left(why) =>
         (sec3(total), qmap(results, _.serve), jvm, errors.size.toString,
