@@ -40,13 +40,23 @@ val jdk17AddOpens = Seq(
 // tree. The sf0.1/sf1 working set is <1 GiB; past ~16 GiB a bigger heap
 // only makes each collection more expensive. Values at or under the cap
 // pass through untouched.
+// Escape hatch (ADVICE r14): SPARK_GRAFT_HEAP_CAP overrides the cap in
+// MiB; 0 disables clamping entirely. The clamp prints a notice when it
+// fires so a silently-rewritten SPARK_DRIVER_MEM is visible in the log.
 def clampHeap(req: String): String = {
-  val CapMb = 16384L
-  "^(\\d+)([gGmM])$".r.findFirstMatchIn(req.trim) match {
+  val capMb = sys.env.get("SPARK_GRAFT_HEAP_CAP")
+    .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    .getOrElse(16384L)
+  if (capMb <= 0L) req
+  else "^(\\d+)([gGmM])$".r.findFirstMatchIn(req.trim) match {
     case Some(m) =>
       val mb = m.group(1).toLong *
         (if (m.group(2).toLowerCase == "g") 1024L else 1L)
-      if (mb > CapMb) s"${CapMb}m" else req
+      if (mb > capMb) {
+        println(s"[graft] clamping requested heap $req to ${capMb}m " +
+          "(override: SPARK_GRAFT_HEAP_CAP=<MiB>, 0 disables)")
+        s"${capMb}m"
+      } else req
     case None => req // unrecognized spec: leave the caller's value alone
   }
 }

@@ -87,6 +87,66 @@ def isolate(sf_dir: str, query: str) -> tuple:
     return (times[0], times[1]) if len(times) >= 2 else (None, None)
 
 
+def record_in_artifact(path: str, key: str, value: dict) -> None:
+    """Append an adjudication block into the artifact's last JSON line so
+    the verdict is self-contained — no hand re-runs needed to read it."""
+    try:
+        with open(path) as f:
+            artifact = json.loads(f.read().strip().splitlines()[-1])
+        artifact[key] = value
+        with open(path, "w") as f:
+            json.dump(artifact, f, separators=(",", ":"))
+            f.write("\n")
+    except Exception as e:  # noqa: BLE001
+        print(f"  (could not write {key} into {path}: {e})")
+
+
+def fresh_same_check(new: dict, new_path: str) -> bool:
+    """Fresh-vs-same JVM divergence control (VERDICT r14 #6): when the
+    artifact carries both postures, a query whose fresh and same-JVM
+    serve numbers diverge >3x (plus the 0.5 s noise floor) is re-run in
+    isolation; the warm rep adjudicates against the FASTER posture — a
+    stall-inflated posture self-clears, a genuine posture-dependent
+    slowdown (e.g. a cost only a cold JVM pays every time) stays red."""
+    same = new.get("same_jvm_queries")
+    if not same:
+        return True  # single-posture artifact: nothing to compare
+    max_div, floor = 3.0, 0.5
+    flagged = [(q, tf, same[q]) for q, tf in sorted(new["queries"].items())
+               if q in same
+               and max(tf, same[q]) > max_div * min(tf, same[q]) + floor]
+    if not flagged:
+        print(f"fresh-vs-same: all queries within {max_div}x across postures")
+        return True
+    print(f"{len(flagged)} query(ies) diverge >{max_div}x between fresh and "
+          f"same-JVM postures — re-running each in isolation:")
+    sf_dir = new.get("sf", "")
+    adjudication = {}
+    real = []
+    for q, t_fresh, t_same in flagged:
+        lo = min(t_fresh, t_same)
+        cold, warm = isolate(sf_dir, q)
+        cleared = warm is not None and warm <= max_div * lo + floor
+        adjudication[q] = {
+            "fresh_s": t_fresh, "same_jvm_s": t_same,
+            "isolated_cold_s": cold, "isolated_warm_s": warm,
+            "cleared": cleared,
+        }
+        verdict = "cleared (posture stall)" if cleared else "REAL divergence"
+        print(f"  {q}: fresh {t_fresh:.3f}s same {t_same:.3f}s, isolated "
+              f"cold={cold if cold is not None else 'n/a'} "
+              f"warm={warm if warm is not None else 'n/a'} -> {verdict}")
+        if not cleared:
+            real.append(q)
+    record_in_artifact(new_path, "fresh_same_adjudication", adjudication)
+    if real:
+        print(f"FAIL: {len(real)} query(ies) genuinely diverge across JVM "
+              f"postures: {', '.join(real)}")
+        return False
+    print("OK: all posture divergences self-cleared in isolation")
+    return True
+
+
 def main() -> None:
     base, new = load(sys.argv[1]), load(sys.argv[2])
     max_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
@@ -124,6 +184,9 @@ def main() -> None:
         print(f"FAIL: {len(gone)} baseline query(ies) missing from the new run:")
         print("  " + ", ".join(gone))
         sys.exit(1)
+    # fresh-vs-same posture control first: its record lands in the
+    # artifact before (and independently of) the K-gate adjudication
+    fs_ok = fresh_same_check(new, sys.argv[2])
     if bad:
         if len(bad) > MAX_ADJUDICATED:
             print(f"FAIL: {len(bad)} query(ies) above {max_ratio}x — too many "
@@ -152,15 +215,7 @@ def main() -> None:
                 real.append((q, tb, tn, warm))
         # record the adjudication inside the new artifact so the verdict
         # is self-contained — no hand re-runs needed to interpret it
-        try:
-            with open(sys.argv[2]) as f:
-                artifact = json.loads(f.read().strip().splitlines()[-1])
-            artifact["adjudication"] = adjudication
-            with open(sys.argv[2], "w") as f:
-                json.dump(artifact, f, separators=(",", ":"))
-                f.write("\n")
-        except Exception as e:  # noqa: BLE001
-            print(f"  (could not write adjudication into {sys.argv[2]}: {e})")
+        record_in_artifact(sys.argv[2], "adjudication", adjudication)
         if real:
             print(f"FAIL: {len(real)} query(ies) slow in isolation too:")
             for q, tb, tn, warm in real:
@@ -168,8 +223,10 @@ def main() -> None:
             sys.exit(1)
         print(f"OK: all flagged queries self-cleared in isolation "
               f"(adjudication recorded in {sys.argv[2]})")
-        return
+        sys.exit(0 if fs_ok else 1)
     print(f"OK: all queries within {max_ratio}x")
+    if not fs_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -39,7 +39,13 @@ variant plants them deliberately, sized to SPLIT, not loud-fail:
    SemDeDup tau - skews cell geometry without manufacturing duplicate
    cliques).
 
-Usage: python3 scripts/make_sf1.py [--zipf] [outdir]  (default target/sf1)
+--copies=N (default 10 = "sf1") scales further: N=30 is the sf3
+rehearsal decade-and-a-half (VERDICT r14 #1 — measure the scaling
+exponent past sf1). Key offsets stay collision-free up to N=99:
+documents/embeddings ids reach N*100k < the +10M planted-twin offset.
+
+Usage: python3 scripts/make_sf1.py [--zipf] [--copies=N] [outdir]
+       (default outdir target/sf1, or target/sf1z with --zipf)
 """
 import math
 import os
@@ -52,9 +58,11 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 ZIPF = "--zipf" in sys.argv
+COPIES = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+               if a.startswith("--copies=")), 10)
+assert 1 <= COPIES <= 99, "key offsets are collision-free only to 99 copies"
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
 OUT = _args[0] if _args else ("target/sf1z" if ZIPF else "target/sf1")
-COPIES = 10
 
 # table -> {column: per-copy key offset}
 KEY_SHIFTS = {

@@ -28,8 +28,8 @@ import org.apache.spark.sql.SparkSession
   * heap occupancy (gc_ms per pass + totals), so a uniform all-queries
   * drift is attributable to the shared JVM from the artifact alone; a
   * System.gc() settle runs between query FAMILIES (outside any timed
-  * region) to keep 216 queries + index builds in one JVM from billing
-  * one family's garbage to the next.
+  * region) to keep all registered queries + index builds in one JVM
+  * from billing one family's garbage to the next.
   *
   * Fresh-JVM serve isolation (VERDICT r13 #1/#7): the r13 driver run
   * was uniformly ~27% slower per query than both r12 and the builder's
@@ -167,12 +167,18 @@ object Bench {
     // already the child, not opted out, the scratch exists to share,
     // and pass 1 is clean (a failing surface must surface through the
     // plain path, not a fork).
-    val forkWanted = !isServeChild &&
-      sys.env.getOrElse("SPARK_GRAFT_FORK_SERVE", "1") != "0" &&
-      LocalScratch.ownedRoot.isDefined && p1.forall(_.err.isEmpty)
+    // Distinct skip reasons (ADVICE r14): an env opt-out, a missing
+    // scratch root, and a poisoned pass 1 are different provenance —
+    // the artifact's fork_serve field must say which one happened.
+    val skipReason: Option[String] =
+      if (isServeChild) Some("child")
+      else if (sys.env.getOrElse("SPARK_GRAFT_FORK_SERVE", "1") == "0")
+        Some("env-disabled")
+      else if (LocalScratch.ownedRoot.isEmpty) Some("no-scratch")
+      else if (p1.exists(_.err.nonEmpty)) Some("pass1-errors")
+      else None
     val fresh: Either[String, Map[String, String]] =
-      if (!forkWanted) Left(if (isServeChild) "child" else "disabled")
-      else forkServe()
+      skipReason.toLeft(()).flatMap(_ => forkServe())
     val (p2Opt, gc2) = fresh match {
       case Right(_) => (None, 0L)
       case Left(_) => val (p2, g) = pass(); (Some(p2), g)
@@ -265,58 +271,63 @@ object Bench {
     * heap numbers, "failed" — or Left(reason) to fall back. Never
     * throws: a fork problem must degrade to the same-JVM numbers, not
     * kill the bench. */
-  private def forkServe(): Either[String, Map[String, String]] = try {
-    import scala.jdk.CollectionConverters._
-    val root = LocalScratch.ownedRoot.get
-    val detail = java.nio.file.Files.createTempFile("graft_child_bench", ".json")
-    val java17 = java.nio.file.Paths.get(
-      System.getProperty("java.home"), "bin", "java").toString
-    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
-    // inherit module opens and -D config; pin the child heap to the
-    // parent's (already bounded by the launcher)
-    val inherited = rt.getInputArguments.asScala.filter(a =>
-      a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-        a.startsWith("-D"))
-    val cmd = (Seq(java17, s"-Xmx${Runtime.getRuntime.maxMemory >> 20}m") ++
-      inherited ++
-      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
-    val pb = new ProcessBuilder(cmd)
-    pb.environment().put(LocalScratch.SharedRootEnv, root.toString)
-    pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
-    // child stdout is ours to harvest — it must NOT reach the driver's
-    // capture of the parent's stdout
-    val out = java.nio.file.Files.createTempFile("graft_child_bench", ".out")
-    pb.redirectOutput(out.toFile)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val proc = pb.start()
-    if (!proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)) {
-      proc.destroyForcibly()
-      return Left("timeout after 45m")
+  private def forkServe(): Either[String, Map[String, String]] = {
+    var detail: java.nio.file.Path = null
+    var out: java.nio.file.Path = null
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = LocalScratch.ownedRoot.get
+      detail = java.nio.file.Files.createTempFile("graft_child_bench", ".json")
+      val java17 = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+      // inherit module opens and -D config; pin the child heap to the
+      // parent's (already bounded by the launcher)
+      val inherited = rt.getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("-D"))
+      val cmd = (Seq(java17, s"-Xmx${Runtime.getRuntime.maxMemory >> 20}m") ++
+        inherited ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put(LocalScratch.SharedRootEnv, root.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detail.toString)
+      // child stdout is ours to harvest — it must NOT reach the driver's
+      // capture of the parent's stdout
+      out = java.nio.file.Files.createTempFile("graft_child_bench", ".out")
+      pb.redirectOutput(out.toFile)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      if (!proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly()
+        return Left("timeout after 45m")
+      }
+      if (proc.exitValue() != 0) return Left(s"exit ${proc.exitValue()}")
+      // Real JSON parse of the child artifact (ADVICE r14) — the former
+      // regex harvest silently fell back on any nested object or numeric
+      // format drift. Jackson ships with Spark itself.
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(detail.toFile)
+      def field(key: String): Option[String] =
+        Option(node.get(key)).map(_.toString)
+      (field("value"), field("queries")) match {
+        case (Some(total), Some(qs)) =>
+          Right(Map("total" -> total, "queries" -> qs) ++
+            Seq("failed", "gc_ms", "gc_ms_pass1", "gc_ms_pass2",
+              "settle_gc_ms", "heap_used_mb", "heap_max_mb")
+              .flatMap(k => field(k).map(k -> _)).toMap)
+        case _ => Left("child artifact unparseable")
+      }
+    } catch {
+      case e: Throwable =>
+        Left(e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).take(120))
+    } finally {
+      // the artifacts are harvested (or useless) by now — don't let
+      // repeated bench runs accumulate temp files (ADVICE r14)
+      Seq(detail, out).filter(_ != null).foreach { p =>
+        try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () }
+      }
     }
-    if (proc.exitValue() != 0) return Left(s"exit ${proc.exitValue()}")
-    val raw = new String(java.nio.file.Files.readAllBytes(detail),
-      java.nio.charset.StandardCharsets.UTF_8)
-    def obj(key: String): Option[String] = {
-      val m = java.util.regex.Pattern.compile(
-        "\"" + key + "\":(\\{[^}]*\\})").matcher(raw)
-      if (m.find()) Some(m.group(1)) else None
-    }
-    def num(key: String): Option[String] = {
-      val m = java.util.regex.Pattern.compile(
-        "\"" + key + "\":([0-9.]+)").matcher(raw)
-      if (m.find()) Some(m.group(1)) else None
-    }
-    (num("value"), obj("queries")) match {
-      case (Some(total), Some(qs)) =>
-        Right(Map("total" -> total, "queries" -> qs) ++
-          Seq("failed", "gc_ms", "gc_ms_pass1", "gc_ms_pass2",
-            "settle_gc_ms", "heap_used_mb", "heap_max_mb")
-            .flatMap(k => num(k).map(k -> _)).toMap)
-      case _ => Left("child artifact unparseable")
-    }
-  } catch {
-    case e: Throwable =>
-      Left(e.getClass.getSimpleName + ": " +
-        String.valueOf(e.getMessage).take(120))
   }
 }

@@ -337,16 +337,22 @@ object MediaFormats {
     val height = math.abs(rawH)
     val bpp = readLe16(bytes, 28)
     val compression = readLe32(bytes, 30)
-    val rowBytes = (width * 3 + 3) / 4 * 4
+    // all size arithmetic in Long: a corrupted header can carry a
+    // negative dataOff (flipped sign bit) or a width whose 3·w+pad
+    // overflows Int — either must land in ok=false, never an index
+    // out of bounds (the MultimodalSpec bit-flip fuzz found exactly
+    // this via a 0x80 flip of the pixel-offset high byte)
+    val rowBytes = (width.toLong * 3 + 3) / 4 * 4
     val ok = hdrSize >= 40 && width > 0 && height > 0 && bpp == 24 &&
-      compression == 0 && dataOff + rowBytes.toLong * height <= bytes.length
+      compression == 0 && dataOff >= 54 &&
+      dataOff.toLong + rowBytes * height <= bytes.length
     if (!ok)
       return grayFail(width, height)
     val px = new Array[Int](width * height)
     var y = 0 // IMAGE row; bottom-up storage puts it at stored row h-1-y
     while (y < height) {
       val storedRow = if (rawH > 0) height - 1 - y else y
-      val base = dataOff + storedRow * rowBytes
+      val base = dataOff + storedRow * rowBytes.toInt
       var x = 0
       while (x < width) {
         px(y * width + x) = bytes(base + x * 3 + 2) & 0xFF // R channel

@@ -521,6 +521,10 @@ object CorpusStats {
     * module-local declarations; no global count exists). */
   val declaredGates: Int = 11
 
+  /** Deletion surface this module contributes to the composed takedown
+    * (TakedownSpec derives the expected axis set from these). */
+  val takedownAxes: Seq[String] = Seq("cms")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // heavy hitters through the sketch: exact top-10 terms with their
     // exact counts AND their CMS estimates. The estimate of every probe

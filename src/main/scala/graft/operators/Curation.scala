@@ -838,6 +838,92 @@ object Curation {
      else ensureNbModel(s, dir)._1, refresh)
   }
 
+  // --- takedown on the MODEL axis (VERDICT r14 #2) ----------------------
+  // q_takedown_e2e masks eight SERVING axes, but a retracted document's
+  // influence also lives in trained artifacts: the NB classifier's
+  // sufficient statistics, the percentile offsets, the DSIR models.
+  // These close the loop: the engine subtracts the retraction from the
+  // stored statistics (bounded work — tokenize only the tombstoned
+  // docs), the oracle retrains FROM SCRATCH over the surviving corpus,
+  // and the hash pins CDC-subtracted ≡ fresh-retrained exactly.
+
+  /** Signed NEGATIVE sufficient statistics of a retraction set —
+    * tokenizes ONLY the retracted documents (bounded by the tombstone
+    * size, never a corpus re-scan); the deletion twin of
+    * [[nbDiffCounts]]'s leaving half, from ANY tombstone frame. */
+  private def nbDeadCounts(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame =
+    nbCounts(documents(s, dir)
+        .join(broadcast(dead.select("doc_id")), Seq("doc_id")),
+      col("lang") === "en")
+      .select(col("bucket"), (-col("c_t")).as("c_t"),
+        (-col("c_b")).as("c_b"))
+
+  /** The RETRACTED model generation: stored v1 counts minus the
+    * retraction's counts, weight readout recomputed. Counts are linear,
+    * so this equals a from-scratch retrain over the surviving corpus
+    * exactly — the ninth takedown axis: after this, a retracted doc's
+    * tokens influence NO weight in the serving model. */
+  def nbModelRetractedWith(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame =
+    nbWeights(ensureNbCounts(s, dir)
+      .unionByName(nbDeadCounts(s, dir, dead))
+      .groupBy("bucket")
+      .agg(sum("c_t").as("c_t"), sum("c_b").as("c_b"))
+      .filter(col("c_t") =!= 0 || col("c_b") =!= 0))
+
+  /** Freeze the retracted model for stateless serving — the
+    * [[nbFrozenModelStored]] readout over the subtracted statistics,
+    * with the prior's class counts corrected by the retraction's own
+    * class counts (all halves bounded: ≤ [[NbBuckets]] weight rows, one
+    * meta row, one aggregate over the tombstoned docs). */
+  def nbFrozenModelRetractedWith(s: SparkSession, dir: String,
+      dead: DataFrame): (Map[Int, Long], Long, Long) = {
+    val rows = nbModelRetractedWith(s, dir, dead)
+      .select("bucket", "c_t", "c_b", "w_micro").collect()
+    val wmap = rows.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val (ctT, cbT) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    def micro(c: Long, tot: Long): Long =
+      math.round(math.log((c + 1).toDouble / (tot + NbBuckets).toDouble) * 1e6)
+    val wOov = micro(0L, ctT) - micro(0L, cbT)
+    val en = col("lang") === "en"
+    val deadPrior = documents(s, dir)
+      .join(broadcast(dead.select("doc_id")), Seq("doc_id"))
+      .agg(coalesce(sum(when(en, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(en, 0L).otherwise(1L)), lit(0L))).head()
+    val meta = ensureNbModel(s, dir)._2.head()
+    val bias = math.round(math.log(
+      (meta.getLong(0) - deadPrior.getLong(0)).toDouble /
+        (meta.getLong(1) - deadPrior.getLong(1)).toDouble) * 1e6)
+    (wmap, wOov, bias)
+  }
+
+  /** The surviving corpus under a tombstone frame. */
+  private def survivors(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame =
+    documents(s, dir)
+      .join(broadcast(dead.select("doc_id")), Seq("doc_id"), "left_anti")
+
+  /** Classification over the survivors from the RETRACTED model — the
+    * stateless fold, zero corpus retrain; the oracle retrains from
+    * scratch over the surviving corpus and scores the same docs. */
+  def nbClassifyRetractedWith(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame = {
+    val (wmap, wOov, bias) = nbFrozenModelRetractedWith(s, dir, dead)
+    nbScoreStateless(survivors(s, dir, dead), wmap, wOov, bias)
+      .orderBy("doc_id")
+  }
+
+  /** Percentile normalization over the survivors under the RETRACTED
+    * model: the per-lang rank offsets are recomputed from the surviving
+    * corpus (a retracted doc must stop shifting every other doc's
+    * percentile), the classifier is the subtracted artifact. */
+  def scorePercentileRetractedWith(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame = {
+    val (wmap, wOov, bias) = nbFrozenModelRetractedWith(s, dir, dead)
+    scorePercentileWith(survivors(s, dir, dead), wmap, wOov, bias)
+  }
+
   // --- incremental score maintenance (IVM over a corpus snapshot) ------
 
   /** Snapshot-v2 mutation rates — every `% V2EditEvery`-th doc is edited
@@ -1077,7 +1163,11 @@ object Curation {
   /** This module's share of the driver-visible gate surface —
     * bump WITH any gate added here (RegistrySpec sums the
     * module-local declarations; no global count exists). */
-  val declaredGates: Int = 26
+  val declaredGates: Int = 28
+
+  /** Deletion surface this module contributes to the composed takedown
+    * (TakedownSpec derives the expected axis set from these). */
+  val takedownAxes: Seq[String] = Seq("model")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classify" -> ((s, dir) =>
@@ -1114,6 +1204,22 @@ object Curation {
     // Served from the STORED model (r13): only the rank phase pays
     // corpus I/O, the classifier is the frozen artifact.
     "q_score_percentile" -> ((s, dir) => scorePercentileStored(s, dir)),
+
+    // MODEL-AXIS TAKEDOWN (r14 verdict #2): classification over the
+    // survivors served from the CDC-SUBTRACTED model — stored counts
+    // minus the tombstoned docs' counts (bounded tokenize), prior
+    // corrected, stateless fold. The oracle retrains from scratch over
+    // the surviving corpus: hash equality proves a retracted doc's
+    // tokens influence neither the weights nor any served score.
+    "q_takedown_model" -> ((s, dir) =>
+      nbClassifyRetractedWith(s, dir, Ingest.ensureForgetSet(s, dir)._1)),
+
+    // the percentile artifact under the same retraction: per-lang rank
+    // offsets recomputed over the survivors (a retracted doc must stop
+    // shifting every other doc's percentile), model subtracted as above.
+    "q_takedown_percentile" -> ((s, dir) =>
+      scorePercentileRetractedWith(s, dir,
+        Ingest.ensureForgetSet(s, dir)._1)),
 
     // drift-triggered MODEL REFRESH θ-policy (the q_cms_policy
     // convention on the classifier axis): both arms in one gate with
@@ -1634,6 +1740,84 @@ object Curation {
        |       - CAST(round(ln(CAST(c_b + 1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
        |  FROM cnt$sfx CROSS JOIN tot$sfx)""".stripMargin
 
+  /** The surviving-corpus CTE of the model-axis takedown oracles —
+    * generated from the SAME Scala constants the tombstone build uses
+    * (the Bm25ForgetCtes convention). */
+  private def survCteSql: String =
+    s"""surv AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE NOT (doc_id % ${Retention.ForgetMod} = ${Retention.ForgetRem}))""".stripMargin
+
+  /** Full train+classify replay over a caller-chosen corpus source —
+    * shared by q_nb_classify (full corpus) and q_takedown_model (the
+    * surviving corpus), so the two gates can never drift on anything
+    * but the corpus predicate. `prefix` injects leading CTEs. */
+  private def nbClassifyOracleSql(docsSrc: String,
+      prefix: String = ""): String =
+    s"""WITH $prefix${nbModelCte(docsSrc)},
+       |oov AS (
+       |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
+       |       - CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_oov
+       |  FROM tot),
+       |bias AS (
+       |  SELECT CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT) AS bias_micro
+       |  FROM (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+       |               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_b
+       |        FROM $docsSrc)),
+       |sc AS (
+       |  SELECT b.doc_id, count(*) AS n_toks,
+       |         CAST(sum(COALESCE(m.w_micro, o.w_oov)) AS BIGINT) AS s
+       |  FROM bkt b LEFT JOIN model m ON b.bucket = m.bucket CROSS JOIN oov o
+       |  GROUP BY 1)
+       |SELECT sc.doc_id,
+       |       CAST(sc.n_toks AS BIGINT) AS n_toks,
+       |       CAST(sc.s + bias.bias_micro AS BIGINT) AS score_micro,
+       |       (sc.s + bias.bias_micro) > 0 AS pred_target
+       |FROM sc CROSS JOIN bias
+       |ORDER BY sc.doc_id""".stripMargin
+
+  /** Window-form replay of the percentile normalization over a
+    * caller-chosen corpus source — shared by q_score_percentile and
+    * q_takedown_percentile (the nbClassifyOracleSql convention). */
+  private def scorePercentileOracleSql(docsSrc: String,
+      prefix: String = ""): String =
+    s"""WITH $prefix${nbModelCte(docsSrc)},
+       |oov AS (
+       |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
+       |       - CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_oov
+       |  FROM tot),
+       |bias AS (
+       |  SELECT CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT) AS bias_micro
+       |  FROM (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
+       |               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_b
+       |        FROM $docsSrc)),
+       |sc AS (
+       |  SELECT b.doc_id, CAST(sum(COALESCE(m.w_micro, o.w_oov)) AS BIGINT) AS s
+       |  FROM bkt b LEFT JOIN model m ON b.bucket = m.bucket CROSS JOIN oov o
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT sc.doc_id, d.lang,
+       |         CAST(sc.s + bias.bias_micro AS BIGINT) AS score_micro
+       |  FROM sc CROSS JOIN bias JOIN $docsSrc d ON d.doc_id = sc.doc_id),
+       |nl AS (SELECT lang, count(*) AS n_lang FROM scored GROUP BY 1),
+       |r AS (SELECT doc_id, lang, score_micro,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY score_micro, doc_id) - 1 AS rk
+       |      FROM scored)
+       |SELECT r.doc_id, r.lang, r.score_micro,
+       |       CAST(CASE WHEN nl.n_lang > 1
+       |                 THEN rk * 1000000 // (nl.n_lang - 1)
+       |                 ELSE 0 END AS BIGINT) AS pct_micro
+       |FROM r JOIN nl USING (lang) ORDER BY r.doc_id""".stripMargin
+
+  /** The retracted-model retrain replay as a bare (bucket, c_t, c_b,
+    * w_micro) SELECT — embedded by the composed-takedown oracle
+    * (Ingest.TakedownE2eOracleSql) for the 'model' axis fingerprint. */
+  private[operators] def nbRetractedModelOracleSql: String =
+    s"""WITH $survCteSql,
+       |${nbModelCte("surv")}
+       |SELECT bucket, c_t, c_b, w_micro FROM model""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_nb_train" ->
       s"""WITH ${nbModelCte("documents")}
@@ -1663,35 +1847,13 @@ object Curation {
 
     // window-form replay of the percentile normalization (the Spark
     // side must produce the identical ranks WITHOUT a per-lang window)
-    "q_score_percentile" ->
-      s"""WITH ${nbModelCte("documents")},
-         |oov AS (
-         |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
-         |       - CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_oov
-         |  FROM tot),
-         |bias AS (
-         |  SELECT CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT) AS bias_micro
-         |  FROM (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
-         |               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_b
-         |        FROM documents)),
-         |sc AS (
-         |  SELECT b.doc_id, CAST(sum(COALESCE(m.w_micro, o.w_oov)) AS BIGINT) AS s
-         |  FROM bkt b LEFT JOIN model m ON b.bucket = m.bucket CROSS JOIN oov o
-         |  GROUP BY 1),
-         |scored AS (
-         |  SELECT sc.doc_id, d.lang,
-         |         CAST(sc.s + bias.bias_micro AS BIGINT) AS score_micro
-         |  FROM sc CROSS JOIN bias JOIN documents d ON d.doc_id = sc.doc_id),
-         |nl AS (SELECT lang, count(*) AS n_lang FROM scored GROUP BY 1),
-         |r AS (SELECT doc_id, lang, score_micro,
-         |        row_number() OVER (PARTITION BY lang
-         |          ORDER BY score_micro, doc_id) - 1 AS rk
-         |      FROM scored)
-         |SELECT r.doc_id, r.lang, r.score_micro,
-         |       CAST(CASE WHEN nl.n_lang > 1
-         |                 THEN rk * 1000000 // (nl.n_lang - 1)
-         |                 ELSE 0 END AS BIGINT) AS pct_micro
-         |FROM r JOIN nl USING (lang) ORDER BY r.doc_id""".stripMargin,
+    "q_score_percentile" -> scorePercentileOracleSql("documents"),
+
+    // the same window replay over the SURVIVING corpus — retrain,
+    // re-rank, re-derive the per-lang offsets from scratch; the engine
+    // serves the subtracted model and the offset recomputation.
+    "q_takedown_percentile" ->
+      scorePercentileOracleSql("surv", s"$survCteSql,\n"),
 
     // full replay of the curation pipeline, every stage from its own
     // generator: train, score, mean-cut, split, string-gram
@@ -1756,28 +1918,12 @@ object Curation {
          |         AS padding_waste
          |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin,
 
-    "q_nb_classify" ->
-      s"""WITH ${nbModelCte("documents")},
-         |oov AS (
-         |  SELECT CAST(round(ln(CAST(1 AS DOUBLE) / CAST(ct_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT)
-         |       - CAST(round(ln(CAST(1 AS DOUBLE) / CAST(cb_total + $NbBuckets AS DOUBLE)) * 1e6) AS BIGINT) AS w_oov
-         |  FROM tot),
-         |bias AS (
-         |  SELECT CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1e6) AS BIGINT) AS bias_micro
-         |  FROM (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t,
-         |               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_b
-         |        FROM documents)),
-         |sc AS (
-         |  SELECT b.doc_id, count(*) AS n_toks,
-         |         CAST(sum(COALESCE(m.w_micro, o.w_oov)) AS BIGINT) AS s
-         |  FROM bkt b LEFT JOIN model m ON b.bucket = m.bucket CROSS JOIN oov o
-         |  GROUP BY 1)
-         |SELECT sc.doc_id,
-         |       CAST(sc.n_toks AS BIGINT) AS n_toks,
-         |       CAST(sc.s + bias.bias_micro AS BIGINT) AS score_micro,
-         |       (sc.s + bias.bias_micro) > 0 AS pred_target
-         |FROM sc CROSS JOIN bias
-         |ORDER BY sc.doc_id""".stripMargin,
+    "q_nb_classify" -> nbClassifyOracleSql("documents"),
+
+    // retrain from scratch over the SURVIVING corpus + classify — the
+    // engine serves the CDC-subtracted model, never re-tokenizing the
+    // corpus; hash equality is the no-retracted-influence proof.
+    "q_takedown_model" -> nbClassifyOracleSql("surv", s"$survCteSql,\n"),
 
     // full replay of the classifier: tokenize, build unigram+bigram
     // features, recompute the polynomial hash per feature, REBUILD the

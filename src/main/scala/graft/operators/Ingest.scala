@@ -434,8 +434,8 @@ object Ingest {
   /** Deterministic retraction set (~1/13 of the base corpus) — the
     * documents a takedown/right-to-be-forgotten request removes. The
     * predicate is the gates' fixture; production passes an id frame. */
-  val ForgetMod: Long = 13L
-  val ForgetRem: Long = 7L
+  val ForgetMod: Long = Retention.ForgetMod
+  val ForgetRem: Long = Retention.ForgetRem
 
   private def forgetBatch(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).filter(col("doc_id") % ForgetMod === ForgetRem)
@@ -2078,6 +2078,12 @@ object Ingest {
     *    guaranteed cosine-1.0 top-1 (IngestSpec pins the discriminance);
     *    masked, val_sum = retracted ids served MUST be 0 while n_rows
     *    pins the survivor backfill to exactly |Q|·k.
+    *  - model (r14 verdict #2): the TRAINED-artifact axis — the NB
+    *    classifier's CDC-subtracted weight table, fingerprinted against
+    *    the oracle's from-scratch retrain over the survivors. The full
+    *    model-axis artifact family (served scores, percentile offsets,
+    *    DSIR) is hash-gated standalone by q_takedown_model /
+    *    q_takedown_percentile / q_takedown_dsir.
     *
     * All arithmetic lands in integer sums (scores via the 6-dp micro
     * cast both engines share), so the composed frame is hash-stable. */
@@ -2124,6 +2130,9 @@ object Ingest {
       .unionByName(fp("media",
         Multimodal.imageDedupForgottenWith(s, dir, dead),
         col("keep_id"), col("id_sum")))
+      .unionByName(fp("model",
+        Curation.nbModelRetractedWith(s, dir, dead),
+        col("bucket").cast(LongType), col("w_micro")))
       .unionByName(fp("phrase",
         phraseMatchForgottenWith(s, dir, dead, PhraseBatch),
         col("phrase_id") * lit(1000000L) + col("doc_id"), col("n_hits")))
@@ -2521,6 +2530,13 @@ object Ingest {
     * bump WITH any gate added here (RegistrySpec sums the
     * module-local declarations; no global count exists). */
   val declaredGates: Int = 52
+
+  /** Deletion surfaces this module contributes to the composed takedown
+    * (TakedownSpec derives the expected axis set from these and asserts
+    * [[takedownE2e]] serves exactly their union — planting a new
+    * deletion surface without composing it reds that spec by name). */
+  val takedownAxes: Seq[String] =
+    Seq("bm25", "dense", "phrase", "quantized_pq", "quantized_sq", "sketch")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the ingest step itself: materialize both stored layouts, report
@@ -3385,6 +3401,11 @@ object Ingest {
        |FROM (${Multimodal.imageDedupOracle(
       s" AND NOT (doc_id % $ForgetMod = $ForgetRem)")})
        |UNION ALL
+       |SELECT 'model', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(bucket), 0) AS BIGINT),
+       |       CAST(coalesce(sum(w_micro), 0) AS BIGINT)
+       |FROM (${Curation.nbRetractedModelOracleSql})
+       |UNION ALL
        |SELECT 'phrase', CAST(count(*) AS BIGINT),
        |       CAST(coalesce(sum(phrase_id * 1000000 + doc_id), 0) AS BIGINT),
        |       CAST(coalesce(sum(n_hits), 0) AS BIGINT)
@@ -3455,7 +3476,12 @@ object Ingest {
        |GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  // lazy: this map embeds oracle strings from TextAnalysis AND (since
+  // the model axis) Curation, while Curation's own init references
+  // Ingest constants — evaluating it at Ingest's <clinit> closes an
+  // init cycle whose losing order is a null MODULE$. Deferring to first
+  // access (SparkEntry assembly, long after every <clinit>) breaks it.
+  lazy val oracles: Map[String, String] = Map(
     // ivf_assign = corpus + the 8 planted canary rows (see TwinOffset)
     "q_ingest_sketches" ->
       """SELECT 'docs_sketched' AS stored_table, count(*) AS n_rows FROM documents

@@ -618,6 +618,10 @@ object Multimodal {
     * module-local declarations; no global count exists). */
   val declaredGates: Int = 23
 
+  /** Deletion surface this module contributes to the composed takedown
+    * (TakedownSpec derives the expected axis set from these). */
+  val takedownAxes: Seq[String] = Seq("media")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // metadata-only aggregation — inline/ref accounting derives from the
     // scalar n_bytes column, so the stored frame's binary payload is

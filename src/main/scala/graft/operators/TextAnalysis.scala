@@ -298,6 +298,17 @@ object TextAnalysis {
         (col("r.nll_micro_sum") - col("t.nll_micro_sum")).as("w_micro"))
   }
 
+  /** [[dsirWeights]] with the retraction excluded from BOTH training
+    * and scoring — the takedown posture of the DSIR artifact (see
+    * q_takedown_dsir for why this retrains rather than subtracts). */
+  def dsirWeightsRetractedWith(s: SparkSession, dir: String,
+      dead: DataFrame): DataFrame = {
+    val surv = documents(s, dir)
+      .join(broadcast(dead.select("doc_id")), Seq("doc_id"), "left_anti")
+    val (rawU, rawB, tgtU, tgtB) = lmTablesDual(surv, col("lang") === "en")
+    dsirWeights(surv, rawU, rawB, tgtU, tgtB).orderBy("doc_id")
+  }
+
   def dsirWeights(docs: DataFrame,
       rawUni: Map[String, Long], rawBi: Map[String, Long],
       tgtUni: Map[String, Long], tgtBi: Map[String, Long]): DataFrame = {
@@ -451,7 +462,7 @@ object TextAnalysis {
   /** This module's share of the driver-visible gate surface —
     * bump WITH any gate added here (RegistrySpec sums the
     * module-local declarations; no global count exists). */
-  val declaredGates: Int = 15
+  val declaredGates: Int = 16
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-language corpus stats: counts + whitespace tokenization.
@@ -601,6 +612,18 @@ object TextAnalysis {
       val (rawU, rawB, tgtU, tgtB) = lmTablesDual(docs, col("lang") === "en")
       dsirWeights(docs, rawU, rawB, tgtU, tgtB).orderBy("doc_id")
     }),
+
+    // DSIR under takedown (r14 verdict #2, the model-axis family): the
+    // capped LM vocabularies are NOT linear in documents (dropping a
+    // doc can change which terms make the top-K cut), so unlike the NB
+    // axis there is no exact CDC subtraction — the honest retraction is
+    // a retrain of the two bounded model artifacts over the survivors
+    // (one pass each; at 100 TB the LM trains on a bounded sample
+    // anyway, per the lmTables contract). The oracle replays the same
+    // from scratch: no retracted doc influences vocabulary, counts,
+    // weights, or the selection mean.
+    "q_takedown_dsir" -> ((s, dir) =>
+      dsirWeightsRetractedWith(s, dir, Ingest.ensureForgetSet(s, dir)._1)),
 
     // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     // per-doc top-word count, duplicate-word and duplicate-2-gram counts,
@@ -948,11 +971,28 @@ object TextAnalysis {
     // over every document, target model over the lang='en' slice — with
     // the same caps, tie order and micro-nat quantization; the weight
     // and selection flag are integer comparisons of the two sums.
-    "q_dsir_weights" ->
-      """WITH toks AS (
+    "q_dsir_weights" -> dsirOracleSql("documents"),
+
+    // the identical replay over the surviving corpus: vocabulary caps,
+    // counts, quantization and the selection mean all re-derived with
+    // the retraction excluded (the engine retrains its bounded models
+    // over the same survivors — see the gate comment for why the capped
+    // vocab rules out an exact CDC subtraction here).
+    "q_takedown_dsir" -> dsirOracleSql("surv",
+      s"""surv AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE NOT (doc_id % ${Retention.ForgetMod} = ${Retention.ForgetRem})),
+         |""".stripMargin),
+  )
+
+  /** The DSIR train+score replay over a caller-chosen corpus source —
+    * shared by q_dsir_weights and q_takedown_dsir so the gates cannot
+    * drift on anything but the corpus predicate. */
+  private def dsirOracleSql(docsSrc: String, prefix: String = ""): String =
+      s"""WITH ${prefix}toks AS (
         |  SELECT doc_id, lang,
-        |         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
-        |  FROM documents),
+        |         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+        |  FROM $docsSrc),
         |pairs AS (
         |  SELECT doc_id, lang, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
         |  FROM toks WHERE len(t) >= 2),
@@ -988,11 +1028,10 @@ object TextAnalysis {
         |         CAST(COALESCE(a.sr, 0) AS BIGINT) AS nll_raw_micro,
         |         CAST(COALESCE(a.st, 0) AS BIGINT) AS nll_tgt_micro,
         |         CAST(COALESCE(a.sr, 0) - COALESCE(a.st, 0) AS BIGINT) AS w_micro
-        |  FROM documents d LEFT JOIN agg a USING (doc_id))
+        |  FROM $docsSrc d LEFT JOIN agg a USING (doc_id))
         |SELECT doc_id, lang, n_bigrams, nll_raw_micro, nll_tgt_micro, w_micro,
         |       (w_micro * (SELECT count(*) FROM perdoc)
         |          > (SELECT sum(w_micro) FROM perdoc)) AS selected
         |FROM perdoc
         |ORDER BY doc_id""".stripMargin
-  )
 }

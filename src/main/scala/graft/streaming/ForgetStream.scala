@@ -20,18 +20,46 @@ import org.apache.spark.sql.types.StructType
   * the retraction size, never a corpus re-scan. */
 object ForgetStream {
 
+  /** `compactAtBatches` (VERDICT r14 #8, the last manual step in the
+    * continuous-maintenance story): when > 0, each trigger checks the
+    * accumulated committed `batch=<id>` dir count AFTER its own write
+    * and, at or past the threshold, runs [[compactTombstones]] inline —
+    * the size-triggered LSM compaction inside the ingest loop. Safety
+    * is inherited wholesale: the compactor folds only marker-committed
+    * dirs, commits the new generation before deleting anything, and
+    * [[tombstoneIds]] reads batches ∪ highest committed generation, so
+    * a reader concurrent with ANY crash point of the in-loop compaction
+    * sees exactly the accumulated set (EventStreamSpec walks this). A
+    * retried trigger (crash between sink write and checkpoint commit)
+    * re-runs compaction at worst — idempotent, like the sink itself.
+    * 0 (the default) keeps the pure append behavior. */
   def tombstoneStream(s: SparkSession, landingGlob: String,
-      schema: StructType, tombDir: String, ckptDir: String): StreamingQuery =
-    s.readStream.schema(schema).parquet(landingGlob)
+      schema: StructType, tombDir: String, ckptDir: String,
+      compactAtBatches: Int = 0): StreamingQuery = {
+    val reader = s.readStream.schema(schema)
+    // in auto-compact mode, bound each micro-batch to one landing file
+    // so accumulation (and the threshold) is exercised WITHIN one
+    // AvailableNow run, not only across runs
+    val bounded =
+      if (compactAtBatches > 0) reader.option("maxFilesPerTrigger", 1)
+      else reader
+    bounded.parquet(landingGlob)
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         b.select("doc_id")
           .write.mode("overwrite").parquet(s"$tombDir/batch=$batchId")
+        if (compactAtBatches > 0) {
+          val fs = new org.apache.hadoop.fs.Path(tombDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (committedBatches(fs, tombDir).size >= compactAtBatches)
+            compactTombstones(s, tombDir)
+        }
         ()
       }
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Compact the accumulated tombstone directory — the LSM small-files
     * rule applied to the deletion front door: thousands of per-trigger

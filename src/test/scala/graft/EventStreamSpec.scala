@@ -221,6 +221,63 @@ class EventStreamSpec extends SparkSpecBase {
       "an idle compaction must not disturb the generation")
   }
 
+  test("size-triggered compaction trips MID-STREAM; concurrent readers never torn") {
+    // VERDICT r14 #8: the last manual LSM step goes continuous — the
+    // ingest loop itself compacts when the committed batch-dir count
+    // reaches the threshold. One AvailableNow run over four landing
+    // files (maxFilesPerTrigger=1 in auto-compact mode → four
+    // micro-batches) must trip compaction inside the run, while a
+    // listener-driven reader exercising tombstoneIds after every
+    // micro-batch observes a parseable, monotonically growing set.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tomb_auto").toString
+    import testImplicits._
+    val schema = Seq(0L).toDF("doc_id").schema
+    for (id <- Seq(7L, 20L, 33L, 46L)) // 4 part files → 4 micro-batches
+      Seq(id).toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(s"$dir/landing")
+    val observed = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val torn = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        try observed.add(graft.streaming.ForgetStream
+          .tombstoneIds(spark, s"$dir/tomb").distinct().count())
+        catch { case t: Throwable => torn.add(t.toString); () }
+    }
+    spark.streams.addListener(listener)
+    try {
+      graft.streaming.ForgetStream.tombstoneStream(
+        spark, s"$dir/landing", schema, s"$dir/tomb", s"$dir/ckpt",
+        compactAtBatches = 2).awaitTermination()
+      // drain the async listener bus before reading its records
+      spark.streams.active.foreach(_.processAllAvailable())
+      Thread.sleep(500)
+    } finally spark.streams.removeListener(listener)
+    assert(torn.isEmpty, s"a concurrent reader observed a torn layout: $torn")
+    val counts = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(observed).asScala.toSeq
+    assert(counts.nonEmpty, "listener captured no micro-batch progress")
+    assert(counts == counts.sorted,
+      s"concurrent reads must grow monotonically: $counts")
+    // the threshold (2) must have tripped inside the run: a committed
+    // generation exists and the batch backlog is below the threshold
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/tomb/gen=*"))).getOrElse(Array.empty)
+    assert(gens.nonEmpty, "no generation committed: the trigger never fired")
+    val leftover = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/tomb/batch=*"))).getOrElse(Array.empty)
+    assert(leftover.length < 2,
+      s"batch backlog ${leftover.length} not folded by the in-loop trigger")
+    // and the served set is exact — nothing lost, duplicates collapsed
+    val ids = graft.streaming.ForgetStream.tombstoneIds(spark, s"$dir/tomb")
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(7L, 20L, 33L, 46L), s"served tombstones: $ids")
+  }
+
   test("tombstone compaction survives a torn flip: no crash point loses a retraction") {
     // the r12 ADVICE finding: delete(gen)+rename(gen.next) had a window
     // where neither layout existed — retracted ids came back. The
@@ -417,7 +474,7 @@ class EventStreamSpec extends SparkSpecBase {
     // the SAME fixture ids land via ForgetStream batches (split in two
     // triggers, one duplicated — the anti-join is duplicate-free), and
     // the composed per-axis fingerprint frame must equal the
-    // stored-artifact gate row for row across all seven axis rows.
+    // stored-artifact gate row for row across every axis row.
     val dir = java.nio.file.Files.createTempDirectory("graft_takedown_e2e").toString
     import testImplicits._
     val fixture = graft.operators.Ingest
@@ -442,7 +499,7 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed == stored,
       s"streamed takedown diverged from the stored-fixture serve:\n$streamed\n$stored")
     assert(stored.map(_.head) == Seq("bm25", "cms", "dense", "media",
-      "phrase", "quantized_pq", "quantized_sq", "sketch"),
+      "model", "phrase", "quantized_pq", "quantized_sq", "sketch"),
       s"axis rows: $stored")
   }
 

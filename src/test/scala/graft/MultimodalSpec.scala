@@ -674,4 +674,99 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!plan.contains("payload"), "payload bytes must not be read")
     assert(!plan.contains("text#"), "the raw corpus must not be read at all")
   }
+
+  // --- randomized decoder fuzz (VERDICT r14 #3) -------------------------
+  // The JetFileSpec idiom over every media decoder: arbitrary corruption
+  // must land in `ok = false` (or, when the corrupted byte is outside
+  // the decoded payload — BMP row padding, unchecked header fields — an
+  // UNCHANGED decode), never an uncontrolled exception and never a
+  // silently-wrong result in a checksummed region.
+
+  private def fuzzFixtures: Seq[(String, Array[Byte])] = Seq(
+    "png" -> MediaFormats.encodePng(9, 7, gradient(3)),
+    "bmp" -> MediaFormats.encodeBmp(9, 7, gradient(4)),
+    "gif" -> MediaFormats.encodeGif(9, 7, gradient(5)),
+    "gif_anim" -> MediaFormats.encodeGifAnim(5, 4, 3, f => gradient(f + 1L)),
+    // small-magnitude samples: every single-bit flip of any sample
+    // changes |amplitude| (bit 15 maps small x to ~±32k), so a payload
+    // flip can never legitimately preserve value_sum
+    "wav" -> MediaFormats.encodeWav(8000,
+      Array[Short](5, -7, 123, 0, 31, -2, 99, 64)),
+  )
+
+  test("fuzz: EVERY truncation point decodes to ok=false (or an unchanged " +
+      "tail-pad cut), never throws") {
+    for ((fmt, bytes) <- fuzzFixtures) {
+      val orig = MediaFormats.decode(bytes)
+      assert(orig.ok, s"$fmt fixture must decode clean")
+      for (cut <- 0 until bytes.length) {
+        val info = try MediaFormats.decode(bytes.take(cut)) catch {
+          case e: Throwable => fail(s"$fmt cut=$cut threw $e")
+        }
+        assert(!info.ok || info == orig,
+          s"$fmt truncated at $cut/${bytes.length} decoded ok with " +
+            s"different content: $info vs $orig")
+      }
+    }
+  }
+
+  test("fuzz: EVERY single-bit flip never throws; checksummed formats " +
+      "always report it; payload flips never preserve the hash") {
+    for ((fmt, bytes) <- fuzzFixtures; i <- bytes.indices;
+        mask <- Seq(0x01, 0x80)) {
+      val corrupt = bytes.clone()
+      corrupt(i) = (corrupt(i) ^ mask).toByte
+      val orig = MediaFormats.decode(bytes)
+      val info = try MediaFormats.decode(corrupt) catch {
+        case e: Throwable => fail(s"$fmt flip@$i mask=$mask threw $e")
+      }
+      // PNG: every byte sits under the magic or a chunk CRC — a
+      // single-bit flip can never survive as ok (CRC32 has no
+      // 1-bit collisions)
+      if (fmt == "png")
+        assert(!info.ok, s"png flip@$i mask=$mask decoded ok: $info")
+      // BMP: flips INSIDE the decoded payload must change the decode or
+      // fail it — never ok with the original (width, height, value_sum).
+      // The decoded payload is the R channel only (grayscale frames;
+      // decodeGrayBmp reads base + 3x + 2): B/G bytes and row padding
+      // are legitimately outside it.
+      if (fmt == "bmp") {
+        val rowSize = (3 * 9 + 3) / 4 * 4
+        val inRow = (i - 54) % rowSize
+        val inPayload = i >= 54 && inRow < 3 * 9 && inRow % 3 == 2
+        if (inPayload)
+          assert(!info.ok || info != orig,
+            s"bmp payload flip@$i mask=$mask preserved the decode")
+      }
+      // WAV: flips inside the data chunk change a sample's magnitude
+      // by fixture construction — value_sum must move or ok must drop
+      if (fmt == "wav" && i >= 44)
+        assert(!info.ok || info != orig,
+          s"wav sample flip@$i mask=$mask preserved the decode")
+    }
+  }
+
+  test("fuzz: random byte soup behind each format magic never throws and " +
+      "never decodes ok") {
+    import org.scalacheck.Gen
+    val magics = Seq[Array[Byte]](
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      Array('B', 'M'),
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte), // JPEG: decoder-only path
+      "RIFF????WAVE".getBytes("US-ASCII"),
+      "GIF89a".getBytes("US-ASCII"))
+    val gen = for {
+      magic <- Gen.oneOf(magics)
+      n <- Gen.chooseNum(0, 400)
+      body <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield magic ++ body.toArray
+    for (bytes <- samples(gen, 400)) {
+      val info = try MediaFormats.decode(bytes) catch {
+        case e: Throwable =>
+          fail(s"soup (${bytes.length} B, magic ${bytes.take(4).toSeq}) threw $e")
+      }
+      assert(!info.ok,
+        s"random soup decoded ok=$info (${bytes.take(16).toSeq}…)")
+    }
+  }
 }
