@@ -5,14 +5,27 @@
 # regression (VERDICT r8: minhash band self-join, 33.4 s zipf vs 9.3 s
 # sf1) flips rc non-zero mechanically instead of needing plan archaeology.
 #
-# Usage: scripts/rehearse.sh [K]   (K = zipf-ratio gate, default 3.0 —
-# the r8 regression sat at 3.6x; every legitimate query is well under 2x)
+# Usage: scripts/rehearse.sh [K] [--sf3]
+#   K      = zipf-ratio gate, default 3.0 — the r8 regression sat at
+#            3.6x; every legitimate query is well under 2x
+#   --sf3  = additionally bench the 30x sf3/sf3z decade (VERDICT r14 #1:
+#            measure the scaling exponent PAST sf1) into BENCH_sf3.json /
+#            BENCH_sf3z.json with the same zipf K-gate, plus a 1.5x
+#            totals gate on zipf-vs-uniform
 # pipefail: Bench exits non-zero when any query fails — without it the
 # pipe into grep swallows the rc and a broken BASELINE records as a
 # green rehearsal artifact (r10 review finding)
 set -eo pipefail
 cd "$(dirname "$0")/.."
-K=${1:-3.0}
+SF3=0
+ARGS=()
+for a in "$@"; do
+  case "$a" in
+    --sf3) SF3=1 ;;
+    *) ARGS+=("$a") ;;
+  esac
+done
+K=${ARGS[0]:-3.0}
 # prove the K-gate's self-adjudication still distinguishes a real
 # regression from a stall BEFORE trusting it with tonight's numbers
 # (scripts/test_compare_bench.py, VERDICT r12 #7)
@@ -37,3 +50,21 @@ bench target/sf1z BENCH_sf1z.json
 # the zipf gate: same volume, production-shaped hot keys — any query
 # whose skewed time exceeds K x its uniform time has a skew problem
 python3 scripts/compare_bench.py BENCH_sf1.json BENCH_sf1z.json "$K"
+if [ "$SF3" = 1 ]; then
+  [ -d target/sf3 ]  || python3 scripts/make_sf1.py --copies=30 target/sf3
+  [ -d target/sf3z ] || python3 scripts/make_sf1.py --zipf --copies=30 target/sf3z
+  bench target/sf3  BENCH_sf3.json
+  bench target/sf3z BENCH_sf3z.json
+  python3 scripts/compare_bench.py BENCH_sf3.json BENCH_sf3z.json "$K"
+  # the r14 #1 done-bar: skewed TOTAL within 1.5x of uniform at sf3
+  python3 - <<'PY'
+import json
+def total(p):
+    with open(p) as f:
+        return json.loads(f.read().strip().splitlines()[-1])["value"]
+u, z = total("BENCH_sf3.json"), total("BENCH_sf3z.json")
+r = z / u
+print(f"sf3 zipf totals gate: uniform={u:.1f}s zipf={z:.1f}s ratio={r:.2f}")
+raise SystemExit(0 if r <= 1.5 else 1)
+PY
+fi
