@@ -11,14 +11,28 @@ artifact, and prints a markdown table with the ratio of each column to
 the first (the scaling exponent evidence for SURVEY §10). Only queries
 present in ALL artifacts are summed, so a gate added between rounds
 cannot masquerade as scaling.
+
+--same reads the `same_jvm_queries` pass from every artifact instead of
+the headline (fresh-JVM) pass: the fork child carries a 45-minute
+watchdog, so the largest rehearsal decade (sf9.9) can only be recorded
+same-JVM — comparing it against fresh-posture columns would mix
+postures (the same-JVM pass at sf3 runs ~46% above fresh because it
+shares its JVM with the index builds). With --same, every column is the
+same posture and the ratios are meaningful.
 """
 import json
 import sys
+
+SAME = "--same" in sys.argv
 
 
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.loads(f.read().strip().splitlines()[-1])
+    if SAME:
+        if "same_jvm_queries" not in d:
+            raise SystemExit(f"{path}: no same_jvm_queries pass recorded")
+        return d["same_jvm_queries"]
     return d["queries"]
 
 
@@ -27,7 +41,7 @@ def family(name: str) -> str:
 
 
 def main() -> None:
-    cols = [a.split("=", 1) for a in sys.argv[1:]]
+    cols = [a.split("=", 1) for a in sys.argv[1:] if a != "--same"]
     data = [(label, load(path)) for label, path in cols]
     common = set(data[0][1])
     for _, q in data[1:]:
