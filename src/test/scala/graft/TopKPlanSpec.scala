@@ -198,6 +198,62 @@ class TopKPlanSpec extends SparkSpecBase {
       "rn < Int.MinValue must yield zero rows, not the whole input")
   }
 
+  // --- session-uniform plan surface (SURVEY §10.20): the r15 posture
+  // adjudication red was plan shape depending on SESSION HISTORY — the
+  // rewrite was installed only by the q_topk_rewrite gate mid-suite, so
+  // a pass-1/isolation JVM served the full window sort while pass 2
+  // served the heap. These pins make that class of drift red by name. --
+
+  test("ANY operator registration installs the plan surface in a virgin session (FnOnce choke point)") {
+    val s2 = spark.newSession() // fresh ExperimentalMethods: no rule yet
+    def idiom = {
+      val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+      s2.range(2000)
+        .select(concat(lit("k"), (col("id") % 17).cast("string")).as("key"),
+          col("id"), (col("id") % 11).cast("int").as("v"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .drop("rn")
+    }
+    val before = idiom.queryExecution.executedPlan.toString
+    assert(before.contains("Window") && !before.contains("TopKPerKey"),
+      s"control: a virgin session must NOT carry the rewrite yet:\n$before")
+    // the lazy register path every operator construction goes through —
+    // must bring the PLAN surface, not just the function surface
+    graft.functions.VectorOps.register(s2)
+    val after = idiom.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(after).size >= 2 && !after.contains("Window"),
+      s"one operator register() must make the session plan-complete:\n$after")
+  }
+
+  test("TopKRewrite is batch-position-robust: the WindowGroupLimit-wrapped optimized shape rewrites too") {
+    // A cluster deployment installs the rule via
+    // `--conf spark.sql.extensions=graft.GraftExtensions`, which lands
+    // it in the OPERATOR-OPTIMIZATION batch (pre-InferWindowGroupLimit
+    // shapes); the lazy register path lands it post-hoc, AFTER Spark's
+    // own batches — where InferWindowGroupLimit has already wrapped the
+    // window child in a Partial WindowGroupLimit. (An in-JVM test
+    // cannot build an extensions session: `spark.sql.extensions` is a
+    // STATIC conf read from the SparkContext, and the suite context
+    // predates it — so pin the property that makes the position
+    // irrelevant: the rule rewrites BOTH shapes.) The virgin-session
+    // optimized plan below carries WindowGroupLimit + Window; one
+    // manual application must strip both and emit the heap node.
+    val s2 = spark.newSession() // no rule installed — settled Spark plan
+    val w = Window.partitionBy("key").orderBy(desc("v"), asc("id"))
+    val optimized = s2.range(1000)
+      .select(concat(lit("k"), (col("id") % 7).cast("string")).as("key"),
+        col("id"), (col("id") % 5).cast("int").as("v"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .drop("rn")
+      .queryExecution.optimizedPlan
+    val before = optimized.treeString
+    assert(before.contains("WindowGroupLimit") && before.contains("Window"),
+      s"control: Spark's own plan must carry the wrapped window:\n$before")
+    val after = graft.plans.TopKRewrite.apply(optimized).treeString
+    assert(after.contains("TopKPerKeyNode") && !after.contains("Window"),
+      s"the rule must strip WindowGroupLimit AND Window:\n$after")
+  }
+
   test("TopKRewrite: rank(), kept-rank, and rank-consuming plans are left untouched") {
     graft.plans.TopKRewrite.register(spark)
     val df = (0L until 1000L).map(i => (s"k${i % 7}", i, (i % 5).toInt))
