@@ -239,6 +239,63 @@ object Profile {
             sum(expr("count * (count - 1) DIV 2")).as("total_pairs"))
           .collect().head
         println(s"buckets=${prof.get(0)} maxLoad=${prof.get(1)} pairs=${prof.get(2)}")
+      // per-axis serve breakdown of the composed takedown (which of the
+      // nine axis sub-serves carries q_takedown_e2e's seconds?)
+      case "takedown_phases" =>
+        import org.apache.spark.sql.functions._
+        val dead = graft.operators.Ingest.ensureForgetSet(spark, sfDir)._1
+          .select("doc_id").distinct().localCheckpoint()
+        val deadVec = dead.select(col("doc_id").as("vec_id"))
+        val deadDoc = dead
+        val qs = graft.queries.Tables.embeddings(spark, sfDir)
+          .join(broadcast(deadVec), "vec_id")
+          .orderBy("vec_id").limit(8)
+          .select((col("vec_id") + lit(70000000L)).as("q_id"),
+            col("embedding").as("q_emb"))
+          .localCheckpoint()
+        def run(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          time(s"axis:$label warm-build")(df.count())
+          val built = time(s"axis:$label construct")(df)
+          time(s"axis:$label count")(built.count())
+        }
+        run("bm25")(graft.operators.Ingest.bm25TopKForgottenWith(
+          spark, sfDir, deadDoc, Seq("table", "scan", "join"), 10))
+        run("cms")(graft.operators.CorpusStats.cmsEstimateForgottenWith(
+          spark, sfDir, deadDoc))
+        run("dense")(graft.operators.Ingest.knnJoinIvfForgottenWith(
+          spark, sfDir, deadVec, qs, 10))
+        run("media")(graft.operators.Multimodal.imageDedupForgottenWith(
+          spark, sfDir, deadDoc))
+        run("model")(graft.operators.Curation.nbModelRetractedWith(
+          spark, sfDir, deadDoc))
+        run("phrase")(graft.operators.Ingest.phraseMatchForgottenWith(
+          spark, sfDir, deadDoc, graft.operators.Ingest.PhraseBatch))
+        run("qpq")(graft.operators.Ingest.knnJoinIvfPqForgottenWith(
+          spark, sfDir, deadVec, qs, 10))
+        run("qsq")(graft.operators.Ingest.knnJoinIvfSqForgottenWith(
+          spark, sfDir, deadVec, qs, 10))
+        run("sketch")(graft.operators.Ingest.nearDupForgottenWith(
+          spark, sfDir, deadDoc))
+        run("e2e-composed")(graft.operators.Ingest.takedownE2e(spark, sfDir))
+      // round/edge breakdown of the dup-cluster contraction
+      case "cc_phases" =>
+        import org.apache.spark.sql.functions._
+        val docs = graft.queries.Tables.documents(spark, sfDir)
+        val cand = time("cc:candidates")(
+          graft.operators.Dedup.minhashCandidates(docs).localCheckpoint())
+        println(s"  candidate pairs=${cand.count()}")
+        val edges = time("cc:verify")(
+          graft.operators.Dedup.verifiedOverlap(docs, cand)
+            .filter(col("n_common") * 2 >= col("n_union"))
+            .select("doc1", "doc2").localCheckpoint())
+        println(s"  edges=${edges.count()}")
+        time("cc:contract")(
+          graft.operators.Curation.connectedComponents(edges).count())
+        time("cc:contract2") {
+          val (lbl, rounds) = graft.operators.Curation
+            .connectedComponentsImpl(edges, 25)
+          println(s"  rounds=$rounds labels=${lbl.count()}")
+        }
       // synthetic ALWAYS-SLOW query — the adjudication negative control
       // (scripts/test_compare_bench.py): a real regression is slow in
       // isolation too; this one is slow anywhere, by construction, so

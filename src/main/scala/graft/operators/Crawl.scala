@@ -314,12 +314,14 @@ object Crawl {
     // share's `div nDocs` would be an ANSI divide-by-zero
     if (nDocs == 0)
       return docs.select(col("doc_id"), lit(RankScale).as("rank_micro"))
-    val e = edges.select("src", "dst").localCheckpoint()
+    val e = edges.select("src", "dst").localCheckpoint(eager = false)
     // real per-src out-degree, carried on the edge (one join, reused by
-    // every iteration)
+    // every iteration); lazy checkpoints — computed once inside the
+    // first consuming job, persisted for the remaining rounds
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val eDeg = e.join(deg, "src").localCheckpoint()
-    val srcSet = deg.select(col("src").as("doc_id")).localCheckpoint()
+    val eDeg = e.join(deg, "src").localCheckpoint(eager = false)
+    val srcSet = deg.select(col("src").as("doc_id"))
+      .localCheckpoint(eager = false)
     var ranks = docs.select(col("doc_id"), lit(RankScale).as("rank_micro"))
     for (_ <- 1 to RankIters) {
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("doc_id"))
@@ -338,7 +340,12 @@ object Crawl {
             s"(coalesce(inflow, 0L) + dangling_share) * ${Damping._1}" +
               s" div ${Damping._2}"))
             .as("rank_micro"))
-        .localCheckpoint()
+        // LAZY lineage truncation (guide §1.2 "remove passes"): plan
+        // depth still resets every round, but the three rounds execute
+        // inside the ONE consuming job instead of paying a separate
+        // materialization job per round (the checkpointed partitions are
+        // persisted on first compute exactly as in the eager form)
+        .localCheckpoint(eager = false)
     }
     ranks
   }
@@ -367,9 +374,9 @@ object Crawl {
   def labelPropagate(docs: DataFrame, edges: DataFrame): DataFrame = {
     val isT = col("doc_id") % TrustSeedMod === TrustedRem
     val isS = col("doc_id") % TrustSeedMod === SpamRem
-    val e = edges.select("src", "dst").localCheckpoint()
+    val e = edges.select("src", "dst").localCheckpoint(eager = false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val eDeg = e.join(deg, "src").localCheckpoint()
+    val eDeg = e.join(deg, "src").localCheckpoint(eager = false)
     var m = docs.select(col("doc_id"),
       when(isT, lit(RankScale)).otherwise(lit(0L)).as("t_micro"),
       when(isS, lit(RankScale)).otherwise(lit(0L)).as("s_micro"))
@@ -386,7 +393,7 @@ object Crawl {
             .otherwise(coalesce(col("t_in"), lit(0L))).as("t_micro"),
           when(isS, lit(RankScale)).when(isT, lit(0L))
             .otherwise(coalesce(col("s_in"), lit(0L))).as("s_micro"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // one consuming job, as in pageRank
     }
     m.select(col("doc_id"), col("t_micro"), col("s_micro"),
       when(col("t_micro") > col("s_micro"), lit("trusted"))

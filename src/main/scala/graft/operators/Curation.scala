@@ -126,22 +126,34 @@ object Curation {
     var converged = eSig._1 == 0L
     while (!converged && rounds < maxIter) {
       // LARGE-STAR: every strictly-larger neighbor of n re-links to
-      // m = min(N(n) ∪ {n}) — preserves connectivity, shortcuts paths
+      // m = min(N(n) ∪ {n}) — preserves connectivity, shortcuts paths.
+      // The per-n minimum is a WINDOW aggregate instead of the r14
+      // groupBy+self-join: one exchange of adj hashed by n replaces
+      // three (group, then both join inputs), with identical bytes
+      // moved — the window key's group size is the node degree, which
+      // the banded candidate generator bounds upstream
+      // (Sketch.MaxIdPairsBucket fails loudly far below any window-task
+      // limit), so no unbounded single-key partition can form. The
+      // intermediate ls keeps duplicates (a node re-linked via two
+      // neighbors): min() is insensitive and `next` is distinct()ed —
+      // dropping the r14 mid-round distinct saves one more exchange.
       val adj = e.select(col("u").as("n"), col("v").as("nb"))
         .unionByName(e.select(col("v").as("n"), col("u").as("nb")))
-      val lsm = adj.groupBy("n").agg(min("nb").as("mn"))
-        .select(col("n"), least(col("n"), col("mn")).as("m"))
-      val ls = adj.join(lsm, "n")
+      val wN = Window.partitionBy("n")
+      val ls = adj
+        .select(col("n"), col("nb"),
+          least(col("n"), min("nb").over(wN)).as("m"))
         .filter(col("nb") > col("n"))
         .select(col("nb").as("u"), col("m").as("v"))
-        .distinct()
       // SMALL-STAR: key = the larger endpoint u of each (u > v) edge;
-      // its smaller neighbors and u itself re-link to m = min(N_≤(u))
-      val ssm = ls.groupBy("u").agg(min("v").as("m"))
-      val next = ls.join(ssm, "u")
-        .filter(col("v") =!= col("m"))
+      // its smaller neighbors and u itself re-link to m = min(N_≤(u)) —
+      // the same window-for-groupBy+join trade (u-keyed group size is
+      // again degree-bounded)
+      val wU = Window.partitionBy("u")
+      val ss = ls.select(col("u"), col("v"), min("v").over(wU).as("m"))
+      val next = ss.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(ssm.select(col("u"), col("m").as("v")))
+        .unionByName(ss.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
       // verified fixpoint, signature-gated: mid-convergence rounds pay

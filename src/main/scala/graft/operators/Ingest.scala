@@ -2119,31 +2119,43 @@ object Ingest {
           col("vec_id").as("dead_id"))),
           col("vec_id") === col("dead_id"), "left_outer"),
         lit(0L), when(col("dead_id").isNotNull, 1L).otherwise(0L))
-    fp("bm25",
-      bm25TopKForgottenWith(s, dir, dead, Seq("table", "scan", "join"), 10),
-      col("doc_id"), round(col("score") * 1e6).cast(LongType))
-      .unionByName(fp("cms",
+    // The nine axis fingerprints are INDEPENDENT single-row aggregates;
+    // constructed sequentially (every ensure* build stays on this thread
+    // for BuildTimer's outermost-frame accounting) and then materialized
+    // CONCURRENTLY (guide §2.6 — measured 6.9 s composed vs 8.0 s as the
+    // sum of sequential axis serves at sf0.1/local[32]: the one-plan
+    // union ran the axes back to back). Par.materialize keeps every row
+    // on the executors; the final union is nine checkpointed one-row
+    // frames, which also keeps the optimizer off the former
+    // 2155-operator concatenated plan.
+    val axes: Seq[DataFrame] = Seq(
+      fp("bm25",
+        bm25TopKForgottenWith(s, dir, dead, Seq("table", "scan", "join"), 10),
+        col("doc_id"), round(col("score") * 1e6).cast(LongType)),
+      fp("cms",
         CorpusStats.cmsEstimateForgottenWith(s, dir, dead),
-        lit(0L), col("tf_est")))
-      .unionByName(denseFp("dense",
-        knnJoinIvfForgottenWith(s, dir, deadVec, qs, 10)))
-      .unionByName(fp("media",
+        lit(0L), col("tf_est")),
+      denseFp("dense",
+        knnJoinIvfForgottenWith(s, dir, deadVec, qs, 10)),
+      fp("media",
         Multimodal.imageDedupForgottenWith(s, dir, dead),
-        col("keep_id"), col("id_sum")))
-      .unionByName(fp("model",
+        col("keep_id"), col("id_sum")),
+      fp("model",
         Curation.nbModelRetractedWith(s, dir, dead),
-        col("bucket").cast(LongType), col("w_micro")))
-      .unionByName(fp("phrase",
+        col("bucket").cast(LongType), col("w_micro")),
+      fp("phrase",
         phraseMatchForgottenWith(s, dir, dead, PhraseBatch),
-        col("phrase_id") * lit(1000000L) + col("doc_id"), col("n_hits")))
-      .unionByName(denseFp("quantized_pq",
-        knnJoinIvfPqForgottenWith(s, dir, deadVec, qs, 10)))
-      .unionByName(denseFp("quantized_sq",
-        knnJoinIvfSqForgottenWith(s, dir, deadVec, qs, 10)))
-      .unionByName(fp("sketch",
+        col("phrase_id") * lit(1000000L) + col("doc_id"), col("n_hits")),
+      denseFp("quantized_pq",
+        knnJoinIvfPqForgottenWith(s, dir, deadVec, qs, 10)),
+      denseFp("quantized_sq",
+        knnJoinIvfSqForgottenWith(s, dir, deadVec, qs, 10)),
+      fp("sketch",
         nearDupForgottenWith(s, dir, dead),
         col("doc1") + col("doc2"),
         round(col("jaccard") * 1e6).cast(LongType)))
+    graft.Par.materialize(axes)
+      .reduce(_.unionByName(_))
       .orderBy("axis")
   }
 
@@ -2513,14 +2525,19 @@ object Ingest {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qmap = probes.select(col("q_id"),
       row_number().over(Window.orderBy("q_id")).cast(LongType).as("eq"))
-    val dense = Similarity.knnJoin(emb, probes, NdcgBatchK)
+    // the dense (exact kNN) and sparse (stored-index BM25) arms are
+    // independent — materialize them concurrently (guide §2.6) instead
+    // of letting the fused plan run them back to back; construction
+    // stays on this thread (the sparse arm's ensureTermIndex build must
+    // meter through BuildTimer single-threaded)
+    val denseArm = Similarity.knnJoin(emb, probes, NdcgBatchK)
       .join(broadcast(qmap), "q_id")
       .select(col("eq").as("q_id"), col("vec_id").as("id"),
         col("rnk").as("rank"))
-      .localCheckpoint()
-    val sparse = bm25TopKBatch(s, dir,
+    val sparseArm = bm25TopKBatch(s, dir,
         NdcgBatchTerms.toDF("q_id", "term"), NdcgBatchK)
       .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("rank"))
+    val Seq(dense, sparse) = graft.Par.materialize(Seq(denseArm, sparseArm))
     val ranked = Similarity.rrfFuseBatch(Seq(dense, sparse), NdcgBatchK)
       .select("q_id", "id", "rank")
     (ranked, dense)

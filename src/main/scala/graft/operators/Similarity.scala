@@ -738,35 +738,85 @@ object Similarity {
     * gate), which is the production shape: index-backed candidate
     * generation, bounded diversified rerank. */
   def mmrRerankPool(pool0: DataFrame, k: Int = MmrK): DataFrame = {
-    val lam = lit(MmrLambdaX10)
-    val lam1 = lit(10L - MmrLambdaX10)
-    val pool = pool0
-      .localCheckpoint() // 3 consumers: both sim sides + every greedy step
-    val sims = pool.select(col("vec_id").as("d"), col("embedding").as("de"))
-      .join(broadcast(pool.select(col("vec_id").as("s"), col("embedding").as("se"))),
-        col("d") =!= col("s"))
-      .select(col("d"), col("s"), cosMicro(col("de"), col("se")).as("sim6"))
-      .localCheckpoint() // consumed once per greedy step
-    val cands = pool.select("vec_id", "rel6")
-    var sel = cands
-      .orderBy(desc("rel6"), asc("vec_id")).limit(1)
-      .select(col("vec_id"), col("rel6"), lit(1).as("pick"),
-        (lam * col("rel6")).as("mmr6"))
-      .localCheckpoint()
-    for (i <- 2 to k) {
-      val picked = sel.select("vec_id")
-      val next = cands
-        .join(broadcast(picked), Seq("vec_id"), "left_anti")
-        .join(sims, col("vec_id") === col("d"))
-        .join(broadcast(picked.select(col("vec_id").as("s"))), "s")
-        .groupBy(col("vec_id"), col("rel6"))
-        .agg(max("sim6").as("maxsim6"))
-        .select(col("vec_id"), col("rel6"), lit(i).as("pick"),
-          (lam * col("rel6") - lam1 * col("maxsim6")).as("mmr6"))
-        .orderBy(desc("mmr6"), asc("vec_id")).limit(1)
-      sel = sel.unionByName(next).localCheckpoint()
+    // The pool is BOUNDED by construction (top-n candidate generation,
+    // n = MmrPoolN) — the n·(n−1) pairwise sims and the k-step greedy
+    // recurrence are model-artifact-sized, so they run driver-side off
+    // ONE collect of the pool (optimization guide §1.2: the r14 form
+    // paid ~7 eager checkpoint jobs — pool, sims, one per greedy step —
+    // all over ≤16 rows; measured 1.7–3.6 s of pure job overhead at
+    // sf0.1). Arithmetic is replicated exactly: the cosine loop mirrors
+    // VectorSketchOps.cosine (float→double per element, dot/na/nb
+    // accumulation order), micro-rounding mirrors Spark's round()
+    // (BigDecimal HALF_UP — math.round would differ on negative
+    // cosines), and everything downstream is the same integer (7, 3)
+    // weighting with vec_id tie-breaks, so the served rows are
+    // bit-identical to the r14 distributed unroll (same DuckDB oracle).
+    val spark = pool0.sparkSession
+    val rows = pool0.select(col("vec_id"), col("embedding"), col("rel6"))
+      .collect()
+    val n = rows.length
+    val ids = Array.tabulate(n)(i => rows(i).getLong(0))
+    val embs = Array.tabulate(n)(i => rows(i).getSeq[Float](1).toArray)
+    val rel6 = Array.tabulate(n)(i => rows(i).getLong(2))
+    def cosMicroLocal(a: Array[Float], b: Array[Float]): Long = {
+      require(a.length == b.length,
+        s"cosine: dimension mismatch (${a.length} vs ${b.length})")
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      java.math.BigDecimal.valueOf(c * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     }
-    sel.orderBy("pick")
+    val lam = MmrLambdaX10
+    val lam1 = 10L - MmrLambdaX10
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long)]
+    val pickedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (step <- 1 to math.min(k, n)) {
+      var best = -1
+      var bestMmr = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!pickedIdx.contains(i)) {
+          val mmr6 =
+            if (step == 1) lam * rel6(i)
+            else {
+              var maxSim = Long.MinValue
+              pickedIdx.foreach { j =>
+                val s6 = cosMicroLocal(embs(i), embs(j))
+                if (s6 > maxSim) maxSim = s6
+              }
+              lam * rel6(i) - lam1 * maxSim
+            }
+          if (mmr6 > bestMmr || (mmr6 == bestMmr && best >= 0 && ids(i) < ids(best))) {
+            best = i; bestMmr = mmr6
+          }
+        }
+        i += 1
+      }
+      if (best >= 0) {
+        picked += ((ids(best), rel6(best), step, bestMmr))
+        pickedIdx += best
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rel6",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pick",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr6",
+        org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      picked.toSeq.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)).asJava, schema)
+      .orderBy("pick")
   }
 
   /** DuckDB twin of [[cosMicro]] — replays the kernel term-by-term:
