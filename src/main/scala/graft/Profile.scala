@@ -296,6 +296,72 @@ object Profile {
             .connectedComponentsImpl(edges, 25)
           println(s"  rounds=$rounds labels=${lbl.count()}")
         }
+      // cumulative stage costs of the crawl e2e spine (each probe
+      // re-runs the prior stages — subtract successive numbers)
+      case "crawl_phases" =>
+        import org.apache.spark.sql.functions._
+        val spark2 = spark
+        import spark2.implicits._
+        graft.functions.QualityModel.register(spark)
+        val recs = graft.operators.Crawl.ensureWarcFiles(spark, sfDir)
+          .select("warc").as[Array[Byte]]
+          .flatMap(bytes => graft.sources.WarcFile.decodeWarcGz(bytes).map(r =>
+            (r.recordId.stripPrefix("urn:graft:doc-").toLong, r.targetUri, r.body)))
+          .toDF("doc_id", "uri", "html")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        time("crawl:warc-decode")(noop(recs))
+        time("crawl:warc-decode2")(noop(recs))
+        val extracted = recs.select(col("doc_id"),
+          graft.operators.Crawl.canonicalizeUrl(col("uri")).as("canon_url"),
+          graft.operators.Curation.extractHtmlText(col("html"))
+            .getField("extracted").as("extracted"))
+        time("crawl:+extract")(noop(extracted))
+        val urlDeduped = extracted
+          .groupBy("canon_url")
+          .agg(min(struct(col("doc_id"), col("extracted"))).as("f"))
+          .select(col("f.doc_id").as("doc_id"), col("canon_url"),
+            col("f.extracted").as("extracted"))
+        val withDomain = urlDeduped.select(col("doc_id"),
+          graft.operators.Crawl.registrableDomain(col("canon_url")).as("domain"),
+          col("extracted"), length(col("extracted")).as("x_len"))
+        val capped = graft.plans.TopK.topKPerKey(withDomain, Seq(col("domain")),
+          Seq(col("x_len").desc, col("doc_id").asc),
+          graft.operators.Crawl.DomainCap)
+        time("crawl:+dedup+cap")(noop(capped))
+        val bias = graft.operators.Curation.QualityBiasMicro
+        val admitted = capped
+          .withColumn("f", graft.functions.QualityModel.qualityScore(
+            graft.operators.TextAnalysis.bm25Toks(col("extracted")),
+            graft.operators.Curation.QualityWeights))
+          .filter(when(col("f.n_features") > 0,
+            col("f.sum_micro") + lit(bias) * col("f.n_features") >= 0)
+            .otherwise(lit(bias >= 0L)))
+          .select(col("doc_id"), col("extracted").as("text"))
+        time("crawl:+quality")(noop(admitted))
+        val full = graft.operators.Crawl.crawlPipelineDocs(spark, sfDir)
+        time("crawl:full")(noop(full))
+        time("crawl:full2")(noop(full))
+        val e2e = SparkEntry.queries("q_crawl_pipeline_e2e")(spark, sfDir)
+        time("crawl:e2e")(noop(e2e))
+        time("crawl:e2e2")(noop(e2e))
+      // tokenize-vs-kernel split of the quality scoring stage
+      case "quality_micro" =>
+        import org.apache.spark.sql.functions._
+        graft.functions.QualityModel.register(spark)
+        val docs = graft.queries.Tables.documents(spark, sfDir)
+        def noop2(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val toks = docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.bm25Toks(col("text")).as("t"))
+        time("qm:tokenize")(noop2(toks))
+        time("qm:tokenize2")(noop2(toks))
+        val scoredQ = docs.select(col("doc_id"),
+          graft.functions.QualityModel.qualityScore(
+            graft.operators.TextAnalysis.bm25Toks(col("text")),
+            graft.operators.Curation.QualityWeights).as("f"))
+        time("qm:tok+score")(noop2(scoredQ))
+        time("qm:tok+score2")(noop2(scoredQ))
       // synthetic ALWAYS-SLOW query — the adjudication negative control
       // (scripts/test_compare_bench.py): a real regression is slow in
       // isolation too; this one is slow anywhere, by construction, so

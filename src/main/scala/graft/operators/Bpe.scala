@@ -56,10 +56,28 @@ object Bpe {
       .otherwise(transform(sequence(lit(1), length(word)),
         i => word.substr(i, lit(1))))
 
-  /** Apply a ranked merge table to one word: chars, then one fold per
-    * merge in rank order. */
+  /** Apply a ranked merge table to one word: chars, then one
+    * left-to-right pass per merge in rank order. Served by the compiled
+    * kernel ([[graft.functions.BpeOps]]) — the declarative fold below
+    * ([[encodeUnitsFold]]) is the reference formulation (one
+    * interpreted `aggregate` HOF per merge per word, measured as the
+    * dominant crawl-pipeline stage cost at sf0.1); BpeSpec pins
+    * kernel ≡ fold on the corpus and on adversarial words. The caller
+    * must have registered [[graft.functions.BpeOps]] on the session. */
   def encodeUnits(word: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeOps.encode(word, merges)
+
+  /** The reference fold formulation of [[encodeUnits]] (spec oracle —
+    * not used in any query plan). */
+  private[graft] def encodeUnitsFold(word: Column,
+      merges: Seq[(String, String)]): Column =
     merges.foldLeft(chars(word)) { case (u, (a, b)) => mergeFold(u, a, b) }
+
+  /** Flattened units of a whole token array in ONE kernel call — the
+    * `flatten(transform(toks, w => encodeUnits(w)))` shape without the
+    * two interpreted HOF layers. */
+  def encodeAllUnits(tokens: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeOps.encodeAll(tokens, merges)
 
   /** Learn `numMerges` merges from the corpus. Each iteration picks the
     * globally most frequent adjacent unit pair (count summed over word
@@ -152,14 +170,15 @@ object Bpe {
   /** Per-lang word/unit totals of a corpus under the FROZEN pinned
     * merge table — one narrow pass, map-side-combined groupBy over
     * |langs| keys. */
-  private def fertilityStats(docs: DataFrame, tag: String): DataFrame =
+  private def fertilityStats(docs: DataFrame, tag: String): DataFrame = {
+    graft.functions.BpeOps.register(docs.sparkSession)
     docs
       .select(col("lang"), Curation.gramToks(col("text")).as("t"))
       .select(col("lang"), size(col("t")).cast(LongType).as("nw"),
-        size(flatten(transform(col("t"),
-          w => encodeUnits(w, PinnedMerges)))).cast(LongType).as("nu"))
+        size(encodeAllUnits(col("t"), PinnedMerges)).cast(LongType).as("nu"))
       .groupBy("lang")
       .agg(sum("nw").as(s"n_words_$tag"), sum("nu").as(s"n_units_$tag"))
+  }
 
   /** Tokenizer-fertility monitoring across corpus snapshots: per lang,
     * words and BPE units of v1 vs v2 under the SAME frozen merges —
@@ -188,16 +207,17 @@ object Bpe {
     // BPE encoding of every doc with the pinned merge table: the gate
     // hashes the '|'-joined unit sequence of the WHOLE doc, so a single
     // unit boundary differing anywhere flips the row.
-    "q_bpe_encode" -> ((s, dir) =>
+    "q_bpe_encode" -> ((s, dir) => {
+      graft.functions.BpeOps.register(s)
       documents(s, dir)
         .select(col("doc_id"), Curation.gramToks(col("text")).as("t"))
         .select(col("doc_id"), size(col("t")).cast(LongType).as("n_words"),
-          flatten(transform(col("t"),
-            w => encodeUnits(w, PinnedMerges))).as("units"))
+          encodeAllUnits(col("t"), PinnedMerges).as("units"))
         .select(col("doc_id"), col("n_words"),
           size(col("units")).cast(LongType).as("n_units"),
           md5(array_join(col("units"), "|")).as("units_fp"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")
+    }))
 
   /** Per-lang fertility CTE over a docs source (drift-gate twin of
     * [[fertilityStats]], generated from the same merge constants). */

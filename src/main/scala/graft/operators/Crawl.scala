@@ -576,9 +576,10 @@ object Crawl {
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("pos"), col("blk")))),
         pb => pb.getField("blk")), " ").as("dedup_text"))
+    graft.functions.BpeOps.register(s)
     rebuilt.select(col("doc_id"),
-      size(flatten(transform(Curation.gramToks(col("dedup_text")),
-        w => Bpe.encodeUnits(w, Bpe.PinnedMerges))))
+      size(Bpe.encodeAllUnits(Curation.gramToks(col("dedup_text")),
+        Bpe.PinnedMerges))
         .cast(LongType).as("n_units"))
   }
 

@@ -1114,10 +1114,14 @@ object Ingest {
 
   /** Deterministic probe row for the append gate: the first append
     * source (the (NumCanaries+1)-th lowest vec_id) — its exact copy is
-    * in the DELTA only. */
+    * in the DELTA only. Collected once per (app, source plan) and
+    * served as a literal one-row relation (the [[Similarity.queryRow]]
+    * treatment — see its doc for the measured rationale). */
   private[graft] def appendQueryRow(emb: DataFrame): DataFrame =
-    emb.orderBy("vec_id").offset(NumCanaries).limit(1)
-      .select(col("embedding").as("q_emb"), col("vec_id").as("q_id"))
+    Similarity.localizedProbe(emb.sparkSession,
+      Similarity.collectOneProbe(
+        emb.orderBy("vec_id").offset(NumCanaries).limit(1)
+          .select(col("embedding").as("q_emb"), col("vec_id").as("q_id"))))
 
   /** Materialize the delta once per (app, sf): assign against the STORED
     * centroids (loaded, never retrained) and write partitioned by cell.
@@ -1289,6 +1293,7 @@ object Ingest {
   def ensureSqModel(s: SparkSession, dir: String): (Array[Float], Array[Float]) = graft.BuildTimer.time {
     val modelPath = scratch(s, dir, "sq8_model")
     graft.functions.SqOps.register(s)
+    sqCache.getOrElseUpdate((s.sparkContext.applicationId, modelPath), {
     if (committed(s, modelPath)) {
       val r = s.read.parquet(modelPath).head()
       (r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray)
@@ -1317,7 +1322,15 @@ object Ingest {
         .write.mode("overwrite").parquet(modelPath)
       (mn, st)
     }
+    })
   }
+
+  /** Warm SQ model reads memoized per (app, path) — the cbCache
+    * pattern: the stored artifact is immutable once its marker commits,
+    * and the two dim-length arrays re-read per serving gate otherwise
+    * cost a driver job each. */
+  private val sqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Array[Float], Array[Float])]
 
   def ensureSqIndex(s: SparkSession, dir: String): (Array[Float], Array[Float], DataFrame) = graft.BuildTimer.time {
     val codePath = scratch(s, dir, "sq8_codes")
@@ -1554,11 +1567,12 @@ object Ingest {
   // fail the envelope, so discriminance is proven at the kernel
   private[graft] def knnJoinSqSides(s: SparkSession, dir: String,
       sides: Seq[DataFrame], centroids: DataFrame, mins: Array[Float],
-      steps: Array[Float], rescoreCorpus: DataFrame, queriesDf: DataFrame,
+      steps: Array[Float], rescoreCorpus: DataFrame, queriesDf0: DataFrame,
       k: Int, expand: Int, nProbe: Int,
       dead: Option[DataFrame] = None): DataFrame = {
     graft.functions.SqOps.register(s)
     import s.implicits._
+    val queriesDf = Similarity.localizedQueryBatch(queriesDf0)
     val (lin, quad, gamma0) = graft.functions.SqOps.modelTables(mins, steps)
     // per-query tables: |Q|·(dim+1) doubles, driver-built and
     // broadcast-bounded by construction like the ADC tables
@@ -1923,9 +1937,13 @@ object Ingest {
     * lifecycle needs everywhere: the probe machinery must not care
     * which generation layout it reads. */
   private[graft] def knnJoinSides(s: SparkSession, dir: String,
-      sides: Seq[DataFrame], centroids: DataFrame, queriesDf: DataFrame,
+      sides: Seq[DataFrame], centroids: DataFrame, queriesDf0: DataFrame,
       k: Int, nProbe: Int, dead: Option[DataFrame] = None): DataFrame = {
     VectorOps.register(s)
+    // bounded batch → literal relation (see Similarity.localizedQueryBatch):
+    // the batch subplan otherwise re-evaluates inside the probe-plan,
+    // match and rescore broadcasts
+    val queriesDf = Similarity.localizedQueryBatch(queriesDf0)
     val n = embeddingCount(s, dir)
     val probe =
       if (nProbe > 0) nProbe
@@ -2275,12 +2293,18 @@ object Ingest {
   private def recallMeasuredVia(s: SparkSession, dir: String, k: Int,
       nQueries: Int, serve: DataFrame => DataFrame): DataFrame = {
     val emb = embeddings(s, dir)
-    val qs = emb.orderBy("vec_id").offset(2 * NumCanaries).limit(nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .localCheckpoint() // two consumers: approx probe + exact baseline
-    val approx = serve(qs).select("q_id", "vec_id")
-    val exact = Similarity.knnJoin(indexedCorpus(s, dir), qs, k)
-      .select("q_id", "vec_id")
+    // bounded fixture batch → literal relation (collected once per app;
+    // both the approx probe and the exact baseline reference it)
+    val qs = Similarity.localizedQueryBatch(
+      emb.orderBy("vec_id").offset(2 * NumCanaries).limit(nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    // approx serve and exact baseline are independent arms — construct
+    // sequentially (ensure* builds meter on this thread), materialize
+    // concurrently (guide §2.6)
+    val Seq(approx, exact) = graft.Par.materialize(Seq(
+      serve(qs).select("q_id", "vec_id"),
+      Similarity.knnJoin(indexedCorpus(s, dir), qs, k)
+        .select("q_id", "vec_id")))
     approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
       .agg(countDistinct("q_id").as("n_queries"),
         count(lit(1)).as("hits"))
@@ -2447,11 +2471,12 @@ object Ingest {
 
   private def knnJoinPqSides(s: SparkSession, dir: String,
       sides: Seq[DataFrame], centroids: DataFrame, cb: Array[Float],
-      dim: Int, rescoreCorpus: DataFrame, queriesDf: DataFrame, k: Int,
+      dim: Int, rescoreCorpus: DataFrame, queriesDf0: DataFrame, k: Int,
       expand: Int, nProbe: Int, m: Int, kCent: Int,
       dead: Option[DataFrame] = None): DataFrame = {
     graft.functions.PqOps.register(s)
     import s.implicits._
+    val queriesDf = Similarity.localizedQueryBatch(queriesDf0)
     // per-query ADC tables: a driver-built bounded model artifact, like
     // the codebook itself (|Q| is broadcast-bounded by construction)
     val tables = queriesDf.select(col("q_id"), col("q_emb")).collect().map { r =>

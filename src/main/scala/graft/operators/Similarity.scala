@@ -39,10 +39,82 @@ object Similarity {
   }
 
   /** The deterministic probe row (min vec_id) used by the top-k queries
-    * so they are parameter-free and sf-stable. */
+    * so they are parameter-free and sf-stable.
+    *
+    * Collected-and-memoized serving form (optimization r15): the raw
+    * derivation is a broadcast-join subplan over the corpus scan, and it
+    * rode inside every probe-plan broadcast, crossJoin and rescore —
+    * each evaluation a fresh TakeOrdered pass over `embeddings`,
+    * measured 1–3 evaluations per serve across ~20 dense gates. The
+    * probe row is a bounded input-derived fixture (one id + one vector),
+    * so it collects ONCE per (app, source plan) — the embeddingCount
+    * memo precedent — and serves as a literal one-row relation: same
+    * row, same schema, zero corpus subplans in the serving plan. */
   private[operators] def queryRow(emb: DataFrame): DataFrame =
+    localizedProbe(emb.sparkSession, collectOneProbe(queryRowDerived(emb)))
+
+  /** The raw derivation of [[queryRow]] (memo source; spec reference). */
+  private[operators] def queryRowDerived(emb: DataFrame): DataFrame =
     emb.join(broadcast(emb.agg(min("vec_id").as("qid"))), col("vec_id") === col("qid"))
       .select(col("embedding").as("q_emb"), col("vec_id").as("q_id"))
+
+  private val probeCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), (Long, Array[Float])]
+
+  /** Collect a ONE-ROW (q_emb, q_id) probe frame, memoized per
+    * (application, semantic plan): the frame is a deterministic pure
+    * function of its source plan, so the collect runs once per app. */
+  private[graft] def collectOneProbe(q: DataFrame): (Long, Array[Float]) =
+    probeCache.getOrElseUpdate(
+      (q.sparkSession.sparkContext.applicationId,
+        q.schema.simpleString, q.queryExecution.analyzed.semanticHash()), {
+        val r = q.select(col("q_id"), col("q_emb")).head()
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      })
+
+  /** The (q_emb, q_id) probe as a literal one-row relation — schema
+    * identical to the derived form. */
+  private[graft] def localizedProbe(spark: SparkSession,
+      probe: (Long, Array[Float])): DataFrame =
+    localizedBatchFrame(spark, Array(probe))
+
+  private def localizedBatchFrame(spark: SparkSession,
+      rows: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.map(p => (p._2.toSeq, p._1)).toDF("q_emb", "q_id")
+      .select(col("q_emb").cast(ArrayType(FloatType)).as("q_emb"),
+        col("q_id"))
+  }
+
+  /** Over this, a query batch is not a bounded broadcast fixture and
+    * stays a distributed plan. */
+  private val MaxLocalizedBatch = 64
+
+  private val batchCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), Array[(Long, Array[Float])]]
+
+  /** The batched generalization of the [[queryRow]] localization: a
+    * BOUNDED (q_id, q_emb) query batch collects once per (application,
+    * semantic source plan) and serves as a literal relation — the
+    * derived batch subplan (typically a TakeOrdered over the corpus
+    * scan) otherwise re-evaluates inside every broadcast that
+    * references it (probe plan, candidate match, rescore join).
+    * Batches that prove larger than [[MaxLocalizedBatch]] rows are
+    * returned UNCHANGED (they are not bounded fixtures; localizing
+    * them would be a driver collect of data-sized state). */
+  private[graft] def localizedQueryBatch(q: DataFrame): DataFrame = {
+    // only the pure (q_id, q_emb) shape localizes — a batch carrying
+    // extra columns (labels, weights) must stay the caller's plan
+    if (q.columns.sorted.toSeq != Seq("q_emb", "q_id")) return q
+    val rows = batchCache.getOrElseUpdate(
+      (q.sparkSession.sparkContext.applicationId,
+        q.schema.simpleString, q.queryExecution.analyzed.semanticHash()),
+      q.select(col("q_id"), col("q_emb")).limit(MaxLocalizedBatch + 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    if (rows.length > MaxLocalizedBatch) q
+    else localizedBatchFrame(q.sparkSession, rows)
+  }
 
   /** Exact brute-force cosine top-k against the probe vector (excluding
     * the probe itself). */
@@ -299,8 +371,11 @@ object Similarity {
     * absorbs last-ulp float divergence between engines (same rule as
     * q_tfidf_terms) and vec_id makes the order total, so the phase-1
     * prune keeps a superset of the global top-k by construction. */
-  def knnJoin(emb: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {
+  def knnJoin(emb: DataFrame, queriesDf0: DataFrame, k: Int): DataFrame = {
     VectorOps.register(emb.sparkSession)
+    // bounded batch → literal relation (localizedQueryBatch doc);
+    // over-bound batches pass through unchanged
+    val queriesDf = localizedQueryBatch(queriesDf0)
     val scored = emb.crossJoin(broadcast(queriesDf))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -520,15 +595,16 @@ object Similarity {
     val emb = embeddings(s, dir)
     val qs = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val dense = knnJoin(emb, qs, 10)
-      .select(col("vec_id").as("id"), col("rnk").as("rank"))
-      .localCheckpoint()
-    val sparse = TextAnalysis.bm25TopK(
-        graft.queries.Tables.documents(s, dir), Seq("table", "scan", "join"), 10)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(desc("score"), asc("doc_id")))) // 10-row frame
-      .select(col("doc_id").as("id"), col("rank"))
-      .localCheckpoint()
+    // dense and sparse arms are independent — materialize concurrently
+    // (guide §2.6; same treatment as the batched hybridRankedLists)
+    val Seq(dense, sparse) = graft.Par.materialize(Seq(
+      knnJoin(emb, qs, 10)
+        .select(col("vec_id").as("id"), col("rnk").as("rank")),
+      TextAnalysis.bm25TopK(
+          graft.queries.Tables.documents(s, dir), Seq("table", "scan", "join"), 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id")))) // 10-row frame
+        .select(col("doc_id").as("id"), col("rank"))))
     (dense, sparse)
   }
 

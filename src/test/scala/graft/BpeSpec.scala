@@ -10,10 +10,40 @@ import graft.operators.Bpe
 class BpeSpec extends SparkSpecBase {
   import testImplicits._
 
-  private def units(word: String, merges: Seq[(String, String)]): Seq[String] =
+  private def units(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    graft.functions.BpeOps.register(spark)
     Seq(word).toDF("w")
       .select(Bpe.encodeUnits(col("w"), merges).as("u"))
       .as[Seq[String]].collect().head
+  }
+
+  test("compiled kernel ≡ reference fold on adversarial words and the corpus") {
+    graft.functions.BpeOps.register(spark)
+    // adversarial: overlap chains, re-merge, unicode (incl. a
+    // supplementary codepoint), empties, single chars
+    val words = Seq("aaaa", "aaa", "aab", "abab", "b", "", "a",
+      "sortorderwindow", "columncolumn", "låån", "a😀a",
+      "error", "eor", "parscan")
+    val merges = Seq(("a", "a"), ("a", "b")) ++ Bpe.PinnedMerges
+    val df = words.toDF("w").select(col("w"),
+      Bpe.encodeUnits(col("w"), merges).as("k"),
+      Bpe.encodeUnitsFold(col("w"), merges).as("f"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"kernel/fold divergence on '${r.getString(0)}'")
+    }
+    // whole-corpus equivalence at sf0.001, incl. the flattened form
+    val docs = graft.queries.Tables.documents(spark, TestSpark.Sf0001)
+      .select(graft.operators.Curation.gramToks(col("text")).as("t"))
+    val diff = docs.select(
+        Bpe.encodeAllUnits(col("t"), Bpe.PinnedMerges).as("k"),
+        flatten(transform(col("t"),
+          w => Bpe.encodeUnitsFold(w, Bpe.PinnedMerges))).as("f"))
+      .filter(not(col("k") === col("f")))
+      .count()
+    assert(diff == 0L, s"$diff corpus docs diverge kernel vs fold")
+  }
 
   test("mergeFold: left-to-right pass, new unit re-merges with the NEXT token") {
     assert(units("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
@@ -99,6 +129,7 @@ class BpeSpec extends SparkSpecBase {
   }
 
   test("encode plan: narrow projection only — no exchange, no UDF") {
+    graft.functions.BpeOps.register(spark)
     val p = Seq((1L, "sort order window")).toDF("doc_id", "text")
       .select(flatten(transform(
         split(col("text"), " "),
