@@ -1275,7 +1275,9 @@ object Curation {
         .filter(col("score_micro") * col("n") > col("s"))
         .select(col("doc_id"), col("text"),
           splitColumn(col("doc_id")).as("split"))
-        .localCheckpoint() // 3 consumers: train grams, eval grams, packing
+        // 3 consumers (train grams, eval grams, packing); LAZY — the
+        // first consuming job materializes it once, no barrier job
+        .localCheckpoint(eager = false)
       val grams = admitted.select(col("doc_id"), col("split"),
         explode(graft.functions.Sketch.wordGramHashes(
           gramToks(col("text")), 8)).as("g"))

@@ -516,7 +516,7 @@ object Ingest {
     // negative stats, which would double-subtract (caught by the
     // streamed-takedown e2e spec)
     val deadIds = dead.select("doc_id").distinct()
-      .localCheckpoint() // 2 consumers
+      .localCheckpoint(eager = false) // 2 consumers; lazy, no barrier job
     val negStats = documents(s, dir).join(broadcast(deadIds), "doc_id")
       .select(size(TextAnalysis.bm25Toks(col("text"))).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
@@ -638,7 +638,7 @@ object Ingest {
     // duplicated retraction must neither fork the generation path nor
     // double-subtract (the bm25TopKForgottenWith rule)
     val deadIds = dead.select("doc_id").distinct()
-      .localCheckpoint() // 3 consumers
+      .localCheckpoint(eager = false) // 3 consumers; first use materializes
     val setKey = deadIds.agg(sum(xxhash64(col("doc_id")))).head()
     val tag = java.lang.Long.toHexString(
       if (setKey.isNullAt(0)) 0L else setKey.getLong(0))
@@ -2071,7 +2071,10 @@ object Ingest {
     nearDupOverFeatures(
       ensureSketchedDocs(s, dir)
         .join(broadcast(dead.select("doc_id")), Seq("doc_id"), "left_anti")
-        .localCheckpoint())
+        // lazy: materializes inside the first consuming job (for the
+        // composed takedown, inside the concurrent Par phase instead of
+        // serializing a barrier job at construction)
+        .localCheckpoint(eager = false))
 
   /** Fixed q_id offset of the composed-takedown dense queries — must
     * collide with no stored vec_id (corpus, canary twins, append batch),
